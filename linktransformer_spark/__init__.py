@@ -1,0 +1,34 @@
+"""linktransformer_spark — a PySpark-native engine with the query /
+data-processing capabilities of dell-research-harvard/linktransformer.
+
+Public API mirrors the reference's flat operator surface
+(/root/reference/src/linktransformer/infer.py) over
+``pyspark.sql.DataFrame`` instead of pandas, plus large-scale
+training-data-pipeline extensions (dedup, ANN, text analysis,
+multimodal, streaming) that the 100 TB north star requires.
+"""
+
+from .session import get_spark
+from .operators.merge import aggregate_rows, merge, merge_blocking, merge_knn
+from .operators.range_join import merge_range
+from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
+from .encoders.base import Encoder, resolve_encoder
+from .encoders.hash_ngram import HashNgramEncoder
+from .encoders.precomputed import PrecomputedEncoder
+
+__all__ = [
+    "get_spark",
+    "merge",
+    "merge_knn",
+    "merge_blocking",
+    "merge_range",
+    "aggregate_rows",
+    "evaluate_pairs",
+    "all_pair_combos_evaluate",
+    "Encoder",
+    "HashNgramEncoder",
+    "PrecomputedEncoder",
+    "resolve_encoder",
+]
+
+__version__ = "0.1.0"

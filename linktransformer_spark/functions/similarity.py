@@ -1,0 +1,110 @@
+"""Similarity / vector scalar functions — pure Catalyst expressions.
+
+Everything here stays JVM-side (whole-stage codegen over higher-order
+array functions); no Python UDFs. Integer-arithmetic hashes are defined
+so a SQL oracle (DuckDB) can reproduce them bit-for-bit — see
+``functions/oracle.py`` for the mirrored SQL text.
+
+Reference kernels being re-expressed:
+- L2 normalize: /root/reference/src/linktransformer/infer.py:141-142
+  (clipped variant :815-816)
+- row-wise cosine: /root/reference/src/linktransformer/utils.py:102-107
+- all-pairs cosine: sklearn cosine_similarity at infer.py:537
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31 - 1, prime; all rolling-hash arithmetic stays < 2^39, exact in BIGINT
+HASH_MOD = 2147483647
+HASH_BASE = 131
+
+
+def char_codes(s: Column) -> Column:
+    """Array of unicode code points of ``s`` (empty array for '').
+    Empty chars filtered: Spark split('', '') == [''] but DuckDB
+    string_split('', '') differs — filtering makes both yield []."""
+    return F.transform(
+        F.filter(F.split(s, ""), lambda ch: ch != F.lit("")),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+
+
+def poly_hash(s: Column, salt: int = 0) -> Column:
+    """Deterministic polynomial rolling hash of a string, in [0, HASH_MOD).
+
+    acc = (acc * 131 + code) % (2^31-1), seeded with ``salt``.
+    Exact-integer and engine-portable (DuckDB mirror in oracle.py) —
+    unlike Spark's murmur3 ``hash()`` which no other engine reproduces.
+    """
+    return F.aggregate(
+        char_codes(s),
+        F.lit(salt).cast("long"),
+        lambda acc, c: (acc * HASH_BASE + c) % HASH_MOD,
+    )
+
+
+def char_ngrams(s: Column, n: int) -> Column:
+    """Array of all character n-grams of ``s`` (with multiplicity);
+    empty array when len(s) < n. Guarded because sequence(1, 0) would
+    produce a *descending* sequence in Spark, not an empty one."""
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_tokens(s: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(s), r"\s+"), lambda t: t != F.lit(""))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays, accumulated in double,
+    sequential left-to-right (parity with DuckDB list_dot_product on
+    doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_normalize(a: Column, clip: float = 1e-12) -> Column:
+    """a / max(||a||, clip) — the reference clips tiny norms
+    (/root/reference/src/linktransformer/infer.py:815-816)."""
+    nrm = F.greatest(l2_norm(a), F.lit(clip))
+    return F.transform(a, lambda x: x.cast("double") / nrm)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two raw (unnormalized) numeric arrays."""
+    return dot(a, b) / (
+        F.greatest(l2_norm(a), F.lit(1e-12)) * F.greatest(l2_norm(b), F.lit(1e-12))
+    )
+
+
+def lev_sim(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein similarity in [0,1]:
+    1 - lev(a,b) / max(len(a), len(b), 1).
+
+    Integer levenshtein + one double division -> bit-identical across
+    Spark and DuckDB, which makes every similarity-join operator
+    oracle-checkable without an embedding model.
+
+    CAVEAT: DuckDB's levenshtein counts UTF-8 *bytes* while Spark counts
+    code points, so cross-engine parity holds for ASCII inputs only —
+    which covers all the TPC-H-ish name columns the oracle checks.
+    """
+    return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")

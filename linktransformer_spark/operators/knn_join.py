@@ -1,0 +1,235 @@
+"""semantic_topk_join — the engine's core custom operator.
+
+Backs ``merge`` / ``merge_knn`` / ``merge_blocking`` / ``merge_range`` /
+``aggregate_rows`` / ``merge_k_judge`` (SURVEY §2.2 ops 1-5, 10). The
+reference implements all of these with a FAISS flat inner-product index
+(/root/reference/src/linktransformer/infer.py:144-151, 669-678, 821-824);
+Catalyst has no kNN-join strategy, so this module provides three
+execution modes behind one API (SURVEY §4 "custom pieces"):
+
+- ``exact_cross``  : cross/theta join + window top-k. Exact, fully
+  declarative, oracle-checkable (QUALIFY row_number formulation).
+  Catalyst executes it as BroadcastNestedLoopJoin when one side is
+  small. O(|L|·|R|) — the correctness path, also the right plan when
+  the right side is a small reference list (broadcast, no shuffle of
+  the big side).
+- ``broadcast_knn`` : broadcast the (small) right side's vectors to
+  every executor; per-partition exact numpy top-k inside mapInPandas.
+  Exact scores, O(|L|·|R|) flops but vectorized and with O(|L|·k)
+  output instead of materializing the cross product — the fast path
+  when the right side fits in executor memory (the usual record-linkage
+  shape: big messy left, curated right).
+- ``lsh``          : BucketedRandomProjectionLSH candidate generation +
+  exact re-rank of candidates. Approximate recall, near-linear — the
+  100 TB x 100 TB path.
+
+Tie-breaking is deterministic everywhere: ORDER BY score DESC,
+right_id ASC (FAISS breaks ties by insertion order — SURVEY §1.3; we
+define engine semantics instead of chasing float-order parity).
+
+Scorers are pluggable: cosine-of-embeddings (any Encoder) or direct
+string similarity (normalized Levenshtein) — the latter gives exact
+cross-engine parity for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..encoders.base import Encoder
+from ..functions import similarity as S
+
+LEFT_ID = "_lt_left_id"
+RIGHT_ID = "_lt_right_id"
+LEFT_KEY = "_lt_key_l"
+RIGHT_KEY = "_lt_key_r"
+LEFT_EMB = "_lt_emb_l"
+RIGHT_EMB = "_lt_emb_r"
+
+Mode = Literal["auto", "exact_cross", "broadcast_knn", "lsh"]
+
+
+@dataclass
+class CosineScorer:
+    """score = dot of L2-normalized embeddings (== cosine)."""
+
+    encoder: Encoder
+
+    def prepare(self, df: DataFrame, key_col: str, emb_col: str) -> DataFrame:
+        if self.encoder.expression_based:
+            return self.encoder.encode(df, key_col, emb_col)
+        return self.encoder.encode_distinct(df, key_col, emb_col)
+
+    def score(self) -> Column:
+        return S.dot(F.col(LEFT_EMB), F.col(RIGHT_EMB))
+
+    needs_embeddings = True
+
+
+@dataclass
+class LevenshteinScorer:
+    """score = 1 - lev/maxlen on the serialized keys (ASCII-exact vs
+    the DuckDB oracle; see functions/similarity.lev_sim)."""
+
+    def prepare(self, df: DataFrame, key_col: str, emb_col: str) -> DataFrame:
+        return df
+
+    def score(self) -> Column:
+        return S.lev_sim(F.col(LEFT_KEY), F.col(RIGHT_KEY))
+
+    needs_embeddings = False
+
+
+def resolve_scorer(model) -> "CosineScorer | LevenshteinScorer":
+    """model="levenshtein" -> string scorer; anything else -> encoder
+    cosine (see encoders.base.resolve_encoder)."""
+    if isinstance(model, (CosineScorer, LevenshteinScorer)):
+        return model
+    if isinstance(model, str) and model == "levenshtein":
+        return LevenshteinScorer()
+    from ..encoders.base import resolve_encoder
+
+    return CosineScorer(resolve_encoder(model))
+
+
+def candidate_scores(
+    left: DataFrame,
+    right: DataFrame,
+    scorer,
+    block_on: list[tuple[str, str]] | None = None,
+    mode: Mode = "exact_cross",
+    threshold: float | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Score left x right candidates.
+
+    ``left`` must carry LEFT_ID/LEFT_KEY (and LEFT_EMB if embedding
+    scorer); same for right. Returns columns of both inputs plus
+    ``score``. ``block_on`` is a list of (left_col, right_col) equality
+    pairs that turn the cross join into an equi-join (Catalyst then
+    hash-partitions instead of nested-looping — blocking IS partition
+    pruning, SURVEY §4).
+    """
+    if mode == "broadcast_knn":
+        return _broadcast_knn(left, right, scorer, block_on=block_on, k=k or 1)
+    if mode == "lsh":
+        return _lsh_candidates(left, right, scorer, block_on=block_on, threshold=threshold, k=k)
+
+    cond = None
+    for lc, rc in block_on or []:
+        eq = left[lc].eqNullSafe(right[rc])
+        cond = eq if cond is None else (cond & eq)
+    joined = left.join(right, cond, "inner") if cond is not None else left.crossJoin(right)
+    joined = joined.withColumn("score", scorer.score())
+    if threshold is not None:
+        joined = joined.filter(F.col("score") >= F.lit(threshold))
+    return joined
+
+
+def topk(df: DataFrame, k: int, extra_partition: list[str] | None = None) -> DataFrame:
+    """Deterministic per-left-row top-k: row_number over
+    (score DESC, right_id ASC). One shuffle on left_id; with AQE the
+    partial sort is map-side. Adds ``_lt_rank``."""
+    w = Window.partitionBy(LEFT_ID, *(extra_partition or [])).orderBy(
+        F.col("score").desc(), F.col(RIGHT_ID).asc()
+    )
+    return df.withColumn("_lt_rank", F.row_number().over(w)).filter(
+        F.col("_lt_rank") <= k
+    )
+
+
+def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
+    """Exact kNN with the right side broadcast; numpy matmul per Arrow
+    batch. Returns (left columns..., RIGHT_ID, score); caller joins the
+    right columns back by id (one broadcast hash join when right is
+    small — which it must be for this mode).
+
+    NOTE scores are float64 matmul results; they can differ from the
+    declarative path in the last ulp, so this mode is for performance
+    paths, not oracle comparisons (SURVEY §7 hard-part 6).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    if not getattr(scorer, "needs_embeddings", False):
+        raise ValueError("broadcast_knn requires an embedding-based scorer")
+    if block_on:
+        raise NotImplementedError("broadcast_knn with blocking: use mode='exact_cross'")
+
+    rows = right.select(RIGHT_ID, RIGHT_EMB).collect()
+    r_ids = np.array([r[0] for r in rows], dtype="int64")
+    r_mat = np.array([r[1] for r in rows], dtype="float64")  # (m, d), normalized
+    order = np.argsort(r_ids)  # tie-break prep: ids ascending
+    r_ids, r_mat = r_ids[order], r_mat[order]
+    spark = left.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_mat))
+
+    left_schema = left.schema
+    out_schema = StructType(
+        list(left_schema.fields)
+        + [StructField(RIGHT_ID, LongType()), StructField("score", DoubleType())]
+    )
+    kk = k
+
+    def gen(batches):
+        ids, mat = b.value
+        m = len(ids)
+        take = min(kk, m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(pdf[LEFT_EMB].tolist(), dtype="float64")  # (n, d)
+            scores = q @ mat.T  # (n, m)
+            # top-k with deterministic tie-break: argsort on (-score, id-order)
+            # ids are ascending, and np.argsort is stable -> sorting by
+            # -score alone keeps id order among exact ties.
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :take]
+            n = len(pdf)
+            out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
+            out[RIGHT_ID] = ids[idx].reshape(-1)
+            out["score"] = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+            yield out
+
+    return left.mapInPandas(gen, schema=out_schema)
+
+
+def _lsh_candidates(left, right, scorer, block_on=None, threshold=None, k=None) -> DataFrame:
+    """BucketedRandomProjectionLSH candidate pairs, exact-cosine rescored.
+
+    For L2-normalized vectors, euclidean distance d relates to cosine c
+    by c = 1 - d^2/2, so a cosine threshold t maps to d <= sqrt(2(1-t)).
+    With no threshold (pure kNN) we use a generous default radius; recall
+    is approximate — this is the 100 TB path, not the parity path.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if not getattr(scorer, "needs_embeddings", False):
+        raise ValueError("lsh mode requires an embedding-based scorer")
+
+    t = threshold if threshold is not None else 0.0
+    radius = float((2.0 * max(1.0 - t, 1e-9)) ** 0.5)
+
+    lv = left.withColumn("_lt_vec", array_to_vector(F.col(LEFT_EMB).cast("array<double>")))
+    rv = right.withColumn("_lt_vec", array_to_vector(F.col(RIGHT_EMB).cast("array<double>")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_lt_vec", outputCol="_lt_hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(rv)
+    pairs = model.approxSimilarityJoin(lv, rv, radius, distCol="_lt_dist")
+    out = pairs.select("datasetA.*", "datasetB.*").drop("_lt_vec", "_lt_hashes")
+    out = out.withColumn("score", scorer.score())
+    if threshold is not None:
+        out = out.filter(F.col("score") >= F.lit(threshold))
+    if block_on:
+        cond = None
+        for lc, rc in block_on:
+            eq = F.col(lc).eqNullSafe(F.col(rc))
+            cond = eq if cond is None else (cond & eq)
+        out = out.filter(cond)
+    return out

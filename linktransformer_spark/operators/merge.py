@@ -1,0 +1,236 @@
+"""Public merge family: ``merge``, ``merge_knn``, ``merge_blocking``,
+``aggregate_rows`` (SURVEY §2.2 ops 1, 2, 4, 5).
+
+Semantics mirrored from the reference:
+- merge = semantic 1-NN left-driven join, every left row gets exactly
+  one match + ``score`` (/root/reference/src/linktransformer/infer.py:24-164)
+- merge_knn = k matches per left row, optional ``drop_sim_threshold``
+  post-filter (infer.py:564-711); merge ≡ merge_knn(k=1)
+  (/root/reference/tests/infer_test.py:157-170)
+- merge_blocking = per-block merge; rows of blocks present on only one
+  side pass through unmatched (infer.py:240-270)
+- aggregate_rows = merge with the reference list as the right side
+  (infer.py:279-312)
+
+Plan shape (exact_cross mode, the declarative default):
+
+    scan L ──▶ +id +key [+emb] ─┐
+                                 ├─ join(block equi / cross) ─ score
+    scan R ──▶ +id +key [+emb] ─┘        │
+                windowed row_number(score DESC, rid ASC) ≤ k
+                                         │
+                     suffix-renamed L cols ⨝ R cols + score
+
+The embedding step is a map-only expression (HashNgramEncoder) or an
+Arrow pandas-UDF stage (SBERT); either way Catalyst prunes columns so
+only the serialized key reaches it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.serialize import DEFAULT_SEP, resolve_keys, serialize_columns
+from ..ids import check_reserved, with_row_id
+from ..plans.suffixes import apply_renames, suffix_plan
+from . import knn_join as KJ
+from .knn_join import (
+    LEFT_EMB,
+    LEFT_ID,
+    LEFT_KEY,
+    RIGHT_EMB,
+    RIGHT_ID,
+    RIGHT_KEY,
+    Mode,
+    resolve_scorer,
+)
+
+_HELPERS_L = (LEFT_ID, LEFT_KEY, LEFT_EMB)
+_HELPERS_R = (RIGHT_ID, RIGHT_KEY, RIGHT_EMB)
+
+
+def _prepare_sides(
+    df1: DataFrame,
+    df2: DataFrame,
+    on=None,
+    left_on=None,
+    right_on=None,
+    model=None,
+    suffixes=("_x", "_y"),
+    left_id_col: str | None = None,
+    right_id_col: str | None = None,
+    deterministic_ids: bool = True,
+    sep: str = DEFAULT_SEP,
+):
+    left_keys, right_keys = resolve_keys(df1.columns, df2.columns, on, left_on, right_on)
+    check_reserved(df1)
+    check_reserved(df2)
+    scorer = resolve_scorer(model)
+
+    lmap, rmap = suffix_plan(df1.columns, df2.columns, suffixes)
+
+    left = with_row_id(df1, id_col=left_id_col, out_col=LEFT_ID, deterministic=deterministic_ids)
+    left = left.withColumn(LEFT_KEY, serialize_columns(left_keys, sep))
+    right = with_row_id(df2, id_col=right_id_col, out_col=RIGHT_ID, deterministic=deterministic_ids)
+    right = right.withColumn(RIGHT_KEY, serialize_columns(right_keys, sep))
+
+    if scorer.needs_embeddings:
+        left = scorer.prepare(left, LEFT_KEY, LEFT_EMB)
+        right = scorer.prepare(right, RIGHT_KEY, RIGHT_EMB)
+
+    left = apply_renames(left, lmap)
+    right = apply_renames(right, rmap)
+    return left, right, scorer, lmap, rmap
+
+
+def _finalize(df: DataFrame, lmap, rmap, keep_score: bool = True) -> DataFrame:
+    cols = [*lmap.values(), *rmap.values()]
+    if keep_score:
+        cols.append("score")
+    return df.select(*cols)
+
+
+def merge_knn(
+    df1: DataFrame,
+    df2: DataFrame,
+    on=None,
+    left_on=None,
+    right_on=None,
+    model=None,
+    k: int = 1,
+    drop_sim_threshold: float | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    mode: Mode = "auto",
+    left_id_col: str | None = None,
+    right_id_col: str | None = None,
+    deterministic_ids: bool = True,
+    blocking_vars: list[str] | None = None,
+) -> DataFrame:
+    """Semantic top-k join (reference merge_knn, infer.py:564-711)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    left, right, scorer, lmap, rmap = _prepare_sides(
+        df1, df2, on, left_on, right_on, model, suffixes,
+        left_id_col, right_id_col, deterministic_ids,
+    )
+
+    if mode == "auto":
+        # expression scorers stay fully declarative; UDF-backed encoders
+        # use the broadcast numpy path (right side small by contract).
+        mode = "exact_cross"
+        enc = getattr(scorer, "encoder", None)
+        if scorer.needs_embeddings and enc is not None and not enc.expression_based:
+            mode = "broadcast_knn"
+
+    block = None
+    if blocking_vars:
+        block = [(lmap.get(c, c), rmap.get(c, c)) for c in blocking_vars]
+
+    if mode == "broadcast_knn":
+        cand = KJ.candidate_scores(left, right.select(RIGHT_ID, RIGHT_EMB), scorer, mode=mode, k=k)
+        # scores/right ids computed; re-attach full right rows (small side -> broadcast)
+        cand = cand.join(F.broadcast(right.drop(RIGHT_EMB)), RIGHT_ID, "inner")
+        out = cand
+    else:
+        cand = KJ.candidate_scores(left, right, scorer, block_on=block, mode=mode)
+        out = KJ.topk(cand, k)
+    if drop_sim_threshold is not None:
+        # reference post-filters AFTER top-k (infer.py:704-706)
+        out = out.filter(F.col("score") >= F.lit(drop_sim_threshold))
+    return _finalize(out, lmap, rmap)
+
+
+def merge(
+    df1: DataFrame,
+    df2: DataFrame,
+    on=None,
+    left_on=None,
+    right_on=None,
+    model=None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    mode: Mode = "auto",
+    **kw,
+) -> DataFrame:
+    """Semantic 1-NN join (reference merge, infer.py:24-164).
+    Exactly merge_knn with k=1."""
+    return merge_knn(
+        df1, df2, on=on, left_on=left_on, right_on=right_on, model=model,
+        k=1, suffixes=suffixes, mode=mode, **kw,
+    )
+
+
+def merge_blocking(
+    df1: DataFrame,
+    df2: DataFrame,
+    on=None,
+    left_on=None,
+    right_on=None,
+    model=None,
+    blocking_vars: list[str] | None = None,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    mode: Mode = "auto",
+    **kw,
+) -> DataFrame:
+    """Blocked semantic 1-NN join (reference merge_blocking,
+    infer.py:169-274).
+
+    Blocking becomes an equi-join condition on the block key — Catalyst
+    hash-partitions both sides on it, so "per-block matching" is
+    partition pruning, not a driver loop. Rows of blocks present on only
+    one side pass through unmatched (null other-side columns + null
+    score), matching the reference's pd.concat of skipped blocks.
+    """
+    if not blocking_vars:
+        return merge(df1, df2, on=on, left_on=left_on, right_on=right_on,
+                     model=model, suffixes=suffixes, mode=mode, **kw)
+    for c in blocking_vars:
+        if c not in df1.columns:
+            raise ValueError(f"Blocking vars {blocking_vars} not in df1")
+        if c not in df2.columns:
+            raise ValueError(f"Blocking vars {blocking_vars} not in df2")
+    if mode == "broadcast_knn":
+        raise NotImplementedError("blocking is declarative; use exact_cross/lsh/auto")
+
+    left, right, scorer, lmap, rmap = _prepare_sides(
+        df1, df2, on, left_on, right_on, model, suffixes,
+        kw.get("left_id_col"), kw.get("right_id_col"),
+        kw.get("deterministic_ids", True),
+    )
+    block = [(lmap.get(c, c), rmap.get(c, c)) for c in blocking_vars]
+    cand = KJ.candidate_scores(left, right, scorer, block_on=block,
+                               mode="exact_cross" if mode == "auto" else mode)
+    matched = _finalize(KJ.topk(cand, 1), lmap, rmap)
+
+    # pass-through of one-side-only blocks (anti-join on the block key)
+    lb = [lmap.get(c, c) for c in blocking_vars]
+    rb = [rmap.get(c, c) for c in blocking_vars]
+    l_only = apply_renames(df1, lmap).join(
+        apply_renames(df2, rmap).select(*rb).distinct(),
+        on=[F.col(a).eqNullSafe(F.col(b)) for a, b in zip(lb, rb)],
+        how="left_anti",
+    )
+    r_only = apply_renames(df2, rmap).join(
+        apply_renames(df1, lmap).select(*lb).distinct(),
+        on=[F.col(b).eqNullSafe(F.col(a)) for a, b in zip(lb, rb)],
+        how="left_anti",
+    )
+    return matched.unionByName(l_only, allowMissingColumns=True).unionByName(
+        r_only, allowMissingColumns=True
+    )
+
+
+def aggregate_rows(
+    df: DataFrame,
+    ref_df: DataFrame,
+    model=None,
+    left_on=None,
+    right_on=None,
+    **kw,
+) -> DataFrame:
+    """Semantic many-to-one mapping onto a coarse reference list
+    (reference aggregate_rows, infer.py:279-312) — merge with ref_df as
+    the right side. The ref list is small by construction: Catalyst
+    broadcasts it, so this is a map-side operation on the fact side."""
+    return merge(df, ref_df, on=None, left_on=left_on, right_on=right_on,
+                 model=model, suffixes=("_x", "_y"), **kw)

@@ -1,0 +1,125 @@
+"""Semantic invariants ported from the reference's test suite
+(/root/reference/tests/infer_test.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+
+
+@pytest.fixture(scope="module")
+def cust(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def supp(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+
+def _merge_kw(extra=None):
+    kw = dict(left_on="c_name", right_on="s_name", model="levenshtein",
+              left_id_col="c_custkey", right_id_col="s_suppkey")
+    kw.update(extra or {})
+    return kw
+
+
+def test_merge_one_match_per_left_row(cust, supp):
+    out = lt.merge(cust, supp, **_merge_kw())
+    assert out.count() == cust.count()
+    assert out.select("c_custkey").distinct().count() == cust.count()
+
+
+def test_merge_equals_knn_k1(cust, supp):
+    # reference invariant: merge ≡ merge_knn(k=1) (tests/infer_test.py:157-170)
+    a = lt.merge(cust, supp, **_merge_kw()).select("c_custkey", "s_suppkey", "score")
+    b = lt.merge_knn(cust, supp, k=1, **_merge_kw()).select("c_custkey", "s_suppkey", "score")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_knn_k2_doubles_rows(cust, supp):
+    # reference invariant: len(knn k=2) == 2*len(k=1) (tests/infer_test.py:167)
+    k1 = lt.merge_knn(cust, supp, k=1, **_merge_kw()).count()
+    k2 = lt.merge_knn(cust, supp, k=2, **_merge_kw()).count()
+    assert k2 == 2 * k1
+
+
+def test_suffixes_on_overlapping_columns(spark, cust):
+    # same frame on both sides -> every column overlaps -> _x/_y suffixes
+    # (tests/infer_test.py:25-36 semantics)
+    out = lt.merge(cust, cust, on="c_name", model="levenshtein",
+                   left_id_col="c_custkey", right_id_col="c_custkey")
+    assert "c_name_x" in out.columns and "c_name_y" in out.columns
+    assert "score" in out.columns
+
+
+def test_merge_hash_ngram_self_match(spark, cust):
+    # identical strings embed identically, so self is always a candidate
+    # with cosine 1 -> every top-1 score must be ~1. (A different row can
+    # win only on an exact hash-collision tie, which is legitimate for a
+    # lexical hashing encoder — so we assert on score, not id.)
+    out = lt.merge(cust, cust, on="c_name", model="hash-ngram",
+                   left_id_col="c_custkey", right_id_col="c_custkey")
+    mn = out.agg(F.min("score")).first()[0]
+    assert mn > 0.999999
+    # and a row matched to itself always scores 1
+    self_rows = out.filter(F.col("c_custkey_x") == F.col("c_custkey_y"))
+    assert self_rows.agg(F.min("score")).first()[0] > 0.999999
+
+
+def test_merge_range_threshold_and_unmatched_retention(cust, supp):
+    # scores ≥ threshold for matched; unmatched left rows retained with
+    # null score (tests/infer_test.py:204-251 semantics)
+    out = lt.merge_range(cust, supp, sim_threshold=0.8, **_merge_kw())
+    matched = out.filter(F.col("score").isNotNull())
+    assert matched.filter(F.col("score") < 0.8).count() == 0
+    lefts = out.select("c_custkey").distinct().count()
+    assert lefts == cust.count()
+
+
+def test_merge_range_validates_threshold(cust, supp):
+    with pytest.raises(ValueError):
+        lt.merge_range(cust, supp, sim_threshold=1.5, **_merge_kw())
+
+
+def test_reserved_column_collision_raises(spark, cust, supp):
+    bad = cust.withColumn("score", F.lit(1))
+    with pytest.raises(ValueError):
+        lt.merge(bad, supp, **_merge_kw())
+
+
+def test_drop_sim_threshold_filters_after_topk(cust, supp):
+    out = lt.merge_knn(cust, supp, k=3, drop_sim_threshold=0.99, **_merge_kw())
+    assert out.count() == 0 or out.agg(F.min("score")).first()[0] >= 0.99
+
+
+def test_blocking_passthrough(spark, cust, supp):
+    c = cust.withColumnRenamed("c_nationkey", "nationkey")
+    s = supp.withColumnRenamed("s_nationkey", "nationkey")
+    out = lt.merge_blocking(c, s, left_on="c_name", right_on="s_name",
+                            model="levenshtein", blocking_vars=["nationkey"],
+                            left_id_col="c_custkey", right_id_col="s_suppkey")
+    # every customer appears exactly once (matched in-block or passed through)
+    assert out.filter(F.col("c_custkey").isNotNull()).count() == cust.count()
+    # passthrough rows have null score
+    supp_nations = {r[0] for r in s.select("nationkey").distinct().collect()}
+    unmatched = out.filter(F.col("score").isNull() & F.col("c_custkey").isNotNull())
+    for r in unmatched.select("nationkey_x").distinct().collect():
+        assert r[0] not in supp_nations
+
+
+def test_broadcast_knn_matches_exact_cross(cust, supp):
+    # same top-1 pairs from the declarative and the broadcast-numpy paths
+    kw = dict(left_on="c_name", right_on="s_name", model="hash-ngram",
+              left_id_col="c_custkey", right_id_col="s_suppkey")
+    a = lt.merge(cust, supp, mode="exact_cross", **kw).select("c_custkey", "s_suppkey")
+    b = lt.merge(cust, supp, mode="broadcast_knn", **kw).select("c_custkey", "s_suppkey")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_aggregate_rows_maps_every_row(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ref = part.select(F.col("p_brand").alias("ref")).distinct()
+    out = lt.aggregate_rows(part, ref, left_on="p_type", right_on="ref",
+                            model="levenshtein", left_id_col="p_partkey")
+    assert out.count() == part.count()
