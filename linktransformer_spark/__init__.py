@@ -12,6 +12,8 @@ from .session import get_spark
 from .operators.merge import aggregate_rows, merge, merge_blocking, merge_knn
 from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
+from .operators.cluster import cluster_rows, dedup_rows
+from .operators.components import connected_components
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
@@ -25,6 +27,9 @@ __all__ = [
     "aggregate_rows",
     "evaluate_pairs",
     "all_pair_combos_evaluate",
+    "cluster_rows",
+    "dedup_rows",
+    "connected_components",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

@@ -1,0 +1,240 @@
+"""cluster_rows / dedup_rows (SURVEY §2.2 ops 8-9).
+
+Reference semantics (/root/reference/src/linktransformer/infer.py:377-485,
+cluster_fns.py:7-78): embed `on`, L2-normalize, cluster, append a
+``cluster`` label column; dedup = exact-dup drop, cluster, keep first
+row per cluster.
+
+Cluster types:
+- "SLINK" (default): DBSCAN(eps=threshold, min_samples="min cluster
+  size", metric=cosine). For min_samples <= 2 this is EXACTLY the
+  connected components of the ε-similarity graph (SURVEY §7 hard-part
+  3), which we compute distributively (operators/components.py). For
+  min_samples > 2 we apply the core/border rule: core nodes have
+  >= min_samples-1 neighbors, clusters = CC over core-core edges,
+  border nodes attach to their minimum-labeled adjacent core cluster
+  (sklearn attaches to the first-discovered one — order-dependent; we
+  define the deterministic rule and document the deviation).
+- "agglomerative" / "HDBScan": no exact distributed form; they need
+  sklearn/hdbscan which are not in this container -> gated behind
+  import-try, runs driver-local via toPandas when available
+  (reference-exact, small data only).
+
+Label values: component-min row id (long), noise = -1. The reference's
+sklearn labels are discovery-ordered ints — the PARTITION is the
+contract, not the label values (SURVEY §1.3).
+
+dedup_rows deviation (documented): the reference keeps only the FIRST
+noise row because drop_duplicates(subset="cluster") treats the shared
+-1 label as one cluster (infer.py:481-482) — silently discarding unique
+rows. We keep every noise row (each is its own singleton cluster);
+`reference_noise_compat=True` restores the reference behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions.serialize import DEFAULT_SEP, serialize_columns
+from ..ids import LT_ID, check_reserved, min_id_first, with_row_id
+from .components import connected_components
+from .knn_join import resolve_scorer
+
+DEFAULT_PARAMS = {
+    "SLINK": {"min cluster size": 2, "threshold": 0.1, "metric": "cosine"},
+    "agglomerative": {"threshold": 0.5, "clustering linkage": "ward", "metric": "euclidean"},
+    "HDBScan": {"min cluster size": 5, "min samples": 1, "metric": "cosine"},
+}
+
+
+def _epsilon_edges(
+    df: DataFrame,
+    key_col: str,
+    scorer,
+    sim_threshold: float,
+    id_col: str = LT_ID,
+    mode: str = "exact_cross",
+) -> DataFrame:
+    """All pairs (i, j), i != j, similarity >= sim_threshold.
+    exact mode = self cross-join with i < j then mirrored; lsh mode
+    prefilters candidates (the 100 TB path)."""
+    from . import knn_join as KJ
+
+    l = df.select(
+        F.col(id_col).alias(KJ.LEFT_ID),
+        F.col(key_col).alias(KJ.LEFT_KEY),
+        *([F.col("_lt_emb").alias(KJ.LEFT_EMB)] if scorer.needs_embeddings else []),
+    )
+    r = df.select(
+        F.col(id_col).alias(KJ.RIGHT_ID),
+        F.col(key_col).alias(KJ.RIGHT_KEY),
+        *([F.col("_lt_emb").alias(KJ.RIGHT_EMB)] if scorer.needs_embeddings else []),
+    )
+    cand = KJ.candidate_scores(l, r, scorer, mode=mode, threshold=sim_threshold)
+    pairs = cand.filter(F.col(KJ.LEFT_ID) < F.col(KJ.RIGHT_ID)).select(
+        F.col(KJ.LEFT_ID).alias("src"), F.col(KJ.RIGHT_ID).alias("dst")
+    )
+    return pairs
+
+
+def cluster_rows(
+    df: DataFrame,
+    model=None,
+    on=None,
+    cluster_type: str = "SLINK",
+    cluster_params: dict | None = None,
+    id_col: str | None = None,
+    deterministic_ids: bool = True,
+    mode: str = "exact_cross",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Append a ``cluster`` label column (see module doc)."""
+    if cluster_type not in DEFAULT_PARAMS:
+        raise ValueError('cluster_type must be "agglomerative", "HDBScan", or "SLINK"')
+    if on is None:
+        raise ValueError("on= is required for cluster_rows")
+    params = dict(DEFAULT_PARAMS[cluster_type])
+    params.update(cluster_params or {})
+    check_reserved(df)
+
+    work = with_row_id(df, id_col=id_col, deterministic=deterministic_ids)
+    work = work.withColumn("_lt_key", serialize_columns(on, DEFAULT_SEP))
+    scorer = resolve_scorer(model)
+    if scorer.needs_embeddings:
+        enc = scorer.encoder
+        work = (
+            enc.encode(work, "_lt_key", "_lt_emb")
+            if enc.expression_based
+            else enc.encode_distinct(work, "_lt_key", "_lt_emb")
+        )
+
+    if cluster_type in ("agglomerative", "HDBScan"):
+        return _sklearn_cluster(work, df.columns, cluster_type, params, cluster_col)
+
+    # ---- SLINK / DBSCAN ----
+    eps = float(params["threshold"])
+    min_samples = int(params["min cluster size"])
+    sim_t = 1.0 - eps  # cosine distance eps -> similarity threshold
+    work = work.localCheckpoint(eager=False)  # edges + join reuse the scan
+    edges = _epsilon_edges(work, "_lt_key", scorer, sim_t, mode=mode)
+
+    if min_samples <= 2:
+        comp = connected_components(edges)
+    else:
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = und.groupBy("src").agg(F.countDistinct("dst").alias("_deg"))
+        core = deg.filter(F.col("_deg") >= min_samples - 1).select(
+            F.col("src").alias("node")
+        )
+        core_edges = (
+            und.join(core.withColumnRenamed("node", "src"), "src")
+            .join(core.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+        core_comp = connected_components(core_edges)
+        # isolated cores (no core neighbor but enough border neighbors)
+        lone_core = core.join(core_comp, core["node"] == core_comp["node"], "left_anti")
+        core_comp = core_comp.unionByName(lone_core.withColumn("component", F.col("node")))
+        # border nodes: adjacent to a core -> min adjacent core component
+        border = (
+            und.join(core_comp.withColumnRenamed("node", "dst"), "dst")
+            .join(core.withColumnRenamed("node", "src"), "src", "left_anti")
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .select(F.col("src").alias("node"), "component")
+        )
+        comp = core_comp.unionByName(border)
+
+    out = work.join(
+        comp.withColumnRenamed("node", LT_ID).withColumnRenamed("component", cluster_col),
+        LT_ID,
+        "left",
+    )
+    # isolated rows = DBSCAN noise = -1
+    out = out.withColumn(cluster_col, F.coalesce(F.col(cluster_col), F.lit(-1)).cast("long"))
+    return out.select(*df.columns, cluster_col, LT_ID).withColumnRenamed(LT_ID, "_lt_cluster_row_id")
+
+
+def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col):
+    """Driver-local exact parity path for agglomerative/HDBSCAN — the
+    reference algorithms have no distributed form (SURVEY §2.2 op 8).
+    Requires sklearn/hdbscan (absent here -> clear ImportError)."""
+    try:
+        if cluster_type == "agglomerative":
+            from sklearn.cluster import AgglomerativeClustering  # noqa: F401
+        else:
+            import hdbscan  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"cluster_type={cluster_type!r} needs sklearn/hdbscan (not in this "
+            "environment); use cluster_type='SLINK' for the distributed path"
+        ) from e
+    import numpy as np
+
+    pdf = work.toPandas()
+    emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
+    if cluster_type == "agglomerative":
+        from sklearn.cluster import AgglomerativeClustering
+
+        m = AgglomerativeClustering(
+            n_clusters=None,
+            distance_threshold=params["threshold"],
+            linkage=params["clustering linkage"],
+            metric=params["metric"],
+        )
+    else:
+        import hdbscan
+
+        m = hdbscan.HDBSCAN(
+            min_cluster_size=params["min cluster size"],
+            min_samples=params["min samples"],
+            gen_min_span_tree=True,
+        )
+    pdf[cluster_col] = m.fit(emb).labels_
+    spark = work.sparkSession
+    keep = list(orig_cols) + [cluster_col, "_lt_id"]
+    out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
+    return out.withColumnRenamed("_lt_id", "_lt_cluster_row_id")
+
+
+def dedup_rows(
+    df: DataFrame,
+    model=None,
+    on=None,
+    cluster_type: str = "SLINK",
+    cluster_params: dict | None = None,
+    id_col: str | None = None,
+    deterministic_ids: bool = True,
+    mode: str = "exact_cross",
+    reference_noise_compat: bool = False,
+) -> DataFrame:
+    """Exact-dup drop (keep min-id) -> cluster -> keep min-id row per
+    cluster. Noise rows are all retained unless reference_noise_compat
+    (see module doc)."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    work = with_row_id(df, id_col=id_col, deterministic=deterministic_ids)
+    work = min_id_first(work, on_list)  # pandas keep="first" parity (infer.py:477)
+    clustered = cluster_rows(
+        work.drop(LT_ID),
+        model=model,
+        on=on,
+        cluster_type=cluster_type,
+        cluster_params=cluster_params,
+        id_col=id_col,
+        deterministic_ids=deterministic_ids,
+        mode=mode,
+    )
+    rid = "_lt_cluster_row_id"
+    if reference_noise_compat:
+        w = Window.partitionBy("cluster").orderBy(F.col(rid).asc())
+    else:
+        # noise rows (cluster=-1) are singletons: partition them by row id
+        w = Window.partitionBy(
+            F.when(F.col("cluster") >= 0, F.col("cluster")).otherwise(-F.col(rid) - 2)
+        ).orderBy(F.col(rid).asc())
+    out = clustered.withColumn("_lt_rn", F.row_number().over(w)).filter(F.col("_lt_rn") == 1)
+    return out.select(*df.columns)

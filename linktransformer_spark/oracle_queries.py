@@ -265,3 +265,79 @@ def all_pair_combos_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("s_name", "s_name-s_nationkey", F.round("score", 6).alias("score"))
 
+
+
+# ---------------------------------------------------------------------------
+# cluster_rows / dedup_rows (SURVEY §2.2 ops 8-9) — SLINK(eps=0.3) over
+# normalized-levenshtein similarity of part names. The DuckDB oracle
+# computes the same ε-graph and labels components by min-reachable id
+# with a recursive CTE; noise (isolated rows) = -1.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.p_partkey AS i, b.p_partkey AS j
+      FROM part a, part b
+      WHERE a.p_partkey <> b.p_partkey
+        AND {sql_lev_sim('a.p_name', 'b.p_name')} >= 0.7
+    ),
+    reach(a, b) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+    SELECT p.p_partkey, p.p_name,
+           CASE WHEN p.p_partkey IN (SELECT i FROM edges)
+                THEN c.lbl ELSE -1 END AS cluster
+    FROM part p JOIN comp c ON p.p_partkey = c.id
+"""
+
+
+@_q("cluster_rows_slink", _CLUSTER_SQL)
+def cluster_rows_slink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.cluster import cluster_rows
+
+    part = _t(spark, sf_dir, "part")
+    out = cluster_rows(
+        part, model="levenshtein", on="p_name",
+        cluster_type="SLINK", cluster_params={"threshold": 0.3},
+        id_col="p_partkey",
+    )
+    return out.select("p_partkey", "p_name", "cluster")
+
+
+_DEDUP_SQL = f"""
+    WITH RECURSIVE
+    firsts AS (SELECT min(p_partkey) AS id FROM part GROUP BY p_name),
+    fpart AS (SELECT p.* FROM part p JOIN firsts f ON p.p_partkey = f.id),
+    edges AS (
+      SELECT a.p_partkey AS i, b.p_partkey AS j
+      FROM fpart a, fpart b
+      WHERE a.p_partkey <> b.p_partkey
+        AND {sql_lev_sim('a.p_name', 'b.p_name')} >= 0.7
+    ),
+    reach(a, b) AS (
+      SELECT p_partkey, p_partkey FROM fpart
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+    SELECT p.p_partkey, p.p_name
+    FROM fpart p JOIN comp c ON p.p_partkey = c.id
+    WHERE c.lbl = p.p_partkey
+"""
+
+
+@_q("dedup_rows_slink", _DEDUP_SQL)
+def dedup_rows_slink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.cluster import dedup_rows
+
+    part = _t(spark, sf_dir, "part")
+    out = dedup_rows(
+        part, model="levenshtein", on="p_name",
+        cluster_type="SLINK", cluster_params={"threshold": 0.3},
+        id_col="p_partkey",
+    )
+    return out.select("p_partkey", "p_name")

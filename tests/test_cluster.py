@@ -1,0 +1,105 @@
+"""connected_components + cluster_rows/dedup_rows semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+
+
+def test_connected_components_known_graph(spark):
+    # two components {1,2,3,7} and {5,6}; 9-10-11 chain; isolated 42 not in edges
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 1), (5, 6), (9, 10), (10, 11)], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in lt.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
+
+
+def test_connected_components_long_chain(spark):
+    # path graph 0-1-2-...-63: worst case for naive propagation; the
+    # alternating star algorithm must still converge to min-label 0
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    comp = lt.connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_cluster_rows_labels_and_noise(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.cluster_rows(
+        part, model="levenshtein", on="p_name",
+        cluster_type="SLINK", cluster_params={"threshold": 0.3},
+        id_col="p_partkey",
+    )
+    assert "cluster" in out.columns
+    assert out.count() == part.count()
+    # identical names must share a cluster
+    multi = (
+        out.groupBy("p_name")
+        .agg(F.countDistinct("cluster").alias("k"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("k") > 1))
+        .count()
+    )
+    assert multi == 0
+    # label of a non-noise cluster == min row id in it
+    bad = (
+        out.filter(F.col("cluster") >= 0)
+        .groupBy("cluster")
+        .agg(F.min("p_partkey").alias("mn"))
+        .filter(F.col("cluster") != F.col("mn"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cluster_rows_min_samples_noise(spark):
+    # chain a-b and singleton c with min cluster size 3:
+    # a,b have degree 1 < 2 -> all noise
+    df = spark.createDataFrame(
+        [(0, "widget alpha"), (1, "widget alphb"), (2, "zzzzzz")], ["id", "txt"]
+    )
+    out = lt.cluster_rows(
+        df, model="levenshtein", on="txt",
+        cluster_type="SLINK",
+        cluster_params={"threshold": 0.2, "min cluster size": 3},
+        id_col="id",
+    )
+    labels = {r["id"]: r["cluster"] for r in out.collect()}
+    assert labels == {0: -1, 1: -1, 2: -1}
+
+
+def test_dedup_rows_keeps_noise_and_min_ids(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.dedup_rows(
+        part, model="levenshtein", on="p_name",
+        cluster_type="SLINK", cluster_params={"threshold": 0.3},
+        id_col="p_partkey",
+    )
+    assert out.columns == part.columns
+    # no two surviving rows may be similar at the threshold
+    n = out.count()
+    assert 0 < n < part.count()
+    # survivors are unique by name (exact-dup drop happened)
+    assert out.select("p_name").distinct().count() == n
+
+
+def test_cluster_rejects_unknown_type(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    with pytest.raises(ValueError):
+        lt.cluster_rows(part, on="p_name", cluster_type="kmeans")
+
+
+def test_agglomerative_needs_sklearn(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").limit(20)
+    try:
+        import sklearn  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(ImportError):
+            lt.cluster_rows(part, on="p_name", cluster_type="agglomerative",
+                            id_col="p_partkey")
