@@ -14,6 +14,18 @@ from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster_rows, dedup_rows
 from .operators.components import connected_components
+from .operators.llm import (
+    GeminiSpec,
+    MockJudgeSpec,
+    MockTopicSpec,
+    MockTransformSpec,
+    OpenAIChatSpec,
+    classify_rows,
+    merge_k_judge,
+    merge_knn_openai,
+    merge_knn_with_llm,
+    transform_rows,
+)
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
@@ -30,6 +42,16 @@ __all__ = [
     "cluster_rows",
     "dedup_rows",
     "connected_components",
+    "merge_k_judge",
+    "merge_knn_with_llm",
+    "merge_knn_openai",
+    "classify_rows",
+    "transform_rows",
+    "MockJudgeSpec",
+    "MockTopicSpec",
+    "MockTransformSpec",
+    "OpenAIChatSpec",
+    "GeminiSpec",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

@@ -1,0 +1,92 @@
+"""merge_k_judge / classify_rows / transform_rows with mock clients,
+mirroring the reference's monkeypatched-client test pattern
+(/root/reference/tests/merge_knn_llm_test.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+from linktransformer_spark.operators.llm import coerce_llm_match_and_confidence
+
+
+def test_coerce_parser_permissive():
+    # JSON dict forms (reference infer.py:877-921)
+    assert coerce_llm_match_and_confidence('{"is_match": 1, "confidence": 0.9}') == (1, 0.9)
+    assert coerce_llm_match_and_confidence('{"match": true, "score": 0.4}') == (1, 0.4)
+    assert coerce_llm_match_and_confidence('{"label": "yes", "probability": 2.5}') == (1, 1.0)
+    # list form
+    assert coerce_llm_match_and_confidence("[1, 0.7]") == (1, 0.7)
+    # free text fallback
+    assert coerce_llm_match_and_confidence("Yes, definitely a match 0.8") == (1, 0.8)
+    assert coerce_llm_match_and_confidence("no way") == (0, 0.0)
+    # clamping
+    assert coerce_llm_match_and_confidence('{"is_match": 0, "confidence": -3}') == (0, 0.0)
+
+
+def test_merge_k_judge_requires_judge(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    with pytest.raises(ValueError, match="judge"):
+        lt.merge_k_judge(cust, supp, left_on="c_name", right_on="s_name")
+
+
+def test_merge_k_judge_mock_columns_and_filter(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    out = lt.merge_k_judge(
+        cust, supp, left_on="c_name", right_on="s_name", model="levenshtein",
+        k=2, judge=lt.MockJudgeSpec(threshold=0.5),
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+    )
+    for c in ("llm_is_match", "llm_confidence", "llm_raw_response"):
+        assert c in out.columns
+    rows = out.limit(5).collect()
+    for r in rows:
+        payload = json.loads(r["llm_raw_response"])
+        assert set(payload) == {"is_match", "confidence"}
+    # judge confidence == retrieval score for the mock (same kernel)
+    bad = out.filter(F.abs(F.col("llm_confidence") - F.col("score")) > 1e-9).count()
+    assert bad == 0
+    filtered = lt.merge_k_judge(
+        cust, supp, left_on="c_name", right_on="s_name", model="levenshtein",
+        k=2, judge=lt.MockJudgeSpec(threshold=0.5), confidence_threshold=0.7,
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+    )
+    assert filtered.filter(F.col("llm_confidence") < 0.7).count() == 0
+
+
+def test_classify_rows_topic_mock(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.classify_rows(part, on="p_name",
+                           classifier=lt.MockTopicSpec(topic="widget"))
+    assert "clf_preds_p_name" in out.columns
+    joined = out.withColumn(
+        "expect", F.when(F.lower("p_name").contains("widget"), 1).otherwise(0)
+    )
+    assert joined.filter(F.col("expect") != F.col("clf_preds_p_name")).count() == 0
+
+
+def test_classify_rows_multicol_name(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.classify_rows(part, on=["p_name", "p_type"],
+                           classifier=lt.MockTopicSpec(topic="economy"))
+    assert "clf_preds_p_name-p_type" in out.columns
+
+
+def test_transform_rows_contract(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.transform_rows(part, on="p_name",
+                            transformer=lt.MockTransformSpec("upper"))
+    assert "transformed_p_name" in out.columns
+    bad = out.filter(F.col("transformed_p_name") != F.upper("p_name")).count()
+    assert bad == 0
+    assert out.count() == part.filter(F.col("p_name").isNotNull()).count()
+
+
+def test_transform_rows_custom_output_column(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = lt.transform_rows(part, on="p_name", output_column="shout",
+                            transformer=lt.MockTransformSpec("upper"))
+    assert "shout" in out.columns
