@@ -14,6 +14,19 @@ from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster_rows, dedup_rows
 from .operators.components import connected_components
+from .operators.ann import ann_topk
+from .operators.dedup import (
+    dedup_embedding,
+    dedup_exact,
+    dedup_minhash,
+    minhash_signature,
+    near_dup_pairs_embedding,
+    near_dup_pairs_jaccard,
+    near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+    simhash64,
+)
+from .operators.textpipe import analyze_documents
 from .operators.llm import (
     GeminiSpec,
     MockJudgeSpec,
@@ -52,6 +65,17 @@ __all__ = [
     "MockTransformSpec",
     "OpenAIChatSpec",
     "GeminiSpec",
+    "ann_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_embedding",
+    "near_dup_pairs_minhash",
+    "near_dup_pairs_simhash",
+    "near_dup_pairs_jaccard",
+    "near_dup_pairs_embedding",
+    "minhash_signature",
+    "simhash64",
+    "analyze_documents",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

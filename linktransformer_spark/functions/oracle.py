@@ -62,3 +62,150 @@ def sql_cosine(a: str, b: str) -> str:
         f"({sql_dot(a, b)} / (greatest({sql_l2_norm(a)}, 1e-12) * "
         f"greatest({sql_l2_norm(b)}, 1e-12)))"
     )
+
+
+def sql_l2_normalize(a: str, clip: float = 1e-12) -> str:
+    """Mirror of similarity.l2_normalize: x/max(||a||, clip) per element
+    — use in a CTE so the norm isn't recomputed per pair. Spark's
+    normalize-then-dot differs bit-wise from dot/(norm*norm); mirror
+    WHICHEVER the Spark side uses."""
+    return (
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) / "
+        f"greatest({sql_l2_norm(a)}, {clip}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-pipeline mirrors (operators/textpipe.py, operators/dedup.py).
+# NOTE list_distinct returns elements in a different ORDER than Spark's
+# array_distinct — every consumer below is order-insensitive (sizes,
+# mins, set intersections).
+# ---------------------------------------------------------------------------
+
+def sql_char_codes(s: str) -> str:
+    return (
+        f"list_transform(list_filter(string_split({s}, ''), ch -> ch <> ''), "
+        f"ch -> CAST(ord(ch) AS BIGINT))"
+    )
+
+
+def sql_word_shingles(s: str, n: int) -> str:
+    """Distinct word n-gram shingles (mirror of dedup._shingles word=True)."""
+    toks = sql_word_tokens(s)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(0, len({toks}) - {n} + 1), "
+        f"i -> array_to_string(({toks})[i+1:i+{n}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def sql_minhash_signature_from_hashes(hs: str, num_hashes: int) -> str:
+    """List literal of minhash values over a PRE-HASHED list expr ``hs``
+    (mirror of dedup.minhash_signature). Hash the shingles once in a
+    subquery — inlining poly_hash into all num_hashes transforms would
+    recompute it num_hashes times."""
+    from ..operators.dedup import MH_A_STEP, MH_B_STEP, MH_PRIME
+
+    parts = []
+    for i in range(num_hashes):
+        a = (1 + i * MH_A_STEP) % MH_PRIME
+        b = (i * MH_B_STEP) % MH_PRIME
+        parts.append(
+            f"coalesce(list_min(list_transform({hs}, h -> "
+            f"({a} * h + {b}) % {MH_PRIME})), {MH_PRIME})"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_simhash_from_hashes(hs: str, nbits: int = 62) -> str:
+    """Mirror of dedup.simhash64 over a pre-materialized hash list."""
+    bits = []
+    for j in range(nbits):
+        votes = (
+            f"list_reduce(list_prepend(0, list_transform({hs}, "
+            f"h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)), (a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN {votes} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def sql_shingle_hashes64(sh: str) -> str:
+    """Mirror of dedup.shingle_hashes64 over a shingle-list expr."""
+    return (
+        f"list_transform({sh}, g -> {sql_poly_hash('g', 0)} * 2147483648 "
+        f"+ {sql_poly_hash('g', 1)})"
+    )
+
+
+def sql_lang_id(s: str) -> str:
+    """Mirror of textpipe.lang_id_expr (same profiles, same tie-break)."""
+    from ..operators.textpipe import LANG_PROFILES
+
+    toks = sql_word_tokens(s)
+    cjk = (
+        f"len(list_filter({sql_char_codes(s)}, "
+        f"cp -> cp >= 19968 AND cp <= 40959))"
+    )
+    expr_lang, expr_hits = "'und'", "0"
+    for lang in sorted(LANG_PROFILES):
+        prof = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+        hits = f"len(list_filter({toks}, t -> list_contains({prof}, t)))"
+        expr_lang = f"CASE WHEN {hits} > {expr_hits} THEN '{lang}' ELSE {expr_lang} END"
+        expr_hits = f"CASE WHEN {hits} > {expr_hits} THEN {hits} ELSE {expr_hits} END"
+    return (
+        f"CASE WHEN CAST({cjk} AS DOUBLE) / greatest(length({s}), 1) > 0.3 "
+        f"THEN 'zh' ELSE {expr_lang} END"
+    )
+
+
+def sql_quality_score(s: str) -> str:
+    """Mirror of textpipe.quality_score_expr."""
+    from ..operators.textpipe import LANG_PROFILES
+
+    toks = sql_word_tokens(s)
+    n_toks = f"greatest(len({toks}), 1)"
+    n_chars = f"greatest(length({s}), 1)"
+    length_ok = f"(CASE WHEN length({s}) >= 50 AND length({s}) <= 20000 THEN 1.0 ELSE 0.0 END)"
+    alpha = (
+        f"len(list_filter({sql_char_codes(s)}, cp -> "
+        f"(cp >= 65 AND cp <= 90) OR (cp >= 97 AND cp <= 122) OR cp = 32))"
+    )
+    alpha_ratio = f"(CAST({alpha} AS DOUBLE) / {n_chars})"
+    all_stop = "[" + ", ".join(
+        f"'{w}'" for ws in LANG_PROFILES.values() for w in ws
+    ) + "]"
+    stop_ratio = (
+        f"(CAST(len(list_filter({toks}, t -> list_contains({all_stop}, t))) AS DOUBLE) / {n_toks})"
+    )
+    stop_ok = f"(CASE WHEN {stop_ratio} >= 0.05 AND {stop_ratio} <= 0.6 THEN 1.0 ELSE 0.0 END)"
+    mean_wlen = (
+        f"(CAST(list_reduce(list_prepend(0, list_transform({toks}, t -> length(t))), "
+        f"(a, x) -> a + x) AS DOUBLE) / {n_toks})"
+    )
+    wlen_ok = f"(CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    return f"(({length_ok} + {alpha_ratio} + {stop_ok} + {wlen_ok}) / 4.0)"
+
+
+def sql_token_count(s: str) -> str:
+    return f"len({sql_word_tokens(s)})"
+
+
+def sql_subword_count(s: str) -> str:
+    """Mirror of textpipe.subword_count_expr."""
+    runs = f"list_filter(string_split_regex(lower({s}), '[^a-z0-9]+'), t -> t <> '')"
+    alnum = (
+        f"list_reduce(list_prepend(0, list_transform({runs}, "
+        f"t -> CAST(ceil(length(t)/4.0) AS INT))), (a, x) -> a + x)"
+    )
+    punct = (
+        f"len(list_filter({sql_char_codes(s)}, cp -> NOT ("
+        f"(cp >= 48 AND cp <= 57) OR (cp >= 65 AND cp <= 90) "
+        f"OR (cp >= 97 AND cp <= 122) OR cp = 32)))"
+    )
+    return f"CAST({alnum} + {punct} AS BIGINT)"
+
+
+def sql_fingerprint(s: str) -> str:
+    norm = f"regexp_replace(trim(lower({s})), '\\s+', ' ', 'g')"
+    return sql_poly_hash(norm)

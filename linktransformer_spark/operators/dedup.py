@@ -1,0 +1,376 @@
+"""Large-scale deduplication suite (north-star extension beyond the
+reference surface; BASELINE.json "LLM-data-pipeline operators").
+
+Five strategies, all built from the same portable integer kernels
+(functions/similarity.py <-> functions/oracle.py) so each one is
+DuckDB-oracle-checkable:
+
+- exact        : hash-groupBy on the key, keep min-id row. One shuffle.
+- minhash LSH  : shingle -> minhash signature -> band buckets ->
+                 candidate pairs -> exact-Jaccard verify -> connected
+                 components -> keep min id. The classic near-dup
+                 pipeline (Broder '97; used by every web-scale corpus
+                 cleaner). Candidate generation is equi-join on
+                 (band, band_hash): shuffle scales with duplicates, not
+                 with n^2.
+- simhash      : 64-bit sign fingerprint of token hashes (Charikar '02);
+                 near-dups = hamming distance <= k, candidates via the
+                 pigeonhole block trick (split bits into k+1 blocks,
+                 equi-join per block).
+- ngram jaccard: exact set-similarity join via shingle explode +
+                 per-pair intersection counts — the exact (quadratic in
+                 colliding shingles, not in rows) baseline.
+- embedding    : cosine near-dup over a vector column (see
+                 operators/ann.py for candidate generation at scale).
+
+All thresholds compare ratios of exact integers (single double
+division) -> bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions.serialize import DEFAULT_SEP, serialize_columns
+from ..ids import LT_ID, min_id_first, with_row_id
+from .components import connected_components
+
+# minhash constants: h_i(x) = (A_i * x + B_i) mod P, P prime > any hash
+MH_PRIME = 2147483647
+MH_A_STEP = 1299709  # distinct odd multipliers/offsets per hash id
+MH_B_STEP = 15485863
+
+
+def _shingles(text: Column, n: int, word: bool) -> Column:
+    """Distinct shingle array: word n-grams (space-joined) or char n-grams."""
+    if word:
+        toks = S.word_tokens(text)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    else:
+        grams = S.char_ngrams(text, n)
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column, num_hashes: int, shingle: int = 3,
+                      word: bool = True) -> Column:
+    """Array of ``num_hashes`` minhash values of the shingle set.
+
+    h_i(s) = (A_i * poly_hash(s) + B_i) mod P with A_i, B_i derived from
+    i by integer arithmetic — engine-portable, no RNG state. Empty
+    shingle sets map to the per-hash identity (P) so empty docs only
+    collide with empty docs.
+    """
+    sh = _shingles(text, shingle, word)
+    hashed = F.transform(sh, lambda g: S.poly_hash(g))
+    sigs = []
+    # NOTE plain closures: PySpark inspects lambda ARITY, so the usual
+    # `lambda h, a=a` default-arg binding breaks higher-order functions;
+    # each F.transform call evaluates its lambda immediately, so loop
+    # late-binding is not an issue.
+    for i in range(num_hashes):
+        a = (1 + i * MH_A_STEP) % MH_PRIME
+        b = (i * MH_B_STEP) % MH_PRIME
+        vals = F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME))
+        sigs.append(F.coalesce(F.array_min(vals), F.lit(MH_PRIME)))
+    return F.array(*sigs)
+
+
+def shingle_hashes64(text: Column, word: bool = True, shingle: int = 1) -> Column:
+    """Array of 62-bit shingle hashes: two independent 31-bit poly
+    hashes concatenated (portable integer arithmetic)."""
+    sh = _shingles(text, shingle, word)
+    return F.transform(
+        sh,
+        lambda g: S.poly_hash(g, salt=0) * F.lit(2147483648) + S.poly_hash(g, salt=1),
+    )
+
+
+def simhash64(hashes: Column, nbits: int = 62) -> Column:
+    """Simhash fingerprint of a pre-materialized hash array column: bit
+    j set iff sum over hashes of sign(bit j) >= 0. Materialize the hash
+    array with ``shingle_hashes64`` FIRST (a separate projection) so
+    whole-stage codegen computes it once, not 62 times."""
+    bits = []
+    for j in range(nbits):
+        mask = 1 << j
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != F.lit(0), F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(votes >= 0, F.lit(mask)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def dedup_exact(df: DataFrame, on, id_col: str | None = None,
+                deterministic_ids: bool = True) -> DataFrame:
+    """Exact dedup on the serialized key, keeping the min-id row
+    ("keep first" parity). groupBy-free: one window shuffle on the key."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    work = with_row_id(df, id_col=id_col, deterministic=deterministic_ids)
+    return min_id_first(work, on_list).select(*df.columns)
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+) -> DataFrame:
+    """Candidate pairs via MinHash-LSH banding, verified with EXACT
+    Jaccard on the distinct shingle sets. Returns (src, dst, jaccard)
+    with src < dst.
+
+    Plan: signature is a map-only projection; banding explodes each row
+    into ``bands`` rows; candidates come from an equi-join on
+    (band, band_signature) — a hash shuffle whose size tracks the
+    number of colliding rows. Verification is array_intersect /
+    array_union on the (deduplicated) shingle arrays.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        key.alias("_key"),
+    ).withColumn("_sh", _shingles(F.col("_key"), shingle, word))
+    base = base.withColumn("_sig", minhash_signature(F.col("_key"), num_hashes, shingle, word))
+
+    # band rows carry ONLY (id, band, band-signature) — the shingle
+    # arrays rejoin after candidate dedup so they aren't shuffled xbands
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sh = base.select("_id", "_sh")
+    cand = cand.join(sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src")
+    cand = cand.join(sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "src", "dst", "jaccard"
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dedup: connected components of the verified
+    near-dup pair graph, keep the min-id row per component."""
+    pairs = near_dup_pairs_minhash(df, on, id_col, threshold, num_hashes, bands, shingle, word)
+    comp = connected_components(pairs)
+    out = df.join(
+        comp.withColumnRenamed("node", id_col),
+        on=id_col,
+        how="left",
+    )
+    keep = out.filter(
+        F.col("component").isNull() | (F.col("component") == F.col(id_col))
+    )
+    return keep.select(*df.columns)
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    on,
+    id_col: str,
+    hamming_threshold: int = 3,
+    word: bool = True,
+) -> DataFrame:
+    """Candidate pairs with simhash hamming distance <= threshold.
+
+    Pigeonhole: split the 64-bit fingerprint into (threshold+1) blocks;
+    any pair within distance k agrees on >= 1 block -> equi-join per
+    block, then verify with bit_count(xor). Returns (src, dst, hamming).
+    """
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
+    base = base.withColumn("_h64", shingle_hashes64(F.col("_key"), word=word))
+    base = base.select("_id", simhash64(F.col("_h64")).alias("_sim"))
+
+    nblocks = hamming_threshold + 1
+    width = 64 // nblocks + (1 if 64 % nblocks else 0)
+    # python-side block loop: shiftrightunsigned needs a literal int
+    # shift, and nblocks is tiny and known
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned(F.col("_sim"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+            for bi in range(nblocks)
+        ]
+    )
+    banded = base.select(
+        "_id", "_sim", F.explode(blocks).alias("bb")
+    ).select("_id", "_sim", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            F.col("l._sim").alias("sim_l"),
+            F.col("r._sim").alias("sim_r"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ham = F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= hamming_threshold
+    ).select("src", "dst", "hamming")
+
+
+def near_dup_pairs_jaccard(
+    df: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+    word: bool = True,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via shingle explode.
+
+    Relational plan: explode distinct shingles -> self equi-join on the
+    shingle -> per-pair intersection count -> jaccard from set sizes.
+    Cost scales with sum over shingles of (docs containing it)^2 —
+    apply a stopword-ish frequency cap upstream for web-scale corpora.
+    Returns (src, dst, jaccard), src < dst.
+    """
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
+    base = base.withColumn("_sh", _shingles(F.col("_key"), shingle, word))
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+
+    tok = base.select("_id", F.explode("_sh").alias("_g"))
+    l = tok.alias("l")
+    r = tok.alias("r")
+    inter = (
+        l.join(r, (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "src").withColumnRenamed("_n", "_nl"), "src")
+        .join(sizes.withColumnRenamed("_id", "dst").withColumnRenamed("_n", "_nr"), "dst")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / F.greatest(F.col("_nl") + F.col("_nr") - F.col("_inter"), F.lit(1)).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("src", "dst", "jaccard")
+
+
+def near_dup_pairs_embedding(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    mode: str = "exact_cross",
+) -> DataFrame:
+    """Cosine near-dup pairs over a vector column. exact_cross for the
+    oracle path; 'lsh' routes through BucketedRandomProjectionLSH for
+    the 100 TB path. Returns (src, dst, cosine), src < dst."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        S.l2_normalize(F.col(vector_col)).alias("_v"),
+    )
+    if mode == "lsh":
+        from . import knn_join as KJ
+
+        l = base.select(F.col("_id").alias(KJ.LEFT_ID), F.col("_v").alias(KJ.LEFT_EMB))
+        r = base.select(F.col("_id").alias(KJ.RIGHT_ID), F.col("_v").alias(KJ.RIGHT_EMB))
+        scorer = type("O", (), {"needs_embeddings": True,
+                                "score": staticmethod(lambda: S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB)))})()
+        cand = KJ._lsh_candidates(l, r, scorer, threshold=threshold)
+        return (
+            cand.filter(F.col(KJ.LEFT_ID) < F.col(KJ.RIGHT_ID))
+            .select(F.col(KJ.LEFT_ID).alias("src"), F.col(KJ.RIGHT_ID).alias("dst"),
+                    F.col("score").alias("cosine"))
+        )
+    l = base.alias("l")
+    r = base.alias("r")
+    cos = S.dot(F.col("l._v"), F.col("r._v"))
+    return (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"), "cosine")
+    )
+
+
+def dedup_embedding(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    mode: str = "exact_cross",
+) -> DataFrame:
+    """Embedding-cosine near-dedup: CC over near-dup pairs, keep min id."""
+    pairs = near_dup_pairs_embedding(df, vector_col, id_col, threshold, mode)
+    comp = connected_components(pairs)
+    out = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+    return out.filter(
+        F.col("component").isNull() | (F.col("component") == F.col(id_col))
+    ).select(*df.columns)

@@ -1,0 +1,141 @@
+"""Text analysis for training-data pipelines (north-star extension):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table schema
+(doc_id, text, lang, source, n_chars) — map-only stages that fuse into
+the parquet scan, with DuckDB mirrors for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+
+# tiny per-language stopword profiles (public common function words).
+# Deliberately small: the operator contract is the scoring rule, not
+# lexicon quality — swap in bigger lexicons for production.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language id: CJK codepoint share -> 'zh'; else the
+    stopword profile with the highest token hit count (ties broken by
+    language code ascending); no hits at all -> 'und'."""
+    toks = S.word_tokens(text)
+    n_cjk = F.size(
+        F.filter(
+            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
+                        lambda c: F.ascii(c)),
+            lambda cp: (cp >= F.lit(0x4E00)) & (cp <= F.lit(0x9FFF)),
+        )
+    )
+    n_chars = F.greatest(F.length(text), F.lit(1))
+
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # fixed iteration order = deterministic tie-break (asc lang code,
+    # strict > means the first language wins ties)
+    for lang in sorted(LANG_PROFILES):
+        profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        cond = hits > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+
+    return F.when(n_cjk.cast("double") / n_chars.cast("double") > 0.3, F.lit("zh")).otherwise(
+        best_lang
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1] from cheap signals:
+    0.25*length_ok + 0.25*alpha_ratio + 0.25*stopword_signal +
+    0.25*word_len_ok. Pure integer counts + fixed-point arithmetic."""
+    toks = S.word_tokens(text)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(text), F.lit(1))
+
+    length_ok = F.when((F.length(text) >= 50) & (F.length(text) <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    alpha = F.size(
+        F.filter(
+            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
+                        lambda c: F.ascii(c)),
+            lambda cp: ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122)) | (cp == 32),
+        )
+    )
+    alpha_ratio = alpha.cast("double") / n_chars.cast("double")
+
+    all_stop = F.array(*[F.lit(w) for ws in LANG_PROFILES.values() for w in ws])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    # healthy text has SOME function words but isn't all function words
+    stop_ok = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_toks.cast("double")
+    )
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+
+    return (length_ok + alpha_ratio + stop_ok + wlen_ok) / F.lit(4.0)
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(S.word_tokens(text))
+
+
+def subword_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs count 1 per ceil(len/4) plus
+    each non-alnum, non-space char counts 1 (a crude but deterministic
+    stand-in for a real tokenizer; swap a pandas-UDF tokenizer in for
+    production)."""
+    runs = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    alnum_tokens = F.aggregate(
+        runs, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
+    )
+    punct = F.size(
+        F.filter(
+            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
+                        lambda c: F.ascii(c)),
+            lambda cp: ~(
+                ((cp >= 48) & (cp <= 57))
+                | ((cp >= 65) & (cp <= 90))
+                | ((cp >= 97) & (cp <= 122))
+                | (cp == 32)
+            ),
+        )
+    )
+    return (alnum_tokens + punct).cast("long")
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    lowercased, whitespace-collapsed text (portable; see
+    functions/oracle.sql_fingerprint)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return S.poly_hash(norm)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection: lang_id, quality, token
+    counts, fingerprint appended as columns. Map-only — fuses into the
+    scan; column pruning keeps untouched columns out of the expression."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("lang_id", lang_id_expr(t))
+        .withColumn("quality", quality_score_expr(t))
+        .withColumn("n_tokens", token_count_expr(t).cast("long"))
+        .withColumn("n_subwords", subword_count_expr(t))
+        .withColumn("fingerprint", fingerprint_expr(t))
+    )

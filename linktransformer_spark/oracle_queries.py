@@ -40,7 +40,9 @@ def _q(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -414,3 +416,238 @@ def transform_rows_mock(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     out = lt.transform_rows(part, on="p_name", transformer=lt.MockTransformSpec("upper"))
     return out.select("p_partkey", "p_name", "transformed_p_name")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup suite / ANN / text analysis
+# (north-star extensions; BASELINE.json). Near-dups are constructed
+# deterministically inside the query (documents + mutated copies) so
+# the pipelines have real work at every scale factor.
+# ---------------------------------------------------------------------------
+
+from .functions.oracle import (  # noqa: E402
+    sql_dot,
+    sql_fingerprint,
+    sql_l2_normalize,
+    sql_lang_id,
+    sql_minhash_signature_from_hashes,
+    sql_poly_hash,
+    sql_quality_score,
+    sql_shingle_hashes64,
+    sql_simhash_from_hashes,
+    sql_subword_count,
+    sql_token_count,
+    sql_word_shingles,
+)
+
+_DEDUP_EXACT_SQL = """
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@_q("dedup_exact_events", _DEDUP_EXACT_SQL)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import dedup_exact
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return dedup_exact(ev, on=["user_id", "event_type"], id_col="event_id")
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str, limit_id: int) -> DataFrame:
+    """documents (doc_id < limit) + near-dup copies (doc_id+1000000,
+    text || ' extra suffix words') — deterministic, mirrored in SQL."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit_id)
+    dup = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+_AUG_SQL = """
+    aug AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {L}
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extra suffix words'
+      FROM documents WHERE doc_id < {L}
+    )
+"""
+
+_MINHASH_PAIRS_SQL = (
+    "WITH " + _AUG_SQL.format(L=300) + f""",
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM aug),
+    hs AS (SELECT id, sh, list_transform(sh, g -> {sql_poly_hash('g')}) AS hs FROM sh),
+    sig AS (SELECT id, sh, {sql_minhash_signature_from_hashes('hs', 24)} AS sig FROM hs),
+    bands AS (
+      SELECT id, b, (sig)[b*3+1:b*3+3] AS bsig
+      FROM sig CROSS JOIN range(0, 8) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS src, r.id AS dst
+      FROM bands l JOIN bands r ON l.b = r.b AND l.bsig = r.bsig AND l.id < r.id
+    )
+    SELECT c.src, c.dst,
+           round(CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+                 / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1), 6)
+             AS jaccard
+    FROM cand c JOIN sh a ON a.id = c.src JOIN sh b2 ON b2.id = c.dst
+    WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+          / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1) >= 0.6
+"""
+)
+
+
+@_q("dedup_minhash_pairs", _MINHASH_PAIRS_SQL)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import near_dup_pairs_minhash
+
+    aug = _augmented_docs(spark, sf_dir, 300)
+    out = near_dup_pairs_minhash(
+        aug, on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3, word=True,
+    )
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_PAIRS_SQL = (
+    "WITH " + _AUG_SQL.format(L=200) + f""",
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 1)} AS sh FROM aug),
+    hs AS (SELECT id, {sql_shingle_hashes64('sh')} AS hs FROM sh),
+    sim AS (SELECT id, {sql_simhash_from_hashes('hs')} AS sim FROM hs),
+    blocks AS (
+      SELECT id, sim, b, (sim >> (b * 16)) & 65535 AS bval
+      FROM sim CROSS JOIN range(0, 4) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS src, r.id AS dst, l.sim AS sim_l, r.sim AS sim_r
+      FROM blocks l JOIN blocks r ON l.b = r.b AND l.bval = r.bval AND l.id < r.id
+    )
+    SELECT src, dst, bit_count(xor(sim_l, sim_r)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_l, sim_r)) <= 3
+"""
+)
+
+
+@_q("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import near_dup_pairs_simhash
+
+    aug = _augmented_docs(spark, sf_dir, 200)
+    out = near_dup_pairs_simhash(
+        aug, on="text", id_col="doc_id", hamming_threshold=3, word=True
+    )
+    return out.select("src", "dst", F.col("hamming").cast("long").alias("hamming"))
+
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _AUG_SQL.format(L=200) + f""",
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM aug),
+    tok AS (SELECT id, unnest(sh) AS g FROM sh),
+    inter AS (
+      SELECT l.id AS src, r.id AS dst, count(*) AS i
+      FROM tok l JOIN tok r ON l.g = r.g AND l.id < r.id
+      GROUP BY l.id, r.id
+    )
+    SELECT src, dst,
+           round(CAST(i AS DOUBLE) / greatest(a.n + b.n - i, 1), 6) AS jaccard
+    FROM inter
+    JOIN (SELECT id, len(sh) AS n FROM sh) a ON a.id = src
+    JOIN (SELECT id, len(sh) AS n FROM sh) b ON b.id = dst
+    WHERE CAST(i AS DOUBLE) / greatest(a.n + b.n - i, 1) >= 0.6
+"""
+)
+
+
+@_q("dedup_jaccard_pairs", _JACCARD_PAIRS_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import near_dup_pairs_jaccard
+
+    aug = _augmented_docs(spark, sf_dir, 200)
+    out = near_dup_pairs_jaccard(
+        aug, on="text", id_col="doc_id", threshold=0.6, shingle=3, word=True
+    )
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+# normalize ONCE per row in a CTE, then plain dot per pair — exactly
+# the Spark plan's float-op order (normalize-then-dot), so scores are
+# bit-identical before rounding.
+_EMB_PAIRS_SQL = f"""
+    WITH sub AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id < 600
+    )
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           round({sql_dot('a.v', 'b.v')}, 6) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {sql_dot('a.v', 'b.v')} >= 0.4
+"""
+
+
+@_q("dedup_embedding_pairs", _EMB_PAIRS_SQL)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import near_dup_pairs_embedding
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600)
+    out = near_dup_pairs_embedding(emb, "embedding", "vec_id", threshold=0.4)
+    return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
+
+
+_ANN_SQL = f"""
+    WITH qn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id < 50
+    ),
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings)
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qn q CROSS JOIN cn c
+    ) WHERE rank <= 5
+"""
+
+
+@_q("ann_topk_bruteforce", _ANN_SQL)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.ann import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_topk(q, emb, vector_col="embedding", k=5, mode="exact_cross")
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_TEXTPIPE_SQL = f"""
+    SELECT doc_id,
+           {sql_lang_id('text')} AS lang_id,
+           round({sql_quality_score('text')}, 6) AS quality,
+           CAST({sql_token_count('text')} AS BIGINT) AS n_tokens,
+           {sql_subword_count('text')} AS n_subwords,
+           {sql_fingerprint('text')} AS fingerprint
+    FROM documents
+"""
+
+
+@_q("text_analyze_documents", _TEXTPIPE_SQL)
+def text_analyze_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.textpipe import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = analyze_documents(docs)
+    return out.select(
+        "doc_id", "lang_id", F.round("quality", 6).alias("quality"),
+        "n_tokens", "n_subwords", "fingerprint",
+    )

@@ -1,0 +1,51 @@
+"""Table readers for the testdata star schema + general sources
+(SURVEY §2.1: CSV/Excel scans -> spark.read; parquet is the engine
+default).
+
+``events.parquet`` carries TIMESTAMP(NANOS), which Spark 4 refuses to
+read by default (PARQUET_TYPE_ILLEGAL). We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a proper
+microsecond timestamp with integer DIV (never float division — nanos
+exceed 2^53 and would lose precision in a double). Floor division
+matches DuckDB's nanos->micros truncation, so oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV scan (reference pd.read_csv passthrough, preprocess.py:303-311)."""
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update({k: str(v) for k, v in options.items()})
+    return spark.read.options(**opts).csv(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """Excel scan (reference pd.read_excel, preprocess.py:306-307) —
+    pandas shim -> createDataFrame; xlsx needs openpyxl (import-gated)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "read_excel needs openpyxl/xlrd; convert to csv/parquet instead"
+        ) from e
+    return spark.createDataFrame(pdf)

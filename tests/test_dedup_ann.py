@@ -1,0 +1,135 @@
+"""Dedup suite + ANN invariants (north-star extensions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+
+
+@pytest.fixture(scope="module")
+def docs_aug(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    dup = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "a"), (2, "a"), (9, "b"), (1, "b"), (7, "c")], ["id", "txt"]
+    )
+    out = lt.dedup_exact(df, on="txt", id_col="id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 7]
+
+
+def test_minhash_near_dups_found_and_removed(docs_aug):
+    pairs = lt.near_dup_pairs_minhash(
+        docs_aug, on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3,
+    )
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    # every planted near-dup pair must be found (jaccard ~0.95, and with
+    # 8 bands x 3 rows the LSH miss probability is negligible)
+    planted = {(i, i + 1000000) for i in range(100)}
+    assert planted <= got
+    deduped = lt.dedup_minhash(
+        docs_aug, on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3,
+    )
+    kept = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    # every planted copy has its original (smaller id, jaccard ~0.95) in
+    # its component -> no copy can be a component min -> all removed.
+    # (Originals CAN be removed too: synthetic docs share vocabulary, so
+    # original-original pairs above the threshold chain components.)
+    assert all(i + 1000000 not in kept for i in range(100))
+    assert kept and kept <= set(range(100))
+
+
+def test_simhash_pigeonhole_completeness(spark, docs_aug):
+    # the block trick must find EXACTLY the brute-force hamming<=k set
+    # (pigeonhole guarantees no false negatives; verification removes
+    # false positives). NB short docs flip many bits from one extra
+    # token, so planted copies mostly land ABOVE hamming 3 — that's
+    # simhash semantics, not a bug; minhash is the short-doc tool.
+    from linktransformer_spark.operators.dedup import shingle_hashes64, simhash64
+
+    pairs = lt.near_dup_pairs_simhash(
+        docs_aug, on="text", id_col="doc_id", hamming_threshold=3
+    )
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+
+    sim = docs_aug.select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes64(F.col("text")).alias("_h"),
+    ).select("id", simhash64(F.col("_h")).alias("s"))
+    l, r = sim.alias("l"), sim.alias("r")
+    brute = (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn("h", F.bit_count(F.col("l.s").bitwiseXOR(F.col("r.s"))))
+        .filter(F.col("h") <= 3)
+    )
+    want = {(x[0], x[1]) for x in brute.select(F.col("l.id"), F.col("r.id")).collect()}
+    assert got == want
+
+
+def test_jaccard_exact_pairs_symmetric_threshold(docs_aug):
+    pairs = lt.near_dup_pairs_jaccard(
+        docs_aug, on="text", id_col="doc_id", threshold=0.6, shingle=3
+    )
+    rows = pairs.collect()
+    assert all(r["jaccard"] >= 0.6 for r in rows)
+    assert all(r["src"] < r["dst"] for r in rows)
+    planted = {(i, i + 1000000) for i in range(100)}
+    assert planted <= {(r["src"], r["dst"]) for r in rows}
+
+
+def test_embedding_neardup_and_dedup(emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    pairs = lt.near_dup_pairs_embedding(sub, "embedding", "vec_id", threshold=0.7)
+    rows = pairs.collect()
+    assert all(r["cosine"] >= 0.7 for r in rows)
+    deduped = lt.dedup_embedding(sub, "embedding", "vec_id", threshold=0.7)
+    # survivors = all rows minus the non-min members of each component
+    removed = (
+        lt.connected_components(pairs)
+        .filter(F.col("component") != F.col("node"))
+        .count()
+    )
+    assert deduped.count() == sub.count() - removed
+
+
+def test_ann_broadcast_matches_exact(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    a = lt.ann_topk(q, emb, k=5, mode="exact_cross").select(
+        "query_id", "neighbor_id", "rank"
+    )
+    b = lt.ann_topk(q, emb, k=5, mode="broadcast_knn").select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ann_lsh_self_is_top1(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    out = lt.ann_topk(q, emb, k=3, mode="lsh_hyperplane", dim=64, n_planes=8)
+    top1 = out.filter(F.col("rank") == 1)
+    # every query shares its bucket with itself -> top1 must be itself
+    bad = top1.filter(F.col("query_id") != F.col("neighbor_id")).count()
+    assert bad == 0
+
+
+def test_analyze_documents_columns(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lt.analyze_documents(docs)
+    for c in ("lang_id", "quality", "n_tokens", "n_subwords", "fingerprint"):
+        assert c in out.columns
+    row = out.first()
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["n_tokens"] > 0
