@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Headliners cover each engine subsystem at its scale-relevant shape:
+relational agg/join/window, the semantic-join family (string scorer +
+hash-ngram embedding via both declarative and broadcast-numpy paths),
+the dedup pipelines, ANN, and the text-analysis pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import linktransformer_spark as lt  # noqa: E402
+from linktransformer_spark.oracle_queries import QUERIES  # noqa: E402
+from linktransformer_spark.sources.tables import read_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def bench_queries(spark):
+    """name -> callable returning a DataFrame to be fully consumed."""
+
+    def from_oracle(name):
+        return lambda: QUERIES[name](spark, SF_DIR)
+
+    def merge_hash_broadcast():
+        cust = read_table(spark, SF_DIR, "customer")
+        supp = read_table(spark, SF_DIR, "supplier")
+        return lt.merge(
+            cust, supp, left_on="c_name", right_on="s_name",
+            model="hash-ngram", mode="broadcast_knn",
+            left_id_col="c_custkey", right_id_col="s_suppkey",
+        )
+
+    def dedup_minhash_docs():
+        docs = read_table(spark, SF_DIR, "documents")
+        return lt.dedup_minhash(
+            docs.select("doc_id", "text"), on="text", id_col="doc_id",
+            threshold=0.6, num_hashes=24, bands=8, shingle=3,
+        )
+
+    def ann_broadcast():
+        emb = read_table(spark, SF_DIR, "embeddings")
+        return lt.ann_topk(emb, emb, k=10, mode="broadcast_knn")
+
+    def textpipe_docs():
+        docs = read_table(spark, SF_DIR, "documents")
+        return lt.analyze_documents(docs)
+
+    return {
+        "q1_pricing": from_oracle("q1_pricing_summary"),
+        "topk_revenue": from_oracle("topk_revenue_customers"),
+        "events_sessionize": from_oracle("events_sessionize"),
+        "events_hourly_agg": from_oracle("events_hourly_agg"),
+        "merge_1nn_lev": from_oracle("merge_1nn"),
+        "merge_blocking": from_oracle("merge_blocking_nation"),
+        "merge_knn_k3": from_oracle("merge_knn_k3"),
+        "merge_hash_broadcast": merge_hash_broadcast,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_simhash_pairs": from_oracle("dedup_simhash_pairs"),
+        "ann_broadcast_topk": ann_broadcast,
+        "text_analyze": textpipe_docs,
+        "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
+    }
+
+
+def main() -> None:
+    spark = lt.get_spark("lt-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries(spark).items():
+        # warm the JVM/scan cache shape once on the cheap ones? No —
+        # cold, single-shot numbers; that's what the driver records.
+        t0 = time.time()
+        df = fn()
+        n = df.count()  # full consumption (count forces every operator)
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall-clock (relational + semantic join + dedup + ann + textpipe)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -153,7 +153,29 @@ def near_dup_pairs_minhash(
         F.col(id_col).cast("long").alias("_id"),
         key.alias("_key"),
     ).withColumn("_sh", _shingles(F.col("_key"), shingle, word))
-    base = base.withColumn("_sig", minhash_signature(F.col("_key"), num_hashes, shingle, word))
+    # RELATIONAL signature build: explode shingles, hash each ONCE, then
+    # num_hashes min-aggregates in one groupBy. The Column-expression
+    # form (minhash_signature) interprets the hash num_hashes times per
+    # row — measured order-of-magnitude slower (higher-order functions
+    # are CodegenFallback). One shuffle on (id), combiner does the mins
+    # map-side.
+    ex = base.select(
+        "_id", F.explode(F.transform(F.col("_sh"), lambda g: S.poly_hash(g))).alias("_h")
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a = (1 + i * MH_A_STEP) % MH_PRIME
+        b = (i * MH_B_STEP) % MH_PRIME
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"_mh{i}")
+        )
+    sig = ex.groupBy("_id").agg(*aggs).select(
+        "_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig")
+    )
+    empty_sig = F.array(*([F.lit(MH_PRIME).cast("long")] * num_hashes))
+    base = base.join(sig, "_id", "left").withColumn(
+        "_sig", F.coalesce(F.col("_sig"), empty_sig)
+    )
 
     # band rows carry ONLY (id, band, band-signature) — the shingle
     # arrays rejoin after candidate dedup so they aren't shuffled xbands
@@ -234,8 +256,28 @@ def near_dup_pairs_simhash(
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
     base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
-    base = base.withColumn("_h64", shingle_hashes64(F.col("_key"), word=word))
-    base = base.select("_id", simhash64(F.col("_h64")).alias("_sim"))
+    # relational simhash: explode the 62-bit shingle hashes (computed
+    # once), then 62 conditional-sum aggregates in one groupBy — same
+    # CodegenFallback rationale as the minhash path above.
+    ex = base.select(
+        "_id", F.explode(shingle_hashes64(F.col("_key"), word=word)).alias("_h")
+    )
+    nbits = 62
+    votes = ex.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(nbits)
+        ]
+    )
+    sim_expr = None
+    for j in range(nbits):
+        # empty hash list -> vote 0 -> bit set (parity with the
+        # aggregate-over-empty-array semantics of simhash64)
+        bit = F.when(F.coalesce(F.col(f"_v{j}"), F.lit(0)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim_expr = bit if sim_expr is None else sim_expr + bit
+    base = base.join(votes, "_id", "left").select("_id", sim_expr.alias("_sim"))
 
     nblocks = hamming_threshold + 1
     width = 64 // nblocks + (1 if 64 % nblocks else 0)

@@ -651,3 +651,110 @@ def text_analyze_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang_id", F.round("quality", 6).alias("quality"),
         "n_tokens", "n_subwords", "fingerprint",
     )
+
+
+# ---------------------------------------------------------------------------
+# events substrate: sessionization + time-bucketed aggregation (the
+# batch forms; streaming variants live in linktransformer_spark/streaming
+# and are pytest-verified via the memory sink). Timestamps are compared
+# as epoch MICROSECONDS (integer) to dodge tz-representation drift.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    )
+    SELECT user_id, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+"""
+
+
+@_q("events_sessionize", _SESSIONIZE_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1000000
+    out = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return out.select("user_id", "event_id", "session_id")
+
+
+_WINDOW_AGG_SQL = """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@_q("events_hourly_agg", _WINDOW_AGG_SQL)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+_TOPK_REVENUE_SQL = """
+    SELECT o_custkey, revenue, rnk FROM (
+      SELECT o.o_custkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             row_number() OVER (
+               ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_custkey ASC
+             ) AS rnk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    ) WHERE rnk <= 10
+"""
+
+
+@_q("topk_revenue_customers", _TOPK_REVENUE_SQL)
+def topk_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("_raw").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("o_custkey", "revenue", "rnk")
+    )
