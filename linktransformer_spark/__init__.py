@@ -27,6 +27,7 @@ from .operators.dedup import (
     simhash64,
 )
 from .operators.textpipe import analyze_documents
+from .operators.ir_eval import binary_eval, ir_metrics, rank_results
 from .operators.llm import (
     GeminiSpec,
     MockJudgeSpec,
@@ -76,6 +77,9 @@ __all__ = [
     "minhash_signature",
     "simhash64",
     "analyze_documents",
+    "ir_metrics",
+    "binary_eval",
+    "rank_results",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

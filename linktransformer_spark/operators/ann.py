@@ -83,6 +83,8 @@ def ann_topk(
         )
         ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     elif mode == "exact_cross":
+        # broadcast-NLJ parallelism == query-side partitions
+        q = KJ.ensure_parallelism(q)
         cand = q.crossJoin(c).withColumn(
             "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
         )

@@ -391,7 +391,9 @@ def near_dup_pairs_embedding(
             .select(F.col(KJ.LEFT_ID).alias("src"), F.col(KJ.RIGHT_ID).alias("dst"),
                     F.col("score").alias("cosine"))
         )
-    l = base.alias("l")
+    from . import knn_join as KJ
+
+    l = KJ.ensure_parallelism(base).alias("l")
     r = base.alias("r")
     cos = S.dot(F.col("l._v"), F.col("r._v"))
     return (

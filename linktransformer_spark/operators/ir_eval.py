@@ -1,0 +1,231 @@
+"""IR and binary-classification evaluation — distributed window+agg pipelines.
+
+Re-expresses the reference's evaluators
+(/root/reference/src/linktransformer/modified_sbert/evaluation.py:294-405
+``compute_metrics``; :444-498 ``BinaryClassificationEvaluator_wandb``) as
+pure relational plans over three tables instead of driver-side dict loops:
+
+    results  (qid, cid, score)   ranked candidates (e.g. merge_knn output)
+    relevant (qid, cid)          gold pairs
+    pairs    (score, label)      scored sentence pairs for binary eval
+
+Formulas (identical to the reference / sentence-transformers):
+  accuracy@k  = mean over queries of [any relevant doc in top-k]
+  precision@k = mean of (#relevant in top-k)/k
+  recall@k    = mean of (#relevant in top-k)/n_rel(q)
+  MRR@k       = mean of 1/rank(first relevant in top-k), else 0
+  NDCG@k      = mean of DCG@k / IDCG@k, DCG = sum rel_r / log2(r+1)
+  MAP@k       = mean of sum_{relevant hits r<=k} (cum_correct(r)/r) / min(k, n_rel)
+
+All per-(qid,k) work is one groupBy after a rank window — a single
+shuffle on qid; the per-k explode multiplies rows only AFTER the
+rank<=max(k) prune, so the shuffled volume is #queries * max_k.
+
+Determinism note (engine semantics, documented deviation): ranking
+tie-breaks on (score DESC, cid ASC); the reference inherits FAISS/sort
+insertion order on ties (SURVEY §1.3). Binary-eval threshold sweeps run
+over DISTINCT score levels (threshold = midpoint between adjacent
+distinct scores) — identical to the reference's row-level sweep
+whenever scores are distinct, and deterministic under ties where the
+reference is input-order-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_KS = (1, 3, 5, 10)
+
+
+def rank_results(
+    results: DataFrame, qid: str = "qid", cid: str = "cid", score: str = "score"
+) -> DataFrame:
+    """Attach 1-based ``rank`` per query: score DESC, cid ASC tie-break."""
+    w = Window.partitionBy(qid).orderBy(F.col(score).desc(), F.col(cid).asc())
+    return results.withColumn("rank", F.row_number().over(w))
+
+
+def ir_metrics(
+    results: DataFrame,
+    relevant: DataFrame,
+    ks: Sequence[int] = DEFAULT_KS,
+    qid: str = "qid",
+    cid: str = "cid",
+    score: str = "score",
+) -> DataFrame:
+    """One row per k: (k, accuracy, precision, recall, mrr, ndcg, map).
+
+    Averages run over every query that has >=1 relevant doc (the
+    reference filters its query set the same way,
+    evaluation.py:100-110); queries with no retrieved rows contribute 0.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    max_k = ks[-1]
+
+    ranked = rank_results(results, qid, cid, score).filter(F.col("rank") <= max_k)
+    rel = relevant.select(F.col(qid), F.col(cid), F.lit(1).alias("is_rel")).distinct()
+    n_rel = rel.groupBy(qid).agg(F.count(F.lit(1)).alias("n_rel"))
+
+    hits = (
+        ranked.join(rel, [qid, cid], "left")
+        .withColumn("is_rel", F.coalesce("is_rel", F.lit(0)))
+        # cumulative correct within the query's ranking (for MAP)
+        .withColumn(
+            "cum_correct",
+            F.sum("is_rel").over(
+                Window.partitionBy(qid).orderBy("rank").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+
+    ks_df = results.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    per_qk = (
+        hits.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy(qid, "k")
+        .agg(
+            F.max("is_rel").alias("hit"),
+            F.sum("is_rel").alias("num_correct"),
+            F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+            F.sum(
+                F.when(F.col("is_rel") == 1, 1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("is_rel") == 1, F.col("cum_correct") / F.col("rank")
+                ).otherwise(0.0)
+            ).alias("sum_prec"),
+        )
+    )
+
+    # every (query-with-relevant-docs, k) pair — zeros where no results
+    universe = n_rel.crossJoin(F.broadcast(ks_df))
+    per_qk = (
+        universe.join(per_qk, [qid, "k"], "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+        .withColumn("num_correct", F.coalesce("num_correct", F.lit(0)))
+        .withColumn("dcg", F.coalesce("dcg", F.lit(0.0)))
+        .withColumn("sum_prec", F.coalesce("sum_prec", F.lit(0.0)))
+    )
+
+    # IDCG@k = sum_{r=1..min(k,n_rel)} 1/log2(r+1); tiny per-row loop,
+    # evaluated on #queries*#ks rows only (post-aggregation).
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("k"), F.col("n_rel"))),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1.0),
+    )
+
+    per_qk = per_qk.select(
+        F.col(qid),
+        "k",
+        F.col("hit").cast("double").alias("acc_q"),
+        (F.col("num_correct") / F.col("k")).alias("prec_q"),
+        (F.col("num_correct") / F.col("n_rel")).alias("rec_q"),
+        F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)).alias("mrr_q"),
+        (F.col("dcg") / idcg).alias("ndcg_q"),
+        (F.col("sum_prec") / F.least(F.col("k"), F.col("n_rel"))).alias("map_q"),
+    )
+
+    return (
+        per_qk.groupBy("k")
+        .agg(
+            F.avg("acc_q").alias("accuracy"),
+            F.avg("prec_q").alias("precision"),
+            F.avg("rec_q").alias("recall"),
+            F.avg("mrr_q").alias("mrr"),
+            F.avg("ndcg_q").alias("ndcg"),
+            F.avg("map_q").alias("map"),
+        )
+    )
+
+
+def _level_sweep(pairs: DataFrame, score: str, label: str) -> DataFrame:
+    """Distinct-score-level cumulative relation shared by the binary
+    metrics: one row per distinct score, ordered DESC, with cumulative
+    tp/fp when thresholding at 'this level and above', plus the
+    midpoint threshold to the next (lower) level."""
+    levels = (
+        pairs.groupBy(F.col(score).alias("s"))
+        .agg(
+            F.sum(F.col(label).cast("int")).alias("pos"),
+            F.sum(1 - F.col(label).cast("int")).alias("neg"),
+        )
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        levels.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("fp", F.sum("neg").over(w))
+        .withColumn(
+            "threshold",
+            (F.col("s") + F.lead("s").over(Window.orderBy(F.col("s").desc()))) / 2.0,
+        )
+    )
+
+
+def binary_eval(pairs: DataFrame, score: str = "score", label: str = "label") -> DataFrame:
+    """Best-threshold accuracy/F1 + average precision over scored pairs
+    (higher score = more similar). Returns ONE row:
+      (accuracy, accuracy_threshold, f1, f1_threshold, precision, recall, ap)
+
+    Reference protocol: evaluation.py:464-475 (sweep) — cut points
+    between adjacent scores, metrics from cumulative counts; AP is the
+    step-function sum_n (R_n - R_{n-1}) P_n over descending thresholds
+    (sklearn ``average_precision_score`` semantics).
+    Among equal-metric thresholds the HIGHEST threshold wins (the
+    reference's scan-from-top strict-improvement rule).
+    """
+    totals = pairs.agg(
+        F.sum(F.col(label).cast("int")).alias("P"),
+        F.sum(1 - F.col(label).cast("int")).alias("N"),
+    )
+    lv = _level_sweep(pairs, score, label).crossJoin(F.broadcast(totals))
+    # drop the lowest level for acc/f1 (no cut below it — reference
+    # iterates range(len(rows)-1)); keep all levels for AP.
+    cuts = lv.filter(F.col("threshold").isNotNull())
+
+    acc_expr = (F.col("tp") + (F.col("N") - F.col("fp"))) / (F.col("P") + F.col("N"))
+    prec_expr = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec_expr = F.col("tp") / F.col("P")
+    f1_expr = F.when(
+        F.col("tp") > 0, 2 * prec_expr * rec_expr / (prec_expr + rec_expr)
+    ).otherwise(F.lit(0.0))
+
+    scored = cuts.select(
+        F.col("threshold"),
+        acc_expr.alias("acc"),
+        f1_expr.alias("f1"),
+        prec_expr.alias("prec"),
+        rec_expr.alias("rec"),
+    )
+    best_acc = scored.orderBy(F.col("acc").desc(), F.col("threshold").desc()).limit(1)
+    best_f1 = scored.orderBy(F.col("f1").desc(), F.col("threshold").desc()).limit(1)
+
+    # AP over ALL levels: sum (R_i - R_{i-1}) * P_i, descending score
+    wl = Window.orderBy(F.col("s").desc())
+    ap_df = (
+        lv.withColumn("r", rec_expr)
+        .withColumn("p", prec_expr)
+        .withColumn("r_prev", F.coalesce(F.lag("r").over(wl), F.lit(0.0)))
+        .agg(F.sum((F.col("r") - F.col("r_prev")) * F.col("p")).alias("ap"))
+    )
+
+    return (
+        best_acc.select(
+            F.col("acc").alias("accuracy"), F.col("threshold").alias("accuracy_threshold")
+        )
+        .crossJoin(
+            best_f1.select(
+                F.col("f1"),
+                F.col("threshold").alias("f1_threshold"),
+                F.col("prec").alias("precision"),
+                F.col("rec").alias("recall"),
+            )
+        )
+        .crossJoin(ap_df)
+    )

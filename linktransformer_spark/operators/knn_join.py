@@ -53,6 +53,25 @@ RIGHT_EMB = "_lt_emb_r"
 Mode = Literal["auto", "exact_cross", "broadcast_knn", "lsh"]
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition up to cluster parallelism when the input
+    arrives under-partitioned.
+
+    Load-bearing at both ends of the scale: a small reference table read
+    from one parquet file plans as ONE partition, and every downstream
+    broadcast join / mapInPandas inherits that — the O(|L|·|R|) scoring
+    stage then runs on a single core (measured 32x slowdown at sf0.1).
+    At real scale inputs already have >= target partitions and this is a
+    no-op. User-specified repartition counts are exempt from AQE
+    coalescing, so the fan-out survives adaptive re-planning.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 @dataclass
 class CosineScorer:
     """score = dot of L2-normalized embeddings (== cosine)."""
@@ -119,6 +138,9 @@ def candidate_scores(
     if mode == "lsh":
         return _lsh_candidates(left, right, scorer, block_on=block_on, threshold=threshold, k=k)
 
+    # the scoring stage's parallelism == left's partition count under a
+    # broadcast join; guard against single-file inputs (see ensure_parallelism)
+    left = ensure_parallelism(left)
     cond = None
     for lc, rc in block_on or []:
         eq = left[lc].eqNullSafe(right[rc])
@@ -169,6 +191,7 @@ def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
     spark = left.sparkSession
     b = spark.sparkContext.broadcast((r_ids, r_mat))
 
+    left = ensure_parallelism(left)
     left_schema = left.schema
     out_schema = StructType(
         list(left_schema.fields)

@@ -91,6 +91,46 @@ def _finalize(df: DataFrame, lmap, rmap, keep_score: bool = True) -> DataFrame:
     return df.select(*cols)
 
 
+def _score_narrow_then_join_back(
+    left: DataFrame,
+    right: DataFrame,
+    scorer,
+    k: int | None,
+    block: list[tuple[str, str]] | None = None,
+    mode: str = "exact_cross",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Score (id, key[, emb]) projections only, THEN re-attach full rows
+    by id — manual column pruning through the candidate join + top-k
+    window.
+
+    Catalyst cannot do this itself: the final select needs every user
+    column, so without the restructure all of them ride through the
+    O(|L|·|R|) candidate materialization and the top-k shuffle. Pruning
+    first makes the shuffled candidate row ~24 bytes (two longs + a
+    double); the wide rows rejoin at |L|·k / |matches| volume. The
+    join-back re-scans the inputs, but those scans are column-pruned
+    parquet reads — orders of magnitude cheaper than wide candidates at
+    scale (and the embed stage is NOT recomputed: the join-back sides
+    drop the key/emb helper columns entirely).
+    """
+    lcols = [LEFT_ID, LEFT_KEY] + ([LEFT_EMB] if scorer.needs_embeddings else [])
+    rcols = [RIGHT_ID, RIGHT_KEY] + ([RIGHT_EMB] if scorer.needs_embeddings else [])
+    if block:
+        lcols += [lc for lc, _ in block if lc not in lcols]
+        rcols += [rc for _, rc in block if rc not in rcols]
+    cand = KJ.candidate_scores(
+        left.select(*lcols), right.select(*rcols), scorer,
+        block_on=block, mode=mode, threshold=threshold,
+    )
+    if k is not None:
+        cand = KJ.topk(cand, k)
+    narrow = cand.select(LEFT_ID, RIGHT_ID, "score")
+    lfull = left.drop(LEFT_KEY, LEFT_EMB)
+    rfull = right.drop(RIGHT_KEY, RIGHT_EMB)
+    return narrow.join(lfull, LEFT_ID).join(rfull, RIGHT_ID)
+
+
 def merge_knn(
     df1: DataFrame,
     df2: DataFrame,
@@ -133,8 +173,7 @@ def merge_knn(
         cand = cand.join(F.broadcast(right.drop(RIGHT_EMB)), RIGHT_ID, "inner")
         out = cand
     else:
-        cand = KJ.candidate_scores(left, right, scorer, block_on=block, mode=mode)
-        out = KJ.topk(cand, k)
+        out = _score_narrow_then_join_back(left, right, scorer, k, block=block, mode=mode)
     if drop_sim_threshold is not None:
         # reference post-filters AFTER top-k (infer.py:704-706)
         out = out.filter(F.col("score") >= F.lit(drop_sim_threshold))
@@ -198,9 +237,11 @@ def merge_blocking(
         kw.get("deterministic_ids", True),
     )
     block = [(lmap.get(c, c), rmap.get(c, c)) for c in blocking_vars]
-    cand = KJ.candidate_scores(left, right, scorer, block_on=block,
-                               mode="exact_cross" if mode == "auto" else mode)
-    matched = _finalize(KJ.topk(cand, 1), lmap, rmap)
+    out = _score_narrow_then_join_back(
+        left, right, scorer, 1, block=block,
+        mode="exact_cross" if mode == "auto" else mode,
+    )
+    matched = _finalize(out, lmap, rmap)
 
     # pass-through of one-side-only blocks (anti-join on the block key)
     lb = [lmap.get(c, c) for c in blocking_vars]

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.serialize import DEFAULT_SEP, serialize_columns
 from ..ids import check_reserved
+from . import knn_join as KJ
 from .knn_join import resolve_scorer
 from ..functions import similarity as S
 
@@ -72,6 +73,7 @@ def all_pair_combos_evaluate(
     # inside encode_distinct for UDF-backed encoders.
     l = df.select(serialize_columns(left_on, DEFAULT_SEP).alias(lname))
     r = df.select(serialize_columns(right_on, DEFAULT_SEP).alias(rname))
+    l = KJ.ensure_parallelism(l)
     if scorer.needs_embeddings:
         enc = scorer.encoder
         l = enc.encode(l, lname, "_lt_emb_l")

@@ -758,3 +758,174 @@ def topk_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("o_custkey", "revenue", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IR + binary-classification evaluators (SURVEY §2.7) — the reference's
+# evaluation.py:294-405 / :444-498 re-expressed as window+agg pipelines
+# (operators/ir_eval.py). Setup: queries=customers, corpus=suppliers,
+# results = lev-sim top-10, relevant = shared nation key.
+# ---------------------------------------------------------------------------
+
+from .functions.oracle import sql_lev_sim as _lev  # noqa: E402
+
+_IR_METRICS_SQL = f"""
+    WITH ranked AS (
+      SELECT qid, cid, rank FROM (
+        SELECT c.c_custkey AS qid, s.s_suppkey AS cid,
+               row_number() OVER (
+                 PARTITION BY c.c_custkey
+                 ORDER BY {_lev('c.c_name', 's.s_name')} DESC, s.s_suppkey ASC
+               ) AS rank
+        FROM customer c CROSS JOIN supplier s
+      ) WHERE rank <= 10
+    ),
+    rel AS (
+      SELECT c.c_custkey AS qid, s.s_suppkey AS cid
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ),
+    n_rel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+    hits AS (
+      SELECT r.qid, r.rank,
+             CASE WHEN rel.cid IS NOT NULL THEN 1 ELSE 0 END AS is_rel,
+             sum(CASE WHEN rel.cid IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY r.qid ORDER BY r.rank ROWS UNBOUNDED PRECEDING
+             ) AS cum_correct
+      FROM ranked r LEFT JOIN rel ON r.qid = rel.qid AND r.cid = rel.cid
+    ),
+    ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+    per_qk_raw AS (
+      SELECT h.qid, ks.k,
+             max(is_rel) AS hit,
+             sum(is_rel) AS num_correct,
+             min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel_rank,
+             sum(CASE WHEN is_rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg,
+             sum(CASE WHEN is_rel = 1 THEN cum_correct * 1.0 / rank ELSE 0 END) AS sum_prec
+      FROM hits h CROSS JOIN ks WHERE h.rank <= ks.k
+      GROUP BY h.qid, ks.k
+    ),
+    per_qk AS (
+      SELECT n.qid, ks.k, n.n_rel,
+             coalesce(hit, 0) AS hit,
+             coalesce(num_correct, 0) AS num_correct,
+             first_rel_rank,
+             coalesce(dcg, 0) AS dcg,
+             coalesce(sum_prec, 0) AS sum_prec,
+             list_sum([1.0 / log2(x + 1) for x in range(1, least(ks.k, n.n_rel) + 1)]) AS idcg
+      FROM n_rel n CROSS JOIN ks
+      LEFT JOIN per_qk_raw p ON p.qid = n.qid AND p.k = ks.k
+    )
+    SELECT k,
+           round(avg(hit), 6) AS accuracy,
+           round(avg(num_correct * 1.0 / k), 6) AS precision,
+           round(avg(num_correct * 1.0 / n_rel), 6) AS recall,
+           round(avg(coalesce(1.0 / first_rel_rank, 0)), 6) AS mrr,
+           round(avg(dcg / idcg), 6) AS ndcg,
+           round(avg(sum_prec / least(k, n_rel)), 6) AS map
+    FROM per_qk GROUP BY k
+"""
+
+
+@_q("ir_metrics_eval", _IR_METRICS_SQL)
+def ir_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ir_eval import ir_metrics
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    results = lt.merge_knn(
+        cust, supp, left_on="c_name", right_on="s_name", model="levenshtein",
+        k=10, left_id_col="c_custkey", right_id_col="s_suppkey",
+    ).select(
+        F.col("c_custkey").alias("qid"),
+        F.col("s_suppkey").alias("cid"),
+        "score",
+    )
+    relevant = (
+        cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"])
+        .select(F.col("c_custkey").alias("qid"), F.col("s_suppkey").alias("cid"))
+    )
+    m = ir_metrics(results, relevant, ks=(1, 3, 5, 10))
+    return m.select(
+        "k",
+        *[F.round(c, 6).alias(c) for c in
+          ("accuracy", "precision", "recall", "mrr", "ndcg", "map")],
+    )
+
+
+_BINARY_EVAL_SQL = f"""
+    WITH pairs AS (
+      SELECT {_lev('c.c_name', 's.s_name')} AS score,
+             CASE WHEN c.c_nationkey = s.s_nationkey THEN 1 ELSE 0 END AS label
+      FROM customer c JOIN supplier s ON s.s_suppkey = (c.c_custkey % 100) + 1
+    ),
+    totals AS (
+      SELECT sum(label) AS P, sum(1 - label) AS N FROM pairs
+    ),
+    levels AS (
+      SELECT score AS s, sum(label) AS pos, sum(1 - label) AS neg
+      FROM pairs GROUP BY score
+    ),
+    sweep AS (
+      SELECT s,
+             sum(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(neg) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS fp,
+             (s + lead(s) OVER (ORDER BY s DESC)) / 2.0 AS threshold
+      FROM levels
+    ),
+    scored AS (
+      SELECT threshold,
+             (tp + (t.N - fp)) * 1.0 / (t.P + t.N) AS acc,
+             tp * 1.0 / (tp + fp) AS prec,
+             tp * 1.0 / t.P AS rec,
+             CASE WHEN tp > 0
+                  THEN 2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / t.P)
+                       / (tp * 1.0 / (tp + fp) + tp * 1.0 / t.P)
+                  ELSE 0.0 END AS f1
+      FROM sweep, totals t WHERE threshold IS NOT NULL
+    ),
+    best_acc AS (
+      SELECT acc, threshold FROM scored ORDER BY acc DESC, threshold DESC LIMIT 1
+    ),
+    best_f1 AS (
+      SELECT f1, threshold, prec, rec FROM scored ORDER BY f1 DESC, threshold DESC LIMIT 1
+    ),
+    ap_calc AS (
+      SELECT sum((r - r_prev) * p) AS ap FROM (
+        SELECT tp * 1.0 / t.P AS r,
+               coalesce(lag(tp * 1.0 / t.P) OVER (ORDER BY s DESC), 0.0) AS r_prev,
+               tp * 1.0 / (tp + fp) AS p
+        FROM sweep, totals t
+      )
+    )
+    SELECT round(a.acc, 6) AS accuracy,
+           round(a.threshold, 6) AS accuracy_threshold,
+           round(f.f1, 6) AS f1,
+           round(f.threshold, 6) AS f1_threshold,
+           round(f.prec, 6) AS precision,
+           round(f.rec, 6) AS recall,
+           round(ap.ap, 6) AS ap
+    FROM best_acc a, best_f1 f, ap_calc ap
+"""
+
+
+@_q("binary_eval_name_match", _BINARY_EVAL_SQL)
+def binary_eval_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import lev_sim
+    from .operators.ir_eval import binary_eval
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = (
+        cust.join(supp, supp["s_suppkey"] == (cust["c_custkey"] % 100) + 1)
+        .select(
+            lev_sim(F.col("c_name"), F.col("s_name")).alias("score"),
+            F.when(F.col("c_nationkey") == F.col("s_nationkey"), 1)
+            .otherwise(0).alias("label"),
+        )
+    )
+    out = binary_eval(pairs)
+    return out.select(
+        *[F.round(c, 6).alias(c) for c in
+          ("accuracy", "accuracy_threshold", "f1", "f1_threshold",
+           "precision", "recall", "ap")],
+    )
