@@ -28,6 +28,13 @@ from .operators.dedup import (
 )
 from .operators.textpipe import analyze_documents
 from .operators.ir_eval import binary_eval, ir_metrics, rank_results
+from .preprocess import (
+    check_and_prep_data,
+    check_clust_data,
+    edges_from_clusters,
+    prep_linkage_data,
+    prep_paired_label_data,
+)
 from .operators.llm import (
     GeminiSpec,
     MockJudgeSpec,
@@ -80,6 +87,11 @@ __all__ = [
     "ir_metrics",
     "binary_eval",
     "rank_results",
+    "check_and_prep_data",
+    "check_clust_data",
+    "prep_linkage_data",
+    "prep_paired_label_data",
+    "edges_from_clusters",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

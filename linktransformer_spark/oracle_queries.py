@@ -929,3 +929,197 @@ def binary_eval_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
           ("accuracy", "accuracy_threshold", "f1", "f1_threshold",
            "precision", "recall", "ap")],
     )
+
+
+# ---------------------------------------------------------------------------
+# preprocessing operators (SURVEY §2.6; linktransformer_spark/preprocess.py).
+# Data: supplier joined to its nation — left = s_name (ids s_suppkey),
+# right = n_name (ids s_nationkey). Components are nation-stars.
+# ---------------------------------------------------------------------------
+
+from .functions.oracle import sql_poly_hash as _ph  # noqa: E402
+
+
+def _prep_base_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return supp.join(nat, supp["s_nationkey"] == nat["n_nationkey"]).select(
+        "s_suppkey", "s_name", "s_nationkey", "n_name"
+    )
+
+
+_PREP_IDS_SQL = """
+    WITH base AS (
+      SELECT s_suppkey, s_name, s_nationkey, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    ids AS (
+      SELECT s_name AS left_text, n_name AS right_text,
+             (dense_rank() OVER (ORDER BY s_suppkey) - 1) AS gl,
+             (dense_rank() OVER (ORDER BY s_nationkey) - 1) AS gr
+      FROM base
+    )
+"""
+
+
+@_q(
+    "prep_check_ids",
+    _PREP_IDS_SQL
+    + """
+    SELECT left_text, right_text,
+           CAST(gl AS VARCHAR) || '_l' AS left_id,
+           CAST(gr AS VARCHAR) || '_r' AS right_id
+    FROM ids
+""",
+)
+def prep_check_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import check_and_prep_data
+
+    data = check_and_prep_data(
+        _prep_base_spark(spark, sf_dir),
+        left_col_names="s_name", right_col_names="n_name",
+        left_id_name="s_suppkey", right_id_name="s_nationkey",
+    )
+    return data.select("left_text", "right_text", "left_id", "right_id")
+
+
+_PREP_CC_SQL = _PREP_IDS_SQL.replace("WITH base", "WITH RECURSIVE base") + """
+    ,
+    enc AS (SELECT left_text, right_text, gl * 2 AS node_l, gr * 2 + 1 AS node_r FROM ids),
+    edges AS (
+      SELECT node_l AS i, node_r AS j FROM enc
+      UNION
+      SELECT node_r, node_l FROM enc
+    ),
+    nodes AS (SELECT DISTINCT i AS n FROM edges),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+    clustered AS (
+      SELECT enc.left_text, enc.right_text, c.lbl AS cluster_assignment
+      FROM enc JOIN comp c ON enc.node_l = c.id
+    )
+"""
+
+
+@_q(
+    "prep_linkage_train_clusters",
+    _PREP_CC_SQL
+    + f"""
+    , train AS (
+      SELECT * FROM clustered
+      WHERE {_ph("CAST(cluster_assignment AS VARCHAR)", 7)} % 1000 < 800
+    )
+    SELECT DISTINCT cluster_assignment, text FROM (
+      SELECT cluster_assignment, left_text AS text FROM train
+      UNION ALL
+      SELECT cluster_assignment, right_text AS text FROM train
+    )
+""",
+)
+def prep_linkage_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import prep_linkage_data
+
+    out = prep_linkage_data(
+        _prep_base_spark(spark, sf_dir),
+        left_col_names="s_name", right_col_names="n_name",
+        left_id_name="s_suppkey", right_id_name="s_nationkey",
+        val_perc=0.2, large_val=False, test_at_end=True,
+    )
+    return out["train_clusters"].select("cluster_assignment", "text")
+
+
+_PREP_FULL_SQL = """
+    WITH RECURSIVE base AS (
+      SELECT s_suppkey, s_name, s_nationkey, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    ids AS (
+      SELECT s_name AS left_text, n_name AS right_text,
+             (dense_rank() OVER (ORDER BY s_suppkey) - 1) AS gl,
+             (dense_rank() OVER (ORDER BY s_nationkey) - 1) AS gr
+      FROM base
+    ),
+    enc AS (
+      SELECT left_text, right_text,
+             gl * 2 AS node_l, gr * 2 + 1 AS node_r,
+             CAST(gl AS VARCHAR) || '_l' AS left_id,
+             CAST(gr AS VARCHAR) || '_r' AS right_id
+      FROM ids
+    ),
+    edges AS (
+      SELECT node_l AS i, node_r AS j FROM enc
+      UNION
+      SELECT node_r, node_l FROM enc
+    ),
+    nodes AS (SELECT DISTINCT i AS n FROM edges),
+    reach(a, b) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+    clustered AS (
+      SELECT enc.*, c.lbl AS cluster_assignment
+      FROM enc JOIN comp c ON enc.node_l = c.id
+    )
+"""
+
+
+@_q(
+    "prep_linkage_val_relevant",
+    _PREP_FULL_SQL
+    + f"""
+    SELECT DISTINCT left_id AS qid, right_id AS cid
+    FROM clustered
+    WHERE {_ph("CAST(cluster_assignment AS VARCHAR)", 7)} % 1000 >= 800
+      AND {_ph("CAST(cluster_assignment AS VARCHAR)", 7)} % 1000 < 900
+""",
+)
+def prep_linkage_val_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import prep_linkage_data
+
+    out = prep_linkage_data(
+        _prep_base_spark(spark, sf_dir),
+        left_col_names="s_name", right_col_names="n_name",
+        left_id_name="s_suppkey", right_id_name="s_nationkey",
+        val_perc=0.2, large_val=False, test_at_end=True,
+    )
+    return out["val_relevant"].select("qid", "cid")
+
+
+@_q(
+    "prep_paired_val_pairs",
+    _PREP_IDS_SQL
+    + f"""
+    , keyed AS (
+      SELECT left_text, right_text,
+             CAST(gl AS VARCHAR) || '_l' AS left_id,
+             CAST(gr AS VARCHAR) || '_r' AS right_id,
+             label
+      FROM ids JOIN (
+        SELECT s_name, s_suppkey % 2 AS label FROM supplier
+      ) lab ON lab.s_name = ids.left_text
+    )
+    SELECT left_text, right_text, label
+    FROM keyed
+    WHERE {_ph("left_id || '|' || right_id", 7)} % 1000 >= 800
+      AND {_ph("left_id || '|' || right_id", 7)} % 1000 < 900
+""",
+)
+def prep_paired_val_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import prep_paired_label_data
+
+    base = _prep_base_spark(spark, sf_dir).withColumn(
+        "label", F.col("s_suppkey") % 2
+    )
+    out = prep_paired_label_data(
+        base,
+        left_col_names="s_name", right_col_names="n_name",
+        left_id_name="s_suppkey", right_id_name="s_nationkey",
+        label_col_name="label", val_perc=0.2, test_at_end=True,
+    )
+    return out["val_pairs"].select("left_text", "right_text", "label")
