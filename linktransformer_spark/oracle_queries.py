@@ -1123,3 +1123,81 @@ def prep_paired_val_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_col_name="label", val_perc=0.2, test_at_end=True,
     )
     return out["val_pairs"].select("left_text", "right_text", "label")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants (streaming/ops.py): each query runs the
+# streaming plan to completion with trigger(availableNow=True) into a
+# memory sink, so the result is a batch table the SQL oracle can check.
+# session_window boundary: a gap of EXACTLY 30min starts a new session
+# (window end exclusive) -> oracle uses >=, unlike batch events_sessionize.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stream_hourly_agg",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+""",
+)
+def stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import read_stream_table, run_available_now, streaming_hourly_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_available_now(streaming_hourly_agg(ev), output_mode="complete")
+
+
+@_q(
+    "stream_dedup_user_type",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import read_stream_table, run_available_now, streaming_dedup
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_available_now(
+        streaming_dedup(ev, ["user_id", "event_type"]), output_mode="append"
+    )
+
+
+@_q(
+    "stream_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import read_stream_table, run_available_now, streaming_sessionize
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    return run_available_now(
+        streaming_sessionize(ev, gap="30 minutes"), output_mode="complete"
+    )

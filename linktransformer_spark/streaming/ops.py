@@ -1,0 +1,139 @@
+"""Structured Streaming operators (post-parity extension, SURVEY §2.8).
+
+The reference is batch-only pandas; these are the streaming variants a
+100 TB training-data pipeline needs, built on the idiomatic Spark
+surface: ``readStream`` file source -> stateless/stateful transforms ->
+``writeStream``. Every operator here is ALSO runnable as a finite
+verification job: ``run_available_now`` drains the full input with
+``trigger(availableNow=True)`` into a memory sink and returns the
+result as a batch DataFrame — which is how the DuckDB oracle checks
+streaming semantics against relational SQL.
+
+Production notes (the part that matters at scale):
+- watermarks bound state: ``withWatermark("ts", delay)`` lets Spark
+  drop window/dedup state older than the delay. The verification path
+  uses COMPLETE/append-with-drain so results are deterministic; a real
+  deployment keeps the same plan and just changes the sink + trigger.
+- ``session_window`` is the native stateful sessionizer (gap-merge
+  implemented inside the state store, no driver state). Boundary
+  semantics: an event exactly ``gap`` after the previous one starts a
+  NEW session (window end is exclusive) — the batch lag/cumsum
+  formulation must use ``diff >= gap`` to agree.
+- streaming dedup: ``dropDuplicates(keys)`` keeps unbounded key state;
+  ``dropDuplicatesWithinWatermark`` (the production variant) bounds it
+  by the watermark.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a driver parquet table. The schema comes
+    from a batch peek (file streams require an explicit schema)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet: read nanos as long, rebuild micros
+        # with integer DIV (same rule as sources.tables.read_table)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a DIRECTORY; stream the sf dir with a glob
+    # filter selecting this table's file(s)
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    out = reader.parquet(sf_dir)
+    if name == "events":
+        out = out.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    return out
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Drain all available input through the streaming plan into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    spark = sdf.sparkSession
+    name = name or f"_lt_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def streaming_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Windowed aggregation with watermark — the streaming twin of the
+    batch events_hourly_agg query. Partial aggregation happens in the
+    state store per (window, event_type); late rows beyond the
+    watermark are dropped in a real run."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """First-seen streaming dedup on ``keys``.
+
+    within_watermark=True uses ``dropDuplicatesWithinWatermark`` —
+    bounded state, the production setting (keys may re-emit after the
+    watermark ages their state out). False = exact global dedup,
+    unbounded state, equal to batch DISTINCT over the drained input.
+    """
+    out = events
+    if watermark is not None:
+        out = out.withWatermark("ts", watermark)
+    if within_watermark:
+        return out.dropDuplicatesWithinWatermark(keys).select(*keys)
+    return out.dropDuplicates(keys).select(*keys)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation via native ``session_window``.
+
+    Output: (user_id, session_start [epoch us], n_events, sum_value).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n_events", "sum_value",
+        )
+    )
