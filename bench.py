@@ -56,6 +56,10 @@ def bench_queries(spark):
         emb = read_table(spark, SF_DIR, "embeddings")
         return lt.ann_topk(emb, emb, k=10, mode="broadcast_knn")
 
+    def ann_ivf():
+        emb = read_table(spark, SF_DIR, "embeddings")
+        return lt.ivf_topk(emb, emb, k=10, n_probe=4)
+
     def textpipe_docs():
         docs = read_table(spark, SF_DIR, "documents")
         return lt.analyze_documents(docs)
@@ -72,6 +76,7 @@ def bench_queries(spark):
         "dedup_minhash_docs": dedup_minhash_docs,
         "dedup_simhash_pairs": from_oracle("dedup_simhash_pairs"),
         "ann_broadcast_topk": ann_broadcast,
+        "ann_ivf_topk": ann_ivf,
         "text_analyze": textpipe_docs,
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
     }

@@ -14,7 +14,7 @@ from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster_rows, dedup_rows
 from .operators.components import connected_components
-from .operators.ann import ann_topk
+from .operators.ann import ann_topk, ivf_topk, ivf_train_centroids
 from .operators.dedup import (
     dedup_embedding,
     dedup_exact,
@@ -74,6 +74,8 @@ __all__ = [
     "OpenAIChatSpec",
     "GeminiSpec",
     "ann_topk",
+    "ivf_topk",
+    "ivf_train_centroids",
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",

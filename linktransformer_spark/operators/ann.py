@@ -106,3 +106,145 @@ class _CosOnPrepared:
     @staticmethod
     def score() -> Column:
         return S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partitioned scale path.
+#
+# Candidate generation becomes an EQUI-JOIN on cell id: corpus rows are
+# assigned to their nearest centroid (spherical k-means, deterministic
+# seeded init + fixed Lloyd iterations), queries probe their n_probe
+# nearest cells, and Catalyst hash-partitions both sides on the cell id
+# — per-task work is |cell| x |queries probing it|, no broadcast of the
+# corpus, no cross join. This is the IVF-Flat design of FAISS
+# (the reference's index is IndexFlatIP — brute force;
+# /root/reference/src/linktransformer/infer.py:144-151 — so this mode
+# is an extension, not a parity surface) re-expressed as a join.
+#
+# Determinism: centroid init = the n_cells corpus vectors with smallest
+# ids; Lloyd updates are float averages whose partition-order drift is
+# sub-ulp in practice but not guaranteed — hence no SQL oracle for this
+# mode (driver records the weaker rows-only check; the pytest gate
+# asserts recall against the exact path instead).
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(df: DataFrame, vec_col: str, id_col: str, bc, n_probe: int) -> DataFrame:
+    """(id, cell) pairs: each row's n_probe nearest centroids (numpy
+    argpartition over the broadcast centroid matrix, Arrow-batched)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("_aid", LongType()),
+        StructField("cell", IntegerType()),
+    ])
+
+    def gen(batches):
+        C = bc.value  # (m, d) L2-normalized
+        take = min(n_probe, len(C))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            s = V @ C.T
+            cells = np.argsort(-s, axis=1, kind="stable")[:, :take]
+            out = pdf[[id_col]].loc[pdf.index.repeat(take)].reset_index(drop=True)
+            out.columns = ["_aid"]
+            out["cell"] = cells.reshape(-1).astype("int32")
+            yield out
+
+    return df.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(gen, schema)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, n_cells: int, n_iter: int = 2
+):
+    """Spherical k-means centroids as a numpy array (n_cells, d).
+
+    Init = corpus vectors with the n_cells smallest ids (deterministic;
+    a TakeOrdered job, no full sort). Each Lloyd round: one mapInPandas
+    assignment pass + one posexplode/avg aggregation (map-side partial
+    agg), centroids renormalized driver-side (n_cells x d values only).
+    """
+    import numpy as np
+
+    seed_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    C = np.array([r[1] for r in seed_rows], dtype="float64")
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(C)
+        assigned = _assign_cells(corpus, vec_col, id_col, bc, n_probe=1)
+        joined = corpus.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_v")).join(
+            assigned, "_aid"
+        )
+        sums = (
+            joined.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # cells that lose all members keep their centroid
+        d = C.shape[1]
+        acc: dict[int, list[float]] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [0.0] * d)[r["pos"]] = r["m"]
+        for cell, vals in acc.items():
+            newC[cell] = vals
+        newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+        C = newC
+        bc.unpersist()
+    return C
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Approximate top-k by cosine via IVF cell-join.
+
+    Returns (query_id, neighbor_id, rank, score) like ann_topk.
+    n_cells defaults to ~sqrt(|corpus|) (classic IVF balance point:
+    per-probe work |corpus|/n_cells comparisons).
+    """
+    import math
+
+    q = queries.select(
+        F.col(query_id).cast("long").alias(KJ.LEFT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
+    )
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
+    )
+    if n_cells is None:
+        n_cells = max(4, int(math.sqrt(c.count())))
+
+    C = ivf_train_centroids(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, n_cells, n_iter)
+    bc = q.sparkSession.sparkContext.broadcast(C)
+
+    corpus_cells = _assign_cells(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, bc, n_probe=1)
+    query_cells = _assign_cells(q, KJ.LEFT_EMB, KJ.LEFT_ID, bc, n_probe=n_probe)
+
+    cq = q.withColumnRenamed(KJ.LEFT_ID, "_aid").join(query_cells, "_aid").withColumnRenamed("_aid", KJ.LEFT_ID)
+    cc = c.withColumnRenamed(KJ.RIGHT_ID, "_aid").join(corpus_cells, "_aid").withColumnRenamed("_aid", KJ.RIGHT_ID)
+
+    cand = cq.join(cc, "cell").withColumn(
+        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+    )
+    ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
+    return ranked.select(
+        F.col(KJ.LEFT_ID).alias("query_id"),
+        F.col(KJ.RIGHT_ID).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").alias("score"),
+    )

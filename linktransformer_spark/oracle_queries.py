@@ -1201,3 +1201,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         streaming_sessionize(ev, gap="30 minutes"), output_mode="complete"
     )
+
+
+@_q("ann_topk_ivf")  # approximate (IVF) — no SQL oracle; rows-only driver
+# check + recall gate in tests/test_dedup_ann.py::test_ivf_recall
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk(q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

@@ -133,3 +133,23 @@ def test_analyze_documents_columns(spark, sf_dir):
     row = out.first()
     assert 0.0 <= row["quality"] <= 1.0
     assert row["n_tokens"] > 0
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    from linktransformer_spark.operators.ann import ann_topk, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = ann_topk(q, emb, vector_col="embedding", k=5, mode="exact_cross")
+    approx = ivf_topk(q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=8)
+
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"IVF recall@5 {recall:.3f} < 0.85"
+
+    # determinism: a second build returns the identical pair set
+    a2 = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_topk(q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=8).collect()}
+    assert a == a2

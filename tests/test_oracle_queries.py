@@ -22,5 +22,7 @@ def test_every_query_has_oracle_or_is_documented():
     missing = set(QUERIES) - set(ORACLE)
     # non-SQL-expressible ops may omit the oracle (driver runs a weaker
     # rows-only check); keep the list explicit so nothing slips silently.
-    allowed_weak = set()
+    # ann_topk_ivf: IVF is approximate (float-average centroids) — no
+    # SQL twin; recall gated in tests/test_dedup_ann.py instead.
+    allowed_weak = {"ann_topk_ivf"}
     assert missing <= allowed_weak, f"queries missing oracle SQL: {missing}"
