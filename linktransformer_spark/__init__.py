@@ -15,6 +15,7 @@ from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster_rows, dedup_rows
 from .operators.components import connected_components
 from .operators.ann import ann_topk, ivf_topk, ivf_train_centroids
+from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
     dedup_embedding,
     dedup_exact,
@@ -76,6 +77,10 @@ __all__ = [
     "ann_topk",
     "ivf_topk",
     "ivf_train_centroids",
+    "attach_fake_media",
+    "decode_image",
+    "resize_image",
+    "frame_sample",
     "dedup_exact",
     "dedup_minhash",
     "dedup_embedding",

@@ -1215,3 +1215,65 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (operators/multimodal.py): binary payloads carry an
+# 8-byte poly-hash header; the Spark side decodes REAL bytes in
+# mapInPandas, the oracle reproduces every metric from the hash formula
+# without touching bytes — end-to-end value check of the binary pipeline.
+# ---------------------------------------------------------------------------
+
+_MM_H = _ph("CAST(doc_id AS VARCHAR)")
+
+_MM_DECODE_SQL = f"""
+    WITH h AS (SELECT doc_id, {_MM_H} AS hv FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 + hv % 240 AS INT) AS width,
+             CAST(16 + (hv // 240) % 240 AS INT) AS height
+      FROM h
+    )
+    SELECT doc_id, width, height,
+           CAST(width AS DOUBLE) / height AS aspect,
+           CAST(least(128.0 / greatest(width, height), 1.0) * width AS DOUBLE) AS sw,
+           greatest(CAST(round(least(128.0 / greatest(width, height), 1.0) * width, 0) AS INT), 1) AS out_width,
+           greatest(CAST(round(least(128.0 / greatest(width, height), 1.0) * height, 0) AS INT), 1) AS out_height
+    FROM dims
+"""
+
+
+@_q(
+    "multimodal_decode_resize",
+    f"""
+    SELECT doc_id, width, height, aspect, out_width, out_height
+    FROM ({_MM_DECODE_SQL})
+""",
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_fake_media, decode_image, resize_image
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id", media_type="image")
+    decoded = decode_image(media)
+    resized = resize_image(decoded, target=128)
+    return resized.select("doc_id", "width", "height", "aspect", "out_width", "out_height")
+
+
+@_q(
+    "multimodal_frame_sample",
+    f"""
+    WITH h AS (SELECT doc_id, {_MM_H} AS hv FROM documents),
+    dur AS (SELECT doc_id, 1000 + hv % 60000 AS duration_ms FROM h)
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST((i * duration_ms) // 4 AS BIGINT) AS frame_ts_ms
+    FROM dur, range(0, 4) t(i)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_fake_media, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id", media_type="video")
+    return frame_sample(media, ["doc_id"], n_frames=4)
