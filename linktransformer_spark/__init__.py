@@ -29,6 +29,7 @@ from .operators.dedup import (
 )
 from .operators.textpipe import analyze_documents
 from .operators.ir_eval import binary_eval, ir_metrics, rank_results
+from .train import save_prepared, train_clf_model, train_model, transform_column
 from .preprocess import (
     check_and_prep_data,
     check_clust_data,
@@ -99,6 +100,10 @@ __all__ = [
     "prep_linkage_data",
     "prep_paired_label_data",
     "edges_from_clusters",
+    "train_model",
+    "train_clf_model",
+    "transform_column",
+    "save_prepared",
     "Encoder",
     "HashNgramEncoder",
     "PrecomputedEncoder",

@@ -1277,3 +1277,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(docs, "doc_id", media_type="video")
     return frame_sample(media, ["doc_id"], n_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# training wrappers (train.py): the Spark data-prep side is fully
+# relational -> oracle-checked. transform_column runs a deterministic
+# batch fn through the mapInPandas chunk contract; the oracle applies
+# the same pure function in SQL.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "clf_prep_train_split",
+    f"""
+    WITH lm AS (
+      SELECT label, dense_rank() OVER (ORDER BY label) - 1 AS label_id
+      FROM (SELECT DISTINCT lang AS label FROM documents)
+    ),
+    keyed AS (
+      SELECT d.text AS _text, lm.label_id
+      FROM documents d JOIN lm ON d.lang = lm.label
+      WHERE d.lang IS NOT NULL
+    )
+    SELECT _text, label_id FROM keyed
+    WHERE {_ph('_text', 7)} % 1000 < 700
+""",
+)
+def clf_prep_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .train import train_clf_model
+
+    docs = _t(spark, sf_dir, "documents")
+    out = train_clf_model(
+        docs, on="text", label_col_name="lang", prepare_only=True
+    )
+    return out["tables"]["train"]
+
+
+@_q(
+    "transform_column_fold",
+    """
+    SELECT doc_id, upper(strip_accents(CAST(text AS VARCHAR))) AS text_transformed
+    FROM documents
+""",
+)
+def transform_column_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .train import transform_column
+
+    def fold(batch, kw):
+        import unicodedata
+
+        return [
+            "".join(
+                c for c in unicodedata.normalize("NFD", s) if not unicodedata.combining(c)
+            ).upper()
+            for s in batch
+        ]
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = transform_column(docs, "text", fold, chunk_size=50)
+    return out.select("doc_id", "text_transformed")

@@ -1,0 +1,263 @@
+"""Training wrappers + the generic batch-transform extension point.
+
+Stance (SURVEY §2.6/§7 step 9): Spark owns DATA PREP — validation,
+dense ids, connected-component clusters, splits, label maps, split
+persistence — and the torch/HF training step stays a local (or
+TorchDistributor-launched) process. This container ships no torch /
+sentence-transformers, so the train step is gated behind an import-try
+that raises NotImplementedError with guidance; ``prepare_only=True``
+runs the full Spark-side pipeline and returns its DataFrames, which is
+what the tests exercise.
+
+Reference surfaces mirrored:
+- ``train_model``      (/root/reference/src/linktransformer/train_model.py:101-249):
+  config JSON + training_args override, preprocess dispatch by data
+  shape (label column -> paired; cluster cols -> cluster; else
+  linkage), eval-set persistence (parquet tables here, pickles there).
+- ``train_clf_model``  (/root/reference/src/linktransformer/train_clf_model.py:352-490):
+  label coercion + auto label map, 70/15/15 split, split persistence.
+- ``transform_column`` (/root/reference/src/linktransformer/utils.py:467-494):
+  the official user hook — any ``List[str] -> List[str]`` batch
+  function, chunked (default 50), length-validated. Here it runs as
+  ``mapInPandas`` over Arrow batches, preserving the exact batch-list
+  contract per chunk; this also provides UDTF-like behavior when the
+  caller needs it (the chunk boundary is an executor-side detail).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .preprocess import check_clust_data, prep_linkage_data, prep_paired_label_data
+
+# defaults matching the reference's configs/linkage.json and
+# configs/classification.json (API-surface parity; values are config
+# data, not code)
+LINKAGE_DEFAULTS: dict[str, Any] = {
+    "model_save_dir": "models",
+    "model_save_name": "linkage",
+    "train_batch_size": 64,
+    "num_epochs": 10,
+    "warm_up_perc": 1,
+    "learning_rate": 2e-5,
+    "loss_type": "supcon",
+    "val_perc": 0.2,
+    "large_val": True,
+    "eval_steps_perc": 0.5,
+    "test_at_end": True,
+    "val_query_prop": 0.5,
+    "loss_params": {},
+}
+CLF_DEFAULTS: dict[str, Any] = {
+    "eval_steps": 30,
+    "save_steps": 30,
+    "per_device_eval_batch_size": 8,
+    "per_device_train_batch_size": 8,
+    "learning_rate": 2e-5,
+    "num_train_epochs": 1,
+    "metric_for_best_model": "f1",
+}
+
+
+def _load_config(config_path: str | None, defaults: dict, training_args: dict | None) -> dict:
+    config = dict(defaults)
+    if config_path:
+        with open(config_path) as f:
+            config.update(json.load(f))
+    for k, v in (training_args or {}).items():
+        config[k] = v
+    return config
+
+
+def _torch_unavailable(what: str) -> NotImplementedError:
+    return NotImplementedError(
+        f"{what}: the torch/transformers training step is not available in "
+        "this environment (no torch / sentence-transformers installed). "
+        "The Spark data-prep pipeline ran/runs fully — call with "
+        "prepare_only=True to get the prepared DataFrames, persist them "
+        "with save_prepared, and run the training step where torch exists "
+        "(optionally launched with pyspark.ml.torch.distributor.TorchDistributor)."
+    )
+
+
+def save_prepared(tables: dict[str, DataFrame], out_dir: str) -> dict[str, str]:
+    """Persist prepared tables as parquet (the engine's replacement for
+    the reference's val/test pickles, train_model.py:182-189)."""
+    paths = {}
+    for name, df in tables.items():
+        path = os.path.join(out_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+    return paths
+
+
+def train_model(
+    data: DataFrame | None = None,
+    model_path: str = "sentence-transformers/all-mpnet-base-v2",
+    left_col_names=None,
+    right_col_names=None,
+    left_id_name=None,
+    right_id_name=None,
+    label_col_name: str | None = None,
+    clus_id_col_name=None,
+    clus_text_col_names=None,
+    config_path: str | None = None,
+    training_args: dict | None = None,
+    save_dir: str | None = None,
+    prepare_only: bool = False,
+):
+    """Bi-encoder training wrapper. Dispatch mirrors
+    preprocess_any_data (reference preprocess.py:203-258): a label
+    column means paired data, cluster columns mean cluster data,
+    otherwise linkage data."""
+    config = _load_config(config_path, LINKAGE_DEFAULTS, training_args)
+
+    if label_col_name is not None and (clus_id_col_name or clus_text_col_names):
+        raise ValueError(
+            "Specify either label_col_name (paired data) or cluster columns, not both"
+        )
+
+    if clus_id_col_name is not None or clus_text_col_names is not None:
+        prepped = check_clust_data(data, clus_text_col_names, clus_id_col_name)
+        tables = {"train_clusters": prepped.select("cluster_assignment", "text")}
+    elif label_col_name is not None:
+        tables = prep_paired_label_data(
+            data, left_col_names, right_col_names, left_id_name, right_id_name,
+            label_col_name, val_perc=config["val_perc"],
+            test_at_end=config["test_at_end"],
+        )
+    else:
+        tables = prep_linkage_data(
+            data, left_col_names, right_col_names, left_id_name, right_id_name,
+            val_perc=config["val_perc"], large_val=config["large_val"],
+            test_at_end=config["test_at_end"],
+        )
+
+    if save_dir:
+        save_prepared(tables, save_dir)
+    if prepare_only:
+        return {"config": config, "tables": tables}
+
+    try:  # pragma: no cover - no torch in this environment
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        raise _torch_unavailable("train_model") from None
+    raise _torch_unavailable("train_model")  # pragma: no cover
+
+
+def train_clf_model(
+    data: DataFrame | None = None,
+    model: str = "distilroberta-base",
+    on=None,
+    label_col_name: str = "label",
+    config: str | None = None,
+    training_args: dict | None = None,
+    test_perc: float = 0.15,
+    eval_perc: float = 0.15,
+    save_dir: str | None = None,
+    prepare_only: bool = False,
+):
+    """Classifier training wrapper: label map + 70/15/15 deterministic
+    split on Spark; HF Trainer step gated (no torch here).
+
+    Label map: distinct labels sorted -> 0..n-1 (the reference builds
+    {label: idx} the same way, train_clf_model.py:304-318); returned as
+    a small DataFrame (label, label_id).
+    """
+    cfg = _load_config(config, CLF_DEFAULTS, training_args)
+    on = [on] if isinstance(on, str) else list(on or [])
+    for c in on + [label_col_name]:
+        if c not in data.columns:
+            raise ValueError(f"Column {c} not present in data")
+
+    from .functions.serialize import serialize_columns
+    from .preprocess import split_assign
+
+    text = serialize_columns(on, " ") if len(on) > 1 else F.col(on[0]).cast("string")
+    base = data.withColumn("_text", text).filter(F.col(label_col_name).isNotNull())
+
+    labels = base.select(F.col(label_col_name).cast("string").alias("label")).distinct()
+    from pyspark.sql import Window
+
+    label_map = labels.withColumn(
+        "label_id", F.dense_rank().over(Window.orderBy("label")) - 1
+    )
+
+    keyed = base.join(
+        label_map, base[label_col_name].cast("string") == label_map["label"]
+    ).select("_text", "label", "label_id")
+
+    # deterministic hash split on the text (row-level, like the
+    # reference's seeded train_test_dev_split; protocol parity)
+    val_share = test_perc + eval_perc
+    keyed = keyed.withColumn(
+        "_split", split_assign(F.col("_text"), val_share, test_at_end=True)
+    )
+    tables = {
+        "train": keyed.filter(F.col("_split") == "train").select("_text", "label_id"),
+        "val": keyed.filter(F.col("_split") == "val").select("_text", "label_id"),
+        "test": keyed.filter(F.col("_split") == "test").select("_text", "label_id"),
+        "label_map": label_map,
+    }
+    if save_dir:
+        save_prepared(tables, save_dir)
+    if prepare_only:
+        return {"config": cfg, "tables": tables}
+
+    try:  # pragma: no cover
+        import transformers  # noqa: F401
+    except ImportError:
+        raise _torch_unavailable("train_clf_model") from None
+    raise _torch_unavailable("train_clf_model")  # pragma: no cover
+
+
+def transform_column(
+    df: DataFrame,
+    column: str,
+    transform_fn: Callable[[list[str], dict], list[str]],
+    fn_kwargs: dict | None = None,
+    chunk_size: int = 50,
+    output_column: str | None = None,
+) -> DataFrame:
+    """The official extension point: run a ``List[str] -> List[str]``
+    batch function over one column, chunked, appending the result.
+
+    Contract identical to the reference (utils.py:467-494 +
+    apply_in_chunks utils.py:384-408): fn receives (batch, fn_kwargs),
+    must return exactly len(batch) items (ValueError otherwise); values
+    are str()-coerced first. Executes as mapInPandas — each Arrow batch
+    is re-chunked to ``chunk_size`` so fn sees the same batch shape it
+    would in the reference, regardless of Arrow batch sizing.
+    """
+    if column not in df.columns:
+        raise KeyError(column)
+    out_col = output_column or f"{column}_transformed"
+    kw = fn_kwargs or {}
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = [str(v) for v in pdf[column].tolist()]
+            results: list[str] = []
+            for i in range(0, len(vals), chunk_size):
+                batch = vals[i : i + chunk_size]
+                transformed = transform_fn(batch, kw)
+                if len(transformed) != len(batch):
+                    raise ValueError("Transform function returned wrong batch size")
+                results.extend(transformed)
+            pdf = pdf.copy()
+            pdf[out_col] = results
+            yield pdf
+
+    from .operators.knn_join import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(gen, out_schema)
