@@ -69,6 +69,12 @@ def resolve_encoder(model) -> "Encoder":
             return HashNgramEncoder()
         if model.startswith("hash-ngram:"):
             return HashNgramEncoder(dim=int(model.split(":", 1)[1]))
+        from .api import ApiEncoder, is_gemini_embedding_model, is_openai_embedding_model
+
+        # provider routing predicates ported from the reference
+        # (infer.py:924-928, utils.py:17-25)
+        if is_openai_embedding_model(model) or is_gemini_embedding_model(model):
+            return ApiEncoder(model)
         from .sbert import SBertEncoder
 
         return SBertEncoder(model)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
@@ -55,9 +57,8 @@ class SBertEncoder(Encoder):
         name, batch = self.model_name, self.batch_size
 
         @F.pandas_udf(ArrayType(DoubleType()))
-        def _embed(it: Iterator) -> Iterator:
+        def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             import numpy as np
-            import pandas as pd
 
             model = _load_model(name)  # per-worker singleton
             for series in it:

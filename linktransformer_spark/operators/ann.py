@@ -162,40 +162,29 @@ def ivf_train_centroids(
 ):
     """Spherical k-means centroids as a numpy array (n_cells, d).
 
-    Init = corpus vectors with the n_cells smallest ids (deterministic;
-    a TakeOrdered job, no full sort). Each Lloyd round: one mapInPandas
-    assignment pass + one posexplode/avg aggregation (map-side partial
-    agg), centroids renormalized driver-side (n_cells x d values only).
+    Training runs DRIVER-SIDE on a bounded deterministic sample (the
+    ``sample_rows`` smallest-id vectors, one TakeOrdered job): classic
+    sampled k-means. Lloyd rounds are then pure numpy — no per-round
+    Spark jobs — and the resulting (n_cells x d) matrix broadcasts to
+    the one distributed pass that matters, cell ASSIGNMENT over the full
+    corpus. At 100 TB the sample stays 100k rows; centroid quality
+    depends on sample size, not corpus size.
     """
     import numpy as np
 
-    seed_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    C = np.array([r[1] for r in seed_rows], dtype="float64")
+    sample_rows = max(n_cells * 64, 4096)
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    V = np.array([r[1] for r in rows], dtype="float64")
+    C = V[:n_cells].copy()
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    spark = corpus.sparkSession
 
     for _ in range(n_iter):
-        bc = spark.sparkContext.broadcast(C)
-        assigned = _assign_cells(corpus, vec_col, id_col, bc, n_probe=1)
-        joined = corpus.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_v")).join(
-            assigned, "_aid"
-        )
-        sums = (
-            joined.select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
+        cells = np.argmax(V @ C.T, axis=1)
         newC = C.copy()  # cells that lose all members keep their centroid
-        d = C.shape[1]
-        acc: dict[int, list[float]] = {}
-        for r in sums:
-            acc.setdefault(r["cell"], [0.0] * d)[r["pos"]] = r["m"]
-        for cell, vals in acc.items():
-            newC[cell] = vals
+        for cell in np.unique(cells):
+            newC[cell] = V[cells == cell].mean(axis=0)
         newC /= np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
         C = newC
-        bc.unpersist()
     return C
 
 

@@ -99,7 +99,9 @@ def cluster_rows(
     params.update(cluster_params or {})
     check_reserved(df)
 
-    work = with_row_id(df, id_col=id_col, deterministic=deterministic_ids)
+    from .knn_join import ensure_parallelism
+
+    work = with_row_id(ensure_parallelism(df), id_col=id_col, deterministic=deterministic_ids)
     work = work.withColumn("_lt_key", serialize_columns(on, DEFAULT_SEP))
     scorer = resolve_scorer(model)
     if scorer.needs_embeddings:

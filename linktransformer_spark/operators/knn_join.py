@@ -67,6 +67,25 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    try:
+        # A SHUFFLE exchange in the plan means downstream parallelism is
+        # already spark.sql.shuffle.partitions — nothing to fix, and
+        # calling .rdd would materialize AQE query stages (execute the
+        # subplan!) just to count partitions. NB a BroadcastExchange is
+        # NOT a shuffle: its probe side keeps the scan's partitioning,
+        # which is exactly the 1-partition case this guard exists for.
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if (
+            "Exchange hashpartitioning" in plan
+            or "Exchange rangepartitioning" in plan
+            or "Exchange RoundRobinPartitioning" in plan
+            or "Exchange SinglePartition" in plan
+        ):
+            return df
+    except Exception:
+        pass
+    # shuffle-free plan (scan + maps [+ broadcast build]): partition
+    # count == input splits; cheap to ask.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -138,9 +157,6 @@ def candidate_scores(
     if mode == "lsh":
         return _lsh_candidates(left, right, scorer, block_on=block_on, threshold=threshold, k=k)
 
-    # the scoring stage's parallelism == left's partition count under a
-    # broadcast join; guard against single-file inputs (see ensure_parallelism)
-    left = ensure_parallelism(left)
     cond = None
     for lc, rc in block_on or []:
         eq = left[lc].eqNullSafe(right[rc])
@@ -191,7 +207,6 @@ def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
     spark = left.sparkSession
     b = spark.sparkContext.broadcast((r_ids, r_mat))
 
-    left = ensure_parallelism(left)
     left_schema = left.schema
     out_schema = StructType(
         list(left_schema.fields)
