@@ -34,6 +34,7 @@ from .preprocess import (
     check_and_prep_data,
     check_clust_data,
     edges_from_clusters,
+    prep_clus_data,
     prep_linkage_data,
     prep_paired_label_data,
 )
@@ -98,6 +99,7 @@ __all__ = [
     "check_and_prep_data",
     "check_clust_data",
     "prep_linkage_data",
+    "prep_clus_data",
     "prep_paired_label_data",
     "edges_from_clusters",
     "train_model",

@@ -1336,3 +1336,167 @@ def transform_column_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = transform_column(docs, "text", fold, chunk_size=50)
     return out.select("doc_id", "text_transformed")
+
+
+# ---------------------------------------------------------------------------
+# prep_clus_data (preprocess.py reference :654-845): per-cluster
+# query/corpus split with positional ids. Data: documents with lang as
+# the cluster id -> cluster_assignment = dense_rank(lang)-1 + "_g";
+# within-cluster order = text ASC (engine determinism rule).
+# ---------------------------------------------------------------------------
+
+_CLUS_BASE_SQL = """
+    WITH base AS (
+      SELECT text,
+             CAST(dense_rank() OVER (ORDER BY lang, source) - 1 AS VARCHAR) || '_g'
+               AS cluster_assignment
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    ),
+    parts AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_assignment ORDER BY text) - 1 AS rn,
+             count(*) OVER (PARTITION BY cluster_assignment) AS n
+      FROM base
+      WHERE {split_cond}
+    ),
+    cut AS (SELECT *, CAST(floor(n * 0.5) AS BIGINT) AS qcut FROM parts)
+"""
+
+
+def _clus_split_cond(lo: int, hi: int) -> str:
+    h = _ph("cluster_assignment", 7)
+    return f"{h} % 1000 >= {lo} AND {h} % 1000 < {hi}"
+
+
+@_q(
+    "clus_prep_val_queries",
+    _CLUS_BASE_SQL.format(split_cond=_clus_split_cond(800, 900))
+    + """
+    SELECT cluster_assignment || CAST(rn AS VARCHAR) AS qid, text
+    FROM cut WHERE rn < qcut
+""",
+)
+def clus_prep_val_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import prep_clus_data
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prep_clus_data(
+        docs, "text", ["lang", "source"], val_perc=0.2, val_query_prop=0.5,
+        large_val=False, test_at_end=True,
+    )
+    return out["val_queries"].select("qid", "text")
+
+
+@_q(
+    "clus_prep_test_relevant",
+    _CLUS_BASE_SQL.format(split_cond=_clus_split_cond(900, 1000))
+    + """
+    SELECT q.cluster_assignment || CAST(q.rn AS VARCHAR) AS qid,
+           c.cluster_assignment || CAST(c.rn - c.qcut AS VARCHAR) || 'c' AS cid
+    FROM (SELECT * FROM cut WHERE rn < qcut) q
+    JOIN (SELECT * FROM cut WHERE rn >= qcut) c
+      ON q.cluster_assignment = c.cluster_assignment
+""",
+)
+def clus_prep_test_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .preprocess import prep_clus_data
+
+    docs = _t(spark, sf_dir, "documents")
+    out = prep_clus_data(
+        docs, "text", ["lang", "source"], val_perc=0.2, val_query_prop=0.5,
+        large_val=False, test_at_end=True,
+    )
+    return out["test_relevant"].select("qid", "cid")
+
+
+@_q("stream_text_analyze", _TEXTPIPE_SQL)
+def stream_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming map: the full text-analysis pass (lang id,
+    quality, token counts, fingerprint) applied to a document STREAM —
+    identical plan to the batch text_analyze_documents, just under a
+    streaming source; append mode, no state."""
+    from .operators.textpipe import analyze_documents
+    from .streaming import read_stream_table, run_available_now
+
+    docs = read_stream_table(spark, sf_dir, "documents")
+    out = analyze_documents(docs).select(
+        "doc_id", "lang_id", F.round("quality", 6).alias("quality"),
+        "n_tokens", "n_subwords", "fingerprint",
+    )
+    return run_available_now(out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# relational substrate widening: multi-join aggregations in the Q3/Q5
+# shapes (join ordering, partial aggregation, broadcast of dims — all
+# Catalyst-native; the engine's value is that semantic operators compose
+# with this substrate in one plan).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch_us(o.o_orderdate) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"))
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

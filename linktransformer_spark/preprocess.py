@@ -331,3 +331,89 @@ def edges_from_clusters(df: DataFrame, node_col: str, cluster_col: str) -> DataF
     l = df.select(F.col(cluster_col).alias("_c"), F.col(node_col).alias("src"))
     r = df.select(F.col(cluster_col).alias("_c"), F.col(node_col).alias("dst"))
     return l.join(r, "_c").filter(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def prep_clus_data(
+    df: DataFrame,
+    text_col_names,
+    clus_id_col_name,
+    val_perc: float = 0.2,
+    val_query_prop: float = 0.5,
+    large_val: bool = True,
+    test_at_end: bool = True,
+    sep: str = DEFAULT_SEP,
+) -> dict[str, DataFrame]:
+    """Cluster-data training prep (reference preprocess.py:654-845).
+
+    Split is CLUSTER-level; within each val/test cluster the first
+    ``floor(n * val_query_prop)`` rows become queries (ids
+    ``<cluster><i>``) and the rest corpus (ids ``<cluster><i>c``,
+    i = 0-based position within its part); every query of a cluster is
+    relevant to ALL of that cluster's corpus docs. ``large_val`` adds
+    train rows to the corpus under ``<cluster><i>ct`` ids
+    (preprocess.py:799-808).
+
+    Engine determinism: the reference's "first rows of the group" uses
+    pandas input order; here rows order by text within the cluster.
+    """
+    data = check_clust_data(df, text_col_names, clus_id_col_name, sep)
+
+    if val_perc == 1:
+        train = val = data
+        test = data.limit(0)
+    else:
+        data = data.withColumn(
+            "_split", split_assign(F.col("cluster_assignment"), val_perc, test_at_end)
+        )
+        train = data.filter(F.col("_split") == "train")
+        val = data.filter(F.col("_split") == "val")
+        test = data.filter(F.col("_split") == "test")
+
+    out = {
+        "train_clusters": train.select("cluster_assignment", "text").distinct(),
+    }
+
+    def ir_tables(part: DataFrame, tag: str) -> dict[str, DataFrame]:
+        w = Window.partitionBy("cluster_assignment").orderBy("text")
+        wc = Window.partitionBy("cluster_assignment")
+        g = (
+            part.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .withColumn("_qcut", F.floor(F.col("_n") * F.lit(val_query_prop)))
+        )
+        queries = g.filter(F.col("_rn") < F.col("_qcut")).select(
+            F.concat("cluster_assignment", F.col("_rn").cast("string")).alias("qid"),
+            "text",
+            F.col("cluster_assignment").alias("_c"),
+        )
+        corpus = g.filter(F.col("_rn") >= F.col("_qcut")).select(
+            F.concat(
+                "cluster_assignment",
+                (F.col("_rn") - F.col("_qcut")).cast("string"),
+                F.lit("c"),
+            ).alias("cid"),
+            "text",
+            F.col("cluster_assignment").alias("_c"),
+        )
+        relevant = queries.select("qid", "_c").join(
+            corpus.select("cid", "_c"), "_c"
+        ).select("qid", "cid")
+        return {
+            f"{tag}_queries": queries.drop("_c"),
+            f"{tag}_corpus": corpus.drop("_c"),
+            f"{tag}_relevant": relevant,
+        }
+
+    val_tables = ir_tables(val, "val")
+    if large_val:
+        w = Window.partitionBy("cluster_assignment").orderBy("text")
+        extra = train.withColumn("_rn", F.row_number().over(w) - 1).select(
+            F.concat(
+                "cluster_assignment", F.col("_rn").cast("string"), F.lit("ct")
+            ).alias("cid"),
+            "text",
+        )
+        val_tables["val_corpus"] = val_tables["val_corpus"].unionByName(extra)
+    out.update(val_tables)
+    out.update(ir_tables(test, "test"))
+    return out
