@@ -421,7 +421,7 @@ def classify_rows(
                 "(not in this environment). Pass classifier=MockTopicSpec(...) "
                 "or an OpenAIChatSpec instead."
             ) from e
-        raise NotImplementedError("HF classifier path: transformers present but unwired")
+        return _classify_rows_hf(df, on_list, model, label_map, out_col)
     if classifier is None:
         raise ValueError("pass classifier= (e.g. MockTopicSpec(topic=...)) or model=")
 
@@ -539,3 +539,75 @@ def transform_rows(
             yield pdf
 
     return work.mapInPandas(gen, schema=out_schema).drop("_lt_tr_key")
+
+
+# ---------------------------------------------------------------------------
+# HF sequence-classification path (reference infer.py:1306-1423 HF
+# branch): tokenize -> logits -> argmax in a scalar-iterator pandas UDF
+# with a per-worker model singleton; reverse label map applied
+# relationally. Only reachable where `transformers` is installed —
+# the container this engine is developed in has no torch, so the body
+# is exercised on real deployments, not in CI.
+# ---------------------------------------------------------------------------
+
+_HF_CLF_CACHE: dict = {}
+
+
+def _classify_rows_hf(
+    df: DataFrame,
+    on_list: list[str],
+    model: str,
+    label_map: dict | None,
+    out_col: str,
+    batch_size: int = 32,
+) -> DataFrame:  # pragma: no cover - needs transformers/torch
+    import os
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import IntegerType
+
+    # label_map.json auto-load from the model dir (infer.py:1342-1344)
+    if label_map is None and os.path.isdir(model):
+        path = os.path.join(model, "label_map.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                label_map = json.load(f)
+
+    name, batch = model, batch_size
+
+    @F.pandas_udf(IntegerType())
+    def _clf(it):
+        import torch
+        from transformers import AutoModelForSequenceClassification, AutoTokenizer
+
+        if name not in _HF_CLF_CACHE:  # per-worker singleton
+            _HF_CLF_CACHE[name] = (
+                AutoTokenizer.from_pretrained(name),
+                AutoModelForSequenceClassification.from_pretrained(name).eval(),
+            )
+        tok, mdl = _HF_CLF_CACHE[name]
+        import pandas as pd
+
+        for series in it:
+            texts = series.fillna("").tolist()
+            preds: list[int] = []
+            for i in range(0, len(texts), batch):
+                enc = tok(
+                    texts[i : i + batch], truncation=True, padding=True,
+                    return_tensors="pt",
+                )
+                with torch.no_grad():
+                    logits = mdl(**enc).logits
+                preds.extend(int(x) for x in logits.argmax(-1).tolist())
+            yield pd.Series(preds)
+
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    out = df.withColumn(out_col, _clf(key))
+    if label_map:
+        # reverse map idx -> label (infer.py:1376-1382)
+        expr = None
+        for lbl, idx in label_map.items():
+            cond = F.col(out_col) == F.lit(int(idx))
+            expr = F.when(cond, F.lit(str(lbl))) if expr is None else expr.when(cond, F.lit(str(lbl)))
+        out = out.withColumn(out_col, expr)
+    return out
