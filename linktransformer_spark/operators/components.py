@@ -47,6 +47,10 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
+        # the first round consumes e TWICE (e union e-reversed); cut
+        # lineage so a potentially expensive upstream pair-generation
+        # plan executes once, not twice
+        .localCheckpoint(eager=False)
     )
     prev = None
     for i in range(max_iterations):

@@ -43,6 +43,45 @@ MH_A_STEP = 1299709  # distinct odd multipliers/offsets per hash id
 MH_B_STEP = 15485863
 
 
+def _shingle_rows(base: DataFrame, n: int, word: bool) -> DataFrame:
+    """Shingle OCCURRENCE rows (_id, _g) from (_id, _key) — the
+    relational, codegen-friendly form of ``_shingles``.
+
+    Word mode: posexplode the tokens, window-lead n-1 successors,
+    concat — all whole-stage codegen; one shuffle on _id for the
+    window. Docs with fewer than n tokens contribute one whole-text
+    shingle (the _shingles fallback branch), including "" for empty
+    docs. Char mode explodes char_ngrams directly.
+    """
+    from pyspark.sql import Window
+
+    if not word:
+        return base.select(
+            "_id", F.explode_outer(S.char_ngrams(F.col("_key"), n)).alias("_g")
+        ).withColumn("_g", F.coalesce("_g", F.lit("")))
+    toks_expr = S.word_tokens(F.col("_key"))
+    toks = base.select("_id", F.posexplode(toks_expr).alias("_p", "_t"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    parts = [F.col("_t")]
+    cur = toks
+    for j in range(1, n):
+        cur = cur.withColumn(f"_t{j}", F.lead("_t", j).over(w))
+        parts.append(F.col(f"_t{j}"))
+    full = cur.filter(F.col(f"_t{n-1}").isNotNull()).select(
+        "_id", F.concat_ws(" ", *parts).alias("_g")
+    )
+    short = (
+        base.select(
+            "_id",
+            F.array_join(toks_expr, " ").alias("_g"),
+            F.size(toks_expr).alias("_n"),
+        )
+        .filter(F.col("_n") < n)
+        .drop("_n")
+    )
+    return full.unionByName(short)
+
+
 def _shingles(text: Column, n: int, word: bool) -> Column:
     """Distinct shingle array: word n-grams (space-joined) or char n-grams."""
     if word:
@@ -152,15 +191,16 @@ def near_dup_pairs_minhash(
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
         key.alias("_key"),
-    ).withColumn("_sh", _shingles(F.col("_key"), shingle, word))
-    # RELATIONAL signature build: explode shingles, hash each ONCE, then
-    # num_hashes min-aggregates in one groupBy. The Column-expression
-    # form (minhash_signature) interprets the hash num_hashes times per
-    # row — measured order-of-magnitude slower (higher-order functions
-    # are CodegenFallback). One shuffle on (id), combiner does the mins
-    # map-side.
-    ex = base.select(
-        "_id", F.explode(F.transform(F.col("_sh"), lambda g: S.poly_hash(g))).alias("_h")
+    )
+    # RELATIONAL signature build: shingle OCCURRENCE ROWS via
+    # posexplode + window leads (_shingle_rows — whole-stage codegen;
+    # the array-expression shingler is CodegenFallback and measured
+    # ~10s of the sf0.1 pipeline by itself), hash each shingle once,
+    # then num_hashes min-aggregates in one groupBy. Duplicate
+    # occurrences don't affect a min, so no distinct needed here. One
+    # shuffle on (id), combiner does the mins map-side.
+    ex = _shingle_rows(base, shingle, word).select(
+        "_id", S.poly_hash(F.col("_g")).alias("_h")
     )
     aggs = []
     for i in range(num_hashes):
@@ -204,7 +244,22 @@ def near_dup_pairs_minhash(
         .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    sh = base.select("_id", "_sh")
+    # the candidate list is consumed twice below (id-set derivation +
+    # the verify join); checkpoint the tiny (src, dst) relation so the
+    # band-join subplan executes once
+    cand = cand.localCheckpoint(eager=False)
+    # exact-Jaccard verification arrays are built ONLY for ids that
+    # actually collided in some band (candidate set << corpus)
+    cand_ids = (
+        cand.select(F.col("src").alias("_id"))
+        .unionByName(cand.select(F.col("dst").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        _shingle_rows(base.join(cand_ids, "_id"), shingle, word)
+        .groupBy("_id")
+        .agg(F.collect_set("_g").alias("_sh"))
+    )
     cand = cand.join(sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src")
     cand = cand.join(sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst")
     inter = F.size(F.array_intersect("sh_l", "sh_r"))
