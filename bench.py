@@ -82,9 +82,27 @@ def bench_queries(spark):
     }
 
 
+def _warm_python_workers(spark) -> None:
+    """Fork the Python worker pool (one per core) before timing.
+
+    A long-running cluster keeps its Python workers warm
+    (spark.python.worker.reuse); in a fresh local session the FIRST
+    pandas-UDF stage pays fork + pandas/pyarrow import for every core
+    (~2 CPU-s x 32 here), which is session-startup cost, not query
+    cost. One trivial mapInPandas touching every core moves it out of
+    the measured window."""
+
+    def ident(batches):
+        yield from batches
+
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 4, 1, n).mapInPandas(ident, schema="id long").count()
+
+
 def main() -> None:
     spark = lt.get_spark("lt-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
+    _warm_python_workers(spark)
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():

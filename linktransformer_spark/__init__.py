@@ -53,6 +53,33 @@ from .operators.llm import (
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
+from .functions.serialize import serialize_columns
+from .preprocess import preprocess_any_data
+
+
+def load_model(model):
+    """Resolve a model name to an encoder (reference load_model,
+    /root/reference/src/linktransformer/utils.py:67-82). Our "model"
+    is an :class:`Encoder` strategy; strings route exactly like the
+    reference (API-model predicates, else sentence-transformers), plus
+    the deterministic ``"hash-ngram"`` backend."""
+    return resolve_encoder(model)
+
+
+def infer_embeddings(df, on, model=None, out_col: str = "embedding"):
+    """Append an L2-normalized embedding column for the serialized key
+    columns ``on`` (reference infer_embeddings,
+    /root/reference/src/linktransformer/utils.py:179-248 — matrix out;
+    here a column, aligned by value not position). Embeds each
+    DISTINCT key once and joins back (embed-once CSE)."""
+    from pyspark.sql import functions as _F
+
+    on_list = [on] if isinstance(on, str) else list(on)
+    enc = resolve_encoder(model)
+    key_col = "_lt_embed_key"
+    work = df.withColumn(key_col, serialize_columns(on_list))
+    out = enc.encode_distinct(work, key_col, out_col)
+    return out.drop(key_col)
 
 __all__ = [
     "get_spark",
@@ -100,6 +127,10 @@ __all__ = [
     "check_clust_data",
     "prep_linkage_data",
     "prep_clus_data",
+    "preprocess_any_data",
+    "serialize_columns",
+    "load_model",
+    "infer_embeddings",
     "prep_paired_label_data",
     "edges_from_clusters",
     "train_model",

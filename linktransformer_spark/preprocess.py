@@ -325,6 +325,82 @@ def prep_paired_label_data(
     return out
 
 
+def preprocess_any_data(
+    df: DataFrame,
+    left_col_names=None,
+    right_col_names=None,
+    left_id_name=None,
+    right_id_name=None,
+    label_col_name: str | None = None,
+    clus_id_col_name: str | None = None,
+    clus_text_col_names=None,
+    val_perc: float = 0.2,
+    val_query_prop: float = 0.5,
+    large_val: bool = True,
+    test_at_end: bool = True,
+    pairs_for_training: bool = False,
+    sep: str = DEFAULT_SEP,
+) -> dict[str, DataFrame]:
+    """Dispatcher over the three training-prep paths (reference
+    preprocess.py:166-259): a label column routes to
+    ``prep_paired_label_data``, cluster id+text columns to
+    ``prep_clus_data``, anything else to ``prep_linkage_data`` — with
+    the reference's mutual-exclusion validation (preprocess.py:203-210).
+    """
+    if label_col_name and clus_id_col_name:
+        raise ValueError(
+            "Please specify either label_col_name or clusterid_col_name. Not both"
+        )
+    if label_col_name and clus_text_col_names:
+        raise ValueError(
+            "Please specify either label_col_name or cluster_text_col_name. Not both"
+        )
+    if clus_id_col_name and not clus_text_col_names:
+        raise ValueError(
+            "Please specify cluster_text_col_name if you specify clusterid_col_name"
+        )
+    if clus_text_col_names and not clus_id_col_name:
+        raise ValueError(
+            "Please specify clusterid_col_name if you specify cluster_text_col_name"
+        )
+
+    if label_col_name:
+        return prep_paired_label_data(
+            df,
+            left_col_names,
+            right_col_names,
+            left_id_name=left_id_name,
+            right_id_name=right_id_name,
+            label_col_name=label_col_name,
+            val_perc=val_perc,
+            test_at_end=test_at_end,
+            pairs_for_training=pairs_for_training,
+            sep=sep,
+        )
+    if clus_id_col_name and clus_text_col_names:
+        return prep_clus_data(
+            df,
+            clus_text_col_names,
+            clus_id_col_name,
+            val_perc=val_perc,
+            val_query_prop=val_query_prop,
+            large_val=large_val,
+            test_at_end=test_at_end,
+            sep=sep,
+        )
+    return prep_linkage_data(
+        df,
+        left_col_names,
+        right_col_names,
+        left_id_name=left_id_name,
+        right_id_name=right_id_name,
+        val_perc=val_perc,
+        large_val=large_val,
+        test_at_end=test_at_end,
+        sep=sep,
+    )
+
+
 def edges_from_clusters(df: DataFrame, node_col: str, cluster_col: str) -> DataFrame:
     """All intra-cluster pairs (reference cluster_fns.py:96-106):
     self-join on the cluster id with l.node < r.node."""

@@ -72,3 +72,43 @@ def test_save_prepared_roundtrip(spark, sf_dir, tmp_path):
                              prepare_only=True, save_dir=str(tmp_path))
     back = spark.read.parquet(str(tmp_path / "label_map"))
     assert back.count() == out["tables"]["label_map"].count()
+
+
+def test_preprocess_any_data_dispatch(spark, sf_dir):
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pairs = (
+        supp.select(F.col("s_name").alias("ln"), F.upper("s_name").alias("rn"))
+        .withColumn("label", (F.length("ln") % 2).cast("int"))
+        .limit(60)
+    )
+    # label column -> paired path
+    out = lt.preprocess_any_data(
+        pairs, ["ln"], ["rn"], label_col_name="label", pairs_for_training=True
+    )
+    assert "train_pairs" in out and "val_pairs" in out
+    # no label / no cluster -> linkage path
+    out2 = lt.preprocess_any_data(pairs.drop("label"), ["ln"], ["rn"])
+    assert "train_clusters" in out2 and "val_queries" in out2
+    # cluster path
+    clus = supp.select(
+        F.col("s_name").alias("txt"), (F.col("s_suppkey") % 5).alias("cid")
+    ).limit(60)
+    out3 = lt.preprocess_any_data(
+        clus, clus_text_col_names=["txt"], clus_id_col_name="cid"
+    )
+    assert "val_queries" in out3 and "val_corpus" in out3
+    # mutual exclusion
+    with pytest.raises(ValueError):
+        lt.preprocess_any_data(pairs, ["ln"], ["rn"], label_col_name="label",
+                               clus_id_col_name="cid")
+
+
+def test_infer_embeddings_and_load_model(spark):
+    df = spark.createDataFrame([("acme corp",), ("widget co",), (None,)], ["name"])
+    out = lt.infer_embeddings(df, on="name")
+    rows = out.collect()
+    assert out.columns == ["name", "embedding"]
+    assert all(len(r.embedding) == 64 for r in rows)
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+    assert isinstance(lt.load_model("hash-ngram"), HashNgramEncoder)
+    assert isinstance(lt.load_model(None), HashNgramEncoder)
