@@ -127,8 +127,25 @@ def _score_narrow_then_join_back(
     if block:
         lcols += [lc for lc, _ in block if lc not in lcols]
         rcols += [rc for _, rc in block if rc not in rcols]
+    left_narrow = left.select(*lcols)
+    if k is not None and mode == "exact_cross":
+        # Pre-partition the NARROW left by id. When the right side
+        # broadcasts (the usual shape), the join preserves this
+        # partitioning, so the top-k window's ClusteredDistribution
+        # (LEFT_ID [, block]) is already satisfied and the |L|*|R|
+        # scored-candidate relation never shuffles — only the |L|-row
+        # input does. Without this, every scored pair rides through the
+        # window exchange (360 MB at sf0.1; unbounded at scale). If the
+        # right side is too big to broadcast, Catalyst re-partitions
+        # for the join anyway and this is a cheap no-op-ish extra
+        # exchange of the narrow left.
+        # explicit partition count: a bare repartition(col) is AQE-
+        # coalescable, and 15k narrow rows coalesce to ONE partition —
+        # which would run the whole O(|L|*|R|) scoring stage on one core
+        nparts = left.sparkSession.sparkContext.defaultParallelism
+        left_narrow = left_narrow.repartition(nparts, F.col(LEFT_ID))
     cand = KJ.candidate_scores(
-        left.select(*lcols), right.select(*rcols), scorer,
+        left_narrow, right.select(*rcols), scorer,
         block_on=block, mode=mode, threshold=threshold,
     )
     if k is not None:
