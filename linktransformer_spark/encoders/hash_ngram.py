@@ -104,3 +104,31 @@ class HashNgramEncoder(Encoder):
     def encode_distinct(self, df: DataFrame, text_col: str, out_col: str) -> DataFrame:
         # encode() already dedups keys internally
         return self.encode(df, text_col, out_col)
+
+    def encode_batch(self, strings) -> "np.ndarray":  # noqa: F821
+        """Plain-Python/numpy mirror of ``encode`` for the broadcast-kNN
+        fast path (embed inside the Arrow batch / on the driver for the
+        small side, instead of a relational subplan per side).
+
+        BIT-IDENTICAL to the relational form: the polynomial hash is
+        exact integer arithmetic, bucket counts are exact small
+        integers in float64, the norm is a sum of exact integer
+        squares (no rounding at any order), and the final divisions
+        are the same IEEE ops.
+        """
+        import numpy as np
+
+        dim, n, salt, M = self.dim, self.n, self.salt, 2147483647
+        out = np.zeros((len(strings), dim), dtype="float64")
+        for row, s in enumerate(strings):
+            if s is None:
+                s = ""
+            counts = out[row]
+            for p in range(len(s) - n + 1):
+                h = salt
+                for ch in s[p : p + n]:
+                    h = (h * 131 + ord(ch)) % M
+                counts[h % dim] += 1.0
+            norm = max(float(np.sqrt((counts * counts).sum())), 1e-12)
+            np.divide(counts, norm, out=counts)
+        return out

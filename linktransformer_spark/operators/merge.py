@@ -193,12 +193,18 @@ def merge_knn(
         block = [(lmap.get(c, c), rmap.get(c, c)) for c in blocking_vars]
 
     if mode == "broadcast_knn":
-        # right side is read twice (vector collect + row re-attach):
-        # persist so the embed subplan runs once
-        right = right.persist()
-        cand = KJ.candidate_scores(left, right.select(RIGHT_ID, RIGHT_EMB), scorer, mode=mode, k=k)
+        enc = getattr(scorer, "encoder", None)
+        if enc is None or not hasattr(enc, "encode_batch"):
+            # vector-shipping path reads right twice (vector collect +
+            # row re-attach): persist so the embed subplan runs once
+            right = right.persist()
+        # else: key-shipping path — do NOT persist, so the unused
+        # relational encode subplan stays prunable on both reads
+        cand = KJ.candidate_scores(left, right, scorer, mode=mode, k=k)
         # scores/right ids computed; re-attach full right rows (small side -> broadcast)
-        cand = cand.join(F.broadcast(right.drop(RIGHT_EMB)), RIGHT_ID, "inner")
+        cand = cand.join(
+            F.broadcast(right.drop(RIGHT_EMB, RIGHT_KEY)), RIGHT_ID, "inner"
+        )
         out = cand
     else:
         out = _score_narrow_then_join_back(left, right, scorer, k, block=block, mode=mode)

@@ -80,3 +80,20 @@ def test_api_encoder_udf_with_injected_client(spark, sf_dir):
 def test_api_encoder_rejects_unknown_model():
     with pytest.raises(ValueError, match="not a recognized"):
         ApiEncoder("some-random-model")
+
+
+def test_hash_ngram_encode_batch_bit_parity(spark):
+    """The numpy mirror used by the key-shipping broadcast-kNN path must
+    be BIT-identical to the relational encode (exact integer counts,
+    same IEEE ops)."""
+    import numpy as np
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+
+    vals = ["", "a", "ab", "abc", "acme corp", "Customer#000000042",
+            "x" * 23, "y" * 24, "z" * 25, "hello world, this is longer"]
+    enc = HashNgramEncoder()
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    rel = {r.s: np.array(r.emb) for r in enc.encode(df, "s", "emb").collect()}
+    loc = enc.encode_batch(vals)
+    for i, v in enumerate(vals):
+        assert (rel[v] == loc[i]).all(), v
