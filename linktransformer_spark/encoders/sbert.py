@@ -71,3 +71,19 @@ class SBertEncoder(Encoder):
                 yield pd.Series([np.asarray(v, dtype="float64").tolist() for v in vecs])
 
         return df.withColumn(out_col, _embed(F.col(text_col)))
+
+    def encode_batch(self, strings):
+        """Local batch mirror for the key-shipping broadcast-kNN path:
+        on the driver for the small collected side, and inside the
+        scoring task (per-worker model singleton) for Arrow batches of
+        the big side. Same model call as the UDF path."""
+        import numpy as np
+
+        model = _load_model(self.model_name)
+        vecs = model.encode(
+            ["" if s is None else str(s) for s in strings],
+            batch_size=self.batch_size,
+            normalize_embeddings=True,
+            show_progress_bar=False,
+        )
+        return np.asarray(vecs, dtype="float64")
