@@ -1,0 +1,49 @@
+"""API-contract probes (reference parity on edge inputs): empty right
+side yields 0 rows (both execution modes), null keys serialize to ''
+(/root/reference/src/linktransformer/utils.py:174), reserved-column
+collisions and bad parameters raise clean ValueErrors
+(/root/reference/src/linktransformer/infer.py:95-98, :747-748)."""
+
+import pytest
+
+import linktransformer_spark as lt
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    left = spark.createDataFrame([("a corp", 1), ("b inc", 2)], ["name", "lid"])
+    right = spark.createDataFrame([("a corporation", 10)], ["name", "rid"])
+    return left, right
+
+
+def test_empty_right_side_yields_zero_rows(spark, small):
+    left, right = small
+    empty = right.filter("rid < 0")
+    assert lt.merge(left, empty, on="name", model="hash-ngram").count() == 0
+    assert (
+        lt.merge(left, empty, on="name", model="hash-ngram", mode="broadcast_knn").count()
+        == 0
+    )
+
+
+def test_null_keys_serialize_to_empty_string(spark, small):
+    _, right = small
+    nulls = spark.createDataFrame([(None, 1), ("x", 2)], ["name", "lid"])
+    out = lt.merge(nulls, right, on="name", model="hash-ngram")
+    # every left row retained, including the null-key one
+    assert out.count() == 2
+
+
+def test_reserved_column_collision_raises(small):
+    left, right = small
+    bad = left.withColumnRenamed("lid", "_lt_left_id")
+    with pytest.raises(ValueError, match="reserved"):
+        lt.merge(bad, right, on="name")
+
+
+def test_bad_parameters_raise_value_errors(small):
+    left, right = small
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        lt.merge_knn(left, right, on="name", k=0)
+    with pytest.raises(ValueError, match="sim_threshold"):
+        lt.merge_range(left, right, on="name", sim_threshold=1.5)
