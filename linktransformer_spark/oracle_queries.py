@@ -674,8 +674,8 @@ _SESSIONIZE_SQL = """
       FROM ordered
     )
     SELECT user_id, event_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 """
 
