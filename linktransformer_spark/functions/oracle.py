@@ -138,6 +138,25 @@ def sql_shingle_hashes64(sh: str) -> str:
     )
 
 
+def sql_hyperplane_bucket(v: str, dim: int, n_planes: int) -> str:
+    """Mirror of ann.hyperplane_bucket: sign-bit bucket of ``v`` against
+    the deterministic Knuth-hash hyperplanes. Coefficients are exact
+    doubles (k/2^31 - 0.5), emitted via repr() which round-trips; the
+    dot is the same sequential fold as similarity.dot, so the sign —
+    and hence the bucket id — is bit-identical across engines."""
+    from ..operators.ann import hyperplane_component
+
+    terms = []
+    for h in range(n_planes):
+        coeffs = "[" + ", ".join(
+            repr(hyperplane_component(h, j)) for j in range(dim)
+        ) + "]"
+        terms.append(
+            f"(CASE WHEN {sql_dot(v, coeffs)} >= 0 THEN {1 << h} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_lang_id(s: str) -> str:
     """Mirror of textpipe.lang_id_expr (same profiles, same tie-break)."""
     from ..operators.textpipe import LANG_PROFILES

@@ -32,11 +32,45 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+# Edge sets at or below this size are solved with driver-side
+# union-find instead of the iterative distributed algorithm — the same
+# size-adaptivity as a broadcast-hash join (a 4M-edge list is ~64 MB,
+# well under any driver's broadcast budget; the distributed loop costs
+# 4-6 shuffle rounds + a checkpoint/checksum action per round, which
+# dwarfs the driver solve until edges reach the hundreds of millions).
+# Override per-session with spark.conf lt.cc.localEdgeThreshold; set 0
+# to force the distributed path (tests exercise both).
+LOCAL_CC_DEFAULT_THRESHOLD = 4_000_000
+
+
+def _local_union_find(rows) -> list[tuple[int, int]]:
+    """Driver-side union-find with path compression; component label =
+    min node id (identical contract to the distributed path)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # full compression pass: every node -> min id of its component
+    # (roots were always merged toward the smaller id, so find() IS min)
+    return [(node, find(node)) for node in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edge list -> (node, component) mapping.
 
@@ -52,6 +86,22 @@ def connected_components(
         # plan executes once, not twice
         .localCheckpoint(eager=False)
     )
+    spark = edges.sparkSession
+    if local_threshold is None:
+        local_threshold = int(
+            spark.conf.get("lt.cc.localEdgeThreshold", str(LOCAL_CC_DEFAULT_THRESHOLD))
+        )
+    if local_threshold > 0:
+        # counting materializes the checkpoint — an action the loop
+        # would pay on round 1 anyway
+        n_edges = e.count()
+        if n_edges <= local_threshold:
+            import pandas as pd
+
+            pdf = e.toPandas()  # Arrow transfer, two int64 columns
+            pairs = _local_union_find(pdf.itertuples(index=False, name=None))
+            out = pd.DataFrame(pairs, columns=["node", "component"], dtype="int64")
+            return spark.createDataFrame(out, schema="node long, component long")
     prev = None
     for i in range(max_iterations):
         # ---- large-star ----

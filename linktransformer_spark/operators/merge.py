@@ -62,6 +62,7 @@ def _prepare_sides(
     right_id_col: str | None = None,
     deterministic_ids: bool = True,
     sep: str = DEFAULT_SEP,
+    skip_embed: bool = False,
 ):
     left_keys, right_keys = resolve_keys(df1.columns, df2.columns, on, left_on, right_on)
     check_reserved(df1)
@@ -83,7 +84,13 @@ def _prepare_sides(
     right = with_row_id(df2, id_col=right_id_col, out_col=RIGHT_ID, deterministic=deterministic_ids)
     right = right.withColumn(RIGHT_KEY, serialize_columns(right_keys, sep))
 
-    if scorer.needs_embeddings:
+    # skip_embed: the broadcast-kNN key-shipping path embeds INSIDE the
+    # scoring stage (encode_batch over Arrow batches / driver), so the
+    # relational encode subplan would be dead weight. Catalyst does
+    # prune it at optimization time, but merely ANALYZING the wide
+    # encode plan (dim aggregate columns + dim-term norm expression,
+    # twice) costs multiple driver seconds per query — skip building it.
+    if scorer.needs_embeddings and not skip_embed:
         left = scorer.prepare(left, LEFT_KEY, LEFT_EMB)
         right = scorer.prepare(right, RIGHT_KEY, RIGHT_EMB)
 
@@ -175,11 +182,7 @@ def merge_knn(
     """Semantic top-k join (reference merge_knn, infer.py:564-711)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    left, right, scorer, lmap, rmap = _prepare_sides(
-        df1, df2, on, left_on, right_on, model, suffixes,
-        left_id_col, right_id_col, deterministic_ids,
-    )
-
+    scorer = resolve_scorer(model)
     if mode == "auto":
         # expression scorers stay fully declarative; UDF-backed encoders
         # use the broadcast numpy path (right side small by contract).
@@ -187,6 +190,15 @@ def merge_knn(
         enc = getattr(scorer, "encoder", None)
         if scorer.needs_embeddings and enc is not None and not enc.expression_based:
             mode = "broadcast_knn"
+    key_shipping = (
+        mode == "broadcast_knn"
+        and hasattr(getattr(scorer, "encoder", None), "encode_batch")
+    )
+    left, right, scorer, lmap, rmap = _prepare_sides(
+        df1, df2, on, left_on, right_on, scorer, suffixes,
+        left_id_col, right_id_col, deterministic_ids,
+        skip_embed=key_shipping,
+    )
 
     block = None
     if blocking_vars:

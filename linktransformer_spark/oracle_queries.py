@@ -630,6 +630,52 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH ANN with a FULL SQL oracle: the hyperplane bucket id is pure
+# deterministic arithmetic (sign bits of sequential-fold dot products
+# against exact-double coefficient lists), so the approximate path is
+# hash-checkable end-to-end — unlike IVF, whose k-means centroids
+# aren't SQL-expressible. n_planes=6 -> 64 buckets over the 500-row
+# sf0.01 corpus keeps candidate lists non-trivial.
+def _ann_lsh_sql() -> str:
+    from .functions.oracle import sql_hyperplane_bucket
+
+    return f"""
+    WITH qn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id < 50
+    ),
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    qb AS (SELECT vec_id, v, {sql_hyperplane_bucket('v', 64, 6)} AS bkt FROM qn),
+    cb AS (SELECT vec_id, v, {sql_hyperplane_bucket('v', 64, 6)} AS bkt FROM cn)
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qb q JOIN cb c ON q.bkt = c.bkt
+    ) WHERE rank <= 5
+"""
+
+
+@_q("ann_topk_lsh", _ann_lsh_sql())
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.ann import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_topk(
+        q, emb, vector_col="embedding", k=5,
+        mode="lsh_hyperplane", n_planes=6, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 _TEXTPIPE_SQL = f"""
     SELECT doc_id,
            {sql_lang_id('text')} AS lang_id,

@@ -6,24 +6,36 @@ from pyspark.sql import functions as F
 import linktransformer_spark as lt
 
 
-def test_connected_components_known_graph(spark):
+# local_threshold=0 forces the distributed large/small-star loop;
+# the default routes small edge sets through driver union-find — both
+# must produce the identical (node -> min id) contract
+@pytest.mark.parametrize("local_threshold", [None, 0])
+def test_connected_components_known_graph(spark, local_threshold):
     # two components {1,2,3,7} and {5,6}; 9-10-11 chain; isolated 42 not in edges
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 1), (5, 6), (9, 10), (10, 11)], ["src", "dst"]
     )
-    got = {r["node"]: r["component"] for r in lt.connected_components(edges).collect()}
+    kw = {} if local_threshold is None else {"local_threshold": local_threshold}
+    got = {r["node"]: r["component"] for r in lt.connected_components(edges, **kw).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("local_threshold", [None, 0])
+def test_connected_components_long_chain(spark, local_threshold):
     # path graph 0-1-2-...-63: worst case for naive propagation; the
     # alternating star algorithm must still converge to min-label 0
     n = 64
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
-    comp = lt.connected_components(edges)
+    kw = {} if local_threshold is None else {"local_threshold": local_threshold}
+    comp = lt.connected_components(edges, **kw)
     rows = comp.collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert lt.connected_components(edges).count() == 0
 
 
 def test_cluster_rows_labels_and_noise(spark, sf_dir):
