@@ -59,7 +59,10 @@ def ann_topk(
     Returns (query_id, neighbor_id, rank, score). Deterministic
     tie-break (score DESC, neighbor_id ASC) everywhere.
     """
-    q = queries.select(
+    # fan the query side out up front: single-file inputs otherwise run
+    # the scoring stage (mapInPandas matmul / NLJ / bucket join probe)
+    # on one core in every mode
+    q = KJ.ensure_parallelism(queries).select(
         F.col(query_id).cast("long").alias(KJ.LEFT_ID),
         S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
     )
@@ -83,8 +86,6 @@ def ann_topk(
         )
         ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     elif mode == "exact_cross":
-        # broadcast-NLJ parallelism == query-side partitions
-        q = KJ.ensure_parallelism(q)
         cand = q.crossJoin(c).withColumn(
             "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
         )
@@ -130,13 +131,20 @@ class _CosOnPrepared:
 
 
 def _assign_cells(df: DataFrame, vec_col: str, id_col: str, bc, n_probe: int) -> DataFrame:
-    """(id, cell) pairs: each row's n_probe nearest centroids (numpy
-    argpartition over the broadcast centroid matrix, Arrow-batched)."""
+    """(id, vec, cell) rows: each input row replicated once per probed
+    centroid (numpy argsort over the broadcast centroid matrix,
+    Arrow-batched). The VECTOR passes through the stage so the caller
+    can equi-join assignments directly on ``cell`` — no join back to
+    the input by id (saves one shuffle join per side; the map-side
+    Arrow cost of shipping the vector is linear and local)."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
 
     schema = StructType([
-        StructField("_aid", LongType()),
+        StructField(id_col, LongType()),
+        StructField(vec_col, ArrayType(DoubleType())),
         StructField("cell", IntegerType()),
     ])
 
@@ -149,16 +157,16 @@ def _assign_cells(df: DataFrame, vec_col: str, id_col: str, bc, n_probe: int) ->
             V = np.array(pdf[vec_col].tolist(), dtype="float64")
             s = V @ C.T
             cells = np.argsort(-s, axis=1, kind="stable")[:, :take]
-            out = pdf[[id_col]].loc[pdf.index.repeat(take)].reset_index(drop=True)
-            out.columns = ["_aid"]
+            out = pdf.loc[pdf.index.repeat(take)].reset_index(drop=True)
             out["cell"] = cells.reshape(-1).astype("int32")
             yield out
 
-    return df.select(F.col(id_col).alias(id_col), F.col(vec_col)).mapInPandas(gen, schema)
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def ivf_train_centroids(
-    corpus: DataFrame, vec_col: str, id_col: str, n_cells: int, n_iter: int = 2
+    corpus: DataFrame, vec_col: str, id_col: str, n_cells: int, n_iter: int = 2,
+    sample=None,
 ):
     """Spherical k-means centroids as a numpy array (n_cells, d).
 
@@ -168,12 +176,18 @@ def ivf_train_centroids(
     Spark jobs — and the resulting (n_cells x d) matrix broadcasts to
     the one distributed pass that matters, cell ASSIGNMENT over the full
     corpus. At 100 TB the sample stays 100k rows; centroid quality
-    depends on sample size, not corpus size.
+    depends on sample size, not corpus size. ``sample`` lets the caller
+    reuse an already-collected prefix (same TakeOrdered contract).
     """
     import numpy as np
 
     sample_rows = max(n_cells * 64, 4096)
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    # a provided sample suffices when it covers sample_rows, or when it
+    # came from a limit-4096 collect that exhausted the corpus
+    if sample is not None and (len(sample) >= sample_rows or len(sample) < 4096):
+        rows = sample
+    else:
+        rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
     V = np.array([r[1] for r in rows], dtype="float64")
     C = V[:n_cells].copy()
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
@@ -207,25 +221,31 @@ def ivf_topk(
     """
     import math
 
-    q = queries.select(
+    # fan out BEFORE the per-row work: a single-file parquet corpus
+    # otherwise runs every mapInPandas assignment stage on one core
+    q = KJ.ensure_parallelism(queries).select(
         F.col(query_id).cast("long").alias(KJ.LEFT_ID),
         S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
     )
-    c = corpus.select(
+    c = KJ.ensure_parallelism(corpus).select(
         F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
         S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
     )
+    sample = None
     if n_cells is None:
-        n_cells = max(4, int(math.sqrt(c.count())))
+        # one TakeOrdered serves both the size estimate (exact when the
+        # corpus fits in the 4096-row prefix) and the k-means sample
+        sample = c.select(KJ.RIGHT_ID, KJ.RIGHT_EMB).orderBy(KJ.RIGHT_ID).limit(4096).collect()
+        n = len(sample) if len(sample) < 4096 else c.count()
+        n_cells = max(4, int(math.sqrt(n)))
 
-    C = ivf_train_centroids(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, n_cells, n_iter)
+    C = ivf_train_centroids(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, n_cells, n_iter, sample=sample)
     bc = q.sparkSession.sparkContext.broadcast(C)
 
-    corpus_cells = _assign_cells(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, bc, n_probe=1)
-    query_cells = _assign_cells(q, KJ.LEFT_EMB, KJ.LEFT_ID, bc, n_probe=n_probe)
-
-    cq = q.withColumnRenamed(KJ.LEFT_ID, "_aid").join(query_cells, "_aid").withColumnRenamed("_aid", KJ.LEFT_ID)
-    cc = c.withColumnRenamed(KJ.RIGHT_ID, "_aid").join(corpus_cells, "_aid").withColumnRenamed("_aid", KJ.RIGHT_ID)
+    # assignments carry the vectors through (no join back by id); the
+    # only shuffles left are the cell equi-join and the top-k window
+    cq = _assign_cells(q, KJ.LEFT_EMB, KJ.LEFT_ID, bc, n_probe=n_probe)
+    cc = _assign_cells(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, bc, n_probe=1)
 
     cand = cq.join(cc, "cell").withColumn(
         "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
