@@ -53,7 +53,7 @@ from .operators.llm import (
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
-from .functions.serialize import serialize_columns
+from .functions.serialize import convert_to_text, serialize_columns
 from .preprocess import preprocess_any_data
 
 
@@ -129,6 +129,7 @@ __all__ = [
     "prep_clus_data",
     "preprocess_any_data",
     "serialize_columns",
+    "convert_to_text",
     "load_model",
     "infer_embeddings",
     "prep_paired_label_data",

@@ -34,6 +34,15 @@ def serialize_columns(cols: list[str] | str, sep: str = DEFAULT_SEP) -> Column:
     return F.concat_ws(sep, *parts)
 
 
+def convert_to_text(col: Column | str) -> Column:
+    """ASCII-fold: drop every non-ASCII character — column form of the
+    reference's ``convert_to_text``
+    (/root/reference/src/linktransformer/preprocess.py:13-14,
+    ``s.encode('ascii', 'ignore').decode('ascii')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"[^\x00-\x7F]", "")
+
+
 def resolve_keys(
     df1_cols: list[str],
     df2_cols: list[str],

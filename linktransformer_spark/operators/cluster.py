@@ -89,8 +89,14 @@ def cluster_rows(
     deterministic_ids: bool = True,
     mode: str = "exact_cross",
     cluster_col: str = "cluster",
+    block_on: list[str] | None = None,
 ) -> DataFrame:
-    """Append a ``cluster`` label column (see module doc)."""
+    """Append a ``cluster`` label column (see module doc).
+
+    ``block_on`` (agglomerative only): cluster within blocks of equal
+    values of these columns — one applyInPandas task per block, the
+    scale path for hierarchical clustering (which has no exact
+    distributed form)."""
     if cluster_type not in DEFAULT_PARAMS:
         raise ValueError('cluster_type must be "agglomerative", "HDBScan", or "SLINK"')
     if on is None:
@@ -113,7 +119,10 @@ def cluster_rows(
         )
 
     if cluster_type in ("agglomerative", "HDBScan"):
-        return _sklearn_cluster(work, df.columns, cluster_type, params, cluster_col)
+        out = _sklearn_cluster(
+            work, df.columns, cluster_type, params, cluster_col, block_on=block_on
+        )
+        return out.select(*df.columns, cluster_col, "_lt_cluster_row_id")
 
     # ---- SLINK / DBSCAN ----
     eps = float(params["threshold"])
@@ -161,46 +170,153 @@ def cluster_rows(
     return out.select(*df.columns, cluster_col, LT_ID).withColumnRenamed(LT_ID, "_lt_cluster_row_id")
 
 
-def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col):
-    """Driver-local exact parity path for agglomerative/HDBSCAN — the
-    reference algorithms have no distributed form (SURVEY §2.2 op 8).
-    Requires sklearn/hdbscan (absent here -> clear ImportError)."""
-    try:
-        if cluster_type == "agglomerative":
-            from sklearn.cluster import AgglomerativeClustering  # noqa: F401
-        else:
-            import hdbscan  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            f"cluster_type={cluster_type!r} needs sklearn/hdbscan (not in this "
-            "environment); use cluster_type='SLINK' for the distributed path"
-        ) from e
+def _numpy_agglomerative(X, threshold: float, linkage: str = "ward",
+                         metric: str = "euclidean"):
+    """Hierarchical agglomerative clustering via Lance-Williams updates
+    — the algorithm behind the reference's
+    sklearn.AgglomerativeClustering(n_clusters=None, distance_threshold)
+    (/root/reference/src/linktransformer/cluster_fns.py:52-58),
+    reimplemented on numpy so the engine needs no sklearn.
+
+    Merges the closest pair while its linkage distance is < threshold
+    (sklearn's distance_threshold contract: clusters at or above the
+    threshold are not merged). Tie-break: lowest (i, j) index pair —
+    sklearn's is insertion-order dependent; the PARTITION is the
+    contract (SURVEY §1.3), and ties at identical float distances are
+    the only divergence. Returns an int array of cluster ids (values =
+    lowest member index).
+    """
     import numpy as np
 
-    pdf = work.toPandas()
-    emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
-    if cluster_type == "agglomerative":
-        from sklearn.cluster import AgglomerativeClustering
-
-        m = AgglomerativeClustering(
-            n_clusters=None,
-            distance_threshold=params["threshold"],
-            linkage=params["clustering linkage"],
-            metric=params["metric"],
-        )
+    n = len(X)
+    if n == 0:
+        return np.empty(0, dtype="int64")
+    X = np.asarray(X, dtype="float64")
+    if metric == "cosine":
+        norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        D = 1.0 - (X / norms) @ (X / norms).T
+        np.fill_diagonal(D, 0.0)
+    elif metric == "euclidean":
+        sq = (X * X).sum(axis=1)
+        D = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0))
     else:
-        import hdbscan
+        raise ValueError(f"metric {metric!r} not supported (euclidean|cosine)")
+    if linkage not in ("ward", "single", "complete", "average"):
+        raise ValueError(f"linkage {linkage!r} not supported")
 
+    alive = np.ones(n, dtype=bool)
+    size = np.ones(n, dtype="float64")
+    label = np.arange(n, dtype="int64")  # representative = lowest member index
+    INF = np.inf
+    work = D.copy()
+    np.fill_diagonal(work, INF)
+
+    while alive.sum() > 1:
+        sub = np.where(alive)[0]
+        W = work[np.ix_(sub, sub)]
+        flat = np.argmin(W)
+        ii, jj = divmod(flat, len(sub))
+        d_ij = W[ii, jj]
+        if not (d_ij < threshold):
+            break
+        i, j = sub[ii], sub[jj]
+        if i > j:
+            i, j = j, i
+        # Lance-Williams distance of every alive k to the merged (i∪j)
+        k = sub[(sub != i) & (sub != j)]
+        d_ki, d_kj = work[k, i], work[k, j]
+        if linkage == "single":
+            new = np.minimum(d_ki, d_kj)
+        elif linkage == "complete":
+            new = np.maximum(d_ki, d_kj)
+        elif linkage == "average":
+            new = (size[i] * d_ki + size[j] * d_kj) / (size[i] + size[j])
+        else:  # ward
+            nk, ni, nj = size[k], size[i], size[j]
+            tot = nk + ni + nj
+            new = np.sqrt(
+                np.maximum(
+                    ((nk + ni) * d_ki**2 + (nk + nj) * d_kj**2 - nk * d_ij**2) / tot,
+                    0.0,
+                )
+            )
+        work[k, i] = new
+        work[i, k] = new
+        alive[j] = False
+        work[j, :] = INF
+        work[:, j] = INF
+        size[i] += size[j]
+        label[label == label[j]] = label[i]
+    return label
+
+
+def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
+                     block_on=None):
+    """Non-graph clustering (agglomerative / HDBSCAN).
+
+    - agglomerative: our numpy Lance-Williams implementation, executed
+      per BLOCK with applyInPandas (one Arrow group-map task per block;
+      ``block_on=None`` = one global block, the reference's semantics —
+      single-task, bounded by executor memory, documented small-data
+      path; with blocking keys this is the scale path, same shape as
+      merge_blocking).
+    - HDBScan: needs the hdbscan package (absent here -> clear
+      ImportError); reference-exact when available, driver-local.
+    """
+    if cluster_type == "HDBScan":
+        try:
+            import hdbscan  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "cluster_type='HDBScan' needs the hdbscan package (not in "
+                "this environment); use 'SLINK' (distributed) or "
+                "'agglomerative' (numpy) instead"
+            ) from e
+        import numpy as np
+
+        pdf = work.toPandas()
+        emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
         m = hdbscan.HDBSCAN(
             min_cluster_size=params["min cluster size"],
             min_samples=params["min samples"],
             gen_min_span_tree=True,
         )
-    pdf[cluster_col] = m.fit(emb).labels_
-    spark = work.sparkSession
-    keep = list(orig_cols) + [cluster_col, "_lt_id"]
-    out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
-    return out.withColumnRenamed("_lt_id", "_lt_cluster_row_id")
+        pdf[cluster_col] = m.fit(emb).labels_
+        spark = work.sparkSession
+        keep = list(orig_cols) + [cluster_col, "_lt_id"]
+        out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
+        return out.withColumnRenamed("_lt_id", "_lt_cluster_row_id")
+
+    # ---- agglomerative (numpy, per-block applyInPandas) ----
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField
+
+    threshold = float(params["threshold"])
+    linkage = params["clustering linkage"]
+    metric = params["metric"]
+    keep = [c for c in list(orig_cols) + [LT_ID] if c in work.columns]
+    narrow = work.select(*keep, "_lt_emb")
+    out_schema = narrow.drop("_lt_emb").schema.add(StructField(cluster_col, LongType()))
+
+    def fit(pdf):
+        X = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
+        idx_labels = _numpy_agglomerative(X, threshold, linkage, metric)
+        ids = pdf[LT_ID].to_numpy()
+        lab = np.empty(len(pdf), dtype="int64")
+        for u in np.unique(idx_labels):
+            m = idx_labels == u
+            lab[m] = ids[m].min()  # global label = min row id in cluster
+        out = pdf.drop(columns=["_lt_emb"])
+        out[cluster_col] = lab
+        return out
+
+    grouped = (
+        narrow.groupBy(*block_on)
+        if block_on
+        else narrow.groupBy(F.lit(1).alias("_lt_blk"))
+    )
+    res = grouped.applyInPandas(fit, schema=out_schema)
+    return res.withColumnRenamed(LT_ID, "_lt_cluster_row_id")
 
 
 def dedup_rows(

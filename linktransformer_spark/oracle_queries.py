@@ -310,6 +310,55 @@ def cluster_rows_slink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_name", "cluster")
 
 
+# agglomerative(single, cosine): single-linkage at distance threshold
+# eps IS the connected components of the STRICT (d < eps) similarity
+# graph, so the numpy Lance-Williams kernel (operators/cluster.py
+# _numpy_agglomerative, per-block applyInPandas) gets a full SQL
+# oracle. No noise label: singletons keep their own id. eps=0.6 ->
+# cos > 0.4, min |cos - 0.4| over the sf0.01 pairs = 1.3e-4, far above
+# numpy-vs-fold summation noise (~1e-16).
+def _agglo_sql() -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH RECURSIVE
+    vn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    edges AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM vn a, vn b
+      WHERE a.vec_id <> b.vec_id AND (1.0 - {sql_dot('a.v', 'b.v')}) < 0.6
+    ),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+    SELECT e.vec_id, c.lbl AS cluster
+    FROM embeddings e JOIN comp c ON e.vec_id = c.id
+"""
+
+
+@_q("cluster_rows_agglo_single", _agglo_sql())
+def cluster_rows_agglo_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.encoders.precomputed import PrecomputedEncoder
+    from linktransformer_spark.operators.cluster import cluster_rows
+    from linktransformer_spark.operators.knn_join import CosineScorer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cluster_rows(
+        emb,
+        model=CosineScorer(PrecomputedEncoder("embedding")),
+        on="vec_id",
+        cluster_type="agglomerative",
+        cluster_params={
+            "threshold": 0.6, "clustering linkage": "single", "metric": "cosine",
+        },
+        id_col="vec_id",
+    )
+    return out.select("vec_id", "cluster")
+
+
 _DEDUP_SQL = f"""
     WITH RECURSIVE
     firsts AS (SELECT min(p_partkey) AS id FROM part GROUP BY p_name),

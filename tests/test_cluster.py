@@ -103,15 +103,70 @@ def test_cluster_rejects_unknown_type(spark, sf_dir):
         lt.cluster_rows(part, on="p_name", cluster_type="kmeans")
 
 
-def test_agglomerative_needs_sklearn(spark, sf_dir):
+def test_hdbscan_needs_package(spark, sf_dir):
     part = spark.read.parquet(f"{sf_dir}/part.parquet").limit(20)
     try:
-        import sklearn  # noqa: F401
+        import hdbscan  # noqa: F401
 
         has = True
     except ImportError:
         has = False
     if not has:
         with pytest.raises(ImportError):
-            lt.cluster_rows(part, on="p_name", cluster_type="agglomerative",
+            lt.cluster_rows(part, on="p_name", cluster_type="HDBScan",
                             id_col="p_partkey")
+
+
+def test_agglomerative_ward_known_groups(spark):
+    # two tight groups of identical strings + one outlier; ward at a
+    # small threshold merges the duplicates, never across groups
+    rows = [(0, "alpha widget"), (1, "alpha widget"), (2, "alpha widget"),
+            (3, "omega gasket"), (4, "omega gasket"), (5, "zzz unrelated")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = lt.cluster_rows(
+        df, model="hash-ngram", on="txt", cluster_type="agglomerative",
+        cluster_params={"threshold": 0.1}, id_col="id",
+    )
+    labels = {r["id"]: r["cluster"] for r in out.collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[3] == labels[4] == 3
+    assert labels[5] == 5
+
+
+def test_agglomerative_single_linkage_equals_slink_cc(spark, sf_dir):
+    # single-linkage agglomerative at cosine-distance threshold eps is
+    # the connected components of the eps-similarity graph — must equal
+    # the SLINK path's partition (SLINK noise = singleton clusters)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").limit(120)
+    eps = 0.35
+    agg = lt.cluster_rows(
+        part, model="hash-ngram", on="p_name", cluster_type="agglomerative",
+        cluster_params={"threshold": eps, "clustering linkage": "single",
+                        "metric": "cosine"},
+        id_col="p_partkey",
+    )
+    slink = lt.cluster_rows(
+        part, model="hash-ngram", on="p_name", cluster_type="SLINK",
+        cluster_params={"threshold": eps, "min cluster size": 2},
+        id_col="p_partkey",
+    )
+    a = {r["p_partkey"]: r["cluster"] for r in agg.collect()}
+    s = {
+        r["p_partkey"]: (r["cluster"] if r["cluster"] >= 0 else r["p_partkey"])
+        for r in slink.collect()
+    }
+    assert a == s
+
+
+def test_agglomerative_block_on_partitions_work(spark):
+    # block keys split the data; identical texts in the same block merge
+    rows = [(0, "alpha widget", "north"), (1, "alpha widget", "north"),
+            (2, "alpha widget", "south"), (3, "omega gasket", "south")]
+    df = spark.createDataFrame(rows, ["id", "txt", "region"])
+    out = lt.cluster_rows(
+        df, model="hash-ngram", on="txt", cluster_type="agglomerative",
+        cluster_params={"threshold": 0.1}, id_col="id", block_on=["region"],
+    )
+    labels = {r["id"]: r["cluster"] for r in out.collect()}
+    assert labels[0] == labels[1] == 0
+    assert labels[2] == 2 and labels[3] == 3  # different blocks never merge

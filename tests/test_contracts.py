@@ -47,3 +47,16 @@ def test_bad_parameters_raise_value_errors(small):
         lt.merge_knn(left, right, on="name", k=0)
     with pytest.raises(ValueError, match="sim_threshold"):
         lt.merge_range(left, right, on="name", sim_threshold=1.5)
+
+
+def test_convert_to_text_ascii_fold(spark):
+    df = spark.createDataFrame(
+        [("café résumé",), ("naïve 北京 ok",), ("plain",), (None,)], ["s"]
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(lt.convert_to_text("s").alias("t")).collect()
+    got = [r["t"] for r in out]
+    # mirrors s.encode('ascii','ignore').decode('ascii') (reference
+    # preprocess.py:13-14)
+    assert got == ["caf rsum", "nave  ok", "plain", None]
