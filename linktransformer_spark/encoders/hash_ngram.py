@@ -70,7 +70,11 @@ class HashNgramEncoder(Encoder):
         # on 15k keys); this form is pure arithmetic. Keys shorter than
         # n produce no rows -> zero vector via the left-join coalesce,
         # same as the empty char_ngrams array.
+        # SQL-text expression forms (F.expr) for the wide repetitive
+        # trees: built node-by-node over py4j they cost ~1 s of driver
+        # time per encode call; parsed as text they're milliseconds.
         s = F.col(text_col)
+        qcol = f"`{text_col}`"
         ex = (
             keys.filter(F.length(s) >= self.n)
             .select(
@@ -79,24 +83,32 @@ class HashNgramEncoder(Encoder):
             )
             .select(
                 text_col,
-                (poly_hash_at(s, F.col("_p"), self.n, self.salt) % F.lit(dim)).alias("_b"),
+                (poly_hash_at(qcol, "_p", self.n, self.salt) % F.lit(dim)).alias("_b"),
             )
         )
         row = ex.groupBy(text_col).agg(
             *[
-                F.sum(F.when(F.col("_b") == i, F.lit(1.0)).otherwise(F.lit(0.0))).alias(f"_d{i}")
+                F.expr(
+                    f"sum(CASE WHEN _b = {i} THEN CAST(1 AS DOUBLE) "
+                    f"ELSE CAST(0 AS DOUBLE) END)"
+                ).alias(f"_d{i}")
                 for i in range(dim)
             ]
         )
-        norm = F.greatest(
-            F.sqrt(sum(F.col(f"_d{i}") * F.col(f"_d{i}") for i in range(dim))),
-            F.lit(1e-12),
-        )
-        vec = row.select(
+        # norm lives in its own projection: inlining it into every array
+        # slot would copy the dim-term tree dim times (dim^2 nodes)
+        norm_sql = "greatest(sqrt(" + " + ".join(
+            f"_d{i} * _d{i}" for i in range(dim)
+        ) + "), CAST(1e-12 AS DOUBLE))"
+        vec = row.withColumn("_nrm", F.expr(norm_sql)).select(
             text_col,
-            F.array(*[(F.col(f"_d{i}") / norm) for i in range(dim)]).alias(out_col),
+            F.expr(
+                "array(" + ", ".join(f"_d{i} / _nrm" for i in range(dim)) + ")"
+            ).alias(out_col),
         )
-        zero = F.array(*([F.lit(0.0)] * dim))
+        zero = F.expr(
+            "array(" + ", ".join(["CAST(0 AS DOUBLE)"] * dim) + ")"
+        )
         return df.join(vec, text_col, "left").withColumn(
             out_col, F.coalesce(F.col(out_col), zero)
         )

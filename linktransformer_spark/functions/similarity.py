@@ -37,12 +37,43 @@ def char_codes(s: Column) -> Column:
 _POLY_UNROLL = 24
 
 
-def poly_hash(s: Column, salt: int = 0) -> Column:
+def ssql_poly_hash(s: str, salt: int = 0) -> str:
+    """Spark-SQL TEXT of ``poly_hash`` over SQL expression ``s``.
+
+    Generates the exact expression tree the Column form builds (same
+    guards, same arithmetic, same fold tail), but as one string for a
+    single ``F.expr`` parse. Building the unrolled form node-by-node
+    through py4j costs ~240 driver roundtrips (~0.7 s per call site);
+    parsing the equivalent text is ~10 ms. ``s`` is spliced verbatim
+    O(_POLY_UNROLL) times — pass a (short) column reference, not a
+    deep computed expression.
+    """
+    ln = f"length({s})"
+    acc = f"CAST({salt} AS BIGINT)"
+    for i in range(1, _POLY_UNROLL + 1):
+        c_i = f"CAST(ascii(substring({s}, {i}, 1)) AS BIGINT)"
+        mult = f"(CASE WHEN {ln} >= {i} THEN CAST({HASH_BASE} AS BIGINT) ELSE CAST(1 AS BIGINT) END)"
+        add = f"(CASE WHEN {ln} >= {i} THEN {c_i} ELSE CAST(0 AS BIGINT) END)"
+        acc = f"((({acc}) * {mult} + {add}) % {HASH_MOD})"
+    tail = f"substring({s}, {_POLY_UNROLL + 1}, greatest({ln} - {_POLY_UNROLL}, 0))"
+    codes = (
+        f"transform(filter(split({tail}, ''), ch -> ch != ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))"
+    )
+    fold = f"aggregate({codes}, {acc}, (a, c) -> (a * {HASH_BASE} + c) % {HASH_MOD})"
+    return f"(CASE WHEN {ln} <= {_POLY_UNROLL} THEN {acc} ELSE {fold} END)"
+
+
+def poly_hash(s: Column | str, salt: int = 0) -> Column:
     """Deterministic polynomial rolling hash of a string, in [0, HASH_MOD).
 
     acc = (acc * 131 + code) % (2^31-1), seeded with ``salt``.
     Exact-integer and engine-portable (DuckDB mirror in oracle.py) —
     unlike Spark's murmur3 ``hash()`` which no other engine reproduces.
+
+    ``s`` may be a Column or a SQL TEXT fragment; the text form routes
+    through ``ssql_poly_hash`` + one ``F.expr`` parse (two orders of
+    magnitude cheaper to construct — use it in operator hot paths).
 
     Execution shape: the first _POLY_UNROLL characters are hashed with
     unrolled per-position arithmetic (whole-stage codegen); only strings
@@ -52,6 +83,8 @@ def poly_hash(s: Column, salt: int = 0) -> Column:
     was ~40 CPU-s of the sf0.1 minhash pipeline. Values are identical
     in both shapes (each guarded step is a no-op past end-of-string).
     """
+    if isinstance(s, str):
+        return F.expr(ssql_poly_hash(s, salt))
     ln = F.length(s)
     acc: Column = F.lit(salt).cast("long")
     for i in range(1, _POLY_UNROLL + 1):
@@ -75,13 +108,25 @@ def poly_hash(s: Column, salt: int = 0) -> Column:
     )
 
 
-def poly_hash_at(s: Column, pos: Column, n: int, salt: int = 0) -> Column:
+def ssql_poly_hash_at(s: str, pos: str, n: int, salt: int = 0) -> str:
+    """Spark-SQL TEXT of ``poly_hash_at`` (same tree, one parse)."""
+    acc = f"CAST({salt} AS BIGINT)"
+    for i in range(n):
+        c_i = f"CAST(ascii(substring({s}, ({pos}) + {i}, 1)) AS BIGINT)"
+        acc = f"((({acc}) * {HASH_BASE} + {c_i}) % {HASH_MOD})"
+    return acc
+
+
+def poly_hash_at(s: Column | str, pos: Column | str, n: int, salt: int = 0) -> Column:
     """``poly_hash(substr(s, pos, n), salt)`` for a FIXED ``n``, unrolled
     into plain arithmetic — no higher-order fold, so it stays inside
     whole-stage codegen (``F.aggregate`` is CodegenFallback; the
     interpreted fold measured ~1ms/key on the hash-ngram encode path).
     Bit-identical to the fold: acc stays < 2^31 after each mod, so
-    acc*131 + c < 2^39 — exact in BIGINT, same as poly_hash."""
+    acc*131 + c < 2^39 — exact in BIGINT, same as poly_hash. String
+    args = SQL text fragments -> single F.expr parse (cheap build)."""
+    if isinstance(s, str) and isinstance(pos, str):
+        return F.expr(ssql_poly_hash_at(s, pos, n, salt))
     acc: Column = F.lit(salt).cast("long")
     for i in range(n):
         c = F.ascii(s.substr(pos + F.lit(i), F.lit(1))).cast("long")

@@ -230,15 +230,19 @@ def near_dup_pairs_minhash(
     # then num_hashes min-aggregates in one groupBy. Duplicate
     # occurrences don't affect a min, so no distinct needed here. One
     # shuffle on (id), combiner does the mins map-side.
+    # SQL-text expression forms throughout this stage: the unrolled
+    # poly_hash and the num_hashes min-aggregates are large repetitive
+    # trees, and building them node-by-node over py4j costs seconds of
+    # DRIVER time per query; one F.expr parse each is milliseconds.
     ex = _shingle_rows(base, shingle, word).select(
-        "_id", S.poly_hash(F.col("_g")).alias("_h")
+        "_id", S.poly_hash("_g").alias("_h")
     )
     aggs = []
     for i in range(num_hashes):
         a = (1 + i * MH_A_STEP) % MH_PRIME
         b = (i * MH_B_STEP) % MH_PRIME
         aggs.append(
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"_mh{i}")
+            F.expr(f"min(({a} * _h + {b}) % {MH_PRIME})").alias(f"_mh{i}")
         )
     sig = ex.groupBy("_id").agg(*aggs).select(
         "_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig")
@@ -247,6 +251,10 @@ def near_dup_pairs_minhash(
     base = base.join(sig, "_id", "left").withColumn(
         "_sig", F.coalesce(F.col("_sig"), empty_sig)
     )
+    # the banded self-join consumes this relation on BOTH sides; cut
+    # lineage so the shingle+signature stage executes once, not twice
+    # (same reasoning as the simhash fingerprint checkpoint below)
+    base = base.localCheckpoint(eager=False)
 
     # band rows carry ONLY (id, band, band-signature) — the shingle
     # arrays rejoin after candidate dedup so they aren't shuffled xbands
@@ -349,29 +357,39 @@ def near_dup_pairs_simhash(
     # poly_hash), then 62 conditional-sum aggregates in one groupBy —
     # the array form (explode(shingle_hashes64)) evaluates the hash
     # inside an interpreted lambda per gram.
+    # SQL-text expression forms (one F.expr parse instead of thousands
+    # of py4j roundtrips — the node-by-node build of the two unrolled
+    # poly_hashes + 62 vote aggregates + 62-term fingerprint cost ~3 s
+    # of DRIVER time per query)
     ex = _distinct_shingle_rows(base, 1, word).select(
         "_id",
         (
-            S.poly_hash(F.col("_g"), salt=0) * F.lit(2147483648)
-            + S.poly_hash(F.col("_g"), salt=1)
+            S.poly_hash("_g", salt=0) * F.lit(2147483648)
+            + S.poly_hash("_g", salt=1)
         ).alias("_h"),
     )
     nbits = 62
     votes = ex.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(F.col("_h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"_v{j}")
+            F.expr(f"sum(CASE WHEN (_h & {1 << j}) != 0 THEN 1 ELSE -1 END)").alias(f"_v{j}")
             for j in range(nbits)
         ]
     )
-    sim_expr = None
-    for j in range(nbits):
-        # empty hash list -> vote 0 -> bit set (parity with the
-        # aggregate-over-empty-array semantics of simhash64)
-        bit = F.when(F.coalesce(F.col(f"_v{j}"), F.lit(0)) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim_expr = bit if sim_expr is None else sim_expr + bit
-    base = base.join(votes, "_id", "left").select("_id", sim_expr.alias("_sim"))
+    # empty hash list -> vote 0 -> bit set (parity with the
+    # aggregate-over-empty-array semantics of simhash64); all-BIGINT
+    # terms so the sum never switches int->long midway
+    sim_sql = " + ".join(
+        f"(CASE WHEN coalesce(_v{j}, 0) >= 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(nbits)
+    )
+    base = base.join(votes, "_id", "left").select("_id", F.expr(sim_sql).alias("_sim"))
+    # both sides of the band self-join below consume this relation, and
+    # Spark does not CSE common subplans across a self-join — without a
+    # lineage cut the whole fingerprint stage (scan -> shingle ->
+    # 62-vote aggregate) executes TWICE. The (_id, _sim) relation is 16
+    # bytes/row, so materializing it is free at any scale.
+    base = base.localCheckpoint(eager=False)
 
     nblocks = hamming_threshold + 1
     width = 64 // nblocks + (1 if 64 % nblocks else 0)

@@ -135,7 +135,7 @@ def _score_narrow_then_join_back(
         lcols += [lc for lc, _ in block if lc not in lcols]
         rcols += [rc for _, rc in block if rc not in rcols]
     left_narrow = left.select(*lcols)
-    if k is not None and mode == "exact_cross":
+    if k is not None and k > 1 and mode == "exact_cross":
         # Pre-partition the NARROW left by id. When the right side
         # broadcasts (the usual shape), the join preserves this
         # partitioning, so the top-k window's ClusteredDistribution
@@ -155,7 +155,11 @@ def _score_narrow_then_join_back(
         left_narrow, right.select(*rcols), scorer,
         block_on=block, mode=mode, threshold=threshold,
     )
-    if k is not None:
+    if k == 1 and mode == "exact_cross":
+        # 1-NN (the reference's flagship merge shape): hash-agg top-1,
+        # no sort/WindowExec, candidates never shuffle (see KJ.top1)
+        cand = KJ.top1(cand)
+    elif k is not None:
         cand = KJ.topk(cand, k)
     narrow = cand.select(LEFT_ID, RIGHT_ID, "score")
     lfull = left.drop(LEFT_KEY, LEFT_EMB)

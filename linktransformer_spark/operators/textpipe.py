@@ -119,10 +119,15 @@ def subword_count_expr(text: Column) -> Column:
     return (alnum_tokens + punct).cast("long")
 
 
-def fingerprint_expr(text: Column) -> Column:
+def fingerprint_expr(text: Column | str) -> Column:
     """Deterministic document fingerprint: polynomial rolling hash of the
     lowercased, whitespace-collapsed text (portable; see
-    functions/oracle.sql_fingerprint)."""
+    functions/oracle.sql_fingerprint). Pass a column NAME to build the
+    whole expression as one SQL-text parse (cheap driver build)."""
+    if isinstance(text, str):
+        # SQL literal '\\s+' unescapes to the regex \s+ (same pattern
+        # string the Column form passes verbatim)
+        return S.poly_hash(f"regexp_replace(trim(lower(`{text}`)), '\\\\s+', ' ')")
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return S.poly_hash(norm)
 
@@ -137,5 +142,5 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score_expr(t))
         .withColumn("n_tokens", token_count_expr(t).cast("long"))
         .withColumn("n_subwords", subword_count_expr(t))
-        .withColumn("fingerprint", fingerprint_expr(t))
+        .withColumn("fingerprint", fingerprint_expr(text_col))
     )
