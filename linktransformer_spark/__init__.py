@@ -12,8 +12,8 @@ from .session import get_spark
 from .operators.merge import aggregate_rows, merge, merge_blocking, merge_knn
 from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
-from .operators.cluster import cluster_rows, dedup_rows
-from .operators.components import connected_components
+from .operators.cluster import cluster, cluster_rows, dedup_rows
+from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import ann_topk, ivf_topk, ivf_train_centroids
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
@@ -29,7 +29,14 @@ from .operators.dedup import (
 )
 from .operators.textpipe import analyze_documents
 from .operators.ir_eval import binary_eval, ir_metrics, rank_results
-from .train import save_prepared, train_clf_model, train_model, transform_column
+from .train import (
+    apply_in_chunks,
+    save_prepared,
+    tokenize_data_for_inference,
+    train_clf_model,
+    train_model,
+    transform_column,
+)
 from .preprocess import (
     check_and_prep_data,
     check_clust_data,
@@ -45,11 +52,17 @@ from .operators.llm import (
     MockTransformSpec,
     OpenAIChatSpec,
     classify_rows,
+    get_completion_from_messages,
+    load_clf,
     merge_k_judge,
     merge_knn_openai,
     merge_knn_with_llm,
+    openai_transform,
+    predict_rows_with_openai,
     transform_rows,
 )
+from .encoders.api import infer_embeddings_with_gemini
+from .functions.similarity import cosine_similarity_corresponding_pairs
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
@@ -142,6 +155,16 @@ __all__ = [
     "HashNgramEncoder",
     "PrecomputedEncoder",
     "resolve_encoder",
+    "cluster",
+    "clusters_from_edges",
+    "cosine_similarity_corresponding_pairs",
+    "apply_in_chunks",
+    "tokenize_data_for_inference",
+    "load_clf",
+    "get_completion_from_messages",
+    "predict_rows_with_openai",
+    "openai_transform",
+    "infer_embeddings_with_gemini",
 ]
 
 __version__ = "0.1.0"

@@ -194,3 +194,31 @@ class ApiEncoder(Encoder):
                 yield pd.Series([v.tolist() for v in arr])
 
         return df.withColumn(out_col, _embed(F.col(text_col)))
+
+
+def infer_embeddings_with_gemini(
+    strings: list, model: str, api_key: str, return_numpy: bool = True
+):
+    """Driver-side Gemini embedding of a string list (reference
+    utils.py:34-65: one request per string, RETRIEVAL_DOCUMENT task).
+    For DataFrames use ApiEncoder — the distributed Arrow-batched path.
+    Requires `google-generativeai` (gated)."""
+    try:
+        import google.generativeai as genai
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "Gemini embeddings require `google-generativeai`. "
+            "Install it with: pip install google-generativeai"
+        ) from exc
+    import numpy as np
+
+    genai.configure(api_key=api_key)
+    name = normalize_gemini_model_name(model)
+    vectors = []
+    for text in strings:
+        r = genai.embed_content(
+            model=name, content=text, task_type="RETRIEVAL_DOCUMENT"
+        )
+        vectors.append(r["embedding"])
+    arr = np.asarray(vectors, dtype="float32")
+    return arr if return_numpy else arr.tolist()

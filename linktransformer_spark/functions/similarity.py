@@ -181,6 +181,14 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_similarity_corresponding_pairs(a: Column, b: Column) -> Column:
+    """Row-wise cosine of two vector columns — the reference's
+    ``cosine_similarity_corresponding_pairs`` (utils.py:102-107), which
+    takes two aligned embedding matrices; here the alignment is by row,
+    as it must be in Spark (SURVEY §1.3)."""
+    return cosine(a, b)
+
+
 def lev_sim(a: Column, b: Column) -> Column:
     """Normalized Levenshtein similarity in [0,1]:
     1 - lev(a,b) / max(len(a), len(b), 1).

@@ -356,3 +356,36 @@ def dedup_rows(
         ).orderBy(F.col(rid).asc())
     out = clustered.withColumn("_lt_rn", F.row_number().over(w)).filter(F.col("_lt_rn") == 1)
     return out.select(*df.columns)
+
+
+def cluster(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str | None = None,
+    cluster_type: str = "SLINK",
+    cluster_params: dict | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """The reference's ``cluster`` dispatcher
+    (/root/reference/src/linktransformer/cluster_fns.py:7-78), DataFrame
+    form: labels rows by clustering a PRE-COMPUTED vector column (the
+    reference takes a corpus_embeddings matrix). Same cluster_type /
+    cluster_params vocabulary as cluster_rows, which is the text-column
+    (embed-then-cluster) form."""
+    from ..encoders.precomputed import PrecomputedEncoder
+    from .knn_join import CosineScorer
+
+    if id_col is None or vector_col not in df.columns:
+        missing = vector_col if vector_col not in df.columns else None
+        if missing:
+            raise ValueError(f"vector column {missing!r} not in DataFrame")
+        raise ValueError("id_col= is required for cluster()")
+    return cluster_rows(
+        df,
+        model=CosineScorer(PrecomputedEncoder(vector_col)),
+        on=id_col,
+        cluster_type=cluster_type,
+        cluster_params=cluster_params,
+        id_col=id_col,
+        cluster_col=cluster_col,
+    )

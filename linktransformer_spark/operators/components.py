@@ -148,3 +148,30 @@ def connected_components(
     return nodes.unionByName(roots).groupBy("node").agg(
         F.min("component").alias("component")
     )
+
+
+def clusters_from_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edge list -> one row per cluster: (cluster, nodes).
+
+    DataFrame form of the reference's ``clusters_from_edges``
+    (/root/reference/src/linktransformer/cluster_fns.py:81-93), which
+    returns {cluster_id: [nodes]} from networkx subgraphs. Cluster ids
+    there follow networkx iteration order; here they are DENSE 0-based
+    ids ordered by the component's min node id, and ``nodes`` is sorted
+    ascending — fully deterministic, and a plain dict(collect()) away
+    from the reference's shape for small graphs.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(edges, src=src, dst=dst)
+    grouped = comp.groupBy("component").agg(
+        F.sort_array(F.collect_set("node")).alias("nodes")
+    )
+    w = Window.orderBy("component")
+    return grouped.select(
+        (F.dense_rank().over(w) - 1).alias("cluster"), "nodes"
+    )

@@ -611,3 +611,163 @@ def _classify_rows_hf(
             expr = F.when(cond, F.lit(str(lbl))) if expr is None else expr.when(cond, F.lit(str(lbl)))
         out = out.withColumn(out_col, expr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Provider-surface parity helpers (reference utils.py). These are the
+# DRIVER-SIDE convenience functions the reference exposes publicly; the
+# engine's distributed paths (classify_rows / transform_rows /
+# merge_k_judge with OpenAIChatSpec/GeminiSpec) are the operators that
+# scale — these exist so code written against the reference API ports
+# without edits. All SDK imports are gated.
+# ---------------------------------------------------------------------------
+
+
+def load_clf(model_path: str, num_labels: int = 2):
+    """Load an HF sequence-classification model (reference
+    utils.py:85-99). Requires `transformers` (gated)."""
+    try:
+        import transformers
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "load_clf requires `transformers` (not in this environment)."
+        ) from e
+    try:
+        return transformers.AutoModelForSequenceClassification.from_pretrained(
+            model_path, num_labels=num_labels
+        )
+    except Exception as e:
+        raise ValueError("Error loading classification model. ") from e
+
+
+def get_completion_from_messages(
+    client,
+    text: str,
+    model: str,
+    openai_key: str | None = None,
+    openai_topic: str | None = None,
+    openai_prompt: str | None = None,
+    openai_params: dict | None = None,
+):
+    """Single OpenAI chat completion for one user input; returns
+    (content, total_tokens). Mirror of reference utils.py:267-313 —
+    same default prompt template (utils.py:291) and param plumbing."""
+    p = openai_params or {}
+    prompt = openai_prompt or (
+        f"Determine whether the text is about {openai_topic} or not. Yes/No: "
+    )
+    r = client.chat.completions.create(
+        model=model,
+        messages=[
+            {"role": "system", "content": prompt},
+            {"role": "user", "content": text},
+        ],
+        temperature=p.get("temperature", 0),
+        max_tokens=p.get("max_tokens", 50),
+        top_p=p.get("top_p", 1),
+        frequency_penalty=p.get("frequency_penalty", 0),
+        presence_penalty=p.get("presence_penalty", 0),
+    )
+    return r.choices[0].message.content, r.usage.total_tokens
+
+
+def predict_rows_with_openai(
+    strings_col: list,
+    model: str = "gpt-3.5-turbo",
+    openai_key: str | None = None,
+    openai_topic: str | None = None,
+    openai_prompt: str | None = None,
+    openai_params: dict | None = None,
+    label_dict: dict | None = None,
+    max_retries: int = 5,
+    ratelimit_sleep_time: float = 15.0,
+) -> list:
+    """Driver-side list->labels classification via OpenAI (reference
+    utils.py:316-381). For DataFrames use classify_rows(classifier=
+    OpenAIChatSpec(...)) — the distributed path. Label mapping defaults
+    to {"Yes":1,"No":0} (utils.py:371-372); unmapped responses are kept
+    raw, matching the reference's permissive fallback."""
+    try:
+        import openai
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("predict_rows_with_openai requires `openai`.") from e
+    client = openai.OpenAI(api_key=openai_key)
+    labels = label_dict if label_dict is not None else {"Yes": 1, "No": 0}
+    prompt = openai_prompt or (
+        f"Determine whether the text is about {openai_topic} or not. Yes/No: "
+    )
+    out = []
+    for text in strings_col:
+        resp = _call_with_backoff(
+            _SingleClient(client, model, openai_params or {}),
+            prompt, str(text), max_retries, ratelimit_sleep_time,
+        )
+        resp = (resp or "").strip()
+        out.append(labels.get(resp, resp) if labels else resp)
+    return out
+
+
+class _SingleClient:
+    """Adapter: OpenAI SDK client -> the complete() seam
+    _call_with_backoff expects."""
+
+    def __init__(self, client, model: str, params: dict):
+        self._c, self._m, self._p = client, model, params
+
+    def complete(self, system_prompt: str, user_content: str) -> str:
+        p = self._p
+        r = self._c.chat.completions.create(
+            model=self._m,
+            messages=[
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": user_content},
+            ],
+            temperature=p.get("temperature", 0),
+            max_tokens=p.get("max_tokens", 50),
+            top_p=p.get("top_p", 1),
+            frequency_penalty=p.get("frequency_penalty", 0),
+            presence_penalty=p.get("presence_penalty", 0),
+        )
+        return r.choices[0].message.content or ""
+
+
+def openai_transform(texts: list, params: dict) -> list:
+    """Batch List[str] -> List[str] transform via one OpenAI chat call
+    carrying a JSON array (reference utils.py:410-464): same appended
+    return-only-a-JSON-array contract, same strict length validation,
+    same exponential backoff. Usable directly as transform_column's
+    ``transform_fn``."""
+    import time as _time
+
+    client = params["client"]
+    model = params["model"]
+    prompt = params["prompt"]
+    retries = params.get("max_retries", 5)
+    backoff = params.get("ratelimit_sleep_time", 15)
+    extra = params.get("openai_params", {})
+    json_instr = (
+        "\n\nPlease return only a JSON array of strings, "
+        "one entry per input, in the same order, with no extra text."
+    )
+    system_msg = {"role": "system", "content": prompt + json_instr}
+    user_msg = {"role": "user", "content": json.dumps(texts)}
+    for attempt in range(retries):
+        try:
+            resp = client.chat.completions.create(
+                model=model,
+                messages=[system_msg, user_msg],
+                **{k: extra[k] for k in (
+                    "temperature", "max_tokens", "top_p",
+                    "frequency_penalty", "presence_penalty",
+                ) if k in extra},
+            )
+            arr = json.loads(resp.choices[0].message.content)
+            if not isinstance(arr, list):
+                raise ValueError("expected JSON list")
+            if len(arr) != len(texts):
+                raise ValueError(f"expected {len(texts)} items, got {len(arr)}")
+            return arr
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            _time.sleep(backoff * (2 ** attempt))

@@ -261,3 +261,46 @@ def transform_column(
     from .operators.knn_join import ensure_parallelism
 
     return ensure_parallelism(df).mapInPandas(gen, out_schema)
+
+
+def apply_in_chunks(
+    items,
+    fn: Callable[[list[str], dict], list[str]],
+    fn_kwargs: dict | None = None,
+    *,
+    chunk_size: int = 50,
+    progress_bar: bool = False,
+) -> list:
+    """Chunked batch-apply with strict length validation — the exact
+    driver-side contract of the reference (utils.py:384-408), minus the
+    tqdm dependency. transform_column is the distributed form of the
+    same contract (each Arrow batch re-chunked to ``chunk_size``)."""
+    kw = fn_kwargs or {}
+    results: list = []
+    for i in range(0, len(items), chunk_size):
+        batch = list(items[i : i + chunk_size])
+        transformed = fn(batch, kw)
+        if len(transformed) != len(batch):
+            raise ValueError("Transform function returned wrong batch size")
+        results.extend(transformed)
+    return results
+
+
+def tokenize_data_for_inference(corpus, name: str, hf_model: str):
+    """Tokenize a string list into an HF Dataset (reference
+    utils.py:252-264). Requires `transformers` + `datasets` (gated)."""
+    try:
+        import transformers
+        from datasets import Dataset
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "tokenize_data_for_inference requires `transformers` and "
+            "`datasets` (not in this environment)."
+        ) from e
+    dataset = Dataset.from_dict({name: corpus})
+    tokenizer = transformers.AutoTokenizer.from_pretrained(hf_model)
+
+    def tokenize_function(ds):
+        return tokenizer(ds[name], padding="max_length", truncation=True)
+
+    return dataset.map(tokenize_function, batched=True)
