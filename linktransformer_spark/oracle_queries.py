@@ -1521,6 +1521,36 @@ def stream_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
+@_q(
+    "stream_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(epoch_us(ts)) AS last_seen_us
+    FROM events GROUP BY user_id
+""",
+)
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user running totals in the executor state stores; the drained
+    sink's last emission per user equals the batch GROUP BY — which is
+    exactly what the oracle checks. Cross-batch state carry-over is
+    exercised separately in tests/test_streaming.py (multi-file source,
+    maxFilesPerTrigger=1)."""
+    from .streaming import (
+        final_user_stats, read_stream_table, run_available_now,
+        streaming_user_stats,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    drained = run_available_now(streaming_user_stats(ev), output_mode="update")
+    return final_user_stats(drained).select(
+        "user_id", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "last_seen_us",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational substrate widening: multi-join aggregations in the Q3/Q5
 # shapes (join ordering, partial aggregation, broadcast of dims — all

@@ -1,15 +1,19 @@
 from .ops import (
+    final_user_stats,
     read_stream_table,
     run_available_now,
     streaming_dedup,
     streaming_hourly_agg,
     streaming_sessionize,
+    streaming_user_stats,
 )
 
 __all__ = [
+    "final_user_stats",
     "read_stream_table",
     "run_available_now",
     "streaming_dedup",
     "streaming_hourly_agg",
     "streaming_sessionize",
+    "streaming_user_stats",
 ]

@@ -137,3 +137,75 @@ def streaming_sessionize(
             "n_events", "sum_value",
         )
     )
+
+
+def streaming_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    extension seam for stateful logic Spark's built-ins can't express
+    (the built-in stateful ops cover windows/sessions/dedup; anything
+    else —
+    running per-key aggregates with custom emission rules, decaying
+    counters, CEP-ish patterns — lands here).
+
+    Demonstrator semantics: per-user RUNNING totals. Each micro-batch
+    updates (n_events, sum_value, last_seen_us) in the state store and
+    emits the user's new running totals — so the sink sees one row per
+    user per batch they appear in, monotonically increasing in
+    n_events. ``final_user_stats`` extracts the last emission per user
+    from a drained sink.
+
+    Scale properties: state lives in the executor state stores keyed by
+    user_id (shuffle on the grouping key, same as any streaming agg);
+    the pandas function sees Arrow batches per key group. NoTimeout =
+    state kept forever — a production deployment with unbounded key
+    cardinality would use ProcessingTimeTimeout + state.remove() for
+    idle keys (same function shape, one more branch).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_seen_us", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("last_us", LongType()),
+    ])
+
+    def fn(key, pdfs, state: "GroupState"):
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # sequential float accumulation in input order (pandas .sum
+            # is pairwise — order-dependent across batch splits)
+            for v in pdf["value"]:
+                s += float(v)
+            mx = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = max(last_us, mx)
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s],
+             "last_seen_us": [last_us]}
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_user_stats(drained: DataFrame) -> DataFrame:
+    """Last emission per user from a drained ``streaming_user_stats``
+    sink: n_events is strictly monotone per user, so max_by on it is
+    deterministic."""
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+        F.max("last_seen_us").alias("last_seen_us"),
+    )

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: the reference has no property testing). Each
+property batches many generated values into ONE Spark job per example
+and caps example counts, so the suite stays fast.
+
+Covered invariants:
+- poly_hash SQL-text form == Column form on arbitrary unicode strings
+  (the bit-identical claim behind the F.expr fast build path)
+- HashNgramEncoder.encode_batch (numpy mirror) == relational encode
+  (the bit-identical claim behind the broadcast-kNN key-shipping path)
+- pandas-suffix rules: suffix_plan == pandas.DataFrame.merge renaming
+- serialize_columns null/sep contract vs plain string ops
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+from linktransformer_spark.functions.similarity import poly_hash
+from linktransformer_spark.plans.suffixes import suffix_plan
+
+# printable-ish unicode incl. whitespace + CJK + accents; no surrogates
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFFF),
+    max_size=80,
+)
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=40), st.integers(0, 3))
+def test_poly_hash_text_form_equals_column_form(spark, strings, salt):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    rows = df.select(
+        poly_hash(F.col("s"), salt).alias("a"), poly_hash("s", salt).alias("b")
+    ).collect()
+    assert all(r.a == r.b for r in rows)
+    assert all(0 <= r.a < 2147483647 for r in rows)
+
+
+@SLOW
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_hash_ngram_batch_mirror_is_bit_identical(spark, strings):
+    enc = HashNgramEncoder(dim=16, n=3)
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    rel = {
+        r.s: r.emb
+        for r in enc.encode(df, "s", "emb").collect()
+    }
+    mat = enc.encode_batch(strings)
+    for s, vec in zip(strings, mat):
+        assert rel[s] == list(vec), f"mismatch for {s!r}"
+
+
+NAMES = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=6),
+    min_size=1, max_size=6, unique=True,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(NAMES, NAMES)
+def test_suffix_plan_matches_pandas_merge_rules(lcols, rcols):
+    lmap, rmap = suffix_plan(lcols, rcols, ("_x", "_y"))
+    l_df = pd.DataFrame([[0] * len(lcols)], columns=lcols)
+    r_df = pd.DataFrame([[0] * len(rcols)], columns=rcols)
+    l_df["_k"] = 1
+    r_df["_k"] = 1
+    merged = l_df.merge(r_df, on="_k", suffixes=("_x", "_y"))
+    expect = [c for c in merged.columns if c != "_k"]
+    got = [lmap[c] for c in lcols] + [rmap[c] for c in rcols]
+    assert sorted(got) == sorted(expect)
+
+
+@SLOW
+@given(st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=20))
+def test_serialize_columns_null_contract(spark, values):
+    from linktransformer_spark.functions.serialize import serialize_columns
+
+    df = spark.createDataFrame([(v, "x") for v in values], "a string, b string")
+    rows = df.select(serialize_columns(["a", "b"], " | ").alias("k"), "a").collect()
+    for r in rows:
+        # nulls serialize to '' (reference utils.py:174), sep joins cols
+        assert r.k == f"{r.a or ''} | x"

@@ -41,3 +41,43 @@ def test_sessionize_counts_cover_all_events(spark, sf_dir):
     total_events = out.agg(F.sum("n_events")).first()[0]
     batch_total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total_events == batch_total
+
+
+def test_user_stats_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: split the events table into 4 files and
+    process one file per trigger — per-user state must accumulate
+    ACROSS micro-batches, and the last emission per user must equal the
+    batch GROUP BY."""
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_user_stats, run_available_now, streaming_user_stats,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "ev_multi")
+    ev.repartition(4).write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(streaming_user_stats(sdf), output_mode="update")
+    # more emissions than users proves multiple micro-batches updated state
+    assert drained.count() > drained.select("user_id").distinct().count()
+
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 4), r.last_seen_us)
+        for r in final_user_stats(drained).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, round(r.sum_value, 4), r.last_seen_us)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("last_seen_us"),
+        )
+        .collect()
+    }
+    assert got == want
