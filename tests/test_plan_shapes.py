@@ -1,0 +1,109 @@
+"""Physical-plan shape regression tests.
+
+The scale properties this engine claims (pushdown, column pruning,
+no candidate shuffle, rank-limit pushdown, map-only fusion) are plan
+SHAPES — easy to regress silently with a refactor that still returns
+correct rows. These tests pin them.
+
+Plan text comes from the pre-execution physical plan (AQE re-plans at
+runtime but only ever REMOVES work: coalesces partitions, converts to
+broadcast). Assertions are substring-based and deliberately loose about
+formatting.
+"""
+
+import re
+
+import pytest
+
+from linktransformer_spark.oracle_queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_shuffles(plan: str) -> int:
+    """Count real (non-broadcast) exchanges."""
+    return len(re.findall(r"Exchange (?:hash|range|RoundRobin|Single)", plan))
+
+
+def test_q1_filter_pushed_to_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches the scan
+    assert "PushedFilters" in plan
+    # partial + final aggregation, one shuffle total
+    assert plan.count("HashAggregate") == 2
+    assert n_shuffles(plan) == 1
+
+
+def test_merge_1nn_pruned_scan_no_window_no_candidate_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["merge_1nn"](spark, sf_dir))
+    # column pruning: the scoring scan reads exactly (id, name)
+    assert "struct<c_custkey:bigint,c_name:string>" in plan
+    assert "struct<s_suppkey:bigint,s_name:string>" in plan
+    # candidates come from a broadcast nested loop (right side broadcast)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # top-1 is an aggregation with a map-side partial — NOT a window
+    assert "partial_max(struct" in plan
+    assert "Window" not in plan
+    # the aggregate's shuffle carries |L| rows: the only non-broadcast
+    # exchanges are input fan-outs + that one ENSURE_REQUIREMENTS
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_knn_window_has_rank_limit_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["merge_knn_k3"](spark, sf_dir))
+    # k>1 keeps the window, but the WindowGroupLimit bounds it
+    assert "WindowGroupLimit" in plan
+    assert "row_number()" in plan
+    # pre-partitioned left satisfies the window's distribution: no
+    # exchange may sit between the cross join and the window
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    win_pos = plan.index("WindowGroupLimit")
+    assert win_pos < join_pos  # window is ABOVE the join in the tree
+    between = plan[win_pos:join_pos]
+    assert "Exchange" not in between
+
+
+def test_text_analyze_is_map_only(spark, sf_dir):
+    plan = plan_of(QUERIES["text_analyze_documents"](spark, sf_dir))
+    assert n_shuffles(plan) == 0  # fuses into the scan
+    assert "struct<doc_id:bigint,text:string>" in plan  # pruned read
+
+
+def test_hash_ngram_encode_is_bounded_shuffles(spark):
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+
+    df = spark.createDataFrame([(f"name {i}",) for i in range(100)], "s string")
+    out = HashNgramEncoder(dim=16).encode(df, "s", "emb")
+    plan = plan_of(out)
+    # distinct(keys) + bucket-count aggregate + join-back: the embed
+    # subplan is a fixed small number of shuffles regardless of |df|
+    assert n_shuffles(plan) <= 4
+    # densification is codegen conditional sums, not interpreted lambdas
+    assert "HashAggregate" in plan
+
+
+def test_minhash_band_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    from linktransformer_spark.operators.dedup import near_dup_pairs_minhash
+    from linktransformer_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = near_dup_pairs_minhash(docs, on="text", id_col="doc_id", threshold=0.6)
+    plan = plan_of(pairs)
+    # candidate generation must be an equi-join on (band, signature) —
+    # a nested loop here would be O(n^2) at scale
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["events_hourly_agg"](spark, sf_dir))
+    # the hourly agg needs ts/event_type/value only; payload-ish columns
+    # must not be read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "event_id" not in cols and "user_id" not in cols
