@@ -49,6 +49,11 @@ def with_row_id(
         if id_col not in df.columns:
             raise ValueError(f"id_col {id_col!r} not in {df.columns}")
         return df.withColumn(out_col, F.col(id_col).cast("long"))
+    if df.isStreaming:
+        raise ValueError(
+            "streaming input requires an explicit id_col= (derived row "
+            "ids need a global order, which a stream does not have)"
+        )
     if deterministic:
         # total order on full row content -> stable "first row" semantics.
         # single-partition sort: test/parity path only.

@@ -191,6 +191,24 @@ def dedup_exact(df: DataFrame, on, id_col: str | None = None,
     return min_id_first(work, on_list).select(*df.columns)
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Skew guard: drop LSH buckets with more than ``cap`` members.
+
+    A bucket of size m contributes m^2/2 candidate pairs — one
+    pathological bucket (boilerplate text, empty docs, a hot band
+    signature) can dominate the whole join at scale. Capping bounds
+    per-bucket work at cap^2/2; rows lose only the candidates they
+    would have found through the dropped bucket (their other bands
+    still match), the standard recall trade in web-scale dedup. No-op
+    when cap is None.
+    """
+    if cap is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+    ok = sizes.filter(F.col("_bn") <= cap).drop("_bn")
+    return banded.join(ok, keys)
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     on,
@@ -200,6 +218,7 @@ def near_dup_pairs_minhash(
     bands: int = 8,
     shingle: int = 3,
     word: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via MinHash-LSH banding, verified with EXACT
     Jaccard on the distinct shingle sets. Returns (src, dst, jaccard)
@@ -210,6 +229,8 @@ def near_dup_pairs_minhash(
     (band, band_signature) — a hash shuffle whose size tracks the
     number of colliding rows. Verification is array_intersect /
     array_union on the (deduplicated) shingle arrays.
+    ``max_bucket_size`` bounds per-bucket join fan-out (see
+    ``_cap_buckets``) — the skew guard for 100 TB corpora.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -270,6 +291,7 @@ def near_dup_pairs_minhash(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size)
 
     l = banded.alias("l")
     r = banded.alias("r")
@@ -340,12 +362,14 @@ def near_dup_pairs_simhash(
     id_col: str,
     hamming_threshold: int = 3,
     word: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs with simhash hamming distance <= threshold.
 
     Pigeonhole: split the 64-bit fingerprint into (threshold+1) blocks;
     any pair within distance k agrees on >= 1 block -> equi-join per
     block, then verify with bit_count(xor). Returns (src, dst, hamming).
+    ``max_bucket_size`` bounds per-block join fan-out (``_cap_buckets``).
     """
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
@@ -409,6 +433,7 @@ def near_dup_pairs_simhash(
     banded = base.select(
         "_id", "_sim", F.explode(blocks).alias("bb")
     ).select("_id", "_sim", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
+    banded = _cap_buckets(banded, ["blk", "bval"], max_bucket_size)
 
     l = banded.alias("l")
     r = banded.alias("r")
@@ -440,13 +465,18 @@ def near_dup_pairs_jaccard(
     threshold: float = 0.8,
     shingle: int = 3,
     word: bool = True,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via shingle explode.
 
     Relational plan: explode distinct shingles -> self equi-join on the
     shingle -> per-pair intersection count -> jaccard from set sizes.
-    Cost scales with sum over shingles of (docs containing it)^2 —
-    apply a stopword-ish frequency cap upstream for web-scale corpora.
+    Cost scales with sum over shingles of (docs containing it)^2.
+    ``max_shingle_freq`` drops shingles present in more than that many
+    docs from the JOIN only (the stopword cap for web-scale corpora):
+    set sizes keep every shingle, so reported jaccard values are exact
+    lower bounds — pairs sharing only ultra-common shingles are the
+    ones lost, the standard recall trade. None = fully exact.
     Returns (src, dst, jaccard), src < dst.
     """
     on_list = [on] if isinstance(on, str) else list(on)
@@ -459,8 +489,14 @@ def near_dup_pairs_jaccard(
     # so the shingling subplan executes once
     tok = _distinct_shingle_rows(base, shingle, word).localCheckpoint(eager=False)
     sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    l = tok.alias("l")
-    r = tok.alias("r")
+    joinable = tok
+    if max_shingle_freq is not None:
+        freq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_gf"))
+        joinable = tok.join(
+            freq.filter(F.col("_gf") <= max_shingle_freq).drop("_gf"), "_g"
+        )
+    l = joinable.alias("l")
+    r = joinable.alias("r")
     inter = (
         l.join(r, (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")))
         .groupBy(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))

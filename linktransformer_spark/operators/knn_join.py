@@ -65,6 +65,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     no-op. User-specified repartition counts are exempt from AQE
     coalescing, so the fan-out survives adaptive re-planning.
     """
+    if df.isStreaming:
+        # partitioning of a stream is governed by the source +
+        # shuffle settings; .rdd/plan probes are illegal here
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:

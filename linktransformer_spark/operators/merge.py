@@ -187,6 +187,24 @@ def merge_knn(
     if k < 1:
         raise ValueError("k must be >= 1")
     scorer = resolve_scorer(model)
+    if df2.isStreaming:
+        raise ValueError(
+            "the right side of a semantic merge must be static: the match "
+            "index is built from it (stream-STATIC joins only)"
+        )
+    if df1.isStreaming:
+        # stream-static semantic join: the stateless broadcast-kNN stage
+        # (mapInPandas per Arrow batch against the broadcast index) is
+        # the only mode that runs under Structured Streaming — window
+        # top-k and the top-1 aggregation need global state.
+        if mode not in ("auto", "broadcast_knn"):
+            raise ValueError("streaming merge supports mode='broadcast_knn' only")
+        if not scorer.needs_embeddings:
+            raise ValueError(
+                "streaming merge needs an embedding model (the string "
+                "scorer has no broadcast index form)"
+            )
+        mode = "broadcast_knn"
     if mode == "auto":
         # expression scorers stay fully declarative; UDF-backed encoders
         # use the broadcast numpy path (right side small by contract).

@@ -4,6 +4,7 @@ from .ops import (
     run_available_now,
     streaming_dedup,
     streaming_hourly_agg,
+    streaming_merge,
     streaming_sessionize,
     streaming_user_stats,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "run_available_now",
     "streaming_dedup",
     "streaming_hourly_agg",
+    "streaming_merge",
     "streaming_sessionize",
     "streaming_user_stats",
 ]

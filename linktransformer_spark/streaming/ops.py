@@ -209,3 +209,35 @@ def final_user_stats(drained: DataFrame) -> DataFrame:
         F.max_by("sum_value", "n_events").alias("sum_value"),
         F.max("last_seen_us").alias("last_seen_us"),
     )
+
+
+def streaming_merge(
+    stream_left: DataFrame,
+    static_right: DataFrame,
+    left_on=None,
+    right_on=None,
+    model="hash-ngram",
+    k: int = 1,
+    left_id_col: str | None = None,
+    right_id_col: str | None = None,
+    **kw,
+) -> DataFrame:
+    """Real-time semantic record linkage: a STREAM of left rows matched
+    against a static reference table — ``lt.merge_knn`` under
+    Structured Streaming.
+
+    Plan: the static right side is embedded once and broadcast as a
+    numpy index; each Arrow batch of the stream embeds + scores +
+    top-k's inside a stateless ``mapInPandas`` stage, and the matched
+    right rows re-attach via a stream-static broadcast join. Stateless
+    end to end -> append mode, any trigger, no watermark needed. The
+    stream must carry its own unique id (``left_id_col``) — a stream
+    has no global order to derive one from.
+    """
+    from ..operators.merge import merge_knn
+
+    return merge_knn(
+        stream_left, static_right, left_on=left_on, right_on=right_on,
+        model=model, k=k, mode="broadcast_knn",
+        left_id_col=left_id_col, right_id_col=right_id_col, **kw,
+    )

@@ -153,3 +153,44 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     a2 = {(r["query_id"], r["neighbor_id"])
           for r in ivf_topk(q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=8).collect()}
     assert a == a2
+
+
+def test_minhash_hot_bucket_cap_drops_pathological_buckets(spark):
+    import linktransformer_spark as lt
+
+    # 6 identical docs (one hot bucket) + 2 near-dup docs
+    rows = [(i, "common boilerplate text repeated everywhere") for i in range(6)]
+    rows += [(10, "a quite unique document about owls and rivers"),
+             (11, "a quite unique document about owls and rivers today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(on="text", id_col="doc_id", threshold=0.5,
+              num_hashes=24, bands=8, shingle=2)
+    uncapped = lt.near_dup_pairs_minhash(df, **kw)
+    capped = lt.near_dup_pairs_minhash(df, max_bucket_size=3, **kw)
+    un = {(r.src, r.dst) for r in uncapped.collect()}
+    cp = {(r.src, r.dst) for r in capped.collect()}
+    # the identical-doc clique (15 pairs) exceeds the cap and is dropped
+    assert (0, 1) in un and (0, 1) not in cp
+    # pairs found through small buckets survive
+    assert (10, 11) in un and (10, 11) in cp
+    assert cp <= un
+
+
+def test_jaccard_shingle_freq_cap_is_lower_bound(spark):
+    import linktransformer_spark as lt
+
+    rows = [(i, f"the the the unique{i}") for i in range(5)]
+    rows += [(10, "owls rivers owls rivers x"), (11, "owls rivers owls rivers y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(on="text", id_col="doc_id", threshold=0.3, shingle=1)
+    un = {(r.src, r.dst): r.jaccard for r in lt.near_dup_pairs_jaccard(df, **kw).collect()}
+    cp = {(r.src, r.dst): r.jaccard for r in lt.near_dup_pairs_jaccard(
+        df, max_shingle_freq=4, **kw).collect()}
+    # capped pairs are a subset with jaccard <= uncapped (lower bound)
+    assert set(cp) <= set(un)
+    for k, v in cp.items():
+        assert v <= un[k] + 1e-12
+    # the "the"-only pairs (shared shingle in 5 docs > cap) vanish
+    assert (0, 1) in un and (0, 1) not in cp
+    # small-frequency shingle pairs survive
+    assert (10, 11) in cp

@@ -81,3 +81,57 @@ def test_user_stats_state_carries_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_merge_matches_batch_broadcast_path(spark, sf_dir):
+    """Stream-static semantic join: draining the streamed left side
+    through streaming_merge must reproduce the batch broadcast_knn
+    result exactly (identical numpy scoring path)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        read_stream_table, run_available_now, streaming_merge,
+    )
+
+    supp = read_table(spark, sf_dir, "supplier")
+    s_cust = read_stream_table(spark, sf_dir, "customer")
+    out = run_available_now(
+        streaming_merge(
+            s_cust, supp, left_on="c_name", right_on="s_name",
+            model="hash-ngram", left_id_col="c_custkey",
+            right_id_col="s_suppkey",
+        ),
+        output_mode="append",
+    )
+    got = {(r.c_custkey, r.s_suppkey, round(r.score, 9)) for r in out.collect()}
+
+    cust = read_table(spark, sf_dir, "customer")
+    batch = lt.merge(
+        cust, supp, left_on="c_name", right_on="s_name", model="hash-ngram",
+        mode="broadcast_knn", left_id_col="c_custkey", right_id_col="s_suppkey",
+    )
+    want = {(r.c_custkey, r.s_suppkey, round(r.score, 9)) for r in batch.collect()}
+    assert got == want and len(got) == cust.count()
+
+
+def test_streaming_merge_guards(spark, sf_dir):
+    import pytest as _pytest
+
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import read_stream_table, streaming_merge
+    import linktransformer_spark as lt
+
+    supp = read_table(spark, sf_dir, "supplier")
+    s_cust = read_stream_table(spark, sf_dir, "customer")
+    # streaming right side is not allowed (the index is built from it)
+    with _pytest.raises(ValueError, match="static"):
+        lt.merge(supp, s_cust, left_on="s_name", right_on="c_name",
+                 model="hash-ngram", left_id_col="s_suppkey")
+    # string scorer has no broadcast index form
+    with _pytest.raises(ValueError, match="embedding"):
+        streaming_merge(s_cust, supp, left_on="c_name", right_on="s_name",
+                        model="levenshtein", left_id_col="c_custkey")
+    # stream must carry its own id
+    with _pytest.raises(ValueError, match="id_col"):
+        streaming_merge(s_cust, supp, left_on="c_name", right_on="s_name",
+                        model="hash-ngram")
