@@ -33,8 +33,28 @@ def hyperplane_component(h: int, j: int) -> float:
     return ((h * 64 + j + 1) * KNUTH % MOD31) / MOD31 - 0.5
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
-    """Sign-bit bucket id of ``vec`` against n_planes fixed hyperplanes."""
+def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12) -> Column:
+    """Sign-bit bucket id of ``vec`` against n_planes fixed hyperplanes.
+
+    Pass a SQL-text fragment (e.g. a column name) to build the whole
+    n_planes x dim expression as ONE F.expr parse — the Column form
+    costs ~n_planes*dim py4j roundtrips (~1 s of driver time at
+    64x6). Both forms produce the same sequential-fold dot, so bucket
+    ids are bit-identical (repr() round-trips the exact coefficient
+    doubles; mirrored in oracle.sql_hyperplane_bucket)."""
+    if isinstance(vec, str):
+        terms = []
+        for h in range(n_planes):
+            coeffs = "array(" + ", ".join(
+                f"{hyperplane_component(h, j)!r}D" for j in range(dim)
+            ) + ")"
+            dot = (
+                f"aggregate(zip_with({vec}, {coeffs}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << h} ELSE 0 END)")
+        return F.expr("(" + " + ".join(terms) + ")")
     bucket = F.lit(0)
     for h in range(n_planes):
         coeffs = F.array(*[F.lit(hyperplane_component(h, j)) for j in range(dim)])
@@ -79,8 +99,8 @@ def ann_topk(
     elif mode == "lsh_hyperplane":
         if dim is None:
             raise ValueError("lsh_hyperplane mode needs dim=")
-        qb = q.withColumn("_bkt", hyperplane_bucket(F.col(KJ.LEFT_EMB), dim, n_planes))
-        cb = c.withColumn("_bkt", hyperplane_bucket(F.col(KJ.RIGHT_EMB), dim, n_planes))
+        qb = q.withColumn("_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes))
+        cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
         cand = qb.join(cb, "_bkt").withColumn(
             "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
         )
