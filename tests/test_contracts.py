@@ -60,3 +60,19 @@ def test_convert_to_text_ascii_fold(spark):
     # mirrors s.encode('ascii','ignore').decode('ascii') (reference
     # preprocess.py:13-14)
     assert got == ["caf rsum", "nave  ok", "plain", None]
+
+
+def test_operators_run_under_ansi_mode(spark, sf_dir):
+    """The engine session sets ansi=false (reference's permissive pandas
+    semantics), but operators must also behave when embedded in a
+    caller's default Spark 4 session where ANSI is ON — no overflow,
+    bad-cast, or division errors in any kernel."""
+    from linktransformer_spark.oracle_queries import QUERIES
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for q in ("merge_1nn", "dedup_minhash_pairs", "dedup_simhash_pairs",
+                  "text_analyze_documents", "ann_topk_lsh"):
+            assert QUERIES[q](spark, sf_dir).count() > 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
