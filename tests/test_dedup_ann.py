@@ -194,3 +194,54 @@ def test_jaccard_shingle_freq_cap_is_lower_bound(spark):
     assert (0, 1) in un and (0, 1) not in cp
     # small-frequency shingle pairs survive
     assert (10, 11) in cp
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """BucketedRandomProjectionLSH candidates are re-scored with the
+    exact cosine, so the lsh mode can MISS pairs but never invent or
+    mis-score one: pairs(lsh) ⊆ pairs(exact) with identical scores."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {(r.src, r.dst): round(r.cosine, 9)
+             for r in lt.near_dup_pairs_embedding(
+                 emb, "embedding", "vec_id", threshold=0.4).collect()}
+    lsh = {(r.src, r.dst): round(r.cosine, 9)
+           for r in lt.near_dup_pairs_embedding(
+               emb, "embedding", "vec_id", threshold=0.4, mode="lsh").collect()}
+    assert lsh, "lsh mode found no pairs at all"
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_cluster_rows_lsh_mode_refines_exact(spark, sf_dir):
+    """SLINK clustering over LSH-prefiltered edges: the edge set is a
+    subset of the exact ε-graph, so every LSH cluster must sit inside
+    one exact cluster (a refinement — LSH can split, never merge)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.encoders.precomputed import PrecomputedEncoder
+    from linktransformer_spark.operators.knn_join import CosineScorer
+    from linktransformer_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # threshold is cosine DISTANCE eps: 0.6 -> similarity >= 0.4 (the
+    # same similarity level the pairs test above finds matches at)
+    kw = dict(model=CosineScorer(PrecomputedEncoder("embedding")),
+              on="vec_id", cluster_type="SLINK",
+              cluster_params={"threshold": 0.6}, id_col="vec_id")
+    exact = {r.vec_id: r.cluster for r in lt.cluster_rows(emb, **kw).collect()}
+    lsh = {r.vec_id: r.cluster for r in lt.cluster_rows(emb, mode="lsh", **kw).collect()}
+    assert set(lsh) == set(exact)
+    # refinement: two rows in the same LSH cluster (non-noise) must be
+    # in the same exact cluster
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for vid, c in lsh.items():
+        if c != -1:
+            groups[c].append(vid)
+    assert any(len(g) > 1 for g in groups.values())
+    for members in groups.values():
+        assert len({exact[m] for m in members}) == 1
