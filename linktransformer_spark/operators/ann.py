@@ -186,7 +186,7 @@ def _assign_cells(df: DataFrame, vec_col: str, id_col: str, bc, n_probe: int) ->
 
 def ivf_train_centroids(
     corpus: DataFrame, vec_col: str, id_col: str, n_cells: int, n_iter: int = 2,
-    sample=None,
+    sample=None, sample_exhausted: bool = False,
 ):
     """Spherical k-means centroids as a numpy array (n_cells, d).
 
@@ -202,9 +202,10 @@ def ivf_train_centroids(
     import numpy as np
 
     sample_rows = max(n_cells * 64, 4096)
-    # a provided sample suffices when it covers sample_rows, or when it
-    # came from a limit-4096 collect that exhausted the corpus
-    if sample is not None and (len(sample) >= sample_rows or len(sample) < 4096):
+    # a provided sample suffices when it covers sample_rows, or when the
+    # caller states it already contains the WHOLE corpus
+    # (sample_exhausted) — a small sample of a big corpus is re-collected
+    if sample is not None and (len(sample) >= sample_rows or sample_exhausted):
         rows = sample
     else:
         rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
@@ -259,7 +260,11 @@ def ivf_topk(
         n = len(sample) if len(sample) < 4096 else c.count()
         n_cells = max(4, int(math.sqrt(n)))
 
-    C = ivf_train_centroids(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, n_cells, n_iter, sample=sample)
+    C = ivf_train_centroids(
+        c, KJ.RIGHT_EMB, KJ.RIGHT_ID, n_cells, n_iter, sample=sample,
+        # a short limit-4096 collect means the corpus fits in the sample
+        sample_exhausted=sample is not None and len(sample) < 4096,
+    )
     bc = q.sparkSession.sparkContext.broadcast(C)
 
     # assignments carry the vectors through (no join back by id); the

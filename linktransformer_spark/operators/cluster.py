@@ -56,23 +56,32 @@ def _epsilon_edges(
     sim_threshold: float,
     id_col: str = LT_ID,
     mode: str = "exact_cross",
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """All pairs (i, j), i != j, similarity >= sim_threshold.
     exact mode = self cross-join with i < j then mirrored; lsh mode
-    prefilters candidates (the 100 TB path)."""
+    prefilters candidates (the 100 TB path). ``block_cols`` restricts
+    pairs to equal block values — the cross join becomes an equi-join
+    on the block key (blocking IS partition pruning, SURVEY §4)."""
     from . import knn_join as KJ
 
+    bl = [(f"_lt_bl{i}_l", f"_lt_bl{i}_r") for i in range(len(block_cols or []))]
     l = df.select(
         F.col(id_col).alias(KJ.LEFT_ID),
         F.col(key_col).alias(KJ.LEFT_KEY),
         *([F.col("_lt_emb").alias(KJ.LEFT_EMB)] if scorer.needs_embeddings else []),
+        *[F.col(c).alias(a) for c, (a, _) in zip(block_cols or [], bl)],
     )
     r = df.select(
         F.col(id_col).alias(KJ.RIGHT_ID),
         F.col(key_col).alias(KJ.RIGHT_KEY),
         *([F.col("_lt_emb").alias(KJ.RIGHT_EMB)] if scorer.needs_embeddings else []),
+        *[F.col(c).alias(a) for c, (_, a) in zip(block_cols or [], bl)],
     )
-    cand = KJ.candidate_scores(l, r, scorer, mode=mode, threshold=sim_threshold)
+    cand = KJ.candidate_scores(
+        l, r, scorer, mode=mode, threshold=sim_threshold,
+        block_on=bl if bl else None,
+    )
     pairs = cand.filter(F.col(KJ.LEFT_ID) < F.col(KJ.RIGHT_ID)).select(
         F.col(KJ.LEFT_ID).alias("src"), F.col(KJ.RIGHT_ID).alias("dst")
     )
@@ -93,14 +102,25 @@ def cluster_rows(
 ) -> DataFrame:
     """Append a ``cluster`` label column (see module doc).
 
-    ``block_on`` (agglomerative only): cluster within blocks of equal
-    values of these columns — one applyInPandas task per block, the
-    scale path for hierarchical clustering (which has no exact
-    distributed form)."""
+    ``block_on``: cluster within blocks of equal values of these
+    columns. For SLINK the ε-similarity graph is restricted to
+    same-block pairs (the cross join becomes a block equi-join); for
+    agglomerative it is one applyInPandas task per block — in both
+    cases the scale path. HDBSCAN runs driver-local and does not
+    support blocking (raises)."""
     if cluster_type not in DEFAULT_PARAMS:
         raise ValueError('cluster_type must be "agglomerative", "HDBScan", or "SLINK"')
     if on is None:
         raise ValueError("on= is required for cluster_rows")
+    if block_on:
+        missing = [c for c in block_on if c not in df.columns]
+        if missing:
+            raise ValueError(f"block_on columns {missing} not in DataFrame")
+        if cluster_type == "HDBScan":
+            raise ValueError(
+                "block_on is not supported for HDBScan (driver-local); "
+                "use SLINK or agglomerative"
+            )
     params = dict(DEFAULT_PARAMS[cluster_type])
     params.update(cluster_params or {})
     check_reserved(df)
@@ -129,7 +149,9 @@ def cluster_rows(
     min_samples = int(params["min cluster size"])
     sim_t = 1.0 - eps  # cosine distance eps -> similarity threshold
     work = work.localCheckpoint(eager=False)  # edges + join reuse the scan
-    edges = _epsilon_edges(work, "_lt_key", scorer, sim_t, mode=mode)
+    edges = _epsilon_edges(
+        work, "_lt_key", scorer, sim_t, mode=mode, block_cols=block_on
+    )
 
     if min_samples <= 2:
         comp = connected_components(edges)
@@ -212,17 +234,20 @@ def _numpy_agglomerative(X, threshold: float, linkage: str = "ward",
     np.fill_diagonal(work, INF)
 
     while alive.sum() > 1:
-        sub = np.where(alive)[0]
-        W = work[np.ix_(sub, sub)]
-        flat = np.argmin(W)
-        ii, jj = divmod(flat, len(sub))
-        d_ij = W[ii, jj]
+        # dead rows/cols are INF, so the full-matrix argmin finds the
+        # same (first-in-row-major ⇒ lowest (i, j)) alive pair as an
+        # alive-submatrix argmin would — without copying an O(n²)
+        # submatrix per merge (that copy dominated large single-block
+        # runs)
+        flat = int(np.argmin(work))
+        i, j = divmod(flat, n)
+        d_ij = work[i, j]
         if not (d_ij < threshold):
             break
-        i, j = sub[ii], sub[jj]
         if i > j:
             i, j = j, i
         # Lance-Williams distance of every alive k to the merged (i∪j)
+        sub = np.where(alive)[0]
         k = sub[(sub != i) & (sub != j)]
         d_ki, d_kj = work[k, i], work[k, j]
         if linkage == "single":

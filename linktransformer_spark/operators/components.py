@@ -160,18 +160,14 @@ def clusters_from_edges(
     DataFrame form of the reference's ``clusters_from_edges``
     (/root/reference/src/linktransformer/cluster_fns.py:81-93), which
     returns {cluster_id: [nodes]} from networkx subgraphs. Cluster ids
-    there follow networkx iteration order; here they are DENSE 0-based
-    ids ordered by the component's min node id, and ``nodes`` is sorted
-    ascending — fully deterministic, and a plain dict(collect()) away
-    from the reference's shape for small graphs.
+    there follow networkx iteration order; here the id is the
+    component's MIN node id and ``nodes`` is sorted ascending — fully
+    deterministic, and scale-safe: a dense 0..k-1 renumbering would
+    need a global no-partition window (single-task bottleneck), while
+    the partition itself is the contract (SURVEY §1.3). A plain
+    dict(collect()) recovers the reference's shape for small graphs.
     """
-    from pyspark.sql import Window
-
     comp = connected_components(edges, src=src, dst=dst)
-    grouped = comp.groupBy("component").agg(
+    return comp.groupBy(F.col("component").alias("cluster")).agg(
         F.sort_array(F.collect_set("node")).alias("nodes")
-    )
-    w = Window.orderBy("component")
-    return grouped.select(
-        (F.dense_rank().over(w) - 1).alias("cluster"), "nodes"
     )

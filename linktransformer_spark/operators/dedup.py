@@ -340,10 +340,16 @@ def dedup_minhash(
     bands: int = 8,
     shingle: int = 3,
     word: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: connected components of the verified
-    near-dup pair graph, keep the min-id row per component."""
-    pairs = near_dup_pairs_minhash(df, on, id_col, threshold, num_hashes, bands, shingle, word)
+    near-dup pair graph, keep the min-id row per component.
+    ``max_bucket_size`` = the hot-bucket skew guard (see
+    near_dup_pairs_minhash)."""
+    pairs = near_dup_pairs_minhash(
+        df, on, id_col, threshold, num_hashes, bands, shingle, word,
+        max_bucket_size=max_bucket_size,
+    )
     comp = connected_components(pairs)
     out = df.join(
         comp.withColumnRenamed("node", id_col),

@@ -662,9 +662,12 @@ def get_completion_from_messages(
             {"role": "system", "content": prompt},
             {"role": "user", "content": text},
         ],
+        # classification defaults mirror the reference exactly
+        # (utils.py:307-313): max_tokens=1 forces a bare Yes/No token,
+        # which is what the {"Yes":1,"No":0} label map expects
         temperature=p.get("temperature", 0),
-        max_tokens=p.get("max_tokens", 50),
-        top_p=p.get("top_p", 1),
+        max_tokens=p.get("max_tokens", 1),
+        top_p=p.get("top_p", 0),
         frequency_penalty=p.get("frequency_penalty", 0),
         presence_penalty=p.get("presence_penalty", 0),
     )
@@ -722,9 +725,11 @@ class _SingleClient:
                 {"role": "system", "content": system_prompt},
                 {"role": "user", "content": user_content},
             ],
+            # reference classification defaults (utils.py:307-313):
+            # max_tokens=1/top_p=0 force a bare label token
             temperature=p.get("temperature", 0),
-            max_tokens=p.get("max_tokens", 50),
-            top_p=p.get("top_p", 1),
+            max_tokens=p.get("max_tokens", 1),
+            top_p=p.get("top_p", 0),
             frequency_penalty=p.get("frequency_penalty", 0),
             presence_penalty=p.get("presence_penalty", 0),
         )

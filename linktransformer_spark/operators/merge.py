@@ -224,6 +224,15 @@ def merge_knn(
 
     block = None
     if blocking_vars:
+        if mode == "broadcast_knn":
+            # the numpy index scores against the WHOLE broadcast right
+            # side — silently ignoring the blocks would return
+            # cross-block matches
+            raise ValueError(
+                "blocking_vars requires a declarative mode "
+                "(exact_cross/lsh); broadcast_knn scores against the "
+                "full right side"
+            )
         block = [(lmap.get(c, c), rmap.get(c, c)) for c in blocking_vars]
 
     if mode == "broadcast_knn":

@@ -12,13 +12,14 @@ from pyspark.sql import functions as F
 import linktransformer_spark as lt
 
 
-def test_clusters_from_edges_dense_sorted(spark):
+def test_clusters_from_edges_min_label_sorted(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
     )
     rows = lt.clusters_from_edges(edges).orderBy("cluster").collect()
-    # self-loop (20,20) is filtered by connected_components; two clusters
-    assert [(r.cluster, r.nodes) for r in rows] == [(0, [1, 2, 3]), (1, [10, 11])]
+    # self-loop (20,20) is filtered by connected_components; cluster id
+    # = min node id of the component (scale-safe deterministic label)
+    assert [(r.cluster, r.nodes) for r in rows] == [(1, [1, 2, 3]), (10, [10, 11])]
 
 
 def test_cluster_vector_dispatcher_matches_cluster_rows(spark):

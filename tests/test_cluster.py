@@ -170,3 +170,36 @@ def test_agglomerative_block_on_partitions_work(spark):
     labels = {r["id"]: r["cluster"] for r in out.collect()}
     assert labels[0] == labels[1] == 0
     assert labels[2] == 2 and labels[3] == 3  # different blocks never merge
+
+
+def test_slink_block_on_restricts_edges(spark):
+    """SLINK with block_on: identical texts in DIFFERENT blocks must not
+    merge (the ε-graph is restricted to same-block pairs)."""
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "A"), (2, "alpha beta gamma", "A"),
+         (3, "alpha beta gamma", "B"), (4, "zzz qqq www", "A")],
+        "id long, name string, blk string",
+    )
+    out = lt.cluster_rows(
+        df, model="hash-ngram", on="name", cluster_type="SLINK",
+        cluster_params={"threshold": 0.2}, id_col="id", block_on=["blk"],
+    )
+    got = {r.id: r.cluster for r in out.collect()}
+    assert got[1] == got[2] != -1    # same block, same text -> merged
+    # same text but other block: no same-block neighbor -> DBSCAN noise
+    assert got[3] == -1
+    assert got[4] == -1              # dissimilar -> noise
+
+
+def test_block_on_validation(spark):
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame([(1, "x", "A")], "id long, name string, blk string")
+    with __import__("pytest").raises(ValueError, match="not in DataFrame"):
+        lt.cluster_rows(df, model="hash-ngram", on="name", id_col="id",
+                        block_on=["nope"])
+    with __import__("pytest").raises(ValueError, match="HDBScan"):
+        lt.cluster_rows(df, model="hash-ngram", on="name", id_col="id",
+                        cluster_type="HDBScan", block_on=["blk"])

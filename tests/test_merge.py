@@ -123,3 +123,19 @@ def test_aggregate_rows_maps_every_row(spark, sf_dir):
     out = lt.aggregate_rows(part, ref, left_on="p_type", right_on="ref",
                             model="levenshtein", left_id_col="p_partkey")
     assert out.count() == part.count()
+
+
+def test_blocking_vars_rejected_in_broadcast_mode(spark, cust, supp):
+    """broadcast_knn scores against the whole broadcast right side —
+    silently ignoring blocks would return cross-block matches."""
+    import pytest as _pytest
+
+    import linktransformer_spark as lt
+
+    with _pytest.raises(ValueError, match="blocking_vars"):
+        lt.merge_knn(
+            cust, supp, left_on="c_name", right_on="s_name",
+            model="hash-ngram", mode="broadcast_knn",
+            blocking_vars=["c_nationkey"],
+            left_id_col="c_custkey", right_id_col="s_suppkey",
+        )
