@@ -310,17 +310,26 @@ def near_dup_pairs_minhash(
     # band-join subplan executes once
     cand = cand.localCheckpoint(eager=False)
     # exact-Jaccard verification arrays are built ONLY for ids that
-    # actually collided in some band (candidate set << corpus)
+    # actually collided in some band (candidate set << corpus). The
+    # ARRAY-expression shingler is the right tool here: per-doc arrays
+    # with no explode/window/groupBy — zero shuffles beyond the
+    # candidate semi-join. Its interpreted per-gram cost is linear in
+    # candidate text volume (fine: candidates are a small fraction of
+    # the corpus by LSH design); the relational shingler is for the
+    # full-corpus signature pass above.
     cand_ids = (
         cand.select(F.col("src").alias("_id"))
         .unionByName(cand.select(F.col("dst").alias("_id")))
         .distinct()
     )
-    sh = (
-        _shingle_rows(base.join(cand_ids, "_id"), shingle, word)
-        .groupBy("_id")
-        .agg(F.collect_set("_g").alias("_sh"))
-    )
+    sh_expr = _shingles(F.col("_key"), shingle, word)
+    if not word:
+        # char mode: _shingle_rows explode_outer gives short docs one ""
+        # row (that's what the signature hashed) — mirror it here
+        sh_expr = F.when(F.size(sh_expr) > 0, sh_expr).otherwise(
+            F.array(F.lit(""))
+        )
+    sh = base.join(cand_ids, "_id").select("_id", sh_expr.alias("_sh"))
     cand = cand.join(sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src")
     cand = cand.join(sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst")
     inter = F.size(F.array_intersect("sh_l", "sh_r"))
