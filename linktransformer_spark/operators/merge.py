@@ -182,10 +182,28 @@ def merge_knn(
     right_id_col: str | None = None,
     deterministic_ids: bool = True,
     blocking_vars: list[str] | None = None,
+    merge_type: str | None = None,
 ) -> DataFrame:
-    """Semantic top-k join (reference merge_knn, infer.py:564-711)."""
+    """Semantic top-k join (reference merge_knn, infer.py:564-711).
+
+    ``merge_type`` is accepted for reference API parity
+    (infer.py:67-89): deprecated, value-validated ("1:m"/"m:1"/"1:1"),
+    otherwise ignored — the reference only used it to PRINT key-
+    uniqueness warnings, which would cost an eager action here.
+    """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if merge_type is not None:
+        import warnings
+
+        warnings.warn(
+            "merge_type is deprecated. It will be removed in the future as "
+            "it only validates whether the join columns are unique",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if merge_type not in ("1:m", "m:1", "1:1"):
+            raise ValueError(f"Invalid merge type: {merge_type}")
     scorer = resolve_scorer(model)
     if df2.isStreaming:
         raise ValueError(

@@ -76,3 +76,23 @@ def test_operators_run_under_ansi_mode(spark, sf_dir):
             assert QUERIES[q](spark, sf_dir).count() > 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def test_merge_type_deprecation_parity(spark, small):
+    """Reference API parity (infer.py:67-89): merge_type is accepted
+    with a DeprecationWarning, invalid values raise."""
+    import warnings
+
+    import pytest as _pytest
+
+    import linktransformer_spark as lt
+
+    l, r = small
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lt.merge(l, r, left_on="name", right_on="name", model="levenshtein",
+                 left_id_col="lid", right_id_col="rid", merge_type="1:1")
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    with _pytest.raises(ValueError, match="Invalid merge type"):
+        lt.merge(l, r, left_on="name", right_on="name", model="levenshtein",
+                 left_id_col="lid", right_id_col="rid", merge_type="nope")
