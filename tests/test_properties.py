@@ -90,3 +90,33 @@ def test_serialize_columns_null_contract(spark, values):
     for r in rows:
         # nulls serialize to '' (reference utils.py:174), sep joins cols
         assert r.k == f"{r.a or ''} | x"
+
+
+ROWS = st.lists(
+    st.tuples(st.one_of(st.none(), TEXT)), min_size=1, max_size=12
+)
+
+
+@SLOW
+@given(ROWS, ROWS)
+def test_merge_invariants_on_random_tables(spark, lrows, rrows):
+    """Reference invariants on arbitrary inputs (nulls, unicode,
+    duplicate keys): merge ≡ merge_knn(k=1); exactly one match per left
+    row when the right side is non-empty; lev scores lie in [0, 1]."""
+    import linktransformer_spark as lt
+
+    l = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(lrows)], "lid long, name string"
+    )
+    r = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rrows)], "rid long, name string"
+    )
+    kw = dict(left_on="name", right_on="name", model="levenshtein",
+              left_id_col="lid", right_id_col="rid")
+    m = lt.merge(l, r, **kw).collect()
+    k1 = lt.merge_knn(l, r, k=1, **kw).collect()
+    assert len(m) == len(lrows)
+    assert sorted((x.lid, x.rid, round(x.score, 9)) for x in m) == sorted(
+        (x.lid, x.rid, round(x.score, 9)) for x in k1
+    )
+    assert all(0.0 <= x.score <= 1.0 for x in m)
