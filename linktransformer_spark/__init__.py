@@ -63,6 +63,7 @@ from .operators.llm import (
 )
 from .encoders.api import infer_embeddings_with_gemini
 from .functions.similarity import cosine_similarity_corresponding_pairs
+from .sources.tables import read_bucketed, read_csv, read_excel, save_bucketed
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
@@ -165,6 +166,10 @@ __all__ = [
     "predict_rows_with_openai",
     "openai_transform",
     "infer_embeddings_with_gemini",
+    "read_csv",
+    "read_excel",
+    "save_bucketed",
+    "read_bucketed",
 ]
 
 __version__ = "0.1.0"

@@ -49,3 +49,35 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
             "read_excel needs openpyxl/xlrd; convert to csv/parquet instead"
         ) from e
     return spark.createDataFrame(pdf)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table: pre-hash-partitioned and sorted on
+    ``bucket_by``, so every later equi-join or aggregation on that key
+    skips its shuffle (Catalyst sees the bucketing as a satisfied
+    hash distribution).
+
+    The scale use-case: a curated reference table (the right side of
+    merge/aggregate_rows) or a doc corpus that many pipelines join on
+    the same key — pay the shuffle once at write time, never again.
+    Bucketed tables must go through the catalog (saveAsTable), not raw
+    parquet paths.
+    """
+    w = df.write.format("parquet").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(num_buckets, bucket_by).sortBy(bucket_by).saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by ``save_bucketed`` (bucketing metadata
+    comes from the catalog; a plain spark.read.parquet on the files
+    would lose it)."""
+    return spark.table(table)

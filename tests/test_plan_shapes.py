@@ -107,3 +107,27 @@ def test_events_scan_prunes_columns(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "event_id" not in cols and "user_id" not in cols
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """A join on the bucket key of two co-bucketed tables plans with
+    ZERO shuffles — the write-time bucketing satisfies the join's
+    distribution requirement."""
+    from linktransformer_spark.sources.tables import (
+        read_bucketed, read_table, save_bucketed,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    ordr = read_table(spark, sf_dir, "orders")
+    save_bucketed(cust, "t_cust_bkt", "c_custkey", 8,
+                  path=str(tmp_path / "c"))
+    save_bucketed(ordr.withColumnRenamed("o_custkey", "c_custkey"),
+                  "t_ord_bkt", "c_custkey", 8, path=str(tmp_path / "o"))
+    joined = read_bucketed(spark, "t_cust_bkt").join(
+        read_bucketed(spark, "t_ord_bkt"), "c_custkey"
+    )
+    plan = plan_of(joined)
+    assert n_shuffles(plan) == 0, plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE t_cust_bkt")
+    spark.sql("DROP TABLE t_ord_bkt")
