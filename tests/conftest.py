@@ -12,7 +12,13 @@ SF_DIR = os.environ.get("LT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("lt-tests", master="local[8]", shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "lt-tests", master="local[8]", shuffle_partitions=8,
+        # keep catalog artifacts (saveAsTable warehouse) out of the repo
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lt_wh_")},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
