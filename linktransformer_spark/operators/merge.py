@@ -267,11 +267,21 @@ def merge_knn(
             F.broadcast(right.drop(RIGHT_EMB, RIGHT_KEY)), RIGHT_ID, "inner"
         )
         out = cand
+        if drop_sim_threshold is not None:
+            # broadcast path emits exactly k rows per left regardless of
+            # score; reference post-filter applies (infer.py:704-706)
+            out = out.filter(F.col("score") >= F.lit(drop_sim_threshold))
     else:
-        out = _score_narrow_then_join_back(left, right, scorer, k, block=block, mode=mode)
-    if drop_sim_threshold is not None:
-        # reference post-filters AFTER top-k (infer.py:704-706)
-        out = out.filter(F.col("score") >= F.lit(drop_sim_threshold))
+        # rank-filter pushdown: `score >= t` commutes with row_number
+        # ordered by (score DESC, rid) — every row ranked above a
+        # passing row also passes — so filtering BEFORE the top-k gives
+        # the same rows as the reference's post-filter (infer.py:704-706)
+        # while shrinking the sort/aggregate input by the threshold's
+        # selectivity (the win at scale).
+        out = _score_narrow_then_join_back(
+            left, right, scorer, k, block=block, mode=mode,
+            threshold=drop_sim_threshold,
+        )
     return _finalize(out, lmap, rmap)
 
 

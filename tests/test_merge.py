@@ -139,3 +139,33 @@ def test_blocking_vars_rejected_in_broadcast_mode(spark, cust, supp):
             blocking_vars=["c_nationkey"],
             left_id_col="c_custkey", right_id_col="s_suppkey",
         )
+
+
+def test_threshold_pushdown_equals_post_filter(spark):
+    """drop_sim_threshold is pushed below the top-k (rank-filter
+    pushdown): must equal rank-then-filter on data where some top-k
+    rows fall below the threshold."""
+    import linktransformer_spark as lt
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "zzz qq yy"), (3, "alpha")],
+        "lid long, name string",
+    )
+    r = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "alpha bexa"), (12, "totally other"),
+         (13, "unrelated words")],
+        "rid long, name string",
+    )
+    kw = dict(left_on="name", right_on="name", model="levenshtein",
+              left_id_col="lid", right_id_col="rid")
+    got = {(x.lid, x.rid, round(x.score, 9))
+           for x in lt.merge_knn(l, r, k=3, drop_sim_threshold=0.5, **kw).collect()}
+    # reference order of operations: rank over ALL candidates, then filter
+    allk = lt.merge_knn(l, r, k=3, **kw)
+    want = {(x.lid, x.rid, round(x.score, 9))
+            for x in allk.filter(F.col("score") >= 0.5).collect()}
+    assert got == want
+    # sanity: the threshold actually cut something out of some top-3
+    assert len(want) < allk.count()
