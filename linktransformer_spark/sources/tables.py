@@ -2,12 +2,15 @@
 (SURVEY §2.1: CSV/Excel scans -> spark.read; parquet is the engine
 default).
 
-``events.parquet`` carries TIMESTAMP(NANOS), which Spark 4 refuses to
-read by default (PARQUET_TYPE_ILLEGAL). We flip the runtime conf
-``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a proper
-microsecond timestamp with integer DIV (never float division — nanos
-exceed 2^53 and would lose precision in a double). Floor division
-matches DuckDB's nanos->micros truncation, so oracle comparisons agree.
+``events.parquet`` has shipped with two different ``ts`` encodings
+across driver rounds: TIMESTAMP(NANOS) (which Spark 4 refuses to read
+unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, surfacing the
+column as a BIGINT of nanos) and plain TIMESTAMP(MICROS) (reads
+directly as a timestamp). We set the legacy conf, read, then inspect
+the *actual* resolved dtype: only a long column gets the nanos->micros
+rebuild (integer DIV — nanos exceed 2^53, float division would lose
+precision; floor division matches DuckDB's truncation so oracle
+comparisons agree). A timestamp column passes through untouched.
 """
 
 from __future__ import annotations
@@ -24,9 +27,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-        )
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+            )
+        elif ts_type.startswith("timestamp_ntz"):
+            # normalize to session-tz timestamp so window/epoch funcs and
+            # the DuckDB oracle (naive timestamps, UTC session) agree
+            df = df.withColumn("ts", F.to_timestamp("ts"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -38,10 +38,13 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str,
     from a batch peek (file streams require an explicit schema)."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # TIMESTAMP(NANOS) parquet: read nanos as long, rebuild micros
-        # with integer DIV (same rule as sources.tables.read_table)
+        # ts encoding varies by driver round: TIMESTAMP(NANOS) needs the
+        # legacy conf (reads as BIGINT nanos, rebuilt below), plain
+        # TIMESTAMP(MICROS) reads directly (same rule as
+        # sources.tables.read_table)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    batch = spark.read.parquet(path)
+    schema = batch.schema
     # the file source wants a DIRECTORY; stream the sf dir with a glob
     # filter selecting this table's file(s)
     reader = spark.readStream.schema(schema).option(
@@ -51,9 +54,13 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str,
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     out = reader.parquet(sf_dir)
     if name == "events":
-        out = out.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
-        )
+        ts_type = dict(batch.dtypes).get("ts", "")
+        if ts_type in ("bigint", "long"):
+            out = out.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+            )
+        elif ts_type.startswith("timestamp_ntz"):
+            out = out.withColumn("ts", F.to_timestamp("ts"))
     return out
 
 
