@@ -223,6 +223,100 @@ def ivf_train_centroids(
     return C
 
 
+def ivf_seed_centroids(corpus_norm: DataFrame, id_col: str, vec_col: str,
+                       n_cells: int) -> DataFrame:
+    """Deterministic seed centroids: the ``n_cells`` smallest-id corpus
+    vectors (already L2-normalized), with a dense 0-based ``cell`` index
+    in id order. Tiny by construction — the single-partition window over
+    ``n_cells`` rows is free."""
+    seeds = corpus_norm.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    return seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy(id_col)) - 1
+    ).select("cell", F.col(vec_col).alias("_cent_emb"))
+
+
+def _assign_cells_declarative(
+    df: DataFrame, id_col: str, vec_col: str, cent: DataFrame, n_probe: int
+) -> DataFrame:
+    """(id, cell, vec) via broadcast centroid join + sequential-fold dot
+    — bit-identical to the SQL-oracle formulation (same fold order, same
+    tie-break ``dot DESC, cell ASC``), unlike the numpy matmul path
+    whose SIMD summation order can flip near-tied argmaxes.
+
+    n_probe=1 (the corpus side) is a hash AGGREGATION, not a window:
+    ``max(struct(dot, -cell, vec))`` partial-aggregates map-side, so the
+    shuffle carries |rows| not |rows|·n_cells (the ``top1`` trick from
+    knn_join). The struct comparison never reaches the vector field —
+    cell is distinct within a group."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "_cdot", S.dot(F.col(vec_col), F.col("_cent_emb"))
+    )
+    if n_probe == 1:
+        m = F.max(
+            F.struct(
+                F.col("_cdot").alias("s"),
+                (-F.col("cell")).alias("nc"),
+                F.col(vec_col).alias("e"),
+            )
+        ).alias("_m")
+        return scored.groupBy(id_col).agg(m).select(
+            id_col,
+            (-F.col("_m.nc")).cast("int").alias("cell"),
+            F.col("_m.e").alias(vec_col),
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cdot").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n_probe)
+        .select(id_col, "cell", vec_col)
+    )
+
+
+def ivf_topk_seeded(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with SEED centroids (no Lloyd iterations) and fully
+    declarative cell assignment — the oracle-checkable IVF: every float
+    op is a sequential fold an ANSI-SQL engine reproduces bit-for-bit.
+
+    Same join topology as :func:`ivf_topk` (cell equi-join, no corpus
+    broadcast, no cross join between query and corpus), so the plan
+    scales identically; what it trades away is centroid quality (seed
+    vectors instead of k-means), i.e. recall per probe, not correctness
+    or shape. Use :func:`ivf_topk` when recall matters more than
+    cross-engine checkability."""
+    q = KJ.ensure_parallelism(queries).select(
+        F.col(query_id).cast("long").alias(KJ.LEFT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
+    )
+    c = KJ.ensure_parallelism(corpus).select(
+        F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
+    )
+    cent = ivf_seed_centroids(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, n_cells)
+    cq = _assign_cells_declarative(q, KJ.LEFT_ID, KJ.LEFT_EMB, cent, n_probe)
+    cc = _assign_cells_declarative(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, cent, 1)
+    cand = cq.join(cc, "cell").withColumn(
+        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+    )
+    ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
+    return ranked.select(
+        F.col(KJ.LEFT_ID).alias("query_id"),
+        F.col(KJ.RIGHT_ID).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").alias("score"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1312,6 +1312,72 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Seeded IVF with a FULL SQL oracle: centroids are the n_cells
+# smallest-id corpus vectors (no Lloyd rounds), assignment is the same
+# sequential-fold dot + (dot DESC, cell ASC) tie-break on both engines,
+# so the entire approximate index — build, assign, probe, re-rank — is
+# hash-checkable. Complements ann_topk_ivf (k-means quality path,
+# rows-only + pytest recall gate).
+def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT q.vec_id, ct.cell, q.v,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM qn q CROSS JOIN cent ct
+      ) WHERE rn <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qassign q JOIN cassign c ON q.cell = c.cell
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_topk_ivf_seeded", _ann_ivf_seeded_sql())
+def ann_topk_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_topk_seeded
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ivf_topk_seeded(
+        q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=4
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (operators/multimodal.py): binary payloads carry an
 # 8-byte poly-hash header; the Spark side decodes REAL bytes in

@@ -155,6 +155,31 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     assert a == a2
 
 
+def test_ivf_seeded_recall_and_shape(spark, sf_dir):
+    from linktransformer_spark.operators.ann import ann_topk, ivf_topk_seeded
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = ann_topk(q, emb, vector_col="embedding", k=5, mode="exact_cross")
+    approx = ivf_topk_seeded(q, emb, vector_col="embedding", k=5,
+                             n_cells=16, n_probe=4)
+
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # seed centroids trade recall for checkability; still demand a floor
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"seeded IVF recall@5 {recall:.3f} < 0.5"
+    # every query keeps at most k ranked neighbors, ranks 1..n contiguous
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
 def test_minhash_hot_bucket_cap_drops_pathological_buckets(spark):
     import linktransformer_spark as lt
 
