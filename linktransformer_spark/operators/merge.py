@@ -153,7 +153,10 @@ def _score_narrow_then_join_back(
         left_narrow = left_narrow.repartition(nparts, F.col(LEFT_ID))
     cand = KJ.candidate_scores(
         left_narrow, right.select(*rcols), scorer,
-        block_on=block, mode=mode, threshold=threshold,
+        block_on=block, mode=mode,
+        # LSH uses the threshold to bound candidate generation; for
+        # exact_cross it must NOT go below the top-k — see filter below
+        threshold=threshold if mode == "lsh" else None,
     )
     if k == 1 and mode == "exact_cross":
         # 1-NN (the reference's flagship merge shape): hash-agg top-1,
@@ -161,6 +164,17 @@ def _score_narrow_then_join_back(
         cand = KJ.top1(cand)
     elif k is not None:
         cand = KJ.topk(cand, k)
+    if threshold is not None and mode != "lsh":
+        # Threshold ABOVE the top-k, where `score` is a materialized
+        # attribute (window sort key / agg output). Same rows as the
+        # reference's rank-then-filter: every candidate ranked above a
+        # passing row also passes. Placing it BELOW instead looks like
+        # the scale win (smaller sort input) but Catalyst pushes the
+        # predicate through the scoring projection and re-evaluates the
+        # similarity kernel per row for the filter — measured 1.5x
+        # slower on the sf0.1 levenshtein k=3 join, and the kernel, not
+        # the sort, dominates at every scale.
+        cand = cand.filter(F.col("score") >= F.lit(threshold))
     narrow = cand.select(LEFT_ID, RIGHT_ID, "score")
     lfull = left.drop(LEFT_KEY, LEFT_EMB)
     rfull = right.drop(RIGHT_KEY, RIGHT_EMB)
