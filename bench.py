@@ -92,6 +92,7 @@ def bench_queries(spark):
         "topk_revenue": from_oracle("topk_revenue_customers"),
         "events_sessionize": from_oracle("events_sessionize"),
         "events_hourly_agg": from_oracle("events_hourly_agg"),
+        "events_asof_join": from_oracle("events_asof_purchase_view"),
         "merge_1nn_lev": from_oracle("merge_1nn"),
         "merge_blocking": from_oracle("merge_blocking_nation"),
         "merge_knn_k3": from_oracle("merge_knn_k3"),

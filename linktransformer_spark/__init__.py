@@ -15,6 +15,7 @@ from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import ann_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids
+from .operators.asof import merge_asof
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
     dedup_embedding,
@@ -118,6 +119,7 @@ __all__ = [
     "OpenAIChatSpec",
     "GeminiSpec",
     "ann_topk",
+    "merge_asof",
     "ivf_topk",
     "ivf_topk_seeded",
     "ivf_train_centroids",

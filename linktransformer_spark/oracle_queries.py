@@ -775,6 +775,60 @@ _SESSIONIZE_SQL = """
 """
 
 
+# As-of join: each purchase event picks up the latest view by the same
+# user at-or-before it. The Spark side is the union+window single-
+# shuffle plan (operators/asof.py); the oracle is an INDEPENDENT
+# formulation (theta left join + qualify top-1) so the two cannot share
+# a carry-forward bug. Timestamps compared as epoch micros; tie-break
+# (r.ts DESC, r.event_id DESC) == the operator's "last in (ts ASC,
+# rid ASC) order".
+_ASOF_SQL = """
+    WITH l AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+    )
+    SELECT event_id, user_id, ts_us, value, view_event_id, view_ts_us, view_value
+    FROM (
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             round(l.value, 6) AS value,
+             r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us,
+             round(r.value, 6) AS view_value,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST
+             ) AS rn
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    ) WHERE rn = 1
+"""
+
+
+@_q("events_asof_purchase_view", _ASOF_SQL)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import merge_asof
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = merge_asof(
+        l, r, on="ts", by="user_id", right_id_col="event_id",
+        direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.col("event_id_y").alias("view_event_id"),
+        F.unix_micros("ts_y").alias("view_ts_us"),
+        F.round("value_y", 6).alias("view_value"),
+    )
+
+
 @_q("events_sessionize", _SESSIONIZE_SQL)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -1,0 +1,110 @@
+"""merge_asof semantics: direction, exact-match gating, tolerance,
+numeric on-columns, null handling (pandas merge_asof is the semantic
+model; pinned on tiny hand-computable frames)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from linktransformer_spark.operators.asof import merge_asof
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01 10:00:03"), 100.0),
+            (2, "A", ts("2024-01-01 10:00:10"), 101.0),
+            (3, "B", ts("2024-01-01 10:00:05"), 200.0),
+            (4, "C", ts("2024-01-01 10:00:05"), 300.0),  # no quotes for C
+        ],
+        "trade_id long, sym string, ts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (10, "A", ts("2024-01-01 10:00:01"), 99.5),
+            (11, "A", ts("2024-01-01 10:00:03"), 99.9),   # exact tie w/ trade 1
+            (12, "A", ts("2024-01-01 10:00:08"), 100.5),
+            (13, "B", ts("2024-01-01 10:00:30"), 199.0),  # only AFTER trade 3
+        ],
+        "quote_id long, sym string, ts timestamp, bid double",
+    )
+
+
+def collect_map(df, key="trade_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_backward_basic(trades, quotes):
+    out = collect_map(
+        merge_asof(trades, quotes, on="ts", by="sym", right_id_col="quote_id")
+    )
+    assert out[1]["quote_id"] == 11 and out[1]["bid"] == 99.9  # exact match allowed
+    assert out[2]["quote_id"] == 12
+    assert out[3]["quote_id"] is None  # only future quotes for B
+    assert out[4]["quote_id"] is None  # no quotes at all for C
+
+
+def test_backward_no_exact_matches(trades, quotes):
+    out = collect_map(
+        merge_asof(trades, quotes, on="ts", by="sym", right_id_col="quote_id",
+                   allow_exact_matches=False)
+    )
+    # trade 1 @10:00:03 must skip quote 11 @10:00:03 and take quote 10
+    assert out[1]["quote_id"] == 10
+
+
+def test_forward(trades, quotes):
+    out = collect_map(
+        merge_asof(trades, quotes, on="ts", by="sym", right_id_col="quote_id",
+                   direction="forward")
+    )
+    assert out[1]["quote_id"] == 11  # exact counts forward too
+    assert out[2]["quote_id"] is None  # nothing after 10:00:10 for A
+    assert out[3]["quote_id"] == 13
+
+
+def test_tolerance(trades, quotes):
+    out = collect_map(
+        merge_asof(trades, quotes, on="ts", by="sym", right_id_col="quote_id",
+                   tolerance=2.0)
+    )
+    assert out[1]["quote_id"] == 11  # gap 0s
+    assert out[2]["quote_id"] == 12  # gap 2s, inclusive
+    out5 = collect_map(
+        merge_asof(trades, quotes, on="ts", by="sym", right_id_col="quote_id",
+                   tolerance=1.0)
+    )
+    assert out5[2]["quote_id"] is None  # gap 2s > 1s
+
+
+def test_numeric_on(spark):
+    l = spark.createDataFrame([(1, 5.0), (2, 12.0)], "lid long, x double")
+    r = spark.createDataFrame([(7, 4.0, "a"), (8, 11.0, "b")],
+                              "rid long, x double, tag string")
+    out = {row["lid"]: row.asDict()
+           for row in merge_asof(l, r, on="x", right_id_col="rid").collect()}
+    assert out[1]["tag"] == "a" and out[2]["tag"] == "b"
+
+
+def test_tie_between_right_rows(spark):
+    l = spark.createDataFrame([(1, 10.0)], "lid long, x double")
+    r = spark.createDataFrame([(7, 10.0), (9, 10.0), (8, 10.0)],
+                              "rid long, x double")
+    [row] = merge_asof(l, r, on="x", right_id_col="rid").collect()
+    assert row["rid"] == 9  # deterministic: largest right id wins the tie
+
+
+def test_bad_direction(spark):
+    l = spark.createDataFrame([(1, 1.0)], "lid long, x double")
+    with pytest.raises(ValueError, match="direction"):
+        merge_asof(l, l, on="x", direction="nearest")
