@@ -16,6 +16,7 @@ from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import ann_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids
 from .operators.asof import merge_asof
+from .operators.profile import profile_table
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
     dedup_embedding,
@@ -28,7 +29,7 @@ from .operators.dedup import (
     near_dup_pairs_simhash,
     simhash64,
 )
-from .operators.textpipe import analyze_documents
+from .operators.textpipe import analyze_documents, annotate_quality_filter, filter_documents
 from .operators.ir_eval import binary_eval, ir_metrics, rank_results
 from .train import (
     apply_in_chunks,
@@ -120,6 +121,7 @@ __all__ = [
     "GeminiSpec",
     "ann_topk",
     "merge_asof",
+    "profile_table",
     "ivf_topk",
     "ivf_topk_seeded",
     "ivf_train_centroids",
@@ -137,6 +139,8 @@ __all__ = [
     "minhash_signature",
     "simhash64",
     "analyze_documents",
+    "annotate_quality_filter",
+    "filter_documents",
     "ir_metrics",
     "binary_eval",
     "rank_results",

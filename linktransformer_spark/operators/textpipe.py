@@ -132,6 +132,50 @@ def fingerprint_expr(text: Column | str) -> Column:
     return S.poly_hash(norm)
 
 
+def annotate_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    max_chars: int = 20000,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """C4/Gopher-style document gate: appends ``keep`` (boolean) and
+    ``drop_reason`` (first failing rule in a FIXED order: too_short,
+    too_long, too_few_tokens, low_quality, lang; null when kept).
+
+    Map-only — all rules are Catalyst expressions over the text column,
+    fused into the scan like analyze_documents; at 100 TB this runs at
+    scan speed. Rule thresholds mirror the quality_score signals but
+    gate independently so a pipeline can distinguish WHY a doc fell
+    out (the drop_reason histogram is the curation dashboard)."""
+    t = F.col(text_col)
+    reason = (
+        F.when(F.length(t) < min_chars, F.lit("too_short"))
+        .when(F.length(t) > max_chars, F.lit("too_long"))
+        .when(token_count_expr(t) < min_tokens, F.lit("too_few_tokens"))
+        .when(quality_score_expr(t) < min_quality, F.lit("low_quality"))
+    )
+    if langs is not None:
+        reason = reason.when(
+            ~lang_id_expr(t).isin(*langs), F.lit("lang")
+        )
+    reason = reason.otherwise(F.lit(None))
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def filter_documents(df: DataFrame, text_col: str = "text", **rules) -> DataFrame:
+    """Rows surviving the quality gate (annotation columns dropped)."""
+    return (
+        annotate_quality_filter(df, text_col, **rules)
+        .filter(F.col("keep"))
+        .drop("keep", "drop_reason")
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: lang_id, quality, token
     counts, fingerprint appended as columns. Map-only — fuses into the

@@ -736,6 +736,84 @@ _TEXTPIPE_SQL = f"""
 """
 
 
+# C4/Gopher-style quality gate over the textpipe signals; drop_reason
+# is the first failing rule in a fixed order (the curation dashboard).
+_QFILTER_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN length(text) < 50 THEN 'too_short'
+                WHEN length(text) > 20000 THEN 'too_long'
+                WHEN {sql_token_count('text')} < 10 THEN 'too_few_tokens'
+                WHEN {sql_quality_score('text')} < 0.5 THEN 'low_quality'
+                WHEN {sql_lang_id('text')} NOT IN ('en', 'de') THEN 'lang'
+                ELSE NULL END AS drop_reason,
+           (CASE WHEN length(text) < 50 THEN 'too_short'
+                WHEN length(text) > 20000 THEN 'too_long'
+                WHEN {sql_token_count('text')} < 10 THEN 'too_few_tokens'
+                WHEN {sql_quality_score('text')} < 0.5 THEN 'low_quality'
+                WHEN {sql_lang_id('text')} NOT IN ('en', 'de') THEN 'lang'
+                ELSE NULL END) IS NULL AS keep
+    FROM documents
+"""
+
+
+@_q("docs_quality_filter", _QFILTER_SQL)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import annotate_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = annotate_quality_filter(docs, langs=("en", "de"))
+    return out.select("doc_id", "drop_reason", "keep")
+
+
+# One-pass profiler: the oracle mirrors column-by-column as a UNION ALL
+# (timestamps as epoch micros; exact decimal-summed means — see
+# operators/profile.py for why the one double division is portable).
+def _profile_sql() -> str:
+    def num(c, dtype, expr=None):
+        e = expr or c
+        return f"""
+    SELECT '{c}' AS "column", '{dtype}' AS dtype, count(*) AS n_rows,
+           count(CASE WHEN {e} IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT {e}) AS n_distinct,
+           CAST(min({e}) AS DOUBLE) AS min_num,
+           CAST(max({e}) AS DOUBLE) AS max_num,
+           CAST(sum(CAST({e} AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(count({e}) AS DOUBLE) AS mean,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders"""
+
+    def txt(c, dtype):
+        return f"""
+    SELECT '{c}' AS "column", '{dtype}' AS dtype, count(*) AS n_rows,
+           count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS DOUBLE) AS mean,
+           min(CAST({c} AS VARCHAR)) AS min_str,
+           max(CAST({c} AS VARCHAR)) AS max_str
+    FROM orders"""
+
+    return " UNION ALL ".join([
+        num("o_orderkey", "bigint"),
+        num("o_custkey", "bigint"),
+        txt("o_orderstatus", "string"),
+        num("o_totalprice", "double"),
+        num("o_orderdate", "timestamp_ntz", "epoch_us(o_orderdate)"),
+    ])
+
+
+@_q("profile_orders", _profile_sql())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        exact=True,
+    )
+
+
 @_q("text_analyze_documents", _TEXTPIPE_SQL)
 def text_analyze_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linktransformer_spark.operators.textpipe import analyze_documents

@@ -1,0 +1,87 @@
+"""profile_table and the document quality gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, None), (3, "a", 30.0)],
+        "id long, s string, x double",
+    )
+
+
+def test_profile_exact(small):
+    prof = {r["column"]: r.asDict() for r in lt.profile_table(small).collect()}
+    assert set(prof) == {"id", "s", "x"}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_null"] == 0
+    assert prof["id"]["n_distinct"] == 3
+    assert prof["id"]["min_num"] == 1.0 and prof["id"]["max_num"] == 3.0
+    assert prof["id"]["mean"] == pytest.approx(9 / 4)
+    assert prof["id"]["min_str"] is None
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["s"]["min_num"] is None
+    # mean ignores nulls (3 non-null x values)
+    assert prof["x"]["mean"] == pytest.approx(60 / 3)
+
+
+def test_profile_approx_close(small):
+    prof = {r["column"]: r.asDict()
+            for r in lt.profile_table(small, exact=False).collect()}
+    # HLL on 3 distinct values is exact in practice; allow slack anyway
+    assert abs(prof["id"]["n_distinct"] - 3) <= 1
+    assert prof["x"]["mean"] == pytest.approx(20.0)
+
+
+def test_profile_unknown_column(small):
+    with pytest.raises(ValueError, match="unknown columns"):
+        lt.profile_table(small, ["nope"])
+
+
+def test_profile_timestamp_as_epoch(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:03")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    [row] = lt.profile_table(df, ["ts"]).collect()
+    assert row["min_num"] == 1704067201000000.0
+    assert row["max_num"] == 1704067203000000.0
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for running in the field with all of that wind and sun")
+
+
+def test_quality_gate_reason_order(spark):
+    rows = [
+        (1, GOOD),                          # keeps
+        (2, "tiny"),                        # too_short fires first
+        (3, "x" * 30000),                   # too_long
+        (4, "aaaaaaaaaa bbbbbbbbbb cccccccccc ddddddddddd eeeeeeeeeee"),  # few toks? no: 5 toks -> too_few_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lt.annotate_quality_filter(df).collect()}
+    assert out[1]["keep"] is True and out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "too_short"
+    assert out[3]["drop_reason"] == "too_long"
+    assert out[4]["drop_reason"] == "too_few_tokens"
+
+
+def test_quality_gate_lang(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    out = lt.annotate_quality_filter(df, langs=("de",)).collect()[0]
+    assert out["drop_reason"] == "lang" and out["keep"] is False
+
+
+def test_filter_documents_drops_annotations(spark):
+    df = spark.createDataFrame([(1, GOOD), (2, "nope")],
+                               "doc_id long, text string")
+    out = lt.filter_documents(df)
+    assert out.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in out.collect()] == [1]
