@@ -17,6 +17,7 @@ from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import ann_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
+from .operators.sampling import hash_sample, sample_per_group
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
     dedup_embedding,
@@ -122,6 +123,8 @@ __all__ = [
     "ann_topk",
     "merge_asof",
     "profile_table",
+    "hash_sample",
+    "sample_per_group",
     "ivf_topk",
     "ivf_topk_seeded",
     "ivf_train_centroids",

@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data curation.
+
+RNG-free by design: membership is a pure function of row CONTENT
+(polynomial hash), so a sample is reproducible across runs, engines,
+partitionings and retries — unlike ``df.sample()``, whose membership
+depends on partition layout and seed plumbing. Content-hash sampling
+is also the only kind an oracle can check exactly, and the only kind
+that stays STABLE under incremental reprocessing at 100 TB: adding new
+rows never changes which old rows are in the sample (the property that
+keeps train/test contamination checks meaningful across pipeline
+runs).
+
+Both operators are map-only or single-window plans:
+- ``hash_sample``      : filter on hash(key) % M < f*M — fuses into
+  the scan, zero shuffles, trivially pushdown-friendly.
+- ``sample_per_group`` : deterministic n-per-group via a
+  (group, hash-order) window — one shuffle on the group key; the
+  WindowGroupLimit rank pushdown bounds the per-partition sort at k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+
+_M = 1_000_000  # hash-bucket modulus: fraction resolution 1e-6
+
+
+def _key_expr(key_cols: list[str]) -> Column:
+    # null-safe multi-column key; unit separator avoids accidental
+    # concatenation collisions ("ab"+"c" vs "a"+"bc")
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
+    return F.concat_ws("", *parts)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    fraction: float,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep rows whose content-hash bucket falls below ``fraction``.
+
+    ``salt`` derives independent samples from the same keys (salt=0 and
+    salt=1 samples overlap ~fraction², like independent draws); the
+    same (keys, fraction, salt) always returns the same rows.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bucket = S.poly_hash(_key_expr(keys), salt=salt) % _M
+    return df.filter(bucket < F.lit(int(round(fraction * _M))))
+
+
+def sample_per_group(
+    df: DataFrame,
+    by: list[str] | str,
+    n: int,
+    key_cols: list[str] | str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic ``n`` rows per group: rank by (content-hash, key)
+    inside each group, keep rank <= n. With ``key_cols`` unset the
+    whole row's string form is the hash key. The hash order is a
+    reproducible stand-in for 'uniformly random n per group'."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    by = [by] if isinstance(by, str) else list(by)
+    keys = (
+        [key_cols] if isinstance(key_cols, str)
+        else list(key_cols) if key_cols is not None
+        else [c for c in df.columns if c not in by]
+    )
+    key = _key_expr(keys)
+    h = S.poly_hash(key, salt=salt)
+    w = Window.partitionBy(*by).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn("_smp_rank", F.row_number().over(w))
+        .filter(F.col("_smp_rank") <= n)
+        .drop("_smp_rank")
+    )

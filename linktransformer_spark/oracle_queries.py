@@ -736,6 +736,52 @@ _TEXTPIPE_SQL = f"""
 """
 
 
+# Deterministic content-hash sampling (operators/sampling.py): the
+# membership rule is pure arithmetic over the text, so the oracle
+# reproduces the exact sample — impossible for RNG df.sample().
+def _hash_sample_sql() -> str:
+    from .functions.oracle import sql_poly_hash
+
+    ph = sql_poly_hash("coalesce(text, '')")
+    return f"""
+    SELECT doc_id FROM documents
+    WHERE {ph} % 1000000 < 300000
+"""
+
+
+@_q("docs_hash_sample", _hash_sample_sql())
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "text", fraction=0.3).select("doc_id")
+
+
+def _sample_per_lang_sql() -> str:
+    from .functions.oracle import sql_poly_hash
+
+    ph = sql_poly_hash("coalesce(text, '')")
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {ph} ASC, coalesce(text, '') ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+"""
+
+
+@_q("docs_sample_per_lang", _sample_per_lang_sql())
+def docs_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_per_group(docs, by="lang", n=3, key_cols="text")
+    return out.select("doc_id", "lang")
+
+
 # C4/Gopher-style quality gate over the textpipe signals; drop_reason
 # is the first failing rule in a fixed order (the curation dashboard).
 _QFILTER_SQL = f"""
