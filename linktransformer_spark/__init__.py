@@ -22,11 +22,13 @@ from .operators.multimodal import attach_fake_media, decode_image, frame_sample,
 from .operators.dedup import (
     dedup_embedding,
     dedup_exact,
+    dedup_against,
     dedup_minhash,
     minhash_signature,
     near_dup_pairs_embedding,
     near_dup_pairs_jaccard,
     near_dup_pairs_minhash,
+    near_dup_pairs_minhash_against,
     near_dup_pairs_simhash,
     simhash64,
 )
@@ -133,9 +135,11 @@ __all__ = [
     "resize_image",
     "frame_sample",
     "dedup_exact",
+    "dedup_against",
     "dedup_minhash",
     "dedup_embedding",
     "near_dup_pairs_minhash",
+    "near_dup_pairs_minhash_against",
     "near_dup_pairs_simhash",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_embedding",

@@ -209,29 +209,22 @@ def _cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFra
     return banded.join(ok, keys)
 
 
-def near_dup_pairs_minhash(
+def _minhash_base_banded(
     df: DataFrame,
     on,
     id_col: str,
-    threshold: float = 0.8,
-    num_hashes: int = 24,
-    bands: int = 8,
-    shingle: int = 3,
-    word: bool = True,
-    max_bucket_size: int | None = None,
-) -> DataFrame:
-    """Candidate pairs via MinHash-LSH banding, verified with EXACT
-    Jaccard on the distinct shingle sets. Returns (src, dst, jaccard)
-    with src < dst.
-
-    Plan: signature is a map-only projection; banding explodes each row
-    into ``bands`` rows; candidates come from an equi-join on
-    (band, band_signature) — a hash shuffle whose size tracks the
-    number of colliding rows. Verification is array_intersect /
-    array_union on the (deduplicated) shingle arrays.
-    ``max_bucket_size`` bounds per-bucket join fan-out (see
-    ``_cap_buckets``) — the skew guard for 100 TB corpora.
-    """
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+    word: bool,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash build: returns (``base`` = (_id, _key, _sig),
+    lineage-cut, and ``banded`` = (_id, band, bsig)). The hash family
+    is fixed module-level constants, so signatures built from two
+    DIFFERENT DataFrames (e.g. a new batch vs an indexed corpus) are
+    directly join-compatible — the property the incremental variant
+    relies on."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -292,31 +285,20 @@ def near_dup_pairs_minhash(
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
     banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size)
+    return base, banded
 
-    l = banded.alias("l")
-    r = banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
-    # the candidate list is consumed twice below (id-set derivation +
-    # the verify join); checkpoint the tiny (src, dst) relation so the
-    # band-join subplan executes once
+
+def _verify_jaccard(
+    cand: DataFrame, bases: list[DataFrame], shingle: int, word: bool,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of (src, dst) candidates; shingle
+    arrays are built ONLY for ids that collided (candidate set <<
+    corpus), taken from whichever of ``bases`` holds them. The
+    ARRAY-expression shingler is right here: per-doc arrays with no
+    explode/window/groupBy — zero shuffles beyond the semi-joins; its
+    interpreted per-gram cost is linear in candidate text volume."""
     cand = cand.localCheckpoint(eager=False)
-    # exact-Jaccard verification arrays are built ONLY for ids that
-    # actually collided in some band (candidate set << corpus). The
-    # ARRAY-expression shingler is the right tool here: per-doc arrays
-    # with no explode/window/groupBy — zero shuffles beyond the
-    # candidate semi-join. Its interpreted per-gram cost is linear in
-    # candidate text volume (fine: candidates are a small fraction of
-    # the corpus by LSH design); the relational shingler is for the
-    # full-corpus signature pass above.
     cand_ids = (
         cand.select(F.col("src").alias("_id"))
         .unionByName(cand.select(F.col("dst").alias("_id")))
@@ -329,15 +311,160 @@ def near_dup_pairs_minhash(
         sh_expr = F.when(F.size(sh_expr) > 0, sh_expr).otherwise(
             F.array(F.lit(""))
         )
-    sh = base.join(cand_ids, "_id").select("_id", sh_expr.alias("_sh"))
-    cand = cand.join(sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src")
-    cand = cand.join(sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst")
+    all_base = bases[0].select("_id", "_key")
+    for b in bases[1:]:
+        all_base = all_base.unionByName(b.select("_id", "_key"))
+    sh = all_base.join(cand_ids, "_id").select("_id", sh_expr.alias("_sh"))
+    cand = cand.join(
+        sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src"
+    )
+    cand = cand.join(
+        sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst"
+    )
     inter = F.size(F.array_intersect("sh_l", "sh_r"))
     union = F.size("sh_l") + F.size("sh_r") - inter
     jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
-        "src", "dst", "jaccard"
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
     )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs via MinHash-LSH banding, verified with EXACT
+    Jaccard on the distinct shingle sets. Returns (src, dst, jaccard)
+    with src < dst.
+
+    Plan: signature is a map-only projection; banding explodes each row
+    into ``bands`` rows; candidates come from an equi-join on
+    (band, band_signature) — a hash shuffle whose size tracks the
+    number of colliding rows. Verification is array_intersect /
+    array_union on the (deduplicated) shingle arrays.
+    ``max_bucket_size`` bounds per-bucket join fan-out (see
+    ``_cap_buckets``) — the skew guard for 100 TB corpora.
+    """
+    base, banded = _minhash_base_banded(
+        df, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return _verify_jaccard(cand, [base], shingle, word, threshold)
+
+
+def near_dup_pairs_minhash_against(
+    new: DataFrame,
+    seen: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup check: MinHash-LSH pairs between a NEW
+    batch and an already-ingested corpus (``seen``). Returns
+    (src=new id, dst=seen id, jaccard) — no new-vs-new or
+    seen-vs-seen pairs (use :func:`near_dup_pairs_minhash` within a
+    batch).
+
+    The batch-ingest shape at 100 TB: the seen side's signatures and
+    band rows are recomputed here from text, but in a production
+    pipeline they would be persisted once at ingest (they're plain
+    columns — write ``banded`` out bucketed by (band, bsig) and the
+    per-batch cost becomes |new| signature builds + an equi-join whose
+    shuffle tracks collisions only, independent of |seen|'s text
+    volume). Id spaces of the two tables are independent — pairs are
+    keyed by side, not by id ordering."""
+    nbase, nbanded = _minhash_base_banded(
+        new, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+    )
+    sbase, sbanded = _minhash_base_banded(
+        seen, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+    )
+    l = nbanded.alias("l")
+    r = sbanded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    # id spaces may overlap between the tables; verify arrays must come
+    # from the correct side, so rename-join each base separately rather
+    # than unioning them
+    cand = cand.localCheckpoint(eager=False)
+    sh_expr = _shingles(F.col("_key"), shingle, word)
+    if not word:
+        sh_expr = F.when(F.size(sh_expr) > 0, sh_expr).otherwise(
+            F.array(F.lit(""))
+        )
+    n_ids = cand.select(F.col("src").alias("_id")).distinct()
+    s_ids = cand.select(F.col("dst").alias("_id")).distinct()
+    sh_n = nbase.join(n_ids, "_id").select(
+        F.col("_id").alias("src"), sh_expr.alias("sh_l")
+    )
+    sh_s = sbase.join(s_ids, "_id").select(
+        F.col("_id").alias("dst"), sh_expr.alias("sh_r")
+    )
+    cand = cand.join(sh_n, "src").join(sh_s, "dst")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """New-batch rows that are NOT near-dups of the seen corpus (the
+    ingest filter): anti-join of ``new`` against the matched src ids.
+    Within-batch duplicates are intentionally untouched — chain
+    :func:`dedup_minhash` on the survivors for that."""
+    pairs = near_dup_pairs_minhash_against(
+        new, seen, on, id_col, threshold, num_hashes, bands, shingle, word,
+        max_bucket_size,
+    )
+    matched = pairs.select(F.col("src").alias(id_col)).distinct()
+    return new.join(matched, id_col, "left_anti")
 
 
 def dedup_minhash(

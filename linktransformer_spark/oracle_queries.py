@@ -563,6 +563,69 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Incremental (new-batch vs seen-corpus) MinHash near-dup: the ingest
+# shape. new = suffix-mutated copies of seen docs 0-149 (guaranteed
+# cross matches) + fresh docs 300-399 (mostly clean).
+_MINHASH_AGAINST_SQL = f"""
+    WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    nw AS (
+      SELECT doc_id + 1000000 AS doc_id, text || ' extra suffix words' AS text
+      FROM documents WHERE doc_id < 150
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    ),
+    shn AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM nw),
+    hsn AS (SELECT id, sh, list_transform(sh, g -> {sql_poly_hash('g')}) AS hs FROM shn),
+    sgn AS (SELECT id, sh, {sql_minhash_signature_from_hashes('hs', 24)} AS sig FROM hsn),
+    bn AS (
+      SELECT id, b, (sig)[b*3+1:b*3+3] AS bsig
+      FROM sgn CROSS JOIN range(0, 8) AS t(b)
+    ),
+    shs AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM seen),
+    hss AS (SELECT id, sh, list_transform(sh, g -> {sql_poly_hash('g')}) AS hs FROM shs),
+    sgs AS (SELECT id, sh, {sql_minhash_signature_from_hashes('hs', 24)} AS sig FROM hss),
+    bs AS (
+      SELECT id, b, (sig)[b*3+1:b*3+3] AS bsig
+      FROM sgs CROSS JOIN range(0, 8) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS src, r.id AS dst
+      FROM bn l JOIN bs r ON l.b = r.b AND l.bsig = r.bsig
+    )
+    SELECT c.src, c.dst,
+           round(CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+                 / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1), 6)
+             AS jaccard
+    FROM cand c JOIN shn a ON a.id = c.src JOIN shs b2 ON b2.id = c.dst
+    WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+          / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1) >= 0.6
+"""
+
+
+@_q("dedup_minhash_against", _MINHASH_AGAINST_SQL)
+def dedup_minhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import near_dup_pairs_minhash_against
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    nw = (
+        d.filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+            .select("doc_id", "text")
+        )
+    )
+    out = near_dup_pairs_minhash_against(
+        nw, seen, on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3, word=True,
+    )
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
 _SIMHASH_PAIRS_SQL = (
     "WITH " + _AUG_SQL.format(L=200) + f""",
     sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 1)} AS sh FROM aug),

@@ -180,6 +180,29 @@ def test_ivf_seeded_recall_and_shape(spark, sf_dir):
         assert len(ranks) <= 5
 
 
+def test_dedup_against_filters_only_cross_matches(spark):
+    import linktransformer_spark as lt
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river"),
+         (2, "completely unrelated corpus text about stars and planets")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (11, "fresh new document about cooking pasta with garlic and oil"),
+         # within-batch dup of 11 — must SURVIVE (cross-dedup only)
+         (12, "fresh new document about cooking pasta with garlic and oil")],
+        "doc_id long, text string")
+    kw = dict(on="text", id_col="doc_id", threshold=0.5,
+              num_hashes=24, bands=8, shingle=2)
+
+    pairs = lt.near_dup_pairs_minhash_against(new, seen, **kw)
+    assert {(r.src, r.dst) for r in pairs.collect()} == {(10, 1)}
+
+    kept = {r.doc_id for r in lt.dedup_against(new, seen, **kw).collect()}
+    assert kept == {11, 12}
+
+
 def test_minhash_hot_bucket_cap_drops_pathological_buckets(spark):
     import linktransformer_spark as lt
 
