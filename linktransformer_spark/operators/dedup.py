@@ -48,43 +48,48 @@ def _shingle_rows(base: DataFrame, n: int, word: bool) -> DataFrame:
     """Shingle OCCURRENCE rows (_id, _g) from (_id, _key) — the
     relational, codegen-friendly form of ``_shingles``.
 
-    Word mode: posexplode the tokens, window-lead n-1 successors,
-    concat — all whole-stage codegen; one shuffle on _id for the
-    window. Docs with fewer than n tokens contribute one whole-text
-    shingle (the _shingles fallback branch), including "" for empty
-    docs. Char mode explodes char_ngrams directly.
-    """
-    from pyspark.sql import Window
+    Word mode (n>1): explode start POSITIONS and slice the carried
+    token array — ``slice``/``array_join`` are plain Catalyst
+    expressions (whole-stage codegen), and consecutive tokens are
+    already adjacent in the array, so no shuffle at all. The previous
+    window-lead formulation shuffled every token row just to pair
+    neighbors (and WindowExec is row-at-a-time); the slice form
+    measured 1.5x faster at sf0.1 and is shuffle-free at any scale.
+    (The ``transform``-lambda shingler is worse than both: higher-order
+    functions are CodegenFallback — interpreted per row.)
 
+    Docs with fewer than n tokens contribute one whole-text shingle
+    (the _shingles fallback branch), including "" for empty docs. Char
+    mode explodes char_ngrams directly.
+    """
     if not word:
         return base.select(
             "_id", F.explode_outer(S.char_ngrams(F.col("_key"), n)).alias("_g")
         ).withColumn("_g", F.coalesce("_g", F.lit("")))
     toks_expr = S.word_tokens(F.col("_key"))
-    toks = base.select("_id", F.posexplode(toks_expr).alias("_p", "_t"))
     if n == 1:
         # unigrams: every token is a shingle; only empty docs take the
         # whole-text ("") fallback
-        return toks.select("_id", F.col("_t").alias("_g")).unionByName(
+        toks = base.select("_id", F.explode(toks_expr).alias("_g"))
+        return toks.unionByName(
             base.filter(F.size(toks_expr) < 1).select("_id", F.lit("").alias("_g"))
         )
-    w = Window.partitionBy("_id").orderBy("_p")
-    parts = [F.col("_t")]
-    cur = toks
-    for j in range(1, n):
-        cur = cur.withColumn(f"_t{j}", F.lead("_t", j).over(w))
-        parts.append(F.col(f"_t{j}"))
-    full = cur.filter(F.col(f"_t{n-1}").isNotNull()).select(
-        "_id", F.concat_ws(" ", *parts).alias("_g")
-    )
-    short = (
-        base.select(
+    base2 = base.select("_id", toks_expr.alias("_toks"))
+    full = (
+        base2.filter(F.size("_toks") >= n)
+        .select(
             "_id",
-            F.array_join(toks_expr, " ").alias("_g"),
-            F.size(toks_expr).alias("_n"),
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1))
+            ).alias("_p"),
         )
-        .filter(F.col("_n") < n)
-        .drop("_n")
+        .select(
+            "_id", F.array_join(F.slice("_toks", F.col("_p"), n), " ").alias("_g")
+        )
+    )
+    short = base2.filter(F.size("_toks") < n).select(
+        "_id", F.array_join("_toks", " ").alias("_g")
     )
     return full.unionByName(short)
 
