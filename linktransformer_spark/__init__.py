@@ -68,7 +68,9 @@ from .operators.llm import (
 )
 from .encoders.api import infer_embeddings_with_gemini
 from .functions.similarity import cosine_similarity_corresponding_pairs
-from .sources.tables import read_bucketed, read_csv, read_excel, save_bucketed
+from .sources.tables import (
+    read_bucketed, read_csv, read_excel, save_bucketed, save_partitioned,
+)
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
 from .encoders.precomputed import PrecomputedEncoder
@@ -183,6 +185,7 @@ __all__ = [
     "read_csv",
     "read_excel",
     "save_bucketed",
+    "save_partitioned",
     "read_bucketed",
 ]
 

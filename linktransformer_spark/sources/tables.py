@@ -86,6 +86,27 @@ def save_bucketed(
     w.bucketBy(num_buckets, bucket_by).sortBy(bucket_by).saveAsTable(table)
 
 
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink (`path/col=value/...`).
+
+    The scale contract: queries filtering on the partition columns
+    prune whole directories at PLANNING time (PartitionFilters in the
+    scan, no file even listed) — the right layout for the big
+    append-only tables a pipeline slices by date/lang/source. Choose
+    low-cardinality columns: one directory (and >= 1 file) per value;
+    a high-cardinality partition key is the classic small-files
+    failure. Unlike bucketing this needs no catalog — path-based reads
+    keep the pruning.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.partitionBy(*cols).mode(mode).parquet(path)
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a table written by ``save_bucketed`` (bucketing metadata
     comes from the catalog; a plain spark.read.parquet on the files

@@ -14,6 +14,7 @@ formatting.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from linktransformer_spark.oracle_queries import QUERIES
 
@@ -107,6 +108,22 @@ def test_events_scan_prunes_columns(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "event_id" not in cols and "user_id" not in cols
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a save_partitioned table
+    turns into PartitionFilters — pruned at planning, zero data files
+    of other partitions touched."""
+    from linktransformer_spark.sources.tables import read_table, save_partitioned
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    save_partitioned(docs, path, "lang")
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = plan_of(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
 
 
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
