@@ -103,6 +103,9 @@ def bench_queries(spark):
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
         "text_analyze": textpipe_docs,
+        "docs_quality_filter": from_oracle("docs_quality_filter"),
+        "profile_orders": from_oracle("profile_orders"),
+        "dedup_against_incr": from_oracle("dedup_minhash_against"),
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
     }
 
