@@ -14,7 +14,9 @@ from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
-from .operators.ann import ann_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids
+from .operators.ann import (
+    ann_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids,
+)
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
 from .operators.sampling import hash_sample, sample_per_group
@@ -130,6 +132,7 @@ __all__ = [
     "hash_sample",
     "sample_per_group",
     "ivf_topk",
+    "ivf_pq_topk",
     "ivf_topk_seeded",
     "ivf_train_centroids",
     "attach_fake_media",

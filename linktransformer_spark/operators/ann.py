@@ -317,6 +317,146 @@ def ivf_topk_seeded(
     )
 
 
+def pq_codebook(
+    corpus_norm: DataFrame, id_col: str, vec_col: str, m: int, n_codes: int,
+    dim: int,
+) -> DataFrame:
+    """Seeded product-quantization codebook: subspace ``j`` of the
+    ``n_codes`` smallest-id corpus vectors, as rows
+    (sub, code, _code_vec). dim must divide evenly into m subspaces.
+    Deterministic by construction (same seeding rule as
+    ivf_seed_centroids) — the property that lets the PQ index be
+    SQL-mirrored."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    ds = dim // m
+    seeds = corpus_norm.select(id_col, vec_col).orderBy(id_col).limit(n_codes)
+    seeds = seeds.withColumn(
+        "code", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.struct(
+                j.alias("sub"),
+                F.slice(F.col(vec_col), j * ds + 1, ds).alias("_code_vec"),
+            ),
+        )
+    ).alias("s")
+    return seeds.select("code", subs).select(
+        F.col("s.sub").alias("sub"), "code", F.col("s._code_vec").alias("_code_vec")
+    )
+
+
+def _pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebook: DataFrame, m: int,
+    ds: int, keep: list[str],
+) -> DataFrame:
+    """(id[, keep...], sub, code): nearest codebook entry per subspace,
+    tie-break (dot DESC, code ASC), via the same map-side-combining
+    max(struct) aggregation as the IVF assignment — the shuffle carries
+    |rows|·m, not |rows|·m·n_codes."""
+    sub_vec = F.expr(
+        f"slice({vec_col}, sub * {ds} + 1, {ds})"
+    )
+    scored = df.crossJoin(F.broadcast(codebook)).withColumn(
+        "_cdot", S.dot(sub_vec, F.col("_code_vec"))
+    )
+    grp = [id_col, "sub", *keep]
+    mx = F.max(
+        F.struct(F.col("_cdot").alias("s"), (-F.col("code")).alias("nc"))
+    ).alias("_m")
+    return scored.groupBy(*grp).agg(mx).select(
+        id_col, *keep, "sub", (-F.col("_m.nc")).cast("int").alias("code")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """FAISS-IVFPQ re-expressed as joins, fully deterministic and
+    SQL-mirrored: IVF (seeded centroids) restricts candidates to probed
+    cells, product quantization compresses each corpus vector to ``m``
+    small integer codes, and scoring is ADC — the approximate inner
+    product is the sum over subspaces of dot(query subvector, coded
+    centroid), looked up from a per-query table instead of touching the
+    corpus vector.
+
+    Why this shape at 100 TB: the corpus side of the scoring join
+    carries (id, cell, m codes) — a few dozen BYTES per vector instead
+    of d floats — so shuffle volume and executor memory drop by ~d·4/m;
+    candidates come from the cell equi-join (no cross join, no corpus
+    broadcast). Bit-determinism: the per-pair ADC sum folds its m
+    lookup terms in subspace order via sort_array + aggregate (a plain
+    SUM's partial-aggregation order is engine-dependent for doubles).
+
+    Returns (query_id, neighbor_id, rank, score); score is the ADC
+    APPROXIMATION of cosine (exact re-rank of the top candidates is
+    the standard chaser — compose with ann_topk on the survivors)."""
+    q = KJ.ensure_parallelism(queries).select(
+        F.col(query_id).cast("long").alias(KJ.LEFT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
+    )
+    c = KJ.ensure_parallelism(corpus).select(
+        F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
+    )
+    if dim is None:
+        first = corpus.select(F.size(vector_col).alias("d")).first()
+        dim = int(first["d"])
+    ds = dim // m
+
+    cent = ivf_seed_centroids(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, n_cells)
+    book = pq_codebook(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, m, n_codes, dim)
+
+    # corpus index: cell assignment + m PQ codes per vector (the only
+    # full-corpus passes; both shuffle |C| and |C|*m narrow rows)
+    cc = _assign_cells_declarative(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, cent, 1)
+    c_codes = _pq_encode(cc, KJ.RIGHT_ID, KJ.RIGHT_EMB, book, m, ds, keep=["cell"])
+
+    # query side: probed cells + the ADC lookup table
+    # (qid, sub, code, lut) = dot of the query's subvector with every
+    # codebook entry — |Q|*m*n_codes tiny rows
+    cq = _assign_cells_declarative(q, KJ.LEFT_ID, KJ.LEFT_EMB, cent, n_probe)
+    sub_vec = F.expr(f"slice({KJ.LEFT_EMB}, sub * {ds} + 1, {ds})")
+    lut = (
+        q.crossJoin(F.broadcast(book))
+        .withColumn("lut", S.dot(sub_vec, F.col("_code_vec")))
+        .select(KJ.LEFT_ID, "sub", "code", "lut")
+    )
+
+    pairs = cq.select(KJ.LEFT_ID, "cell").join(c_codes, "cell")
+    terms = pairs.join(lut, [KJ.LEFT_ID, "sub", "code"])
+    # deterministic ADC sum: fold the m terms in subspace order
+    folded = terms.groupBy(KJ.LEFT_ID, KJ.RIGHT_ID).agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "lut"))),
+                lambda x: x["lut"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    ranked = KJ.topk(folded, k).withColumnRenamed("_lt_rank", "rank")
+    return ranked.select(
+        F.col(KJ.LEFT_ID).alias("query_id"),
+        F.col(KJ.RIGHT_ID).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").alias("score"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1604,6 +1604,111 @@ def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
 """
 
 
+# IVF-PQ with a FULL SQL oracle: seeded IVF restricts candidates to
+# probed cells, seeded product quantization compresses corpus vectors
+# to m codes, ADC scoring sums per-subspace lookups folded in subspace
+# order (plain SUM of doubles is partial-aggregation-order dependent).
+def _ann_ivfpq_sql(
+    n_cells: int = 16, n_probe: int = 4, k: int = 5, m: int = 8,
+    n_codes: int = 16, dim: int = 64,
+) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    ds = dim // m
+    qsub = f"q.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
+    csub = f"a.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_codes})
+    ),
+    book AS (
+      SELECT CAST(t.j AS INT) AS sub, code,
+             v[t.j*{ds}+1 : t.j*{ds}+{ds}] AS cv
+      FROM seeds CROSS JOIN range(0, {m}) t(j)
+    ),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    ccodes AS (
+      SELECT vec_id, cell, sub, code FROM (
+        SELECT a.vec_id, a.cell, b.sub, b.code,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, b.sub
+                 ORDER BY {sql_dot(csub, 'b.cv')} DESC, b.code ASC
+               ) AS rn
+        FROM cassign a CROSS JOIN book b
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM qn q CROSS JOIN cent ct
+      ) WHERE rn <= {n_probe}
+    ),
+    lut AS (
+      SELECT q.vec_id, b.sub, b.code, {sql_dot(qsub, 'b.cv')} AS lut
+      FROM qn q CROSS JOIN book b
+    ),
+    folded AS (
+      SELECT p.qid, p.rid,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(l.lut ORDER BY l.sub)),
+               (acc, x) -> acc + x
+             ) AS score
+      FROM (
+        SELECT qa.vec_id AS qid, cc.vec_id AS rid, cc.sub, cc.code
+        FROM qassign qa JOIN ccodes cc ON qa.cell = cc.cell
+      ) p
+      JOIN lut l ON l.vec_id = p.qid AND l.sub = p.sub AND l.code = p.code
+      GROUP BY p.qid, p.rid
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT qid AS query_id, rid AS neighbor_id, score,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, rid ASC
+             ) AS rank
+      FROM folded
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_topk_ivfpq", _ann_ivfpq_sql())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ivf_pq_topk(
+        q, emb, vector_col="embedding", k=5, n_cells=16, n_probe=4,
+        m=8, n_codes=16, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 @_q("ann_topk_ivf_seeded", _ann_ivf_seeded_sql())
 def ann_topk_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_topk_seeded

@@ -180,6 +180,41 @@ def test_ivf_seeded_recall_and_shape(spark, sf_dir):
         assert len(ranks) <= 5
 
 
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    from linktransformer_spark.operators.ann import ann_topk, ivf_pq_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(q, emb, k=5, mode="exact_cross").collect()}
+
+    kw = dict(n_cells=16, m=8, n_codes=16, dim=64)
+    direct = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_pq_topk(q, emb, k=5, n_probe=4, **kw).collect()}
+    # seeded codebooks + ADC: modest direct recall by design — the
+    # floor guards against structural regressions, not quality
+    assert len(exact & direct) / len(exact) >= 0.25
+
+    # the standard chaser: retrieve wide with ADC, exact re-rank after.
+    # candidate recall of the true top-5 inside ADC top-64 must be high
+    wide = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(q, emb, k=64, n_probe=8, **kw).collect()}
+    assert len(exact & wide) / len(exact) >= 0.65
+
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_pq_topk(q, emb, k=5, n_probe=4, **kw).collect()}
+    assert direct == again
+
+
+def test_ivfpq_bad_dim(spark, sf_dir):
+    from linktransformer_spark.operators.ann import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(emb, emb, k=5, m=7, dim=64)
+
+
 def test_dedup_against_filters_only_cross_matches(spark):
     import linktransformer_spark as lt
 
