@@ -15,7 +15,8 @@ from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import (
-    ann_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded, ivf_train_centroids,
+    ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
+    ivf_train_centroids,
 )
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
@@ -133,6 +134,7 @@ __all__ = [
     "sample_per_group",
     "ivf_topk",
     "ivf_pq_topk",
+    "ivf_pq_rerank_topk",
     "ivf_topk_seeded",
     "ivf_train_centroids",
     "attach_fake_media",

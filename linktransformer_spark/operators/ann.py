@@ -457,6 +457,60 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    k: int = 10,
+    retrieve_k: int | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ retrieve-wide + EXACT re-rank — the standard production
+    chaser: ADC ranks ``retrieve_k`` (default 8·k) candidates per query
+    from compressed codes, then only those pairs fetch their true
+    vectors for an exact cosine, and the final top-k ranks on exact
+    scores (deterministic (score DESC, id ASC), exact values in the
+    output). Corpus vectors are touched for |Q|·retrieve_k rows
+    instead of |Q|·|corpus| — the re-rank join is an id equi-join
+    against the (pruned) corpus scan."""
+    retrieve_k = retrieve_k or 8 * k
+    cand = ivf_pq_topk(
+        queries, corpus, vector_col, query_id, corpus_id,
+        k=retrieve_k, n_cells=n_cells, n_probe=n_probe, m=m,
+        n_codes=n_codes, dim=dim,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
+    )
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor_id"),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
+    )
+    exact = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "score",
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

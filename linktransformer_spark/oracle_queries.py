@@ -1709,6 +1709,49 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# retrieve-wide + exact re-rank: ADC picks 40 candidates, the true
+# vectors re-score only those, final rank on exact cosine.
+def _ann_ivfpq_rerank_sql(k: int = 5, retrieve_k: int = 40) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    inner = _ann_ivfpq_sql(k=retrieve_k)
+    return f"""
+    WITH cand AS ({inner}),
+    cn2 AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    qn2 AS (SELECT vec_id, v FROM cn2 WHERE vec_id < 50)
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT b.query_id, b.neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY b.query_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, b.neighbor_id ASC
+             ) AS rank
+      FROM cand b
+      JOIN qn2 q ON q.vec_id = b.query_id
+      JOIN cn2 c ON c.vec_id = b.neighbor_id
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_topk_ivfpq_rerank", _ann_ivfpq_rerank_sql())
+def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import ivf_pq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ivf_pq_rerank_topk(
+        q, emb, vector_col="embedding", k=5, retrieve_k=40,
+        n_cells=16, n_probe=4, m=8, n_codes=16, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 @_q("ann_topk_ivf_seeded", _ann_ivf_seeded_sql())
 def ann_topk_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_topk_seeded

@@ -207,6 +207,36 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     assert direct == again
 
 
+def test_ivfpq_rerank_beats_direct_and_scores_exact(spark, sf_dir):
+    from linktransformer_spark.operators.ann import (
+        ann_topk, ivf_pq_rerank_topk, ivf_pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact_rows = ann_topk(q, emb, k=5, mode="exact_cross").collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+                    for r in exact_rows}
+
+    kw = dict(n_cells=16, n_probe=4, m=8, n_codes=16, dim=64)
+    direct = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_pq_topk(q, emb, k=5, **kw).collect()}
+    rr_rows = ivf_pq_rerank_topk(q, emb, k=5, retrieve_k=40, **kw).collect()
+    rr = {(r["query_id"], r["neighbor_id"]) for r in rr_rows}
+
+    r_direct = len(exact & direct) / len(exact)
+    r_rerank = len(exact & rr) / len(exact)
+    assert r_rerank >= r_direct  # re-rank can only fix ADC ordering
+    assert r_rerank >= 0.5
+    # survivors carry EXACT cosine scores, not ADC approximations
+    for r in rr_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-12
+
+
 def test_ivfpq_bad_dim(spark, sf_dir):
     from linktransformer_spark.operators.ann import ivf_pq_topk
 
