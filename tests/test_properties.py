@@ -120,3 +120,57 @@ def test_merge_invariants_on_random_tables(spark, lrows, rrows):
         (x.lid, x.rid, round(x.score, 9)) for x in k1
     )
     assert all(0.0 <= x.score <= 1.0 for x in m)
+
+
+# ---------------------------------------------------------------------------
+# merge_asof differential property: pandas.merge_asof IS the semantic
+# model (SURVEY-style parity via an independent reference impl, not our
+# own SQL mirror). Ids are unique per (key, ts) so the deterministic
+# tie-break never has to fire and both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_ASOF_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # group key
+        st.integers(0, 50),           # ts (int on-column)
+        st.integers(-1000, 1000),     # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(_ASOF_ROWS, _ASOF_ROWS, st.sampled_from(["backward", "forward"]),
+       st.booleans())
+def test_merge_asof_matches_pandas(spark, lrows, rrows, direction, exact):
+    from linktransformer_spark.operators.asof import merge_asof
+
+    # unique (key, ts) per side: pandas keeps the LAST of duplicates,
+    # we keep max-id — dedupe so the differential compares semantics,
+    # not tie policy
+    l = pd.DataFrame(lrows, columns=["g", "x", "lv"]).drop_duplicates(
+        ["g", "x"]).reset_index(drop=True)
+    r = pd.DataFrame(rrows, columns=["g", "x", "rv"]).drop_duplicates(
+        ["g", "x"]).reset_index(drop=True)
+    l["lid"] = range(len(l))
+    r["rid"] = range(len(r))
+
+    want = pd.merge_asof(
+        l.sort_values("x"), r.sort_values("x"), on="x", by="g",
+        direction=direction, allow_exact_matches=exact,
+    )
+    want_map = {
+        int(row.lid): (None if pd.isna(row.rv) else int(row.rv))
+        for row in want.itertuples()
+    }
+
+    ldf = spark.createDataFrame(l[["g", "x", "lv", "lid"]])
+    rdf = spark.createDataFrame(r[["g", "x", "rv", "rid"]])
+    got = merge_asof(
+        ldf, rdf, on="x", by="g", right_id_col="rid",
+        direction=direction, allow_exact_matches=exact,
+    )
+    got_map = {int(row["lid"]): (None if row["rv"] is None else int(row["rv"]))
+               for row in got.collect()}
+    assert got_map == want_map
