@@ -18,6 +18,8 @@ from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     ivf_train_centroids,
 )
+from .data import DATA_DIR_PATH
+from .modelling import LinkTransformer, LinkTransformerClassifier
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
 from .operators.sampling import hash_sample, sample_per_group
@@ -129,6 +131,9 @@ __all__ = [
     "GeminiSpec",
     "ann_topk",
     "merge_asof",
+    "DATA_DIR_PATH",
+    "LinkTransformer",
+    "LinkTransformerClassifier",
     "profile_table",
     "hash_sample",
     "sample_per_group",
