@@ -1959,6 +1959,39 @@ def clus_prep_test_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["test_relevant"].select("qid", "cid")
 
 
+# Streaming incremental near-dup: the SAME pair semantics as the batch
+# dedup_minhash_against (same oracle SQL), produced statelessly from a
+# document stream band-joined against a static index — per-row
+# signature expressions, first-matching-band row-local dedup, append
+# mode with no state store.
+@_q("stream_dedup_against", _MINHASH_AGAINST_SQL)
+def stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import read_stream_table, run_available_now
+    from .streaming.ops import streaming_dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+
+    s = read_stream_table(spark, sf_dir, "documents")
+    nw = (
+        s.filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+        )
+        .unionByName(
+            s.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+            .select("doc_id", "text")
+        )
+    )
+    out = streaming_dedup_against(
+        nw, seen, on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3, word=True,
+    )
+    out = out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    return run_available_now(out, output_mode="append")
+
+
 @_q("stream_text_analyze", _TEXTPIPE_SQL)
 def stream_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming map: the full text-analysis pass (lang id,

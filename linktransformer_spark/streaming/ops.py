@@ -248,3 +248,111 @@ def streaming_merge(
         model=model, k=k, mode="broadcast_knn",
         left_id_col=left_id_col, right_id_col=right_id_col, **kw,
     )
+
+
+def streaming_dedup_against(
+    stream_new: DataFrame,
+    static_seen: DataFrame,
+    on: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+) -> DataFrame:
+    """Real-time ingest near-dup alerts: a STREAM of new documents
+    MinHash-checked against a static already-ingested corpus. Emits
+    (src=new id, dst=seen id, jaccard) for every verified near-dup pair
+    — STATELESS end to end (append mode, no watermark, no state store).
+
+    How it stays stateless: the stream side computes its signature with
+    per-row array expressions (no groupBy), bands explode map-only, and
+    candidates come from a stream-static equi-join on
+    (band, band-signature). The one stateful-looking step — dropping
+    the duplicate hit when a pair collides in several bands — is
+    row-local instead: both full signatures ride through the join, so
+    each matched row can check "is my band the FIRST one where the two
+    signatures agree?" and only that row survives. Exact-Jaccard
+    verification compares the two shingle arrays in the same row
+    (static side carries its shingles precomputed at index-build time).
+
+    Matches near_dup_pairs_minhash_against row-for-row on the same
+    inputs (the batch oracle); the static index (bands + signature +
+    shingles) is built once per query start and broadcast/scanned as a
+    static relation — persist it with save_bucketed on (band, bsig) for
+    a long-running deployment.
+    """
+    from ..operators.dedup import (
+        _minhash_base_banded, _shingles, minhash_signature,
+    )
+    from ..functions.serialize import DEFAULT_SEP, serialize_columns
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    # static index: (band, bsig, dst id, dst signature, dst shingles)
+    sbase, sbanded = _minhash_base_banded(
+        static_seen, on, id_col, num_hashes, bands, shingle, word, None
+    )
+    s_sh = sbase.select(
+        F.col("_id").alias("_dst"),
+        F.col("_sig").alias("_sig_s"),
+        _shingles(F.col("_key"), shingle, word).alias("_sh_s"),
+    )
+    s_index = sbanded.select(
+        F.col("_id").alias("_dst"), "band", "bsig"
+    ).join(s_sh, "_dst")
+
+    # stream side: per-row signature + shingles (pure expressions)
+    key = serialize_columns([on], DEFAULT_SEP)
+    n = stream_new.select(
+        F.col(id_col).cast("long").alias("_src"),
+        minhash_signature(key, num_hashes, shingle, word).alias("_sig_n"),
+        _shingles(key, shingle, word).alias("_sh_n"),
+    )
+    banded_n = n.select(
+        "_src", "_sig_n", "_sh_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("_sig_n"), b * rows_per_band + 1,
+                            rows_per_band).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "_src", "_sig_n", "_sh_n",
+        F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"),
+    )
+
+    hits = banded_n.join(s_index, ["band", "bsig"])
+    # row-local de-dup across bands: survive only in the FIRST band
+    # where the two signatures agree
+    first_band = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        F.lit(bands).cast("integer"),
+        lambda acc, b: F.when(
+            (acc < F.lit(bands))
+            | ~(
+                F.slice(F.col("_sig_n"), b * rows_per_band + 1, rows_per_band)
+                == F.slice(F.col("_sig_s"), b * rows_per_band + 1, rows_per_band)
+            ),
+            acc,
+        ).otherwise(b.cast("integer")),
+    )
+    hits = hits.filter(F.col("band") == first_band)
+
+    inter = F.size(F.array_intersect("_sh_n", "_sh_s"))
+    union = F.size("_sh_n") + F.size("_sh_s") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        hits.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_src").alias("src"), F.col("_dst").alias("dst"), "jaccard"
+        )
+    )

@@ -135,3 +135,44 @@ def test_streaming_merge_guards(spark, sf_dir):
     with _pytest.raises(ValueError, match="id_col"):
         streaming_merge(s_cust, supp, left_on="c_name", right_on="s_name",
                         model="hash-ngram")
+
+
+def test_streaming_dedup_against_equals_batch(spark, sf_dir):
+    """The stateless stream band-join emits exactly the batch
+    near_dup_pairs_minhash_against pairs — including the row-local
+    first-matching-band dedup (no duplicate emissions when a pair
+    collides in several bands)."""
+    from pyspark.sql import functions as F
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import read_stream_table, run_available_now
+    from linktransformer_spark.streaming.ops import streaming_dedup_against
+
+    d = read_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+
+    def mutate(df):
+        dup = df.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+        )
+        fresh = df.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260)).select(
+            "doc_id", "text")
+        return dup.unionByName(fresh)
+
+    kw = dict(on="text", id_col="doc_id", threshold=0.6,
+              num_hashes=24, bands=8, shingle=3)
+    batch_pairs = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against(
+            mutate(d), seen, **kw).collect()
+    }
+
+    s = read_stream_table(spark, sf_dir, "documents")
+    out = streaming_dedup_against(mutate(s), seen, word=True, **kw)
+    drained = run_available_now(out, output_mode="append")
+    rows = drained.collect()
+    stream_pairs = {(r.src, r.dst, round(r.jaccard, 9)) for r in rows}
+    assert len(rows) == len(stream_pairs)  # no duplicate emissions
+    assert stream_pairs == batch_pairs and len(stream_pairs) > 0
