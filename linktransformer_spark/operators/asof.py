@@ -10,10 +10,10 @@ within ``by`` groups, optionally within ``tolerance``.
 
 Spark-first plan — the union+window trick, ONE shuffle total:
 
-    left(+side=1)  UNION  right(+side=0)
+    left(+side=1)  UNION  right(+side=0, payload packed in ONE struct)
       -> Window.partitionBy(by).orderBy(ts, side, rid)
-         last(right_payload, ignorenulls=True)  [running carry-forward]
-      -> filter side=1
+         last(payload_struct, ignorenulls=True)  [running carry-forward]
+      -> filter side=1, unpack struct fields
 
 Both sides shuffle once on ``by`` (hash partition), each partition
 sorts once, and the carry-forward is a running ``last(IGNORE NULLS)``
@@ -27,12 +27,30 @@ bucket, then resolve bucket boundaries with a second pass over the
 bucket-leading rows (not implemented here; the testdata keys are
 uniform).
 
+The payload is carried ATOMICALLY: all right columns ride in a single
+struct that is non-null for every right row (even when every field in
+it is null), and ONE ``last(struct, ignorenulls=True)`` carries it.
+Per-column carries would backfill a null field of the matched row from
+an OLDER right row — mixing columns of different right rows, which
+pandas merge_asof never does (it attaches the matched row verbatim,
+nulls included).
+
 Determinism: ties on (ts) between right rows are broken by
 ``right_id_col`` ascending — the LAST one in window order wins, i.e.
-the largest id; document and mirror in the oracle. ``side`` ordering
-encodes ``allow_exact_matches``: with exact matches allowed the right
-row sorts BEFORE a left row at the same ts (visible to it), without it
-sorts after.
+the largest id; document and mirror in the oracle. Without a
+``right_id_col`` the tie-break falls back to ``xxhash64(payload)``
+(largest hash wins) so the carried match is stable across runs and
+partition layouts; right rows with bit-identical payloads remain
+interchangeable. ``side`` ordering encodes ``allow_exact_matches``:
+with exact matches allowed the right row sorts BEFORE a left row at
+the same ts (visible to it), without it sorts after.
+
+Column naming (pandas suffix rules, both sides): the ``on`` key keeps
+its bare left name (pandas emits a single key column); any OTHER left
+column colliding with a right payload name gets ``suffixes[0]`` and
+the right column gets ``suffixes[1]``. Unlike pandas we also keep the
+matched right ordering column (suffixed) so tolerance/inspection
+survive into the output.
 """
 
 from __future__ import annotations
@@ -43,7 +61,7 @@ from pyspark.sql import functions as F
 _TS = "_asof_ts"
 _SIDE = "_asof_side"
 _RID = "_asof_rid"
-_PREFIX = "_asof_r_"
+_P = "_asof_payload"
 
 
 def merge_asof(
@@ -59,8 +77,9 @@ def merge_asof(
     suffixes: tuple[str, str] = ("_x", "_y"),
 ) -> DataFrame:
     """As-of join ``left`` to ``right``; returns every left row plus the
-    matched right row's payload columns (suffixed on name collision),
-    nulls when no right row qualifies.
+    matched right row's payload columns (suffixed on name collision,
+    both sides — see module docstring), nulls when no right row
+    qualifies.
 
     ``on``/``right_on``: ordering column (timestamp or numeric).
     ``by``: equality keys (the shuffle partition keys).
@@ -72,75 +91,78 @@ def merge_asof(
     r_on = right_on or on
     by = [by] if isinstance(by, str) else list(by or [])
 
-    # right payload = everything except the by keys; ordering col and id
-    # ride along (prefixed) so tolerance/tie-break/inspection survive
+    # right payload = everything except the by keys, packed into ONE
+    # struct (atomic carry; ordering col and id ride along inside so
+    # tolerance/tie-break/inspection survive)
     payload = [c for c in right.columns if c not in by]
-    l_side = left
-    for c in payload:
-        l_side = l_side.withColumn(_PREFIX + c, F.lit(None).cast(dict(right.dtypes)[c]))
-    l_side = (
-        l_side.withColumn(_TS, F.col(on))
-        .withColumn(_SIDE, F.lit(1 if allow_exact_matches else 0))
-        .withColumn(_RID, F.lit(None).cast("long"))
-    )
     r_side = right.select(
         *[F.col(c) for c in by],
-        *[F.col(c).alias(_PREFIX + c) for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias(_P),
     )
+    payload_type = r_side.schema[_P].dataType
     for c in left.columns:
         if c not in by:
             r_side = r_side.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     r_side = (
-        r_side.withColumn(_TS, F.col(_PREFIX + r_on))
+        r_side.withColumn(_TS, F.col(_P)[r_on])
         .withColumn(_SIDE, F.lit(0 if allow_exact_matches else 1))
         .withColumn(
             _RID,
-            F.col(_PREFIX + right_id_col).cast("long")
+            F.col(_P)[right_id_col].cast("long")
             if right_id_col
-            else F.lit(0).cast("long"),
+            # deterministic surrogate: without an id column, equal-ts
+            # right rows in a by-group would otherwise be ordered by
+            # partition layout and the carried match would drift run to
+            # run; hash ties only between bit-identical payloads
+            else F.xxhash64(F.col(_P)),
         )
+    )
+    l_side = (
+        left.withColumn(_P, F.lit(None).cast(payload_type))
+        .withColumn(_TS, F.col(on))
+        .withColumn(_SIDE, F.lit(1 if allow_exact_matches else 0))
+        .withColumn(_RID, F.lit(None).cast("long"))
     )
 
     u = l_side.unionByName(r_side.select(*l_side.columns))
     # NULLS-pinned ordering (engines disagree on default null order):
-    # left rows carry _RID null -> coalesce to -1 so they sort before
-    # right rows that share (ts, side) — irrelevant for matching (side
-    # separates them) but keeps the frame total and deterministic.
+    # left rows carry _RID null -> coalesce keeps the frame total; left
+    # and right rows never tie on (ts, side) with each other (side
+    # separates them), and left-left order is irrelevant to the carry.
     ts_ord = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(*by)
         .orderBy(ts_ord, F.col(_SIDE).asc(), F.coalesce(F.col(_RID), F.lit(-1)).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u
-    for c in payload:
-        matched = matched.withColumn(
-            _PREFIX + c, F.last(F.col(_PREFIX + c), ignorenulls=True).over(w)
-        )
+    matched = u.withColumn(_P, F.last(F.col(_P), ignorenulls=True).over(w))
 
-    out = matched.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0)).drop(
-        _TS, _SIDE, _RID
-    )
+    out = matched.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
 
     if tolerance is not None:
-        lts, rts = F.col(on), F.col(_PREFIX + r_on)
+        lts, rts = F.col(on), F.col(_P)[r_on]
         if dict(left.dtypes)[on].startswith("timestamp"):
             gap = F.abs(
                 (F.unix_micros(lts) - F.unix_micros(rts)).cast("double") / 1e6
             )
         else:
             gap = F.abs(lts.cast("double") - rts.cast("double"))
+        # null out the WHOLE struct when out of tolerance — the match is
+        # all-or-nothing, never a partial row
         keep = rts.isNotNull() & (gap <= F.lit(float(tolerance)))
-        for c in payload:
-            out = out.withColumn(
-                _PREFIX + c,
-                F.when(keep, F.col(_PREFIX + c)).otherwise(F.lit(None)),
-            )
+        out = out.withColumn(_P, F.when(keep, F.col(_P)))
 
-    # final naming: pandas suffix rules — right payload keeps its name
-    # unless it collides with a surviving left column
+    # final naming: pandas suffix rules on BOTH sides — the on key keeps
+    # its bare left name; other collisions get suffixes[0]/suffixes[1]
     left_names = set(left.columns)
+    payload_names = set(payload)
+    sel = []
+    for c in left.columns:
+        if c in payload_names and c != on and c not in by:
+            sel.append(F.col(c).alias(c + suffixes[0]))
+        else:
+            sel.append(F.col(c))
     for c in payload:
         final = c + suffixes[1] if c in left_names else c
-        out = out.withColumnRenamed(_PREFIX + c, final)
-    return out
+        sel.append(F.col(_P)[c].alias(final))
+    return out.select(*sel)

@@ -132,16 +132,30 @@ def _shingles(text: Column, n: int, word: bool) -> Column:
     return F.array_distinct(grams)
 
 
+def _shingles_nonempty(text: Column, n: int, word: bool) -> Column:
+    """``_shingles`` with the batch-path guarantee that no doc has an
+    empty shingle set: char mode's empty result becomes {''} — exactly
+    what ``_shingle_rows``'s explode_outer hashes — so per-row
+    signatures/arrays are row-for-row compatible with the relational
+    batch build. (Word mode already falls back to the whole-text join,
+    which is '' for empty docs.)"""
+    sh = _shingles(text, n, word)
+    if not word:
+        sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    return sh
+
+
 def minhash_signature(text: Column, num_hashes: int, shingle: int = 3,
                       word: bool = True) -> Column:
     """Array of ``num_hashes`` minhash values of the shingle set.
 
     h_i(s) = (A_i * poly_hash(s) + B_i) mod P with A_i, B_i derived from
-    i by integer arithmetic — engine-portable, no RNG state. Empty
-    shingle sets map to the per-hash identity (P) so empty docs only
-    collide with empty docs.
+    i by integer arithmetic — engine-portable, no RNG state. Empty docs
+    hash the '' shingle (the ``_shingles_nonempty`` fallback, matching
+    the batch ``_shingle_rows`` build) so a per-row signature equals the
+    batch signature for every input, short/empty docs included.
     """
-    sh = _shingles(text, shingle, word)
+    sh = _shingles_nonempty(text, shingle, word)
     hashed = F.transform(sh, lambda g: S.poly_hash(g))
     sigs = []
     # NOTE plain closures: PySpark inspects lambda ARITY, so the usual
@@ -309,13 +323,10 @@ def _verify_jaccard(
         .unionByName(cand.select(F.col("dst").alias("_id")))
         .distinct()
     )
-    sh_expr = _shingles(F.col("_key"), shingle, word)
-    if not word:
-        # char mode: _shingle_rows explode_outer gives short docs one ""
-        # row (that's what the signature hashed) — mirror it here
-        sh_expr = F.when(F.size(sh_expr) > 0, sh_expr).otherwise(
-            F.array(F.lit(""))
-        )
+    # char mode: _shingle_rows explode_outer gives short docs one ""
+    # row (that's what the signature hashed) — _shingles_nonempty
+    # mirrors it here
+    sh_expr = _shingles_nonempty(F.col("_key"), shingle, word)
     all_base = bases[0].select("_id", "_key")
     for b in bases[1:]:
         all_base = all_base.unionByName(b.select("_id", "_key"))

@@ -1007,9 +1007,9 @@ def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
     )
     return out.select(
-        "event_id", "user_id",
+        F.col("event_id_x").alias("event_id"), "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round("value", 6).alias("value"),
+        F.round("value_x", 6).alias("value"),
         F.col("event_id_y").alias("view_event_id"),
         F.unix_micros("ts_y").alias("view_ts_us"),
         F.round("value_y", 6).alias("view_value"),

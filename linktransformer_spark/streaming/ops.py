@@ -284,7 +284,7 @@ def streaming_dedup_against(
     a long-running deployment.
     """
     from ..operators.dedup import (
-        _minhash_base_banded, _shingles, minhash_signature,
+        _minhash_base_banded, _shingles_nonempty, minhash_signature,
     )
     from ..functions.serialize import DEFAULT_SEP, serialize_columns
 
@@ -299,7 +299,11 @@ def streaming_dedup_against(
     s_sh = sbase.select(
         F.col("_id").alias("_dst"),
         F.col("_sig").alias("_sig_s"),
-        _shingles(F.col("_key"), shingle, word).alias("_sh_s"),
+        # _shingles_nonempty everywhere in this op: char mode's empty
+        # shingle set becomes {''} on BOTH the signature input and the
+        # verify arrays, matching the batch _shingle_rows/_verify_jaccard
+        # paths row for row (short/empty docs included)
+        _shingles_nonempty(F.col("_key"), shingle, word).alias("_sh_s"),
     )
     s_index = sbanded.select(
         F.col("_id").alias("_dst"), "band", "bsig"
@@ -310,7 +314,7 @@ def streaming_dedup_against(
     n = stream_new.select(
         F.col(id_col).cast("long").alias("_src"),
         minhash_signature(key, num_hashes, shingle, word).alias("_sig_n"),
-        _shingles(key, shingle, word).alias("_sh_n"),
+        _shingles_nonempty(key, shingle, word).alias("_sh_n"),
     )
     banded_n = n.select(
         "_src", "_sig_n", "_sh_n",

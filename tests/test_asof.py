@@ -108,3 +108,45 @@ def test_bad_direction(spark):
     l = spark.createDataFrame([(1, 1.0)], "lid long, x double")
     with pytest.raises(ValueError, match="direction"):
         merge_asof(l, l, on="x", direction="nearest")
+
+
+def test_null_payload_field_carried_atomically(spark):
+    """The matched right row attaches VERBATIM, nulls included — a null
+    field must NOT be backfilled from an older right row (pandas
+    merge_asof parity; the struct-carry regression test)."""
+    l = spark.createDataFrame([(1, 10.0)], "lid long, x double")
+    r = spark.createDataFrame(
+        [(7, 1.0, "old_a", "old_b"), (8, 5.0, None, "new_b")],
+        "rid long, x double, a string, b string",
+    )
+    [row] = merge_asof(l, r, on="x", right_id_col="rid").collect()
+    assert row["rid"] == 8
+    assert row["a"] is None  # not "old_a"
+    assert row["b"] == "new_b"
+
+
+def test_tie_without_right_id_is_deterministic(spark):
+    """With right_id_col=None, equal-ts right rows are ordered by a
+    payload hash, not partition layout — same winner at any layout."""
+    l = spark.createDataFrame([(1, 10.0)], "lid long, x double")
+    rows = [(7, 10.0, "p"), (9, 10.0, "q"), (8, 10.0, "r")]
+    winners = set()
+    for nparts in (1, 3, 7):
+        r = spark.createDataFrame(
+            rows, "rid long, x double, tag string"
+        ).repartition(nparts)
+        [row] = merge_asof(l, r, on="x").collect()
+        winners.add((row["rid"], row["tag"]))
+    assert len(winners) == 1
+
+
+def test_both_side_suffixes_on_collision(spark):
+    """Non-key column collisions suffix BOTH sides (pandas rule); the on
+    key keeps its bare left name."""
+    l = spark.createDataFrame([(1, 5.0, "L")], "lid long, x double, v string")
+    r = spark.createDataFrame([(7, 4.0, "R")], "rid long, x double, v string")
+    out = merge_asof(l, r, on="x", right_id_col="rid")
+    assert "v_x" in out.columns and "v_y" in out.columns
+    assert "x" in out.columns and "x_y" in out.columns and "x_x" not in out.columns
+    [row] = out.collect()
+    assert row["v_x"] == "L" and row["v_y"] == "R" and row["x"] == 5.0

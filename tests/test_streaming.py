@@ -176,3 +176,50 @@ def test_streaming_dedup_against_equals_batch(spark, sf_dir):
     stream_pairs = {(r.src, r.dst, round(r.jaccard, 9)) for r in rows}
     assert len(rows) == len(stream_pairs)  # no duplicate emissions
     assert stream_pairs == batch_pairs and len(stream_pairs) > 0
+
+
+def test_streaming_dedup_against_char_mode_short_docs(spark, sf_dir):
+    """Char-mode parity on the degenerate docs: empty texts and texts
+    shorter than the shingle width hash the '' fallback shingle on the
+    batch path — the stream side must produce the identical signature
+    and verify arrays (regression: the stream side used to map empty
+    shingle sets to the sentinel signature and miss these pairs)."""
+    from pyspark.sql import functions as F
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import read_stream_table, run_available_now
+    from linktransformer_spark.streaming.ops import streaming_dedup_against
+    from linktransformer_spark.sources.tables import read_table
+
+    def degenerate(df):
+        return df.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+            .when(F.col("doc_id") % 3 == 1, F.lit("ab"))  # < shingle chars
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    d = read_table(spark, sf_dir, "documents")
+    seen = degenerate(d.filter(F.col("doc_id") < 30))
+
+    def new_batch(df):
+        return degenerate(df.filter(F.col("doc_id") < 12)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+
+    kw = dict(on="text", id_col="doc_id", threshold=0.5,
+              num_hashes=24, bands=8, shingle=3, word=False)
+    batch_pairs = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against(new_batch(d), seen, **kw).collect()
+    }
+    # the degenerate docs must actually collide or the test checks nothing
+    assert any(jac == 1.0 for _, _, jac in batch_pairs)
+
+    s = read_stream_table(spark, sf_dir, "documents")
+    out = streaming_dedup_against(new_batch(s), seen, **kw)
+    rows = run_available_now(out, output_mode="append").collect()
+    stream_pairs = {(r.src, r.dst, round(r.jaccard, 9)) for r in rows}
+    assert len(rows) == len(stream_pairs)
+    assert stream_pairs == batch_pairs
