@@ -19,7 +19,7 @@ from .operators.ann import (
     ivf_train_centroids,
 )
 from .data import DATA_DIR_PATH
-from .modelling import LinkTransformer, LinkTransformerClassifier
+from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
 from .operators.sampling import hash_sample, sample_per_group
@@ -84,11 +84,21 @@ from .preprocess import preprocess_any_data
 
 
 def load_model(model):
-    """Resolve a model name to an encoder (reference load_model,
-    /root/reference/src/linktransformer/utils.py:67-82). Our "model"
-    is an :class:`Encoder` strategy; strings route exactly like the
-    reference (API-model predicates, else sentence-transformers), plus
-    the deterministic ``"hash-ngram"`` backend."""
+    """Resolve a model name, saved model directory, or Encoder to an
+    encoder (reference load_model,
+    /root/reference/src/linktransformer/utils.py:67-82). Strings route
+    exactly like the reference (API-model predicates, else
+    sentence-transformers), plus the deterministic ``"hash-ngram"``
+    backend; a directory written by :func:`save_model` rebuilds the
+    saved encoder (model-store round-trip)."""
+    import os as _os
+
+    from .modelling import MODEL_CONFIG, load_model_dir
+
+    if isinstance(model, str) and _os.path.isfile(
+        _os.path.join(model, MODEL_CONFIG)
+    ):
+        return load_model_dir(model)
     return resolve_encoder(model)
 
 
@@ -171,6 +181,7 @@ __all__ = [
     "serialize_columns",
     "convert_to_text",
     "load_model",
+    "save_model",
     "infer_embeddings",
     "prep_paired_label_data",
     "edges_from_clusters",

@@ -14,7 +14,75 @@ absent here, present on a real cluster."""
 
 from __future__ import annotations
 
+import json
+import os
+
 from .encoders.sbert import SBertEncoder
+
+#: marker file of an engine model directory (the reference's model dirs
+#: carry sentence-transformers' modules.json; ours carry this config —
+#: load_model() recognizes either)
+MODEL_CONFIG = "lt_model.json"
+
+
+def save_model(model, path: str) -> str:
+    """Persist a ``model=`` argument to a local directory (reference
+    ``LinkTransformer.save``, modelling/LinkTransformer.py:79-136).
+
+    Engine-native encoders (HashNgramEncoder — weightless, the config IS
+    the model) serialize completely and round-trip anywhere. SBERT
+    handles write their handle config always, plus the actual
+    sentence-transformers weights when the torch stack is importable
+    (``weights_saved`` records which) — so a dir saved on a GPU box
+    loads as a self-contained model, and one saved in a torch-less
+    environment still loads as the same lazy named handle.
+    """
+    from .encoders.base import resolve_encoder
+    from .encoders.hash_ngram import HashNgramEncoder
+
+    enc = resolve_encoder(model)
+    os.makedirs(path, exist_ok=True)
+    if isinstance(enc, HashNgramEncoder):
+        cfg = {"encoder": "hash-ngram", "dim": enc.dim, "n": enc.n,
+               "salt": enc.salt}
+    elif isinstance(enc, SBertEncoder):
+        cfg = {"encoder": "sbert", "model_name": enc.model_name,
+               "batch_size": enc.batch_size, "dim": enc.dim}
+        try:  # pragma: no cover - torch-gated
+            from .encoders.sbert import _load_model
+
+            _load_model(enc.model_name).save(path)
+            cfg["weights_saved"] = True
+        except ImportError:
+            cfg["weights_saved"] = False
+    else:
+        raise ValueError(
+            f"save_model supports HashNgramEncoder and SBERT handles, "
+            f"got {type(enc).__name__}"
+        )
+    with open(os.path.join(path, MODEL_CONFIG), "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def load_model_dir(path: str):
+    """Rebuild the encoder saved by :func:`save_model` (reference
+    ``load_model``, utils.py:67-82 — there a SentenceTransformer
+    constructor on the dir; here the engine encoder the config names)."""
+    with open(os.path.join(path, MODEL_CONFIG)) as f:
+        cfg = json.load(f)
+    kind = cfg.get("encoder")
+    if kind == "hash-ngram":
+        from .encoders.hash_ngram import HashNgramEncoder
+
+        return HashNgramEncoder(dim=cfg["dim"], n=cfg["n"], salt=cfg["salt"])
+    if kind == "sbert":
+        # weights in the dir -> load the dir itself (self-contained);
+        # otherwise the named lazy handle
+        name = path if cfg.get("weights_saved") else cfg["model_name"]
+        return SBertEncoder(name, batch_size=cfg.get("batch_size", 128),
+                            dim=cfg.get("dim", 0))
+    raise ValueError(f"unknown encoder kind in {path}/{MODEL_CONFIG}: {kind!r}")
 
 
 class LinkTransformer(SBertEncoder):

@@ -294,8 +294,15 @@ def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
         except ImportError as e:
             raise ImportError(
                 "cluster_type='HDBScan' needs the hdbscan package (not in "
-                "this environment); use 'SLINK' (distributed) or "
-                "'agglomerative' (numpy) instead"
+                "this environment). Recommended migration: SLINK is the "
+                "distributed density path — HDBSCAN(min_cluster_size=m, "
+                "min_samples=s, cluster_selection_epsilon=e) maps to "
+                "cluster_type='SLINK', cluster_params={'min cluster size': "
+                "max(m, s), 'threshold': e} (with a fixed epsilon HDBSCAN's "
+                "extraction IS DBSCAN*, which SLINK implements exactly; "
+                "without one, pick e as the distance cut you would read off "
+                "the condensed tree). 'agglomerative' (numpy, per-block) is "
+                "the hierarchy-exact alternative."
             ) from e
         import numpy as np
 

@@ -52,6 +52,46 @@ RIGHT_EMB = "_lt_emb_r"
 
 Mode = Literal["auto", "exact_cross", "broadcast_knn", "lsh"]
 
+# mode="auto" with an expression-embedding scorer routes to LSH + exact
+# re-rank when the right side's Catalyst size estimate exceeds this
+# (bytes). Below it, exact_cross's BroadcastNestedLoopJoin is the right
+# plan (small curated right side — the reference's usual shape); above
+# it the O(|L|·|R|) candidate stage stops being viable and the default
+# must survive a 100x right side without the user knowing mode names.
+AUTO_LSH_CONF = "spark.linktransformer.merge.autoLshThresholdBytes"
+AUTO_LSH_DEFAULT_BYTES = 128 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate of a DataFrame (file sizes for
+    scans, propagated through projections). Planning-time only — no job
+    runs. None when unavailable: streaming relations, and plans whose
+    stats are the Long.MaxValue "unknown" sentinel (python-RDD-backed
+    createDataFrame relations report that — they are not known-big, so
+    the caller must not treat them as big)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(size if isinstance(size, int) else size.toString())
+        return None if size >= (1 << 60) else size
+    except Exception:
+        return None
+
+
+def auto_embedding_mode(right_raw: DataFrame) -> str:
+    """Size-aware mode resolution for expression-embedding scorers:
+    ``exact_cross`` while the right side is small enough to
+    nested-loop-broadcast, ``lsh`` (bucketed candidates + exact re-rank,
+    approximate recall) above the ``AUTO_LSH_CONF`` threshold."""
+    spark = right_raw.sparkSession
+    try:
+        thresh = int(spark.conf.get(AUTO_LSH_CONF, str(AUTO_LSH_DEFAULT_BYTES)))
+    except Exception:
+        thresh = AUTO_LSH_DEFAULT_BYTES
+    size = plan_size_bytes(right_raw)
+    if size is not None and size > thresh:
+        return "lsh"
+    return "exact_cross"
+
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism when the input

@@ -121,24 +121,35 @@ def _lev(a: str, b: str) -> int:
 class MockJudgeSpec(LLMClientSpec):
     """Deterministic judge: similarity of the serialized left/right
     payloads (normalized levenshtein), is_match = sim >= threshold.
-    Fully reproducible in the DuckDB oracle."""
+    Fully reproducible in the DuckDB oracle.
+
+    Honors BOTH judge request shapes: a single pair payload (the
+    reference's per-candidate call, infer.py:1148) and a JSON array of
+    pair payloads (the ``judge_batch_size`` contract — one response
+    object per pair, same order/length, mirroring the transform batch
+    contract at utils.py:429-437)."""
 
     threshold: float = 0.5
 
     def make(self):
         thr = self.threshold
 
+        def judge_one(payload: dict) -> dict:
+            l = "<SEP>".join("" if v is None else str(v) for v in payload["left"].values())
+            r = "<SEP>".join("" if v is None else str(v) for v in payload["right"].values())
+            sim = 1.0 - _lev(l, r) / max(len(l), len(r), 1)
+            # full precision (repr round-trips the double exactly);
+            # rounding is the caller's job — python's round() is
+            # banker's rounding and would diverge from SQL ROUND.
+            return {"is_match": int(sim >= thr), "confidence": sim}
+
         class _C:
             @staticmethod
             def complete(system_prompt: str, user_content: str) -> str:
                 payload = json.loads(user_content)
-                l = "<SEP>".join("" if v is None else str(v) for v in payload["left"].values())
-                r = "<SEP>".join("" if v is None else str(v) for v in payload["right"].values())
-                sim = 1.0 - _lev(l, r) / max(len(l), len(r), 1)
-                # full precision (repr round-trips the double exactly);
-                # rounding is the caller's job — python's round() is
-                # banker's rounding and would diverge from SQL ROUND.
-                return json.dumps({"is_match": int(sim >= thr), "confidence": sim})
+                if isinstance(payload, list):
+                    return json.dumps([judge_one(p) for p in payload])
+                return json.dumps(judge_one(payload))
 
         return _C()
 
@@ -286,6 +297,7 @@ def merge_k_judge(
     suffixes: tuple[str, str] = ("_x", "_y"),
     max_retries: int = 5,
     ratelimit_sleep_time: float = 15.0,
+    judge_batch_size: int | None = None,
     **merge_kw,
 ) -> DataFrame:
     """Retrieve-then-judge join (reference merge_k_judge,
@@ -295,6 +307,16 @@ def merge_k_judge(
 
     ``judge`` is a client spec; pass MockJudgeSpec() for deterministic
     runs, OpenAIChatSpec/GeminiSpec for live providers.
+
+    ``judge_batch_size``: opt-in batched judging — ship N candidate
+    pairs per request as a JSON array with a same-order/same-length
+    response contract (the transform_rows batching shape,
+    utils.py:429-437), cutting LLM round-trips N-fold. Default None
+    keeps the reference's one-call-per-candidate protocol
+    (infer.py:1148). Batched responses are length-validated and retried
+    like transform_rows; each response element is coerced with the same
+    permissive parser as the per-row path, so the two modes produce
+    identical rows for a well-behaved judge.
     """
     if judge is None:
         raise ValueError(
@@ -338,25 +360,69 @@ def merge_k_judge(
             StructField("llm_raw_response", StringType()),
         ]
     )
+    if judge_batch_size is not None and judge_batch_size < 1:
+        raise ValueError("judge_batch_size must be >= 1")
     spec, retries, sleep = judge, max_retries, ratelimit_sleep_time
+    bs = judge_batch_size
+    batch_prompt = (
+        prompt
+        + "\nYou will receive a JSON array of pair payloads. Return ONLY a "
+        "JSON array with one compact JSON object per pair (keys: is_match, "
+        "confidence), same order, same length."
+    )
 
     def gen(batches):
         client = spec.make()  # once per worker
         for pdf in batches:
             raws, matches, confs = [], [], []
-            for _, row in pdf.iterrows():
-                left_payload = {
-                    c: (row[n] if n in pdf.columns else None) for c, n in left_map.items()
+            payloads = [
+                {
+                    "left": {
+                        c: (row[n] if n in pdf.columns else None)
+                        for c, n in left_map.items()
+                    },
+                    "right": {
+                        c: (row[n] if n in pdf.columns else None)
+                        for c, n in right_map.items()
+                    },
                 }
-                right_payload = {
-                    c: (row[n] if n in pdf.columns else None) for c, n in right_map.items()
-                }
-                user = json.dumps({"left": left_payload, "right": right_payload}, default=str)
-                raw = _call_with_backoff(client, prompt, user, retries, sleep)
-                m, conf = coerce_llm_match_and_confidence(raw)
-                raws.append(raw)
-                matches.append(m)
-                confs.append(conf)
+                for _, row in pdf.iterrows()
+            ]
+            if bs is None:
+                # reference protocol: one request per candidate pair
+                for payload in payloads:
+                    user = json.dumps(payload, default=str)
+                    raw = _call_with_backoff(client, prompt, user, retries, sleep)
+                    m, conf = coerce_llm_match_and_confidence(raw)
+                    raws.append(raw)
+                    matches.append(m)
+                    confs.append(conf)
+            else:
+                # batched protocol: JSON array in, same-length array out
+                # (validated + retried, transform_rows semantics)
+                for i in range(0, len(payloads), bs):
+                    chunk = payloads[i : i + bs]
+                    user = json.dumps(chunk, default=str)
+                    for retry in range(retries):
+                        raw = _call_with_backoff(client, batch_prompt, user, retries, sleep)
+                        try:
+                            arr = json.loads(raw)
+                        except Exception:
+                            arr = None
+                        if isinstance(arr, list) and len(arr) == len(chunk):
+                            break
+                        if retry == retries - 1:
+                            raise ValueError(
+                                "judge returned wrong batch size: expected "
+                                f"{len(chunk)} responses"
+                            )
+                        time.sleep(sleep * (2 ** retry))
+                    for elem in arr:
+                        txt = elem if isinstance(elem, str) else json.dumps(elem)
+                        m, conf = coerce_llm_match_and_confidence(txt)
+                        raws.append(txt)
+                        matches.append(m)
+                        confs.append(conf)
             pdf = pdf.copy()
             pdf["llm_is_match"] = matches
             pdf["llm_confidence"] = confs

@@ -244,6 +244,13 @@ def merge_knn(
         enc = getattr(scorer, "encoder", None)
         if scorer.needs_embeddings and enc is not None and not enc.expression_based:
             mode = "broadcast_knn"
+        elif scorer.needs_embeddings:
+            # size-aware: exact_cross plans the O(|L|·|R|) candidate
+            # stage as a BroadcastNestedLoopJoin — right above the
+            # configured size estimate that stops being viable, so auto
+            # routes to LSH candidates + exact re-rank (approximate
+            # recall; set mode='exact_cross' to force exactness).
+            mode = KJ.auto_embedding_mode(df2)
     key_shipping = (
         mode == "broadcast_knn"
         and hasattr(getattr(scorer, "encoder", None), "encode_batch")

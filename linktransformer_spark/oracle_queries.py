@@ -1539,8 +1539,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_topk_ivf")  # approximate (IVF) — no SQL oracle; rows-only driver
-# check + recall gate in tests/test_dedup_ann.py::test_ivf_recall
+# NOT registered in QUERIES: the k-means centroids are not
+# SQL-expressible, so the driver could only record a no-oracle row for
+# it. Its IVF topology is fully hash-checked through the registered
+# `ann_topk_ivf_seeded` twin (same build/assign/probe/re-rank plan,
+# seeded centroids), and the k-means quality path is recall-gated in
+# tests/test_dedup_ann.py::test_ivf_recall + benched as ann_ivf_topk.
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ivf_topk
 

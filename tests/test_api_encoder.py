@@ -97,3 +97,37 @@ def test_hash_ngram_encode_batch_bit_parity(spark):
     loc = enc.encode_batch(vals)
     for i, v in enumerate(vals):
         assert (rel[v] == loc[i]).all(), v
+
+
+def test_model_store_round_trip(spark, tmp_path):
+    """save_model -> load_model rebuilds the identical encoder
+    (reference model-dir store, modelling/LinkTransformer.py:79-136 +
+    utils.py load_model): hash-ngram round-trips completely in any
+    environment; an SBERT handle round-trips its lazy config where the
+    torch stack is absent."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+    from linktransformer_spark.encoders.sbert import SBertEncoder
+
+    # hash-ngram: weightless, config IS the model
+    p = str(tmp_path / "hash_model")
+    lt.save_model(HashNgramEncoder(dim=32, n=2, salt=7), p)
+    back = lt.load_model(p)
+    assert isinstance(back, HashNgramEncoder)
+    assert (back.dim, back.n, back.salt) == (32, 2, 7)
+    df = spark.createDataFrame([("acme corp",), ("bolt ltd",)], ["s"])
+    orig = {r.s: r.emb for r in
+            HashNgramEncoder(dim=32, n=2, salt=7).encode(df, "s", "emb").collect()}
+    got = {r.s: r.emb for r in back.encode(df, "s", "emb").collect()}
+    assert got == orig
+
+    # sbert: lazy handle config (weights torch-gated, absent here)
+    p2 = str(tmp_path / "sbert_model")
+    lt.save_model(lt.LinkTransformer("all-MiniLM-L6-v2", batch_size=64), p2)
+    back2 = lt.load_model(p2)
+    assert isinstance(back2, SBertEncoder)
+    assert back2.model_name == "all-MiniLM-L6-v2"
+    assert back2.batch_size == 64
+
+    # plain names still resolve (no dir in the way)
+    assert isinstance(lt.load_model("hash-ngram"), HashNgramEncoder)

@@ -112,9 +112,32 @@ def test_hdbscan_needs_package(spark, sf_dir):
     except ImportError:
         has = False
     if not has:
-        with pytest.raises(ImportError):
+        # the gate error must carry the SLINK migration mapping so a
+        # reference HDBSCAN user knows the supported equivalent
+        with pytest.raises(ImportError, match="SLINK.*min cluster size"):
             lt.cluster_rows(part, on="p_name", cluster_type="HDBScan",
                             id_col="p_partkey")
+
+
+def test_hdbscan_epsilon_mapping_via_slink(spark):
+    """The documented HDBSCAN->SLINK migration: with a fixed
+    cluster_selection_epsilon HDBSCAN's extraction is DBSCAN*, so
+    SLINK(threshold=e, min cluster size=max(m, s)) produces the same
+    partition — pin it on a hand-computable frame (two tight groups,
+    one outlier)."""
+    rows = [(0, "alpha widget"), (1, "alpha widget"), (2, "alpha widgets"),
+            (3, "omega gasket"), (4, "omega gasket"), (5, "zzz unrelated")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = lt.cluster_rows(
+        df, on="txt", cluster_type="SLINK", id_col="id",
+        cluster_params={"min cluster size": 2, "threshold": 0.3,
+                        "metric": "cosine"},
+    )
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4]
+    assert got[0] != got[3]
+    assert got[5] == -1  # noise: no epsilon-neighbor
 
 
 def test_agglomerative_ward_known_groups(spark):

@@ -90,3 +90,55 @@ def test_transform_rows_custom_output_column(spark, sf_dir):
     out = lt.transform_rows(part, on="p_name", output_column="shout",
                             transformer=lt.MockTransformSpec("upper"))
     assert "shout" in out.columns
+
+
+class _CountingJudgeSpec(lt.MockJudgeSpec):
+    """MockJudgeSpec that appends one line per LLM request to a file —
+    worker processes share the local filesystem, so the driver-side test
+    can count round-trips across the mapInPandas stage."""
+
+    def __init__(self, counter_file: str, threshold: float = 0.5):
+        super().__init__(threshold=threshold)
+        self.counter_file = counter_file
+
+    def make(self):
+        inner = super().make()
+        path = self.counter_file
+
+        class _C:
+            @staticmethod
+            def complete(system_prompt: str, user_content: str) -> str:
+                with open(path, "a") as f:
+                    f.write("x\n")
+                return inner.complete(system_prompt, user_content)
+
+        return _C()
+
+
+def test_merge_k_judge_batched_equals_per_row(spark, sf_dir, tmp_path):
+    """judge_batch_size=N must produce the identical rows as the
+    default per-candidate protocol, with ~N-fold fewer LLM requests."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    kw = dict(left_on="c_name", right_on="s_name", model="levenshtein",
+              k=2, left_id_col="c_custkey", right_id_col="s_suppkey")
+
+    f_row, f_batch = str(tmp_path / "row_calls"), str(tmp_path / "batch_calls")
+    per_row = lt.merge_k_judge(
+        cust, supp, judge=_CountingJudgeSpec(f_row), **kw).collect()
+    batched = lt.merge_k_judge(
+        cust, supp, judge=_CountingJudgeSpec(f_batch), judge_batch_size=25,
+        **kw).collect()
+
+    assert sorted(map(tuple, per_row), key=str) == sorted(map(tuple, batched), key=str)
+    n_pairs = len(per_row)
+    calls_row = sum(1 for _ in open(f_row))
+    calls_batch = sum(1 for _ in open(f_batch))
+    assert calls_row == n_pairs
+    # ceil(pairs_in_partition / 25) summed over partitions — must be far
+    # below one call per pair
+    assert calls_batch <= n_pairs / 10
+
+    with pytest.raises(ValueError, match="judge_batch_size"):
+        lt.merge_k_judge(cust, supp, judge=lt.MockJudgeSpec(),
+                         judge_batch_size=0, **kw)

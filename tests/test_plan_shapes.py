@@ -100,6 +100,48 @@ def test_minhash_band_join_is_hash_join_not_nested_loop(spark, sf_dir):
     )
 
 
+def test_auto_mode_is_size_aware(spark, sf_dir):
+    """mode='auto' with an expression-embedding scorer must not keep the
+    O(|L|·|R|) BroadcastNestedLoopJoin once the right side outgrows the
+    configured size estimate: above the threshold it routes to LSH
+    candidates + exact re-rank (no BNLJ, no cartesian), below it the
+    exact plan stays. Result gate: LSH output is a subset of the exact
+    pairs' quality (same scorer re-ranks) with recall >= 0.8 here, where
+    hash-ngram embeddings are non-negative (every pair within radius)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+    from linktransformer_spark.sources.tables import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    kw = dict(left_on="c_name", right_on="s_name", model="hash-ngram",
+              left_id_col="c_custkey", right_id_col="s_suppkey", k=3)
+
+    # below threshold: auto keeps the exact nested-loop plan
+    assert "BroadcastNestedLoopJoin" in plan_of(lt.merge_knn(cust, supp, mode="auto", **kw))
+
+    exact = {(r["c_custkey"], r["s_suppkey"])
+             for r in lt.merge_knn(cust, supp, mode="exact_cross", **kw).collect()}
+
+    spark.conf.set(AUTO_LSH_CONF, "1")
+    try:
+        auto_big = lt.merge_knn(cust, supp, mode="auto", **kw)
+        plan = plan_of(auto_big)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        got = {(r["c_custkey"], r["s_suppkey"]) for r in auto_big.collect()}
+        assert len(got & exact) / len(exact) >= 0.8
+
+        # merge_range takes the same route (tight radius from threshold)
+        rng = lt.merge_range(cust, supp, left_on="c_name", right_on="s_name",
+                             model="hash-ngram", sim_threshold=0.55,
+                             left_id_col="c_custkey", right_id_col="s_suppkey")
+        rplan = plan_of(rng)
+        assert "BroadcastNestedLoopJoin" not in rplan, rplan
+    finally:
+        spark.conf.unset(AUTO_LSH_CONF)
+
+
 def test_events_scan_prunes_columns(spark, sf_dir):
     plan = plan_of(QUERIES["events_hourly_agg"](spark, sf_dir))
     # the hourly agg needs ts/event_type/value only; payload-ish columns
