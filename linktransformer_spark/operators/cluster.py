@@ -15,10 +15,12 @@ Cluster types:
   border nodes attach to their minimum-labeled adjacent core cluster
   (sklearn attaches to the first-discovered one — order-dependent; we
   define the deterministic rule and document the deviation).
-- "agglomerative" / "HDBScan": no exact distributed form; they need
-  sklearn/hdbscan which are not in this container -> gated behind
-  import-try, runs driver-local via toPandas when available
-  (reference-exact, small data only).
+- "agglomerative" / "HDBScan": numpy reimplementations (Lance-Williams
+  / HDBSCAN* + excess-of-mass) run per BLOCK as one applyInPandas task
+  each — with ``block_on`` that is the scale path, without it the
+  reference's whole-table semantics in a single bounded task. When the
+  real hdbscan package is importable (not in this container) HDBScan
+  delegates to it driver-local for reference-exact extraction.
 
 Label values: component-min row id (long), noise = -1. The reference's
 sklearn labels are discovery-ordered ints — the PARTITION is the
@@ -105,9 +107,8 @@ def cluster_rows(
     ``block_on``: cluster within blocks of equal values of these
     columns. For SLINK the ε-similarity graph is restricted to
     same-block pairs (the cross join becomes a block equi-join); for
-    agglomerative it is one applyInPandas task per block — in both
-    cases the scale path. HDBSCAN runs driver-local and does not
-    support blocking (raises)."""
+    agglomerative / HDBScan it is one applyInPandas task per block —
+    in all cases the scale path."""
     if cluster_type not in DEFAULT_PARAMS:
         raise ValueError('cluster_type must be "agglomerative", "HDBScan", or "SLINK"')
     if on is None:
@@ -116,11 +117,6 @@ def cluster_rows(
         missing = [c for c in block_on if c not in df.columns]
         if missing:
             raise ValueError(f"block_on columns {missing} not in DataFrame")
-        if cluster_type == "HDBScan":
-            raise ValueError(
-                "block_on is not supported for HDBScan (driver-local); "
-                "use SLINK or agglomerative"
-            )
     params = dict(DEFAULT_PARAMS[cluster_type])
     params.update(cluster_params or {})
     check_reserved(df)
@@ -275,67 +271,260 @@ def _numpy_agglomerative(X, threshold: float, linkage: str = "ward",
     return label
 
 
+def _numpy_hdbscan(X, min_cluster_size: int, min_samples: int,
+                   metric: str = "euclidean"):
+    """HDBSCAN* (Campello/Moulavi/Sander 2013) + excess-of-mass cluster
+    extraction, pure numpy — the algorithm behind the reference's
+    hdbscan.HDBSCAN(min_cluster_size, min_samples)
+    (/root/reference/src/linktransformer/cluster_fns.py:67-72),
+    reimplemented so the engine needs no hdbscan package.
+
+    Semantics mirrored from the published algorithm / library contract:
+
+    - core distance of p = distance to its ``min_samples``-th nearest
+      neighbor, with p itself occupying slot 0 (so min_samples=1 means
+      the nearest OTHER point);
+    - mutual reachability d_mr(a,b) = max(core(a), core(b), d(a,b));
+    - single-linkage hierarchy = MST of the mutual-reachability graph;
+    - condense with min_cluster_size: a split spawns two new clusters
+      only when BOTH sides hold >= min_cluster_size points, otherwise
+      the large side continues as its parent and the small side's
+      points fall out at that level's lambda = 1/distance;
+    - stability(C) = sum over members (lambda_leave - lambda_birth);
+      excess-of-mass: a cluster is selected iff its stability >= the
+      sum of its selected-subtree children's (parent wins ties), and
+      the ROOT is never selectable (the library's
+      allow_single_cluster=False default — a dataset that never splits
+      into two viable clusters is all noise);
+    - noise label -1; cluster labels are 0..k-1 in condensed-tree
+      (BFS) order. Exact label NUMBERS may differ from the C library
+      (tie order in the MST); the partition + noise set is the
+      contract (SURVEY §1.3).
+
+    Ties in MST edge weights break on lowest (weight, a, b) — fully
+    deterministic and row-order independent.
+    """
+    import numpy as np
+
+    mcs = int(min_cluster_size)
+    if mcs < 2:
+        raise ValueError("min cluster size must be >= 2")
+    n = len(X)
+    if n == 0:
+        return np.empty(0, dtype="int64")
+    if n < 2:
+        return np.full(n, -1, dtype="int64")
+    X = np.asarray(X, dtype="float64")
+    if metric == "cosine":
+        norms = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        D = 1.0 - (X / norms) @ (X / norms).T
+        np.fill_diagonal(D, 0.0)
+    elif metric == "euclidean":
+        sq = (X * X).sum(axis=1)
+        D = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0))
+        np.fill_diagonal(D, 0.0)
+    else:
+        raise ValueError(f"metric {metric!r} not supported (euclidean|cosine)")
+
+    mp = min(n - 1, max(1, int(min_samples)))
+    core = np.partition(D, mp, axis=1)[:, mp]  # slot 0 is self (dist 0)
+    MR = np.maximum(np.maximum(core[:, None], core[None, :]), D)
+
+    # ---- Prim MST over mutual reachability (O(n^2), dense) ----
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = MR[0].copy()
+    best_from = np.zeros(n, dtype="int64")
+    mst = []  # (weight, a, b)
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(np.argmin(cand))
+        a, b = int(best_from[j]), j
+        mst.append((float(best[j]), min(a, b), max(a, b)))
+        in_tree[j] = True
+        upd = MR[j] < best
+        best = np.where(upd, MR[j], best)
+        best_from = np.where(upd, j, best_from)
+    mst.sort()
+
+    # ---- single-linkage dendrogram (union-find; internal ids n..2n-2) ----
+    uf = np.arange(2 * n - 1, dtype="int64")
+
+    def find(x):
+        root = x
+        while uf[root] != root:
+            root = uf[root]
+        while uf[x] != root:
+            uf[x], x = root, uf[x]
+        return root
+
+    node_dist = np.zeros(2 * n - 1)
+    node_size = np.ones(2 * n - 1, dtype="int64")
+    kids = np.empty((2 * n - 1, 2), dtype="int64")
+    nxt = n
+    for w, a, b in mst:
+        ra, rb = find(a), find(b)
+        kids[nxt] = (ra, rb)
+        node_dist[nxt] = w
+        node_size[nxt] = node_size[ra] + node_size[rb]
+        uf[ra] = uf[rb] = nxt
+        nxt += 1
+    root = 2 * n - 2
+
+    # ---- condense: BFS from the root, min_cluster_size pruning ----
+    # cluster records (condensed ids 0..): parent, birth lambda,
+    # exits [(lambda, npoints)], cluster children
+    c_parent, c_birth, c_exits, c_children = [-1], [0.0], [[]], [[]]
+    pt_cluster = np.full(n, -1, dtype="int64")  # condensed cluster p fell from
+    lam_of = lambda node: (1.0 / node_dist[node]) if node_dist[node] > 0 else np.inf
+
+    def leaves_under(node):
+        out, stack = [], [node]
+        while stack:
+            v = stack.pop()
+            if v < n:
+                out.append(v)
+            else:
+                stack.extend(kids[v])
+        return out
+
+    stack = [(root, 0)]  # (dendrogram node, condensed cluster id)
+    while stack:
+        node, c = stack.pop()
+        lam = lam_of(node)
+        left, right = int(kids[node][0]), int(kids[node][1])
+        sizes = (int(node_size[left]), int(node_size[right]))
+        big = [s >= mcs for s in sizes]
+        if big[0] and big[1]:
+            for ch, sz in ((left, sizes[0]), (right, sizes[1])):
+                cid = len(c_parent)
+                c_parent.append(c)
+                c_birth.append(lam)
+                c_exits.append([])
+                c_children.append([])
+                c_children[c].append(cid)
+                c_exits[c].append((lam, sz))
+                if ch >= n:
+                    stack.append((ch, cid))
+                else:  # can't happen for mcs >= 2; kept for clarity
+                    pt_cluster[ch] = cid
+        else:
+            for ch, sz, isbig in ((left, sizes[0], big[0]), (right, sizes[1], big[1])):
+                if isbig:
+                    stack.append((ch, c))  # continues as the same cluster
+                else:
+                    for p in leaves_under(ch):
+                        pt_cluster[p] = c
+                    c_exits[c].append((lam, sz))
+
+    # ---- stability + excess-of-mass selection ----
+    k = len(c_parent)
+    stab = np.zeros(k)
+    for c in range(k):
+        b = c_birth[c]
+        for lam, sz in c_exits[c]:
+            if not (np.isinf(lam) and np.isinf(b)):
+                stab[c] += (lam - b) * sz
+    hat = stab.copy()
+    selected = np.zeros(k, dtype=bool)
+    for c in range(k - 1, 0, -1):  # bottom-up (children have larger ids); root excluded
+        child_sum = sum(hat[ch] for ch in c_children[c])
+        if c_children[c] and child_sum > stab[c]:
+            hat[c] = child_sum
+        else:
+            selected[c] = True
+    # a selected cluster with a selected proper ancestor was overruled
+    final = np.zeros(k, dtype=bool)
+    for c in range(1, k):
+        if not selected[c]:
+            continue
+        anc, shadowed = c_parent[c], False
+        while anc > 0:
+            if selected[anc]:
+                shadowed = True
+                break
+            anc = c_parent[anc]
+        final[c] = not shadowed
+
+    label_of = {c: i for i, c in enumerate(np.flatnonzero(final).tolist())}
+    labels = np.full(n, -1, dtype="int64")
+    for p in range(n):
+        c = int(pt_cluster[p])
+        while c > 0 and not final[c]:
+            c = c_parent[c]
+        if c > 0 and final[c]:
+            labels[p] = label_of[c]
+    return labels
+
+
 def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
                      block_on=None):
-    """Non-graph clustering (agglomerative / HDBSCAN).
+    """Non-graph clustering (agglomerative / HDBSCAN): numpy
+    implementations executed per BLOCK with applyInPandas (one Arrow
+    group-map task per block; ``block_on=None`` = one global block, the
+    reference's semantics — single-task, bounded by executor memory,
+    documented small-data path; with blocking keys this is the scale
+    path, same shape as merge_blocking).
 
-    - agglomerative: our numpy Lance-Williams implementation, executed
-      per BLOCK with applyInPandas (one Arrow group-map task per block;
-      ``block_on=None`` = one global block, the reference's semantics —
-      single-task, bounded by executor memory, documented small-data
-      path; with blocking keys this is the scale path, same shape as
-      merge_blocking).
-    - HDBScan: needs the hdbscan package (absent here -> clear
-      ImportError); reference-exact when available, driver-local.
+    When the real hdbscan package is importable (not in this container)
+    and block_on is None, HDBScan uses it driver-local for
+    reference-exact extraction; otherwise the numpy HDBSCAN* runs.
+
+    Parity note: the reference never forwards its "metric" default to
+    HDBSCAN (cluster_fns.py:67-72 passes only min_cluster_size /
+    min_samples), so HDBScan is euclidean there and here — the
+    params["metric"] entry is vocabulary parity only.
     """
-    if cluster_type == "HDBScan":
-        try:
-            import hdbscan  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "cluster_type='HDBScan' needs the hdbscan package (not in "
-                "this environment). Recommended migration: SLINK is the "
-                "distributed density path — HDBSCAN(min_cluster_size=m, "
-                "min_samples=s, cluster_selection_epsilon=e) maps to "
-                "cluster_type='SLINK', cluster_params={'min cluster size': "
-                "max(m, s), 'threshold': e} (with a fixed epsilon HDBSCAN's "
-                "extraction IS DBSCAN*, which SLINK implements exactly; "
-                "without one, pick e as the distance cut you would read off "
-                "the condensed tree). 'agglomerative' (numpy, per-block) is "
-                "the hierarchy-exact alternative."
-            ) from e
-        import numpy as np
-
-        pdf = work.toPandas()
-        emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
-        m = hdbscan.HDBSCAN(
-            min_cluster_size=params["min cluster size"],
-            min_samples=params["min samples"],
-            gen_min_span_tree=True,
-        )
-        pdf[cluster_col] = m.fit(emb).labels_
-        spark = work.sparkSession
-        keep = list(orig_cols) + [cluster_col, "_lt_id"]
-        out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
-        return out.withColumnRenamed("_lt_id", "_lt_cluster_row_id")
-
-    # ---- agglomerative (numpy, per-block applyInPandas) ----
     import numpy as np
+
+    if cluster_type == "HDBScan" and not block_on:
+        try:
+            import hdbscan
+        except ImportError:
+            pass  # numpy per-block path below
+        else:
+            pdf = work.toPandas()
+            emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
+            m = hdbscan.HDBSCAN(
+                min_cluster_size=params["min cluster size"],
+                min_samples=params["min samples"],
+                gen_min_span_tree=True,
+            )
+            pdf[cluster_col] = m.fit(emb).labels_
+            spark = work.sparkSession
+            keep = list(orig_cols) + [cluster_col, "_lt_id"]
+            out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
+            return out.withColumnRenamed("_lt_id", "_lt_cluster_row_id")
+
+    # ---- numpy per-block applyInPandas (agglomerative | HDBScan) ----
     from pyspark.sql.types import LongType, StructField
 
-    threshold = float(params["threshold"])
-    linkage = params["clustering linkage"]
-    metric = params["metric"]
+    if cluster_type == "HDBScan":
+        mcs = int(params["min cluster size"])
+        ms = int(params["min samples"])
+
+        def block_labels(X):
+            return _numpy_hdbscan(X, mcs, ms, metric="euclidean")
+    else:
+        threshold = float(params["threshold"])
+        linkage = params["clustering linkage"]
+        metric = params["metric"]
+
+        def block_labels(X):
+            return _numpy_agglomerative(X, threshold, linkage, metric)
+
     keep = [c for c in list(orig_cols) + [LT_ID] if c in work.columns]
     narrow = work.select(*keep, "_lt_emb")
     out_schema = narrow.drop("_lt_emb").schema.add(StructField(cluster_col, LongType()))
 
     def fit(pdf):
         X = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
-        idx_labels = _numpy_agglomerative(X, threshold, linkage, metric)
+        idx_labels = block_labels(X)
         ids = pdf[LT_ID].to_numpy()
-        lab = np.empty(len(pdf), dtype="int64")
+        lab = np.full(len(pdf), -1, dtype="int64")
         for u in np.unique(idx_labels):
+            if u < 0:
+                continue  # HDBSCAN noise stays -1
             m = idx_labels == u
             lab[m] = ids[m].min()  # global label = min row id in cluster
         out = pdf.drop(columns=["_lt_emb"])

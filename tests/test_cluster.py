@@ -103,20 +103,94 @@ def test_cluster_rejects_unknown_type(spark, sf_dir):
         lt.cluster_rows(part, on="p_name", cluster_type="kmeans")
 
 
-def test_hdbscan_needs_package(spark, sf_dir):
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").limit(20)
-    try:
-        import hdbscan  # noqa: F401
+def test_hdbscan_known_groups(spark):
+    """Two dense groups + one outlier through the full cluster_rows
+    HDBScan path (numpy HDBSCAN* unless the hdbscan lib is present):
+    groups separate, outlier is noise (-1), labels are min-row-id
+    canonical on the numpy path."""
+    rows = [(i, "alpha widget") for i in range(6)] + \
+           [(i, "omega gasket") for i in range(6, 12)] + \
+           [(12, "zzz qqq jjj xxx")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = lt.cluster_rows(
+        df, model="hash-ngram", on="txt", cluster_type="HDBScan",
+        id_col="id", cluster_params={"min cluster size": 3, "min samples": 1},
+    )
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert len(got) == 13
+    assert len({got[i] for i in range(6)}) == 1 and got[0] >= 0
+    assert len({got[i] for i in range(6, 12)}) == 1 and got[6] >= 0
+    assert got[0] != got[6]
+    assert got[12] == -1
 
-        has = True
-    except ImportError:
-        has = False
-    if not has:
-        # the gate error must carry the SLINK migration mapping so a
-        # reference HDBSCAN user knows the supported equivalent
-        with pytest.raises(ImportError, match="SLINK.*min cluster size"):
-            lt.cluster_rows(part, on="p_name", cluster_type="HDBScan",
-                            id_col="p_partkey")
+
+def test_hdbscan_blocked_equals_global_on_separated_blocks(spark):
+    """block_on with HDBScan: one applyInPandas task per block. With
+    blocks that are far apart in embedding space, per-block clustering
+    must equal global clustering restricted to the block."""
+    rows = (
+        [(i, "b1", "alpha widget") for i in range(5)]
+        + [(i, "b1", "alpha gadget") for i in range(5, 10)]
+        + [(i, "b2", "omega gasket") for i in range(10, 15)]
+        + [(i, "b2", "omega basket") for i in range(15, 20)]
+        + [(20, "b2", "zzz qqq jjj")]
+    )
+    df = spark.createDataFrame(rows, ["id", "blk", "txt"])
+    params = {"min cluster size": 3, "min samples": 1}
+    blocked = lt.cluster_rows(
+        df, model="hash-ngram", on="txt", cluster_type="HDBScan",
+        id_col="id", cluster_params=params, block_on=["blk"],
+    )
+    got = {r["id"]: r["cluster"] for r in blocked.collect()}
+    assert len(got) == 21
+    # each quintet is one cluster; all four distinct (min-row-id labels)
+    quintets = [range(0, 5), range(5, 10), range(10, 15), range(15, 20)]
+    labs = []
+    for q in quintets:
+        assert len({got[i] for i in q}) == 1 and got[q[0]] >= 0
+        labs.append(got[q[0]])
+    assert len(set(labs)) == 4
+    # the outlier's block has viable clusters, so it is condensed-tree
+    # noise rather than a singleton cluster
+    assert got[20] == -1
+
+
+def test_hdbscan_dedup_rows(spark):
+    """dedup_rows with HDBScan keeps one row per cluster + every noise
+    row (noise rows are real singletons, module-doc deviation)."""
+    rows = [(i, "alpha widget") for i in range(6)] + \
+           [(i, "omega gasket") for i in range(6, 12)] + \
+           [(12, "zzz qqq jjj xxx"), (13, "yyy www vvv uuu")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = lt.dedup_rows(
+        df, model="hash-ngram", on="txt", cluster_type="HDBScan",
+        id_col="id", cluster_params={"min cluster size": 3, "min samples": 1},
+    )
+    kept = sorted(r["id"] for r in out.collect())
+    # exact-dup drop collapses each identical-text group to its min id
+    # before clustering; both noise rows survive
+    assert kept == [0, 6, 12, 13]
+
+
+def test_hdbscan_tiny_data_all_noise(spark):
+    """n < 2*min_cluster_size: no split can produce two viable
+    clusters and the root is never selectable
+    (allow_single_cluster=False library parity) -> all noise."""
+    rows = [(0, "aaa"), (1, "aab"), (2, "abb")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    out = lt.cluster_rows(
+        df, model="hash-ngram", on="txt", cluster_type="HDBScan",
+        id_col="id", cluster_params={"min cluster size": 5, "min samples": 1},
+    )
+    assert {r["cluster"] for r in out.collect()} == {-1}
+
+
+def test_hdbscan_rejects_min_cluster_size_one(spark):
+    from linktransformer_spark.operators.cluster import _numpy_hdbscan
+    import numpy as np
+
+    with pytest.raises(ValueError, match="min cluster size"):
+        _numpy_hdbscan(np.zeros((4, 2)), 1, 1)
 
 
 def test_hdbscan_epsilon_mapping_via_slink(spark):
@@ -223,6 +297,3 @@ def test_block_on_validation(spark):
     with __import__("pytest").raises(ValueError, match="not in DataFrame"):
         lt.cluster_rows(df, model="hash-ngram", on="name", id_col="id",
                         block_on=["nope"])
-    with __import__("pytest").raises(ValueError, match="HDBScan"):
-        lt.cluster_rows(df, model="hash-ngram", on="name", id_col="id",
-                        cluster_type="HDBScan", block_on=["blk"])
