@@ -38,6 +38,7 @@ from .operators.dedup import (
     simhash64,
 )
 from .operators.textpipe import analyze_documents, annotate_quality_filter, filter_documents
+from .operators.corpus import contamination_pairs, dedup_lines, redact_pii
 from .operators.ir_eval import binary_eval, ir_metrics, rank_results
 from .train import (
     apply_in_chunks,
@@ -170,6 +171,9 @@ __all__ = [
     "analyze_documents",
     "annotate_quality_filter",
     "filter_documents",
+    "contamination_pairs",
+    "dedup_lines",
+    "redact_pii",
     "ir_metrics",
     "binary_eval",
     "rank_results",

@@ -1,0 +1,173 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(north-star extension, alongside dedup/textpipe): C4-style duplicate
+line removal, PII redaction, and train/benchmark contamination
+detection.
+
+These are the document-level siblings of the near-dup family in
+operators/dedup.py: every candidate generator is an equi-join on a
+derived key (the exploded line / n-gram), so shuffle volume scales
+with corpus size + collision count, never |corpus|^2 — the same
+100 TB design rule.
+
+Public background: C4 (Raffel et al. 2020) removes duplicated
+three-sentence spans keeping one occurrence; Gopher/MassiveText and
+RefinedWeb document the boilerplate-line variant used here; benchmark
+decontamination by exact n-gram overlap follows GPT-3 appendix C /
+PaLM. (Algorithms from the papers; no reference-repo counterpart —
+the linktransformer reference has no corpus ops.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d()\- ]{6,}\d"
+
+# ordered: emails first (their digits must not feed the phone rule),
+# then IPs (dots keep them out of PHONE_RE, but the order makes that
+# non-load-bearing), then phones
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = DEFAULT_PII_PATTERNS,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace PII-shaped substrings with typed placeholders.
+
+    A chain of ``regexp_replace`` expressions applied in ``patterns``
+    order — map-only, fuses into the scan, no shuffle. The default
+    patterns stay inside the regex subset Java and RE2 share, so the
+    same strings drive the DuckDB oracle.
+    """
+    expr = F.col(text_col)
+    for pat, repl in patterns:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out_col or text_col, expr)
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global duplicate-line removal (the C4/RefinedWeb
+    boilerplate rule): split every document on ``sep``, keep only the
+    FIRST occurrence (ordered by (id, line position)) of each
+    non-blank trimmed line, keep blank lines as document structure,
+    and reassemble. Documents whose every line is removed keep an
+    empty string; null text is treated as empty.
+
+    Plan: posexplode -> first-occurrence groupBy on the trimmed line
+    (shuffle 1, keyed by line content: exact, no hash-collision risk)
+    -> semi-equality join back (shuffle shares the same key) ->
+    re-assembly groupBy on the id (shuffle 2). Line keys are skew-safe
+    for real corpora (the hottest boilerplate line groups to one
+    partitionful of (id, pos) pairs of which only the min survives —
+    a map-side partial min keeps that cheap).
+    """
+    other = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        F.col(id_col).alias("_lt_did"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)).alias(
+            "_lt_pos", "_lt_line"
+        ),
+    )
+    key = F.trim(F.col("_lt_line"))
+    nonblank = lines.filter(key != F.lit(""))
+    firsts = nonblank.groupBy(key.alias("_lt_key")).agg(
+        F.min(F.struct("_lt_did", "_lt_pos")).alias("_lt_first")
+    )
+    kept_nonblank = (
+        nonblank.join(firsts, key == F.col("_lt_key"))
+        .filter(F.struct("_lt_did", "_lt_pos") == F.col("_lt_first"))
+        .select("_lt_did", "_lt_pos", "_lt_line")
+    )
+    kept = kept_nonblank.unionByName(
+        lines.filter(key == F.lit("")).select("_lt_did", "_lt_pos", "_lt_line")
+    )
+    assembled = kept.groupBy("_lt_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_lt_pos", "_lt_line"))),
+                lambda s: s["_lt_line"],
+            ),
+            sep,
+        ).alias("_lt_text")
+    )
+    return (
+        df.select(*other)
+        .join(assembled, F.col(id_col) == F.col("_lt_did"), "left")
+        .select(*other, F.coalesce(F.col("_lt_text"), F.lit("")).alias(text_col))
+    )
+
+
+def _ngram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """DISTINCT (id, gram) rows: lowercase alnum tokens, space-joined
+    n-grams. Docs with fewer than n tokens contribute nothing."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("_lt_id"), F.explode(grams).alias("_lt_gram"))
+        .dropDuplicates(["_lt_id", "_lt_gram"])
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    on: str = "text",
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    n: int = 8,
+    max_gram_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination detection (GPT-3 appendix C / PaLM
+    style): for every (train doc, benchmark doc) pair sharing at least
+    one exact ``n``-token n-gram, report how many distinct n-grams
+    they share. Returns (train_id, bench_id, shared_ngrams).
+
+    Plan: distinct n-gram explode on both sides -> equi-join on the
+    gram -> pair-count groupBy. ``max_gram_doc_freq`` drops grams
+    present in more than that many documents (counted over both sides
+    together) from the join — the stopword/skew cap for web-scale
+    corpora, same trade as near_dup_pairs_jaccard's cap.
+    """
+    tg = _ngram_rows(train, on, train_id, n)
+    bg = _ngram_rows(bench, on, bench_id, n)
+    if max_gram_doc_freq is not None:
+        freq = (
+            tg.select("_lt_gram")
+            .unionAll(bg.select("_lt_gram"))
+            .groupBy("_lt_gram")
+            .agg(F.count(F.lit(1)).alias("_lt_gf"))
+            .filter(F.col("_lt_gf") <= max_gram_doc_freq)
+            .drop("_lt_gf")
+        )
+        tg = tg.join(freq, "_lt_gram")
+        bg = bg.join(freq, "_lt_gram")
+    t = tg.withColumnRenamed("_lt_id", "train_id")
+    b = bg.withColumnRenamed("_lt_id", "bench_id")
+    return (
+        t.join(b, "_lt_gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

@@ -2117,3 +2117,138 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation ops (operators/corpus.py): C4-style line dedup, PII
+# redaction, benchmark-contamination detection.
+# ---------------------------------------------------------------------------
+
+_PAGE_HEADER = "corpus exporter v1 all rights reserved"
+_PAGE_FOOTER = "end of page boilerplate"
+
+_DEDUP_LINES_SQL = f"""
+    WITH pages AS (
+      SELECT doc_id % 50 AS page_id,
+             '{_PAGE_HEADER}' || chr(10) ||
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10) ||
+             '{_PAGE_FOOTER}' AS text
+      FROM documents GROUP BY doc_id % 50
+    ),
+    l AS (
+      SELECT page_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM pages
+    ),
+    keep AS (
+      SELECT page_id, pos, line FROM (
+        SELECT page_id, pos, line,
+               CASE WHEN trim(line) = '' THEN 1
+                    ELSE row_number() OVER (
+                      PARTITION BY trim(line) ORDER BY page_id, pos)
+               END AS rn
+        FROM l
+      ) WHERE rn = 1
+    )
+    SELECT p.page_id, coalesce(k.text, '') AS text
+    FROM pages p LEFT JOIN (
+      SELECT page_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM keep GROUP BY page_id
+    ) k ON p.page_id = k.page_id
+"""
+
+
+@_q("docs_dedup_lines", _DEDUP_LINES_SQL)
+def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global duplicate-line removal on a paged corpus: pages of
+    ~10 docs wrapped in boilerplate header/footer lines; dedup keeps the
+    boilerplate only on the first page (the C4/RefinedWeb rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = (
+        docs.groupBy((F.col("doc_id") % 50).alias("page_id"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.lit(_PAGE_HEADER),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                ),
+                F.lit(_PAGE_FOOTER),
+            ).alias("text")
+        )
+    )
+    return lt.dedup_lines(pages, text_col="text", id_col="page_id")
+
+
+_REDACT_SQL = r"""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+                    || '@corp-' || CAST(c_custkey % 97 AS VARCHAR)
+                    || '.example.com> ip 10.0.'
+                    || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                    || CAST(c_nationkey % 200 AS VARCHAR)
+                    || ' tel +1 555-01' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                    || ' end',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d()\- ]{6,}\d', '<PHONE>', 'g') AS text
+    FROM customer
+"""
+
+
+@_q("docs_redact_pii", _REDACT_SQL)
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over synthetic contact strings built from the
+    customer table (the raw corpus carries no PII-shaped spans, so the
+    query constructs the realistic input it redacts)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    with_pii = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" <user"), k.cast("string"),
+            F.lit("@corp-"), (k % 97).cast("string"),
+            F.lit(".example.com> ip 10.0."), (k % 256).cast("string"),
+            F.lit("."), (F.col("c_nationkey") % 200).cast("string"),
+            F.lit(" tel +1 555-01"), (k % 90 + 10).cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return lt.redact_pii(with_pii, text_col="text")
+
+
+_CONTAMINATION_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM t
+    )
+    SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+           count(*) AS shared_ngrams
+    FROM g tr JOIN g be ON tr.gram = be.gram
+    WHERE tr.doc_id % 10 <> 0 AND be.doc_id % 10 = 0
+    GROUP BY tr.doc_id, be.doc_id
+"""
+
+
+@_q("docs_contamination", _CONTAMINATION_SQL)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: every 10th document is the held
+    -out benchmark; report train docs sharing exact 5-gram spans."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return lt.contamination_pairs(train, bench, on="text", n=5)

@@ -1,0 +1,134 @@
+"""Corpus-curation ops (operators/corpus.py): line dedup, PII
+redaction, contamination pairs."""
+
+import pytest
+
+import linktransformer_spark as lt
+
+
+def _txt(out, id_col="id"):
+    return {r[id_col]: r["text"] for r in out.collect()}
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    rows = [
+        (0, "boiler\nalpha\nboiler"),
+        (1, "boiler\nbeta"),
+        (2, "gamma\nboiler\ngamma"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = _txt(lt.dedup_lines(df, id_col="id"))
+    # 'boiler' survives only at its global first occurrence (doc 0 pos 0);
+    # within-doc repeats are duplicates too ('gamma' and doc 0's 2nd boiler)
+    assert got[0] == "boiler\nalpha"
+    assert got[1] == "beta"
+    assert got[2] == "gamma"
+
+
+def test_dedup_lines_blank_lines_and_trim(spark):
+    rows = [
+        (0, "a\n\n  \nb"),
+        (1, "  a  \nc"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = _txt(lt.dedup_lines(df, id_col="id"))
+    # blank/whitespace-only lines are structure, always kept; dedup key
+    # is the trimmed line, but the kept line keeps its original spacing
+    assert got[0] == "a\n\n  \nb"
+    assert got[1] == "c"
+
+
+def test_dedup_lines_fully_removed_doc_and_null(spark):
+    rows = [(0, "x"), (1, "x"), (2, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = _txt(lt.dedup_lines(df, id_col="id"))
+    assert got[0] == "x"
+    assert got[1] == ""  # everything removed -> empty, doc retained
+    assert got[2] == ""  # null text treated as empty
+
+
+def test_dedup_lines_preserves_other_columns(spark):
+    df = spark.createDataFrame([(0, "en", "l1\nl2"), (1, "de", "l1")],
+                               ["id", "lang", "text"])
+    out = lt.dedup_lines(df, id_col="id")
+    assert set(out.columns) == {"id", "lang", "text"}
+    assert {r["lang"] for r in out.collect()} == {"en", "de"}
+
+
+def test_redact_pii_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@sub.example.org then 10.20.30.40 "
+             "and call +1 (555) 123-4567 done")],
+        ["id", "text"],
+    )
+    got = _txt(lt.redact_pii(df))
+    assert got[0] == "mail <EMAIL> then <IP> and call <PHONE> done"
+
+
+def test_redact_pii_email_digits_not_phone(spark):
+    # the email is replaced first, so its digits never feed the phone rule
+    df = spark.createDataFrame([(0, "a 12345678@example.com b")], ["id", "text"])
+    assert _txt(lt.redact_pii(df))[0] == "a <EMAIL> b"
+
+
+def test_redact_pii_plain_text_untouched(spark):
+    df = spark.createDataFrame([(0, "no pii here, just words and 42")],
+                               ["id", "text"])
+    assert _txt(lt.redact_pii(df))[0] == "no pii here, just words and 42"
+
+
+def test_redact_pii_out_col(spark):
+    df = spark.createDataFrame([(0, "x@y.io")], ["id", "text"])
+    out = lt.redact_pii(df, out_col="clean")
+    r = out.collect()[0]
+    assert r["text"] == "x@y.io" and r["clean"] == "<EMAIL>"
+
+
+def test_contamination_pairs_basic(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over nothing else")],
+        ["doc_id", "text"],
+    )
+    out = lt.contamination_pairs(train, bench, n=5).collect()
+    got = {(r["train_id"], r["bench_id"]): r["shared_ngrams"] for r in out}
+    # shared 5-gram: 'quick brown fox jumps over' only
+    assert got == {(1, 100): 1}
+
+
+def test_contamination_pairs_counts_distinct_grams(spark):
+    train = spark.createDataFrame([(1, "a b c d a b c d")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c d a b c d")], ["doc_id", "text"])
+    out = lt.contamination_pairs(train, bench, n=4).collect()
+    # grams of the repeated text: 'a b c d','b c d a','c d a b','d a b c',
+    # 'a b c d' (dup) -> 4 distinct shared
+    assert out[0]["shared_ngrams"] == 4
+
+
+def test_contamination_pairs_short_docs_no_grams(spark):
+    train = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "too short")], ["doc_id", "text"])
+    assert lt.contamination_pairs(train, bench, n=5).count() == 0
+
+
+def test_contamination_pairs_gram_freq_cap(spark):
+    # 'x y z w v' appears in every doc -> capped out of the join
+    train = spark.createDataFrame(
+        [(i, "x y z w v") for i in range(1, 5)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "x y z w v")], ["doc_id", "text"])
+    assert lt.contamination_pairs(train, bench, n=5).count() == 4
+    assert lt.contamination_pairs(train, bench, n=5,
+                                  max_gram_doc_freq=3).count() == 0
+
+
+def test_corpus_tokenization_case_and_punct(spark):
+    train = spark.createDataFrame([(1, "The Quick, BROWN fox-jumps over!")],
+                                  ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "the quick brown fox jumps")],
+                                  ["doc_id", "text"])
+    out = lt.contamination_pairs(train, bench, n=5).collect()
+    assert len(out) == 1 and out[0]["shared_ngrams"] == 1
