@@ -39,7 +39,13 @@ from .operators.dedup import (
 )
 from .operators.textpipe import analyze_documents, annotate_quality_filter, filter_documents
 from .operators.corpus import contamination_pairs, dedup_lines, redact_pii
-from .operators.ir_eval import binary_eval, ir_metrics, rank_results
+from .operators.ir_eval import (
+    binary_eval,
+    ir_metrics,
+    log_binary_eval,
+    log_ir_metrics,
+    rank_results,
+)
 from .train import (
     apply_in_chunks,
     save_prepared,
@@ -176,6 +182,8 @@ __all__ = [
     "redact_pii",
     "ir_metrics",
     "binary_eval",
+    "log_ir_metrics",
+    "log_binary_eval",
     "rank_results",
     "check_and_prep_data",
     "check_clust_data",

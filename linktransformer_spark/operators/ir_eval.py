@@ -229,3 +229,122 @@ def binary_eval(pairs: DataFrame, score: str = "score", label: str = "label") ->
         )
         .crossJoin(ap_df)
     )
+
+
+# ---------------------------------------------------------------------------
+# Logging sinks — the reference evaluators' per-step CSV/wandb side
+# channel (evaluation.py:130-199 IR; :498-533 binary), decoupled from
+# metric computation: compute distributed, log driver-side (the metric
+# relations are tiny — one row per k, or one row total).
+# ---------------------------------------------------------------------------
+
+_IR_METRIC_HEADERS = (  # reference header vocabulary, evaluation.py:131-149
+    ("accuracy", "Accuracy"),
+    ("precision", "Precision"),
+    ("recall", "Recall"),
+    ("mrr", "MRR"),
+    ("ndcg", "NDCG"),
+    ("map", "MAP"),
+)
+
+
+def _append_csv(csv_path, headers, row):
+    import os
+
+    new = not os.path.isfile(csv_path)
+    with open(csv_path, "a", encoding="utf-8") as f:
+        if new:
+            f.write(",".join(headers) + "\n")
+        f.write(",".join(str(v) for v in row) + "\n")
+
+
+def _wandb_log(payload: dict) -> bool:
+    """wandb.log when the package is importable and a run is active;
+    silently a no-op otherwise (the reference hard-requires wandb —
+    import-gating is our environment deviation)."""
+    try:
+        import wandb
+    except ImportError:
+        return False
+    if wandb.run is None:
+        return False
+    wandb.log(payload)
+    return True
+
+
+def log_ir_metrics(
+    metrics: DataFrame,
+    output_path: str,
+    name: str = "",
+    epoch: int = -1,
+    steps: int = -1,
+    score_name: str = "cos_sim",
+    use_wandb: bool = False,
+) -> str:
+    """Append one wide row of an ``ir_metrics`` result to the
+    reference's evaluation CSV
+    (``Information-Retrieval_evaluation{_name}_results.csv``, header
+    ``epoch,steps,{score}-Accuracy@{k},...`` — evaluation.py:130-199)
+    and optionally wandb.log the same payload. Returns the csv path.
+    """
+    import os
+
+    rows = sorted(metrics.collect(), key=lambda r: r["k"])  # one row per k
+    headers = ["epoch", "steps"]
+    data = [epoch, steps]
+    payload = {}
+    for col, title in _IR_METRIC_HEADERS:
+        for r in rows:
+            key = f"{score_name}-{title}@{r['k']}"
+            headers.append(key)
+            data.append(r[col])
+            payload[key] = r[col]
+    suffix = f"_{name}" if name else ""
+    csv_path = os.path.join(
+        output_path, f"Information-Retrieval_evaluation{suffix}_results.csv"
+    )
+    os.makedirs(output_path, exist_ok=True)
+    _append_csv(csv_path, headers, data)
+    if use_wandb:
+        _wandb_log(payload)
+    return csv_path
+
+
+def log_binary_eval(
+    metrics: DataFrame,
+    output_path: str,
+    name: str = "",
+    epoch: int = -1,
+    steps: int = -1,
+    score_name: str = "Cosine-Similarity",
+    use_wandb: bool = False,
+) -> str:
+    """Append a ``binary_eval`` row to
+    ``binary_classification_evaluation{_name}_results.csv`` and
+    optionally wandb.log with the reference's key phrasing
+    (``Classification Accuracy {score_name}`` etc,
+    evaluation.py:489-498). Returns the csv path."""
+    import os
+
+    r = metrics.collect()[0]
+    cols = ["accuracy", "accuracy_threshold", "f1", "f1_threshold",
+            "precision", "recall", "ap"]
+    headers = ["epoch", "steps", *cols]
+    data = [epoch, steps, *[r[c] for c in cols]]
+    suffix = f"_{name}" if name else ""
+    csv_path = os.path.join(
+        output_path, f"binary_classification_evaluation{suffix}_results.csv"
+    )
+    os.makedirs(output_path, exist_ok=True)
+    _append_csv(csv_path, headers, data)
+    if use_wandb:
+        _wandb_log({
+            f"Classification Accuracy {score_name}": r["accuracy"],
+            f"Classification Accuracy threshold {score_name}": r["accuracy_threshold"],
+            f"Classification F1 {score_name}": r["f1"],
+            f"Classification F1 threshold {score_name}": r["f1_threshold"],
+            f"Classification Precision {score_name}": r["precision"],
+            f"Classification Recall {score_name}": r["recall"],
+            f"Classification Average precision {score_name}": r["ap"],
+        })
+    return csv_path
