@@ -114,19 +114,40 @@ def dedup_lines(
 
 def _ngram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """DISTINCT (id, gram) rows: lowercase alnum tokens, space-joined
-    n-grams. Docs with fewer than n tokens contribute nothing."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    n-grams. Docs with fewer than n tokens contribute nothing.
+
+    Built as explode-start-positions + ``slice``/``array_join`` so the
+    gram construction stays in whole-stage codegen — the
+    ``transform``-lambda form is CodegenFallback, interpreted per row
+    (same finding as operators/dedup.py::_shingle_rows). Tokenization
+    avoids a higher-order ``filter`` too: with a ``+``-quantified
+    delimiter split, empties can only appear at the ends, so one edge
+    regexp_replace makes the split clean."""
+    cleaned = F.regexp_replace(
+        F.lower(F.col(text_col)), "^[^a-z0-9]+|[^a-z0-9]+$", ""
     )
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.select(
+            F.col(id_col).alias("_lt_id"),
+            F.split(cleaned, "[^a-z0-9]+").alias("_lt_toks"),
+        )
+        # null text -> null array (dropped); empty/cleaned-away text ->
+        # [''] (dropped): real tokens are never the empty string
+        .filter(F.element_at("_lt_toks", 1) != F.lit(""))
+        .filter(F.size("_lt_toks") >= n)
+    )
     return (
-        df.select(F.col(id_col).alias("_lt_id"), F.explode(grams).alias("_lt_gram"))
+        base.select(
+            "_lt_id",
+            "_lt_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_lt_toks") - F.lit(n - 1))
+            ).alias("_lt_p"),
+        )
+        .select(
+            "_lt_id",
+            F.array_join(F.slice("_lt_toks", F.col("_lt_p"), n), " ").alias("_lt_gram"),
+        )
         .dropDuplicates(["_lt_id", "_lt_gram"])
     )
 
