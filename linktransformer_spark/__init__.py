@@ -38,7 +38,12 @@ from .operators.dedup import (
     simhash64,
 )
 from .operators.textpipe import analyze_documents, annotate_quality_filter, filter_documents
-from .operators.corpus import contamination_pairs, dedup_lines, redact_pii
+from .operators.corpus import (
+    contamination_pairs,
+    dedup_lines,
+    pack_sequences,
+    redact_pii,
+)
 from .operators.ir_eval import (
     binary_eval,
     ir_metrics,
@@ -179,6 +184,7 @@ __all__ = [
     "filter_documents",
     "contamination_pairs",
     "dedup_lines",
+    "pack_sequences",
     "redact_pii",
     "ir_metrics",
     "binary_eval",

@@ -192,3 +192,78 @@ def contamination_pairs(
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    bucket_width: int | None = 100_000,
+    chunk_col: str = "chunk_id",
+    pos_col: str = "chunk_pos",
+    end_col: str = "end_chunk_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-2/T5 training-data
+    layout): documents ordered by ``id_col`` ascending are laid
+    head-to-tail on one token tape, which is cut every ``budget``
+    tokens; each doc gets the chunk id + offset where it begins and
+    the chunk where it ends (docs may straddle cuts — that is this
+    packing's contract; use the chunk span to materialize examples).
+
+    The tape offset is a running prefix sum. A single global window
+    would serialize on one task, so it runs as the textbook two-phase
+    scan: cumsum within ``bucket_width``-wide id buckets (parallel
+    windows), plus per-bucket totals cumsum'd over the tiny
+    #buckets-row relation and joined back — the only ordered global
+    pass touches #buckets rows, not #docs. ``bucket_width=None``
+    forces the single-window form (exact same result; useful under a
+    SQL oracle or for small frames).
+
+    ``id_col`` must be unique; determinism is total given ids.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+
+    tok = F.col(n_tokens_col).cast("long")
+    if bucket_width is None:
+        w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = F.coalesce(F.sum(tok).over(w), F.lit(0))
+        work = df.withColumn("_lt_off", off)
+    else:
+        b = F.floor(F.col(id_col).cast("long") / F.lit(int(bucket_width)))
+        win = (
+            Window.partitionBy("_lt_b")
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        work = df.withColumn("_lt_b", b).withColumn(
+            "_lt_in", F.coalesce(F.sum(tok).over(win), F.lit(0))
+        )
+        totals = work.groupBy("_lt_b").agg(F.sum(tok).alias("_lt_tot"))
+        wb = Window.orderBy(F.col("_lt_b").asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_lt_b", F.coalesce(F.sum("_lt_tot").over(wb), F.lit(0)).alias("_lt_base")
+        )
+        work = (
+            work.join(F.broadcast(offsets), "_lt_b")
+            .withColumn("_lt_off", F.col("_lt_base") + F.col("_lt_in"))
+            .drop("_lt_b", "_lt_in", "_lt_base")
+        )
+    bud = F.lit(int(budget))
+    return (
+        work.withColumn(chunk_col, F.floor(F.col("_lt_off") / bud))
+        .withColumn(pos_col, F.col("_lt_off") % bud)
+        .withColumn(
+            end_col,
+            F.floor(
+                (F.col("_lt_off") + F.greatest(tok, F.lit(1)) - 1) / bud
+            ),
+        )
+        .drop("_lt_off")
+    )

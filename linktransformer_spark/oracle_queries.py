@@ -2252,3 +2252,47 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return lt.contamination_pairs(train, bench, on="text", n=5)
+
+
+_PACK_SQL = None  # assembled below (needs sql_token_count)
+
+
+def _pack_sql() -> str:
+    from .functions.oracle import sql_token_count
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({sql_token_count('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(off / 512.0) AS BIGINT) AS chunk_id,
+           CAST(off % 512 AS BIGINT) AS chunk_pos,
+           CAST(floor((off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+             AS end_chunk_id
+    FROM o
+    """
+
+
+@_q("docs_pack_sequences", _pack_sql())
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus onto 512-token training
+    chunks; bucket_width=100 forces the two-phase distributed prefix
+    sum (5 parallel bucket windows at sf0.01) against the oracle's
+    single global window."""
+    from .operators.textpipe import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    work = docs.select(
+        "doc_id", token_count_expr(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = lt.pack_sequences(work, id_col="doc_id", budget=512, bucket_width=100)
+    return out.select("doc_id", "n_tokens", "chunk_id", "chunk_pos", "end_chunk_id")

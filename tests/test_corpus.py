@@ -132,3 +132,37 @@ def test_corpus_tokenization_case_and_punct(spark):
                                   ["doc_id", "text"])
     out = lt.contamination_pairs(train, bench, n=5).collect()
     assert len(out) == 1 and out[0]["shared_ngrams"] == 1
+
+
+def test_pack_sequences_layout(spark):
+    rows = [(1, 100), (2, 200), (3, 300), (4, 50), (5, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: r for r in
+           lt.pack_sequences(df, budget=256, bucket_width=None).collect()}
+    # tape offsets: 0, 100, 300, 600, 650
+    assert (out[1]["chunk_id"], out[1]["chunk_pos"]) == (0, 0)
+    assert (out[2]["chunk_id"], out[2]["chunk_pos"]) == (0, 100)
+    assert out[2]["end_chunk_id"] == 1          # 100..299 straddles the cut
+    assert (out[3]["chunk_id"], out[3]["chunk_pos"]) == (1, 44)
+    assert out[3]["end_chunk_id"] == 2
+    assert (out[4]["chunk_id"], out[4]["chunk_pos"]) == (2, 88)
+    assert out[5]["end_chunk_id"] == out[5]["chunk_id"]  # empty doc: zero span
+
+
+def test_pack_sequences_two_phase_equals_single_window(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, 400)) for i in range(0, 937, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    single = lt.pack_sequences(df, budget=128, bucket_width=None)
+    two = lt.pack_sequences(df, budget=128, bucket_width=50)
+    cols = ["doc_id", "n_tokens", "chunk_id", "chunk_pos", "end_chunk_id"]
+    assert sorted(map(tuple, single.select(cols).collect())) == \
+           sorted(map(tuple, two.select(cols).collect()))
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="budget"):
+        lt.pack_sequences(df, budget=0)
