@@ -190,3 +190,38 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE t_cust_bkt")
     spark.sql("DROP TABLE t_ord_bkt")
+
+
+def test_contamination_gram_join_is_hash_or_sortmerge(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_contamination"](spark, sf_dir))
+    # candidates come from an equi-join on the gram, never a loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    # the gram build is explode + slice/array_join with NO higher-order
+    # lambda (transform/filter lambdas are CodegenFallback — interpreted
+    # per row; measured 3.5x slower at sf0.1). AQE hides codegen stars
+    # pre-execution, so pin the absence of the interpreted form instead.
+    gram_lines = [l for l in plan.splitlines() if "array_join" in l]
+    assert gram_lines and not any("lambdafunction" in l for l in gram_lines)
+
+
+def test_dedup_lines_no_global_window_no_loop_join(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_dedup_lines"](spark, sf_dir))
+    assert "Window" not in plan          # first-occurrence is an aggregate
+    assert "partial_min(struct" in plan  # with a map-side partial
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_two_phase_avoids_corpus_global_window(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, sf_dir))
+    # per-bucket windows are hash-partitioned; the only single-partition
+    # exchange feeds the tiny #buckets-row totals relation, and the
+    # bucket bases come back via broadcast
+    assert "Exchange hashpartitioning(_lt_b" in plan
+    assert "BroadcastExchange" in plan
+    m = re.findall(r"Exchange SinglePartition", plan)
+    assert len(m) <= 1
