@@ -2296,3 +2296,22 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lt.pack_sequences(work, id_col="doc_id", budget=512, bucket_width=100)
     return out.select("doc_id", "n_tokens", "chunk_id", "chunk_pos", "end_chunk_id")
+
+
+@_q("stream_contamination", _CONTAMINATION_SQL)
+def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time contamination guard: candidate training
+    docs arrive as a STREAM and are n-gram-checked against the static
+    benchmark corpus (every 10th doc). Stateless stream-static plan;
+    oracle = the batch contamination SQL on the same split."""
+    from .streaming import (
+        read_stream_table, run_available_now, streaming_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    stream = read_stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    out = streaming_contamination(stream, bench, on="text", n=5)
+    return run_available_now(out, output_mode="append")

@@ -2,7 +2,9 @@ from .ops import (
     final_user_stats,
     read_stream_table,
     run_available_now,
+    streaming_contamination,
     streaming_dedup,
+    streaming_dedup_against,
     streaming_hourly_agg,
     streaming_merge,
     streaming_sessionize,
@@ -13,7 +15,9 @@ __all__ = [
     "final_user_stats",
     "read_stream_table",
     "run_available_now",
+    "streaming_contamination",
     "streaming_dedup",
+    "streaming_dedup_against",
     "streaming_hourly_agg",
     "streaming_merge",
     "streaming_sessionize",

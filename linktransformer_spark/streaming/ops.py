@@ -360,3 +360,79 @@ def streaming_dedup_against(
             F.col("_src").alias("src"), F.col("_dst").alias("dst"), "jaccard"
         )
     )
+
+
+def streaming_contamination(
+    stream_new: DataFrame,
+    static_bench: DataFrame,
+    on: str = "text",
+    new_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Ingest-time benchmark-contamination guard: a STREAM of candidate
+    training documents checked for exact n-gram overlap against a
+    static held-out benchmark corpus; emits
+    (train_id, bench_id, shared_ngrams) per contaminated pair —
+    STATELESS end to end (append mode, no state store).
+
+    Stateless by the same construction as streaming_dedup_against:
+    the stream side builds its DISTINCT gram set as a per-row array
+    expression (the relational explode+dropDuplicates form would be a
+    stateful aggregation under streaming), explodes it map-only, and
+    candidates come from a stream-static equi-join on the gram. The
+    per-pair count + multi-gram dedup is row-local: both sides carry
+    their full distinct gram arrays through the join, every matched row
+    computes shared = array_intersect(new, bench), and only the row
+    whose join gram is the lexicographically first shared gram
+    survives, reporting size(shared).
+
+    Matches contamination_pairs row-for-row on the same inputs (the
+    batch oracle). The batch op's max_gram_doc_freq cap needs a corpus
+    -wide frequency count and so has no stateless streaming form —
+    pre-filter the static index instead for a long-running deployment.
+    """
+    from ..operators.corpus import _ngram_rows
+
+    # static index: (gram, bench_id, bench's full distinct gram array)
+    bg = _ngram_rows(static_bench, on, bench_id, n)
+    b_arr = bg.groupBy("_lt_id").agg(
+        F.collect_list("_lt_gram").alias("_lt_bgrams")
+    )
+    index = (
+        bg.join(b_arr, "_lt_id")
+        .select(
+            F.col("_lt_id").alias("bench_id"),
+            F.col("_lt_gram").alias("_lt_g"),
+            "_lt_bgrams",
+        )
+    )
+
+    # stream side: per-row distinct gram array (pure expressions)
+    cleaned = F.regexp_replace(
+        F.lower(F.col(on)), "^[^a-z0-9]+|[^a-z0-9]+$", ""
+    )
+    toks = F.split(cleaned, "[^a-z0-9]+")
+    grams = F.when(
+        (F.element_at(toks, 1) != F.lit("")) & (F.size(toks) >= n),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nw = stream_new.select(
+        F.col(new_id).alias("train_id"), grams.alias("_lt_ngrams")
+    ).select("train_id", "_lt_ngrams", F.explode("_lt_ngrams").alias("_lt_g"))
+
+    hits = nw.join(index, "_lt_g")
+    shared = F.array_intersect(F.col("_lt_ngrams"), F.col("_lt_bgrams"))
+    return (
+        hits.withColumn("_lt_shared", shared)
+        .filter(F.col("_lt_g") == F.array_sort(F.col("_lt_shared"))[0])
+        .select(
+            "train_id", "bench_id",
+            F.size("_lt_shared").cast("long").alias("shared_ngrams"),
+        )
+    )

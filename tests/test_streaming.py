@@ -223,3 +223,60 @@ def test_streaming_dedup_against_char_mode_short_docs(spark, sf_dir):
     stream_pairs = {(r.src, r.dst, round(r.jaccard, 9)) for r in rows}
     assert len(rows) == len(stream_pairs)
     assert stream_pairs == batch_pairs
+
+
+def test_streaming_contamination_equals_batch(spark, sf_dir):
+    """The stateless stream-static n-gram join emits exactly the batch
+    contamination_pairs rows — including the row-local
+    first-shared-gram dedup (one emission per contaminated pair no
+    matter how many grams collide)."""
+    from pyspark.sql import functions as F
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        read_stream_table, run_available_now, streaming_contamination,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+
+    batch = {
+        (r.train_id, r.bench_id, r.shared_ngrams)
+        for r in lt.contamination_pairs(train, bench, on="text", n=5).collect()
+    }
+
+    s = read_stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    drained = run_available_now(
+        streaming_contamination(s, bench, on="text", n=5),
+        output_mode="append",
+    )
+    rows = drained.collect()
+    stream = {(r.train_id, r.bench_id, r.shared_ngrams) for r in rows}
+    assert len(rows) == len(stream)  # no duplicate emissions
+    assert stream == batch and len(stream) > 0
+
+
+def test_streaming_contamination_short_and_empty_docs(spark):
+    """Docs below n tokens (or empty) contribute nothing on either
+    side — no crash, no rows; multi-gram pairs report the full distinct
+    shared count once."""
+    from linktransformer_spark.streaming.ops import streaming_contamination
+
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta"), (10, "x"), (11, "")],
+        ["doc_id", "text"],
+    )
+    stream = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"), (2, "y z"), (3, None)],
+        "doc_id long, text string",
+    )
+    # run the same plan in batch mode (the operator is mode-agnostic;
+    # streaming execution parity is pinned by the test above)
+    out = streaming_contamination(stream, bench, on="text", n=5).collect()
+    got = {(r.train_id, r.bench_id): r.shared_ngrams for r in out}
+    # shared 5-grams: 'alpha..epsilon' and 'beta..zeta' -> 2
+    assert got == {(1, 9): 2}
