@@ -86,7 +86,8 @@ from .operators.llm import (
 from .encoders.api import infer_embeddings_with_gemini
 from .functions.similarity import cosine_similarity_corresponding_pairs
 from .sources.tables import (
-    read_bucketed, read_csv, read_excel, save_bucketed, save_partitioned,
+    read_bucketed, read_csv, read_excel, read_jsonl, save_bucketed,
+    save_partitioned, write_jsonl,
 )
 from .encoders.base import Encoder, resolve_encoder
 from .encoders.hash_ngram import HashNgramEncoder
@@ -223,6 +224,8 @@ __all__ = [
     "infer_embeddings_with_gemini",
     "read_csv",
     "read_excel",
+    "read_jsonl",
+    "write_jsonl",
     "save_bucketed",
     "save_partitioned",
     "read_bucketed",

@@ -112,3 +112,35 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     comes from the catalog; a plain spark.read.parquet on the files
     would lose it)."""
     return spark.table(table)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """JSON-lines corpus scan (the LLM training-data interchange
+    format). Pass ``schema`` at scale: without one Spark runs a whole
+    extra inference pass over the files before the real read; with one
+    the scan is single-pass and column-prunable. Corrupt lines land in
+    ``_corrupt_record`` under the default PERMISSIVE mode — pass
+    mode='FAILFAST' to hard-error instead."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**{k: str(v) for k, v in options.items()}).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines corpus sink; optionally Hive-partitioned (same
+    pruning contract as save_partitioned) and compressed (gzip default
+    — universally readable; use zstd/None per downstream tooling)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -46,3 +46,32 @@ def test_model_class_shims():
 
     clf = lt.LinkTransformerClassifier("some-checkpoint", num_labels=3)
     assert clf.num_labels == 3
+
+
+def test_jsonl_round_trip_partitioned(spark, tmp_path):
+    """read_jsonl/write_jsonl: schema-pinned round trip, Hive
+    partitioning, and nested values survive the json encoding."""
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello world", [0.1, 0.2]),
+         (2, "de", "hallo welt", [0.3, 0.4]),
+         (3, "en", 'quote " and \n newline', [0.0])],
+        "doc_id long, lang string, text string, emb array<double>",
+    )
+    path = str(tmp_path / "corpus")
+    lt.write_jsonl(df, path, partition_by="lang")
+    back = lt.read_jsonl(
+        spark, path,
+        schema="doc_id long, text string, emb array<double>, lang string",
+    )
+    a = sorted(map(tuple, df.select("doc_id", "lang", "text", "emb").collect()))
+    b = sorted(map(tuple, back.select("doc_id", "lang", "text", "emb").collect()))
+    assert a == b
+    # hive layout on disk -> partition pruning stays available
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("lang=")) == \
+           ["lang=de", "lang=en"]
+    # gzip default: json part files are compressed
+    en = os.listdir(os.path.join(path, "lang=en"))
+    assert any(f.endswith(".json.gz") for f in en)
