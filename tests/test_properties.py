@@ -174,3 +174,65 @@ def test_merge_asof_matches_pandas(spark, lrows, rrows, direction, exact):
     got_map = {int(row["lid"]): (None if row["rv"] is None else int(row["rv"]))
                for row in got.collect()}
     assert got_map == want_map
+
+
+# lines for dedup_lines: include blanks, whitespace-only, repeats
+LINE = st.one_of(
+    st.sampled_from(["", " ", "  boiler  ", "boiler", "alpha", "beta b"]),
+    st.text(alphabet="ab c", max_size=8),
+)
+
+
+@SLOW
+@given(st.lists(st.lists(LINE, max_size=6), min_size=1, max_size=8))
+def test_dedup_lines_invariants(spark, docs):
+    """dedup_lines: (1) idempotent; (2) every surviving non-blank
+    trimmed line appears exactly once corpus-wide; (3) per-doc output
+    lines are a subsequence of the input lines."""
+    import linktransformer_spark as lt
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = lt.dedup_lines(df, id_col="id")
+    twice = lt.dedup_lines(once, id_col="id")
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["text"] for r in twice.collect()}
+    assert a == b  # idempotent
+    seen = []
+    for i in sorted(a):
+        out_lines = a[i].split("\n") if a[i] != "" else []
+        in_lines = rows[i][1].split("\n")
+        it = iter(in_lines)
+        assert all(any(l == x for x in it) for l in out_lines)  # subsequence
+        seen += [l.strip() for l in out_lines if l.strip() != ""]
+    assert len(seen) == len(set(seen))  # global uniqueness
+
+
+@SLOW
+@given(st.lists(st.integers(0, 300), min_size=1, max_size=25),
+       st.integers(1, 7))
+def test_pack_sequences_invariants(spark, sizes, width_sel):
+    """pack_sequences: chunk_pos < budget; offsets monotone in id;
+    end >= start; total span equals the token sum; two-phase ==
+    single-window for arbitrary bucket widths."""
+    import linktransformer_spark as lt
+
+    budget = 64
+    rows = [(i * 3 + 1, n) for i, n in enumerate(sizes)]  # gappy ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    cols = ["doc_id", "n_tokens", "chunk_id", "chunk_pos", "end_chunk_id"]
+    single = sorted(map(tuple,
+        lt.pack_sequences(df, budget=budget, bucket_width=None)
+        .select(cols).collect()))
+    two = sorted(map(tuple,
+        lt.pack_sequences(df, budget=budget, bucket_width=width_sel)
+        .select(cols).collect()))
+    assert single == two
+    offs = []
+    for _id, n, c, p, e in single:
+        assert 0 <= p < budget and e >= c
+        offs.append(c * budget + p)
+    assert offs == sorted(offs)  # monotone tape layout
+    # consecutive offsets differ by exactly the doc's token count
+    for (o1, (_, n, *_)), o2 in zip(zip(offs, single), offs[1:]):
+        assert o2 - o1 == n
