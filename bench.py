@@ -112,6 +112,7 @@ def bench_queries(spark):
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
         "docs_dedup_lines": from_oracle("docs_dedup_lines"),
         "docs_contamination": from_oracle("docs_contamination"),
+        "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }
 
 
@@ -129,7 +130,7 @@ def main() -> None:
     extra_runs = {
         "dedup_minhash_docs", "ann_lsh_topk", "merge_knn_k3",
         "merge_1nn_lev", "merge_hash_broadcast", "merge_blocking",
-        "merge_k_judge_mock",
+        "merge_k_judge_mock", "docs_curation_pipeline",
     }
 
     queries = bench_queries(spark)

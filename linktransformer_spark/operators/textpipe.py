@@ -29,12 +29,13 @@ def lang_id_expr(text: Column) -> Column:
     stopword profile with the highest token hit count (ties broken by
     language code ascending); no hits at all -> 'und'."""
     toks = S.word_tokens(text)
-    n_cjk = F.size(
-        F.filter(
-            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
-                        lambda c: F.ascii(c)),
-            lambda cp: (cp >= F.lit(0x4E00)) & (cp <= F.lit(0x9FFF)),
-        )
+    # CJK count as one codegen regex pass (length delta after removing
+    # the block) — the per-char split/transform/filter lambda chain is
+    # CodegenFallback and was the hottest expression in the quality
+    # gate; counts are identical (BMP CJK block, surrogates untouched
+    # by both forms)
+    n_cjk = F.length(text) - F.length(
+        F.regexp_replace(text, "[一-鿿]", "")
     )
     n_chars = F.greatest(F.length(text), F.lit(1))
 

@@ -2315,3 +2315,111 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_contamination(stream, bench, on="text", n=5)
     return run_available_now(out, output_mode="append")
+
+
+def _curation_sql() -> str:
+    """The flagship composed pipeline: one SQL statement mirroring the
+    whole curation plan (quality gate -> redact -> jaccard near-dup CC
+    dedup keep-min-id -> token counts -> concat-and-chunk packing)."""
+    from .functions.oracle import (
+        sql_lang_id, sql_quality_score, sql_token_count, sql_word_shingles,
+    )
+
+    drop = f"""CASE WHEN length(text) < 50 THEN 'too_short'
+                WHEN length(text) > 20000 THEN 'too_long'
+                WHEN {sql_token_count('text')} < 10 THEN 'too_few_tokens'
+                WHEN {sql_quality_score('text')} < 0.5 THEN 'low_quality'
+                WHEN {sql_lang_id('text')} NOT IN ('en', 'de') THEN 'lang'
+                ELSE NULL END"""
+    return f"""
+    WITH RECURSIVE
+    kept AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d()\\- ]{{6,}}\\d', '<PHONE>', 'g') AS text
+      FROM documents
+      WHERE ({drop}) IS NULL
+    ),
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM kept),
+    tok AS (SELECT id, unnest(sh) AS g FROM sh),
+    inter AS (
+      SELECT l.id AS src, r.id AS dst, count(*) AS i
+      FROM tok l JOIN tok r ON l.g = r.g AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    pair AS (
+      SELECT src, dst FROM inter
+      JOIN (SELECT id, len(sh) AS n FROM sh) a ON a.id = src
+      JOIN (SELECT id, len(sh) AS n FROM sh) b ON b.id = dst
+      WHERE CAST(i AS DOUBLE) / greatest(a.n + b.n - i, 1) >= 0.6
+    ),
+    edges AS (
+      SELECT src AS i, dst AS j FROM pair
+      UNION ALL SELECT dst, src FROM pair
+    ),
+    reach(a, b) AS (
+      SELECT id, id FROM sh
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+    toks AS (
+      SELECT k.doc_id,
+             CAST({sql_token_count('k.text')} AS BIGINT) AS n_tokens
+      FROM kept k JOIN comp c ON k.doc_id = c.id
+      WHERE c.lbl = k.doc_id
+    ),
+    o AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(off / 512.0) AS BIGINT) AS chunk_id,
+           CAST(off % 512 AS BIGINT) AS chunk_pos
+    FROM o
+    """
+
+
+@_q("docs_curation_pipeline", _curation_sql())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE Catalyst plan — the pipeline a
+    training-data team actually ships: quality gate (C4/Gopher rules)
+    -> PII redaction -> exact-jaccard near-dup removal (shingle
+    equi-join + connected components, keep min id) -> token counts ->
+    concat-and-chunk packing onto 512-token chunks. Every stage is one
+    of this engine's operators composed lazily: Catalyst sees a single
+    DAG (the documents scan is shared, filters push down through the
+    redaction projection) and the oracle mirrors the whole thing as
+    one recursive-CTE SQL statement."""
+    from .operators.components import connected_components
+    from .operators.textpipe import annotate_quality_filter, token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        annotate_quality_filter(docs, langs=("en", "de"))
+        .filter(F.col("keep"))
+        .select("doc_id", "text")
+    )
+    # the gated+redacted relation feeds three consumers (shingle build,
+    # survivor anti-join, token counts) — cut lineage so the quality
+    # expressions evaluate once, not once per consumer
+    red = lt.redact_pii(kept).localCheckpoint(eager=False)
+    pairs = lt.near_dup_pairs_jaccard(
+        red, on="text", id_col="doc_id", threshold=0.6, shingle=3, word=True
+    )
+    dupped = (
+        connected_components(pairs.select("src", "dst"))
+        .filter(F.col("component") != F.col("node"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    survivors = red.join(dupped, "doc_id", "left_anti")
+    toks = survivors.select(
+        "doc_id", token_count_expr(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = lt.pack_sequences(toks, id_col="doc_id", budget=512, bucket_width=100)
+    return out.select("doc_id", "n_tokens", "chunk_id", "chunk_pos")
