@@ -86,6 +86,20 @@ def bench_queries(spark):
         return lt.ann_topk(emb, emb, k=10, mode="lsh_hyperplane",
                            n_planes=6, dim=64)
 
+    def merge_k_judge_batched(sf_dir):
+        # same retrieval + judge as merge_k_judge_mock but shipping 32
+        # candidate pairs per LLM request (the judge_batch_size
+        # contract): identical rows, k-fold fewer round-trips — the
+        # delta vs merge_k_judge_mock is the per-request overhead saved
+        cust = read_table(spark, sf_dir, "customer")
+        supp = read_table(spark, sf_dir, "supplier")
+        return lt.merge_k_judge(
+            cust, supp, left_on="c_name", right_on="s_name",
+            model="levenshtein", k=2, judge=lt.MockJudgeSpec(threshold=0.5),
+            confidence_threshold=0.3, judge_batch_size=32,
+            left_id_col="c_custkey", right_id_col="s_suppkey",
+        )
+
     def textpipe_docs(sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return lt.analyze_documents(docs)
@@ -110,6 +124,7 @@ def bench_queries(spark):
         "profile_orders": from_oracle("profile_orders"),
         "dedup_against_incr": from_oracle("dedup_minhash_against"),
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
+        "merge_k_judge_batched": merge_k_judge_batched,
         "docs_dedup_lines": from_oracle("docs_dedup_lines"),
         "docs_contamination": from_oracle("docs_contamination"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
