@@ -37,7 +37,12 @@ from .operators.dedup import (
     near_dup_pairs_simhash,
     simhash64,
 )
-from .operators.textpipe import analyze_documents, annotate_quality_filter, filter_documents
+from .operators.textpipe import (
+    analyze_documents,
+    annotate_quality_filter,
+    filter_documents,
+    repetition_stats,
+)
 from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
@@ -183,6 +188,7 @@ __all__ = [
     "analyze_documents",
     "annotate_quality_filter",
     "filter_documents",
+    "repetition_stats",
     "contamination_pairs",
     "dedup_lines",
     "pack_sequences",

@@ -189,3 +189,92 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_subwords", subword_count_expr(t))
         .withColumn("fingerprint", fingerprint_expr(text_col))
     )
+
+
+def _token_ngram_occurrences(df: DataFrame, text_col: str, id_col: str,
+                             n: int) -> DataFrame:
+    """(id, gram) OCCURRENCE rows (not distinct) from whitespace word
+    tokens — explode start positions + slice, same codegen-friendly
+    shape as the dedup/corpus gram builders. Docs with fewer than n
+    tokens contribute no rows."""
+    toks = S.word_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_lt_id"), toks.alias("_lt_toks")).filter(
+        F.size("_lt_toks") >= n
+    )
+    if n == 1:
+        return base.select("_lt_id", F.explode("_lt_toks").alias("_lt_gram"))
+    return base.select(
+        "_lt_id",
+        "_lt_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_lt_toks") - F.lit(n - 1))).alias("_lt_p"),
+    ).select(
+        "_lt_id",
+        F.array_join(F.slice("_lt_toks", F.col("_lt_p"), n), " ").alias("_lt_gram"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 appendix A1.1, token-based):
+
+    - ``dup_token_frac``: 1 - distinct_tokens/n_tokens — how much of
+      the doc is repeated vocabulary;
+    - ``top_ngram_frac``: occurrences(most frequent ``top_n``-gram) *
+      top_n / n_tokens — token share of the single hottest phrase;
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram START POSITIONS
+      whose gram occurs more than once in the doc — repeated-span
+      density without the interval-union bookkeeping of the paper's
+      character-coverage variant (documented simplification).
+
+    Degenerate docs (fewer tokens than the gram width) score 0. All
+    three are relational explode -> per-(doc, gram) count -> per-doc
+    aggregate pipelines (two narrow shuffles per signal, no per-row
+    lambdas, no doc-size quadratic anywhere).
+    """
+    ids = df.select(F.col(id_col))
+    one = (
+        _token_ngram_occurrences(df, text_col, id_col, 1)
+        .groupBy("_lt_id", "_lt_gram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("_lt_id")
+        .agg(
+            F.sum("c").alias("_nt"),
+            F.count(F.lit(1)).alias("_nd"),
+        )
+    )
+
+    def gram_counts(n):
+        return (
+            _token_ngram_occurrences(df, text_col, id_col, n)
+            .groupBy("_lt_id", "_lt_gram").agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top = gram_counts(top_n).groupBy("_lt_id").agg(F.max("c").alias("_mc"))
+    dup = gram_counts(dup_n).groupBy("_lt_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dp"),
+        F.sum("c").alias("_np"),
+    )
+    out = (
+        ids.join(one.withColumnRenamed("_lt_id", id_col), id_col, "left")
+        .join(top.withColumnRenamed("_lt_id", id_col), id_col, "left")
+        .join(dup.withColumnRenamed("_lt_id", id_col), id_col, "left")
+    )
+    nt = F.coalesce(F.col("_nt"), F.lit(0))
+    return out.select(
+        id_col,
+        nt.cast("long").alias("n_tokens"),
+        F.when(
+            nt > 0, F.lit(1.0) - F.col("_nd").cast("double") / nt.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        F.coalesce(
+            (F.col("_mc") * top_n).cast("double") / nt.cast("double"), F.lit(0.0)
+        ).alias("top_ngram_frac"),
+        F.coalesce(
+            F.col("_dp").cast("double") / F.col("_np").cast("double"), F.lit(0.0)
+        ).alias("dup_ngram_frac"),
+    )

@@ -2423,3 +2423,57 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lt.pack_sequences(toks, id_col="doc_id", budget=512, bucket_width=100)
     return out.select("doc_id", "n_tokens", "chunk_id", "chunk_pos")
+
+
+def _repetition_sql() -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    u AS (SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS nd
+          FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id),
+    g2 AS (SELECT doc_id, max(c) AS mc FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> array_to_string(toks[i:i+1], ' '))) AS g
+              FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    g3 AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dp,
+                  sum(c) AS np FROM (
+            SELECT doc_id, g, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS g
+              FROM t WHERE len(toks) >= 3) GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(u.nt, 0) AS BIGINT) AS n_tokens,
+           round(CASE WHEN coalesce(u.nt, 0) > 0
+                 THEN 1.0 - CAST(u.nd AS DOUBLE) / CAST(u.nt AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_token_frac,
+           round(coalesce(CAST(g2.mc * 2 AS DOUBLE) / CAST(u.nt AS DOUBLE),
+                 0.0), 6) AS top_ngram_frac,
+           round(coalesce(CAST(g3.dp AS DOUBLE) / CAST(g3.np AS DOUBLE),
+                 0.0), 6) AS dup_ngram_frac
+    FROM documents d
+    LEFT JOIN u ON d.doc_id = u.doc_id
+    LEFT JOIN g2 ON d.doc_id = g2.doc_id
+    LEFT JOIN g3 ON d.doc_id = g3.doc_id
+    """
+
+
+@_q("docs_repetition_signals", _repetition_sql())
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals over the raw
+    corpus (top_n=2, dup_n=3 defaults)."""
+    from .operators.textpipe import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    )

@@ -85,3 +85,39 @@ def test_filter_documents_drops_annotations(spark):
     out = lt.filter_documents(df)
     assert out.columns == ["doc_id", "text"]
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_repetition_stats_hand_computed(spark):
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b a b"),
+        (2, "x y z x y z x y z"),
+        (3, "unique words only here"),
+        (4, ""),
+        (5, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lt.repetition_stats(df).collect()}
+    assert len(out) == 5
+    # "a b a b": 4 tokens / 2 distinct; "a b" twice of 3 bigrams; no
+    # repeated trigram
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["dup_token_frac"] - 0.5) < 1e-12
+    assert abs(out[1]["top_ngram_frac"] - 1.0) < 1e-12  # 2*2/4
+    assert out[1]["dup_ngram_frac"] == 0.0
+    # "x y z" x3: every trigram position repeated
+    assert abs(out[2]["dup_token_frac"] - (1 - 3 / 9)) < 1e-12
+    assert abs(out[2]["top_ngram_frac"] - (3 * 2 / 9)) < 1e-12
+    assert out[2]["dup_ngram_frac"] == 1.0
+    # all-distinct doc: only the trivial top bigram share
+    assert out[3]["dup_token_frac"] == 0.0
+    assert abs(out[3]["top_ngram_frac"] - 0.5) < 1e-12  # 1*2/4
+    assert out[3]["dup_ngram_frac"] == 0.0
+    # degenerate docs score 0 everywhere
+    for i in (4, 5):
+        assert out[i]["dup_token_frac"] == 0.0
+        assert out[i]["top_ngram_frac"] == 0.0
+        assert out[i]["dup_ngram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[5]["n_tokens"] == 1
