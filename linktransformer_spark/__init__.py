@@ -46,6 +46,7 @@ from .operators.textpipe import (
 from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
+    dedup_spans,
     pack_sequences,
     redact_pii,
 )
@@ -191,6 +192,7 @@ __all__ = [
     "repetition_stats",
     "contamination_pairs",
     "dedup_lines",
+    "dedup_spans",
     "pack_sequences",
     "redact_pii",
     "ir_metrics",

@@ -267,3 +267,94 @@ def pack_sequences(
         )
         .drop("_lt_off")
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> DataFrame:
+    """Exact duplicated-span removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr, token
+    form): every ``n``-token span whose lowercased form occurs more
+    than once corpus-wide keeps only its GLOBAL FIRST occurrence
+    (ordered by (id, position)); tokens covered by any non-first
+    occurrence are removed and the remaining tokens are re-joined.
+
+    Contract details (all deterministic, single-pass):
+    - tokens are whitespace-split; matching is case-insensitive, the
+      surviving text keeps original casing but is whitespace-NORMALIZED
+      (single spaces) for every doc, including untouched ones;
+    - overlapping duplicated spans union their coverage; the canonical
+      first occurrence can still lose tokens to a different span's
+      removal (the paper's self-overlap behavior);
+    - no cascading re-scan: spans formed by a removal joining previously
+      distant tokens are not re-deduplicated (run twice if needed);
+    - docs with fewer than n tokens pass through (normalized); null
+      text becomes ''.
+
+    Plan: token posexplode (kept narrow for reassembly) + span
+    occurrence rows -> global-first groupBy on the span (map-side
+    partial min defuses boilerplate skew) -> marked occurrences explode
+    their covered positions (bounded by n x duplicated-text volume,
+    never by corpus size) -> anti-join + ordered reassembly. Every
+    stage is an equi-join/aggregate on a derived key — no pairwise
+    stage anywhere.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    toks_arr = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("_lt_did"),
+        F.filter(toks_arr, lambda t: t != F.lit("")).alias("_lt_toks"),
+    )
+    toks = base.select(
+        "_lt_did",
+        F.posexplode("_lt_toks").alias("_lt_pos", "_lt_tok"),
+    )
+    occ = (
+        base.filter(F.size("_lt_toks") >= n)
+        .select(
+            "_lt_did",
+            F.transform("_lt_toks", lambda t: F.lower(t)).alias("_lt_low"),
+            F.explode(
+                F.sequence(F.lit(1), F.size("_lt_toks") - F.lit(n - 1))
+            ).alias("_lt_p"),
+        )
+        .select(
+            "_lt_did",
+            (F.col("_lt_p") - 1).alias("_lt_pos"),  # 0-based like posexplode
+            F.array_join(F.slice("_lt_low", F.col("_lt_p"), n), " ").alias("_lt_g"),
+        )
+    )
+    firsts = occ.groupBy("_lt_g").agg(
+        F.min(F.struct("_lt_did", "_lt_pos")).alias("_lt_first")
+    )
+    marked = (
+        occ.join(firsts, "_lt_g")
+        .filter(F.struct("_lt_did", "_lt_pos") != F.col("_lt_first"))
+        .select("_lt_did", "_lt_pos")
+    )
+    covered = marked.select(
+        "_lt_did",
+        F.explode(
+            F.sequence(F.col("_lt_pos"), F.col("_lt_pos") + F.lit(n - 1))
+        ).alias("_lt_pos"),
+    ).distinct()
+    kept = toks.join(covered, ["_lt_did", "_lt_pos"], "left_anti")
+    assembled = kept.groupBy("_lt_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_lt_pos", "_lt_tok"))),
+                lambda s: s["_lt_tok"],
+            ),
+            " ",
+        ).alias("_lt_text")
+    )
+    other = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*other)
+        .join(assembled, F.col(id_col) == F.col("_lt_did"), "left")
+        .select(*other, F.coalesce(F.col("_lt_text"), F.lit("")).alias(text_col))
+    )

@@ -2477,3 +2477,51 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
         F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
     )
+
+
+_DEDUP_SPANS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_transform(toks, x -> lower(x))[i:i+9], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS i
+            FROM t WHERE len(toks) >= 10)
+    ),
+    rn AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS r
+      FROM occ
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(range(pos, pos + 10)) AS pos FROM rn WHERE r > 1
+      )
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT d.doc_id, coalesce(a.text, '') AS text
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    ) a ON d.doc_id = a.doc_id
+"""
+
+
+@_q("docs_dedup_spans", _DEDUP_SPANS_SQL)
+def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup over the raw corpus at span width 10 —
+    near-dup documents share long runs, so non-first copies of every
+    duplicated 10-token span are cut out of the surviving text."""
+    docs = _t(spark, sf_dir, "documents")
+    return lt.dedup_spans(docs.select("doc_id", "text"), n=10)

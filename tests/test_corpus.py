@@ -166,3 +166,43 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="budget"):
         lt.pack_sequences(df, budget=0)
+
+
+def test_dedup_spans_hand_computed(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "x a b c y"),
+        (2, "p q r p q r p q r"),
+        (3, "A B C z z"),
+        (4, "one two"),
+        (5, None),
+        (6, "  spaced   out   tokens  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in lt.dedup_spans(df, n=3).collect()}
+    assert got[0] == "a b c d e"        # global first occurrence survives
+    assert got[1] == "x y"              # 'a b c' copy cut out
+    assert got[2] == "p q r"            # within-doc repeats collapse
+    assert got[3] == "z z"              # case-insensitive match, case kept
+    assert got[4] == "one two"          # below span width: untouched
+    assert got[5] == ""                 # null text -> ''
+    assert got[6] == "spaced out tokens"  # whitespace normalized
+
+
+def test_dedup_spans_overlapping_coverage_and_idempotence(spark):
+    # two overlapping duplicated spans union their coverage; a second
+    # pass changes nothing on this input
+    rows = [(0, "m n o p q r s"), (1, "m n o p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lt.dedup_spans(df, n=4)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[0] == "m n o p q r s"
+    assert got[1] == "t"                # positions 0..6 all covered
+    again = {r["doc_id"]: r["text"] for r in lt.dedup_spans(out, n=4).collect()}
+    assert again == got
+
+
+def test_dedup_spans_rejects_bad_n(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be"):
+        lt.dedup_spans(df, n=1)
