@@ -126,6 +126,7 @@ def bench_queries(spark):
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
         "merge_k_judge_batched": merge_k_judge_batched,
         "docs_dedup_lines": from_oracle("docs_dedup_lines"),
+        "docs_dedup_spans": from_oracle("docs_dedup_spans"),
         "docs_contamination": from_oracle("docs_contamination"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }

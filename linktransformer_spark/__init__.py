@@ -22,7 +22,7 @@ from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import profile_table
-from .operators.sampling import hash_sample, sample_per_group
+from .operators.sampling import hash_sample, sample_mixture, sample_per_group
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
     dedup_embedding,
@@ -165,6 +165,7 @@ __all__ = [
     "LinkTransformerClassifier",
     "profile_table",
     "hash_sample",
+    "sample_mixture",
     "sample_per_group",
     "ivf_topk",
     "ivf_pq_topk",

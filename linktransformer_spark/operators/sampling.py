@@ -81,3 +81,44 @@ def sample_per_group(
         .filter(F.col("_smp_rank") <= n)
         .drop("_smp_rank")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict,
+    key_cols: list[str] | str | None = None,
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic stratified mixture sampling — the data-mix
+    curation step (down-weight web crawl, keep all of wiki/code, ...):
+    per-group keep fractions applied with the same content-hash
+    membership as :func:`hash_sample`, so the mixture is reproducible
+    across runs/engines/partitionings and STABLE under incremental
+    reprocessing (new rows never change which old rows are kept).
+    Groups absent from ``fractions`` use ``default_fraction`` (0.0 =
+    drop, the explicit-allowlist posture).
+
+    Map-only: the per-group threshold is a chained ``when`` expression
+    over ``group_col`` (no join, no shuffle; fuses into the scan).
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    keys = (
+        [key_cols] if isinstance(key_cols, str)
+        else list(key_cols) if key_cols is not None
+        else [c for c in df.columns if c != group_col]
+    )
+    bucket = S.poly_hash(_key_expr(keys), salt=salt) % _M
+    thresh = F.lit(int(round(default_fraction * _M)))
+    # deterministic build order -> deterministic plan text
+    for g in sorted(fractions, key=str):
+        thresh = F.when(
+            F.col(group_col) == F.lit(g),
+            F.lit(int(round(float(fractions[g]) * _M))),
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

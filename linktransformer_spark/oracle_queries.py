@@ -2525,3 +2525,32 @@ def docs_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated 10-token span are cut out of the surviving text."""
     docs = _t(spark, sf_dir, "documents")
     return lt.dedup_spans(docs.select("doc_id", "text"), n=10)
+
+
+def _sample_mixture_sql() -> str:
+    from .functions.oracle import sql_poly_hash
+
+    ph = sql_poly_hash("coalesce(text, '')")
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {ph} % 1000000 <
+          CASE lang WHEN 'de' THEN 1000000
+                    WHEN 'en' THEN 400000
+                    WHEN 'zh' THEN 0
+                    ELSE 150000 END
+"""
+
+
+@_q("docs_sample_mixture", _sample_mixture_sql())
+def docs_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mix sampling: keep all German, 40% of English,
+    drop Chinese, 15% of everything else — content-hash deterministic,
+    so the oracle reproduces the exact mixture."""
+    from .operators.sampling import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_mixture(
+        docs, "lang", {"de": 1.0, "en": 0.4, "zh": 0.0},
+        key_cols="text", default_fraction=0.15,
+    )
+    return out.select("doc_id", "lang")

@@ -75,3 +75,48 @@ def test_sample_per_group_small_group(spark):
 def test_sample_per_group_bad_n(docs):
     with pytest.raises(ValueError, match="n must be"):
         lt.sample_per_group(docs, by="lang", n=0)
+
+
+def test_sample_mixture_groups_and_stability(spark):
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    # varied keys: polynomial content hashes of shared-prefix serial
+    # strings correlate (same caveat as any content hash); real corpus
+    # text distributes fine
+    import hashlib
+
+    rows = [(i, ["web", "wiki", "code"][i % 3],
+             hashlib.sha1(str(i).encode()).hexdigest()) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "source", "text"])
+    out = lt.sample_mixture(
+        df, "source", {"wiki": 1.0, "web": 0.3}, key_cols="text",
+        default_fraction=0.0,
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts.get("wiki") == 100          # fraction 1.0 keeps all
+    assert "code" not in counts               # default 0.0 drops
+    assert 10 < counts.get("web", 0) < 60     # ~30 of 100
+    # incremental stability: adding rows never changes old membership
+    more = df.unionByName(
+        spark.createDataFrame([(1000 + i, "web", f"new {i}") for i in range(50)],
+                              ["id", "source", "text"]))
+    out2 = lt.sample_mixture(
+        more, "source", {"wiki": 1.0, "web": 0.3}, key_cols="text",
+        default_fraction=0.0,
+    )
+    old_ids = {r["id"] for r in out.collect()}
+    new_ids = {r["id"] for r in out2.filter(F.col("id") < 1000).collect()}
+    assert old_ids == new_ids
+
+
+def test_sample_mixture_validation(spark):
+    import linktransformer_spark as lt
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", "t")], ["id", "g", "text"])
+    with pytest.raises(ValueError, match="fraction for group"):
+        lt.sample_mixture(df, "g", {"a": 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        lt.sample_mixture(df, "g", {"a": 0.5}, default_fraction=-0.1)
