@@ -34,6 +34,8 @@ from .operators.dedup import (
     near_dup_pairs_jaccard,
     near_dup_pairs_minhash,
     near_dup_pairs_minhash_against,
+    near_dup_pairs_minhash_against_index,
+    save_minhash_index,
     near_dup_pairs_simhash,
     simhash64,
 )
@@ -182,6 +184,8 @@ __all__ = [
     "dedup_embedding",
     "near_dup_pairs_minhash",
     "near_dup_pairs_minhash_against",
+    "near_dup_pairs_minhash_against_index",
+    "save_minhash_index",
     "near_dup_pairs_simhash",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_embedding",

@@ -727,3 +727,116 @@ def dedup_embedding(
     return out.filter(
         F.col("component").isNull() | (F.col("component") == F.col(id_col))
     ).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Persistable MinHash index — the production ingest shape the
+# near_dup_pairs_minhash_against docstring describes: pay the seen
+# corpus's signature build ONCE at ingest, write the band rows +
+# verify shingles as parquet, and every later batch joins against the
+# files (per-batch cost = |new| signature builds + a collision-sized
+# shuffle, independent of the seen corpus's text volume).
+# ---------------------------------------------------------------------------
+
+_INDEX_VERSION = 1
+
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    on,
+    id_col: str,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the seen-corpus MinHash index at ``path``:
+    ``bands/`` (_id, band, bsig) for candidate generation and
+    ``shingles/`` (_id, _sh) for exact-jaccard verification, plus a
+    one-row ``meta/`` json recording the family parameters — loading
+    validates them, because signatures from different (num_hashes,
+    bands, shingle, word) families must never be joined."""
+    base, banded = _minhash_base_banded(
+        df, on, id_col, num_hashes, bands, shingle, word, None
+    )
+    sh = base.select(
+        "_id", _shingles_nonempty(F.col("_key"), shingle, word).alias("_sh")
+    )
+    banded.write.mode(mode).parquet(f"{path}/bands")
+    sh.write.mode(mode).parquet(f"{path}/shingles")
+    meta = {
+        "version": _INDEX_VERSION,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle": shingle,
+        "word": word,
+    }
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [tuple(meta[k] for k in sorted(meta))],
+        ", ".join(f"{k} {'boolean' if k == 'word' else 'int'}" for k in sorted(meta)),
+    ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def _load_index_meta(spark, path: str) -> dict:
+    row = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(row["version"]) != _INDEX_VERSION:
+        raise ValueError(
+            f"minhash index at {path} has version {row['version']}, "
+            f"this build reads version {_INDEX_VERSION}"
+        )
+    return row
+
+
+def near_dup_pairs_minhash_against_index(
+    new: DataFrame,
+    path: str,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`near_dup_pairs_minhash_against` with the seen side read
+    from a :func:`save_minhash_index` directory instead of rebuilt from
+    text — row-for-row identical output (the family parameters come
+    from the index metadata). Returns (src=new id, dst=indexed id,
+    jaccard)."""
+    spark = new.sparkSession
+    meta = _load_index_meta(spark, path)
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    shingle, word = int(meta["shingle"]), bool(meta["word"])
+
+    nbase, nbanded = _minhash_base_banded(
+        new, on, id_col, num_hashes, bands, shingle, word, None
+    )
+    sbanded = spark.read.parquet(f"{path}/bands")
+    ssh = spark.read.parquet(f"{path}/shingles")
+    l = nbanded.alias("l")
+    r = sbanded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig")),
+        )
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    sh_n = nbase.join(cand.select(F.col("src").alias("_id")).distinct(), "_id").select(
+        F.col("_id").alias("src"),
+        _shingles_nonempty(F.col("_key"), shingle, word).alias("sh_l"),
+    )
+    sh_s = ssh.join(cand.select(F.col("dst").alias("_id")).distinct(), "_id").select(
+        F.col("_id").alias("dst"), F.col("_sh").alias("sh_r")
+    )
+    cand = cand.join(sh_n, "src").join(sh_s, "dst")
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )

@@ -358,3 +358,64 @@ def test_cluster_rows_lsh_mode_refines_exact(spark, sf_dir):
     assert any(len(g) > 1 for g in groups.values())
     for members in groups.values():
         assert len({exact[m] for m in members}) == 1
+
+
+def test_minhash_index_round_trip_equals_direct(spark, sf_dir, tmp_path):
+    """save_minhash_index + near_dup_pairs_minhash_against_index must
+    emit exactly the rows of the direct text-vs-text against path (the
+    family parameters travel in the index metadata)."""
+    from pyspark.sql import functions as F
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") < 100)
+    new = d.filter(F.col("doc_id") >= 100).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    ).unionByName(
+        seen.limit(20).select((F.col("doc_id") + 900000).alias("doc_id"),
+                              F.concat("text", F.lit(" tail")).alias("text"))
+    )
+    kw = dict(num_hashes=24, bands=8, shingle=3, word=True)
+    path = str(tmp_path / "idx")
+    lt.save_minhash_index(seen, path, on="text", id_col="doc_id", **kw)
+
+    direct = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against(
+            new, seen, on="text", id_col="doc_id", threshold=0.5, **kw
+        ).collect()
+    }
+    from_index = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against_index(
+            new, path, on="text", id_col="doc_id", threshold=0.5
+        ).collect()
+    }
+    assert from_index == direct and len(from_index) > 0
+
+
+def test_minhash_index_version_gate(spark, tmp_path):
+    import json
+    import os
+
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    lt.save_minhash_index(df, path, on="text", id_col="doc_id")
+    # corrupt the version
+    meta_dir = os.path.join(path, "meta")
+    f = [x for x in os.listdir(meta_dir) if x.endswith(".json")][0]
+    row = json.loads(open(os.path.join(meta_dir, f)).read())
+    row["version"] = 999
+    open(os.path.join(meta_dir, f), "w").write(json.dumps(row))
+    crc = os.path.join(meta_dir, f".{f}.crc")
+    if os.path.exists(crc):  # hadoop local-fs checksum sidecar
+        os.remove(crc)
+    import pytest
+
+    with pytest.raises(ValueError, match="version"):
+        lt.near_dup_pairs_minhash_against_index(
+            df, path, on="text", id_col="doc_id")
