@@ -76,13 +76,19 @@ def dedup_lines(
     partitionful of (id, pos) pairs of which only the min survives —
     a map-side partial min keeps that cheap).
     """
+    import re as _re
+
     other = [c for c in df.columns if c != text_col]
+    # sep is treated as a LITERAL separator (Spark's split takes a
+    # regex, so escape it; reassembly joins with the literal) — and the
+    # exploded relation feeds three consumers (firsts, keep-join,
+    # blank-line union), so cut its lineage to evaluate the split once
     lines = df.select(
         F.col(id_col).alias("_lt_did"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)).alias(
-            "_lt_pos", "_lt_line"
-        ),
-    )
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+        ).alias("_lt_pos", "_lt_line"),
+    ).localCheckpoint(eager=False)
     key = F.trim(F.col("_lt_line"))
     nonblank = lines.filter(key != F.lit(""))
     firsts = nonblank.groupBy(key.alias("_lt_key")).agg(
@@ -226,7 +232,9 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     from pyspark.sql import Window
 
-    tok = F.col(n_tokens_col).cast("long")
+    # null token counts pack as 0-length docs (same slot as their
+    # predecessor) instead of poisoning every later offset with null
+    tok = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
     if bucket_width is None:
         w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
             Window.unboundedPreceding, -1
@@ -305,10 +313,12 @@ def dedup_spans(
     if n < 2:
         raise ValueError("n must be >= 2")
     toks_arr = F.split(F.col(text_col), r"\s+")
+    # consumed by both the token relation and the span relation — cut
+    # lineage so tokenization runs once
     base = df.select(
         F.col(id_col).alias("_lt_did"),
         F.filter(toks_arr, lambda t: t != F.lit("")).alias("_lt_toks"),
-    )
+    ).localCheckpoint(eager=False)
     toks = base.select(
         "_lt_did",
         F.posexplode("_lt_toks").alias("_lt_pos", "_lt_tok"),

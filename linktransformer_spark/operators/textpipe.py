@@ -235,7 +235,8 @@ def repetition_stats(
     Degenerate docs (fewer tokens than the gram width) score 0. All
     three are relational explode -> per-(doc, gram) count -> per-doc
     aggregate pipelines (two narrow shuffles per signal, no per-row
-    lambdas, no doc-size quadratic anywhere).
+    lambdas, no doc-size quadratic anywhere). ``id_col`` must be
+    unique (the signals join back on it).
     """
     ids = df.select(F.col(id_col))
     one = (
