@@ -12,10 +12,11 @@ the dedup pipelines, ANN, and the text-analysis pass.
 
 Methodology: steady-state, best-of-N. Each query executes one untimed
 warm run, then N timed runs of which the MINIMUM is reported — N=2 for
-most queries, N=3 for the three most expensive (dedup_minhash_docs,
-ann_lsh_topk, merge_knn_k3), whose run-to-run variance (up to ~30% on
-this box: GC, OS scheduling) would otherwise dominate round-over-round
-comparisons. The warm run forks the Python worker pool,
+most queries, N=3 for the expensive set (the merge family, both judge
+variants, dedup_minhash_docs, ann_lsh_topk, docs_curation_pipeline —
+the `extra_runs` set below is authoritative), whose run-to-run
+variance (co-tenant load spikes inflate a single run up to ~7x) would
+otherwise dominate round-over-round comparisons. The warm run forks the Python worker pool,
 JIT-compiles the JVM hot loops at real data volume (a 1/100-scale
 warm-up provably under-compiles: the C2 tier needs full-volume
 invocation counts), and fills the codegen class cache. A long-running
@@ -146,7 +147,8 @@ def main() -> None:
     extra_runs = {
         "dedup_minhash_docs", "ann_lsh_topk", "merge_knn_k3",
         "merge_1nn_lev", "merge_hash_broadcast", "merge_blocking",
-        "merge_k_judge_mock", "docs_curation_pipeline",
+        "merge_k_judge_mock", "merge_k_judge_batched",
+        "docs_curation_pipeline",
     }
 
     queries = bench_queries(spark)

@@ -94,6 +94,15 @@ def merge_asof(
     # right payload = everything except the by keys, packed into ONE
     # struct (atomic carry; ordering col and id ride along inside so
     # tolerance/tie-break/inspection survive)
+    def _hashable_payload_hash(rel, cols):
+        from pyspark.sql.types import MapType
+
+        fields = rel.schema[_P].dataType
+        ok = [c for c in cols if not isinstance(fields[c].dataType, MapType)]
+        if not ok:
+            return F.lit(0).cast("long")
+        return F.xxhash64(*[F.col(_P)[c] for c in ok])
+
     payload = [c for c in right.columns if c not in by]
     r_side = right.select(
         *[F.col(c) for c in by],
@@ -113,8 +122,11 @@ def merge_asof(
             # deterministic surrogate: without an id column, equal-ts
             # right rows in a by-group would otherwise be ordered by
             # partition layout and the carried match would drift run to
-            # run; hash ties only between bit-identical payloads
-            else F.xxhash64(F.col(_P)),
+            # run; hash ties only between bit-identical payloads.
+            # xxhash64 rejects MapType inputs, so hash only the
+            # hashable payload fields (all-map payloads fall back to
+            # the old arbitrary-tie lit(0))
+            else _hashable_payload_hash(r_side, payload),
         )
     )
     l_side = (

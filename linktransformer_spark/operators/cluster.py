@@ -301,8 +301,10 @@ def _numpy_hdbscan(X, min_cluster_size: int, min_samples: int,
       (tie order in the MST); the partition + noise set is the
       contract (SURVEY §1.3).
 
-    Ties in MST edge weights break on lowest (weight, a, b) — fully
-    deterministic and row-order independent.
+    Ties in MST edge weights break on lowest (weight, a, b) over the
+    POSITIONAL indices — deterministic given the input row order;
+    cluster_rows id-sorts every block before calling this kernel, so
+    the operator-level partition is row-order independent.
     """
     import numpy as np
 
@@ -483,14 +485,26 @@ def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
         except ImportError:
             pass  # numpy per-block path below
         else:
-            pdf = work.toPandas()
+            # id-sorted input: the lib's tie behavior then sees a
+            # partition-layout-independent row order
+            pdf = work.toPandas().sort_values("_lt_id").reset_index(drop=True)
             emb = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
             m = hdbscan.HDBSCAN(
                 min_cluster_size=params["min cluster size"],
                 min_samples=params["min samples"],
                 gen_min_span_tree=True,
             )
-            pdf[cluster_col] = m.fit(emb).labels_
+            raw = m.fit(emb).labels_
+            # canonicalize to the module contract (min row id per
+            # cluster, noise -1) so lib and numpy paths agree
+            ids = pdf["_lt_id"].to_numpy()
+            lab = np.full(len(pdf), -1, dtype="int64")
+            for u in np.unique(raw):
+                if u < 0:
+                    continue
+                msk = raw == u
+                lab[msk] = ids[msk].min()
+            pdf[cluster_col] = lab
             spark = work.sparkSession
             keep = list(orig_cols) + [cluster_col, "_lt_id"]
             out = spark.createDataFrame(pdf[[c for c in keep if c in pdf.columns]])
@@ -518,6 +532,10 @@ def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
     out_schema = narrow.drop("_lt_emb").schema.add(StructField(cluster_col, LongType()))
 
     def fit(pdf):
+        # id-sort the block first: positional tie-breaks inside the
+        # numpy kernels (lowest (i, j) pair / MST (w, a, b)) are then
+        # row-order independent across shuffle arrival orders
+        pdf = pdf.sort_values(LT_ID).reset_index(drop=True)
         X = np.array(pdf["_lt_emb"].tolist(), dtype="float64")
         idx_labels = block_labels(X)
         ids = pdf[LT_ID].to_numpy()

@@ -435,11 +435,7 @@ def near_dup_pairs_minhash_against(
     # from the correct side, so rename-join each base separately rather
     # than unioning them
     cand = cand.localCheckpoint(eager=False)
-    sh_expr = _shingles(F.col("_key"), shingle, word)
-    if not word:
-        sh_expr = F.when(F.size(sh_expr) > 0, sh_expr).otherwise(
-            F.array(F.lit(""))
-        )
+    sh_expr = _shingles_nonempty(F.col("_key"), shingle, word)
     n_ids = cand.select(F.col("src").alias("_id")).distinct()
     s_ids = cand.select(F.col("dst").alias("_id")).distinct()
     sh_n = nbase.join(n_ids, "_id").select(
@@ -758,6 +754,33 @@ def save_minhash_index(
     one-row ``meta/`` json recording the family parameters — loading
     validates them, because signatures from different (num_hashes,
     bands, shingle, word) families must never be joined."""
+    spark = df.sparkSession
+    meta = {
+        "version": _INDEX_VERSION,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle": shingle,
+        "word": word,
+    }
+    if mode == "append":
+        # an append must extend the SAME family — mixed-family band
+        # rows would silently join incompatible signatures
+        try:
+            existing = _load_index_meta(spark, path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            for k in ("num_hashes", "bands", "shingle"):
+                if int(existing[k]) != int(meta[k]):
+                    raise ValueError(
+                        f"cannot append to minhash index at {path}: existing "
+                        f"{k}={existing[k]} != {meta[k]}"
+                    )
+            if bool(existing["word"]) != bool(meta["word"]):
+                raise ValueError(
+                    f"cannot append to minhash index at {path}: existing "
+                    f"word={existing['word']} != {meta['word']}"
+                )
     base, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word, None
     )
@@ -766,18 +789,11 @@ def save_minhash_index(
     )
     banded.write.mode(mode).parquet(f"{path}/bands")
     sh.write.mode(mode).parquet(f"{path}/shingles")
-    meta = {
-        "version": _INDEX_VERSION,
-        "num_hashes": num_hashes,
-        "bands": bands,
-        "shingle": shingle,
-        "word": word,
-    }
-    spark = df.sparkSession
+    # meta is always a single authoritative row, even on append
     spark.createDataFrame(
         [tuple(meta[k] for k in sorted(meta))],
         ", ".join(f"{k} {'boolean' if k == 'word' else 'int'}" for k in sorted(meta)),
-    ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def _load_index_meta(spark, path: str) -> dict:

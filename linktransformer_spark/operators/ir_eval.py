@@ -252,6 +252,17 @@ def _append_csv(csv_path, headers, row):
     import os
 
     new = not os.path.isfile(csv_path)
+    if not new:
+        with open(csv_path, encoding="utf-8") as f:
+            existing = f.readline().rstrip("\n")
+        if existing != ",".join(headers):
+            # appending under a different header (other ks/score_name)
+            # would silently misalign values with columns
+            raise ValueError(
+                f"{csv_path} has header {existing!r}; refusing to append "
+                f"rows for {','.join(headers)!r} — use a different name= "
+                "or output_path"
+            )
     with open(csv_path, "a", encoding="utf-8") as f:
         if new:
             f.write(",".join(headers) + "\n")

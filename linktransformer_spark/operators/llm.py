@@ -362,6 +362,10 @@ def merge_k_judge(
     )
     if judge_batch_size is not None and judge_batch_size < 1:
         raise ValueError("judge_batch_size must be >= 1")
+    if max_retries < 1:
+        # the retry loop doubles as the single attempt; 0 would skip
+        # the call entirely and crash on the unbound response
+        raise ValueError("max_retries must be >= 1")
     spec, retries, sleep = judge, max_retries, ratelimit_sleep_time
     bs = judge_batch_size
     batch_prompt = (
@@ -501,6 +505,8 @@ def classify_rows(
     out_schema = StructType(
         list(work.schema.fields) + [StructField(out_col, StringType())]
     )
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1")
     spec, retries, sleep = classifier, max_retries, ratelimit_sleep_time
 
     def gen(batches):
@@ -579,6 +585,8 @@ def transform_rows(
     out_schema = StructType(
         list(work.schema.fields) + [StructField(out_col, StringType())]
     )
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1")
     spec, bs, retries, sleep = transformer, batch_size, max_retries, ratelimit_sleep_time
 
     def gen(batches):

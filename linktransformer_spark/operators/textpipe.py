@@ -195,11 +195,18 @@ def _token_ngram_occurrences(df: DataFrame, text_col: str, id_col: str,
                              n: int) -> DataFrame:
     """(id, gram) OCCURRENCE rows (not distinct) from whitespace word
     tokens — explode start positions + slice, same codegen-friendly
-    shape as the dedup/corpus gram builders. Docs with fewer than n
-    tokens contribute no rows."""
-    toks = S.word_tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("_lt_id"), toks.alias("_lt_toks")).filter(
-        F.size("_lt_toks") >= n
+    shape as the dedup/corpus gram builders (edge-trim regexp instead
+    of the higher-order filter lambda, which is CodegenFallback; token
+    values are identical since \\s+ splits can only produce empties at
+    the ends). Docs with fewer than n tokens contribute no rows."""
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", "")
+    base = (
+        df.select(
+            F.col(id_col).alias("_lt_id"),
+            F.split(cleaned, r"\s+").alias("_lt_toks"),
+        )
+        .filter(F.element_at("_lt_toks", 1) != F.lit(""))
+        .filter(F.size("_lt_toks") >= n)
     )
     if n == 1:
         return base.select("_lt_id", F.explode("_lt_toks").alias("_lt_gram"))
