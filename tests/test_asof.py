@@ -150,3 +150,19 @@ def test_both_side_suffixes_on_collision(spark):
     assert "x" in out.columns and "x_y" in out.columns and "x_x" not in out.columns
     [row] = out.collect()
     assert row["v_x"] == "L" and row["v_y"] == "R" and row["x"] == 5.0
+
+
+def test_asof_map_payload_without_right_id(spark):
+    """A MapType right payload column must not break the deterministic
+    tie-break surrogate (xxhash64 rejects maps; hashable fields only)."""
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(10, "u1")], ["ts", "uid"])
+    right = spark.createDataFrame(
+        [(5, "u1", {"k": "v"}), (7, "u1", {"k": "w"})],
+        "ts long, uid string, attrs map<string,string>",
+    )
+    out = lt.merge_asof(left, right, on="ts", by="uid").collect()
+    assert len(out) == 1
+    assert out[0]["attrs"] == {"k": "w"}  # latest ts <= 10

@@ -419,3 +419,25 @@ def test_minhash_index_version_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="version"):
         lt.near_dup_pairs_minhash_against_index(
             df, path, on="text", id_col="doc_id")
+
+
+def test_minhash_index_append_family_guard(spark, tmp_path):
+    import pytest
+
+    import linktransformer_spark as lt
+
+    a = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "a b c d e f g")], ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    lt.save_minhash_index(a, path, on="text", id_col="doc_id", bands=8)
+    with pytest.raises(ValueError, match="cannot append"):
+        lt.save_minhash_index(b, path, on="text", id_col="doc_id",
+                              bands=6, mode="append")
+    # same family appends fine and the index covers both batches
+    lt.save_minhash_index(b, path, on="text", id_col="doc_id",
+                          bands=8, mode="append")
+    hits = lt.near_dup_pairs_minhash_against_index(
+        spark.createDataFrame([(9, "a b c d e f")], ["doc_id", "text"]),
+        path, on="text", id_col="doc_id", threshold=0.5,
+    ).collect()
+    assert {r.dst for r in hits} == {1, 2}

@@ -67,3 +67,14 @@ def test_wandb_gate_is_noop_without_package_or_run(spark, tmp_path):
     lt.log_binary_eval(m, str(tmp_path), use_wandb=True)
     from linktransformer_spark.operators.ir_eval import _wandb_log
     assert _wandb_log({"x": 1}) is False
+
+
+def test_append_header_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    results, relevant = _ir_inputs(spark)
+    m = lt.ir_metrics(results, relevant, ks=(1,))
+    lt.log_ir_metrics(m, str(tmp_path))
+    m2 = lt.ir_metrics(results, relevant, ks=(1, 3))
+    with pytest.raises(ValueError, match="refusing to append"):
+        lt.log_ir_metrics(m2, str(tmp_path))

@@ -142,3 +142,14 @@ def test_merge_k_judge_batched_equals_per_row(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="judge_batch_size"):
         lt.merge_k_judge(cust, supp, judge=lt.MockJudgeSpec(),
                          judge_batch_size=0, **kw)
+
+
+def test_llm_ops_reject_zero_retries(spark, sf_dir):
+    import pytest
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    with pytest.raises(ValueError, match="max_retries"):
+        lt.merge_k_judge(cust, supp, left_on="c_name", right_on="s_name",
+                         model="levenshtein", judge=lt.MockJudgeSpec(),
+                         max_retries=0)
