@@ -101,6 +101,28 @@ def bench_queries(spark):
             left_id_col="c_custkey", right_id_col="s_suppkey",
         )
 
+    _idx_path = {}
+
+    def dedup_against_index(sf_dir):
+        # the production ingest shape: the seen corpus's minhash index
+        # is built ONCE (here at first call — setup cost, not query
+        # cost; a real pipeline pays it at ingest) and each batch joins
+        # against the files. Compare with dedup_against_incr, which
+        # rebuilds the seen side's signatures from text every run.
+        import tempfile
+
+        docs = read_table(spark, sf_dir, "documents")
+        seen = docs.filter(F.col("doc_id") < 3000).select("doc_id", "text")
+        if sf_dir not in _idx_path:
+            path = tempfile.mkdtemp(prefix="lt_bench_minhash_idx_")
+            lt.save_minhash_index(seen, path, on="text", id_col="doc_id",
+                                  num_hashes=24, bands=8, shingle=3)
+            _idx_path[sf_dir] = path
+        nw = docs.filter(F.col("doc_id") >= 3000).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        return lt.near_dup_pairs_minhash_against_index(
+            nw, _idx_path[sf_dir], on="text", id_col="doc_id", threshold=0.6)
+
     def textpipe_docs(sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return lt.analyze_documents(docs)
@@ -124,6 +146,7 @@ def bench_queries(spark):
         "docs_quality_filter": from_oracle("docs_quality_filter"),
         "profile_orders": from_oracle("profile_orders"),
         "dedup_against_incr": from_oracle("dedup_minhash_against"),
+        "dedup_against_index": dedup_against_index,
         "merge_k_judge_mock": from_oracle("merge_k_judge_mock"),
         "merge_k_judge_batched": merge_k_judge_batched,
         "docs_dedup_lines": from_oracle("docs_dedup_lines"),
