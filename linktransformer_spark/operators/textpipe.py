@@ -65,13 +65,10 @@ def quality_score_expr(text: Column) -> Column:
 
     length_ok = F.when((F.length(text) >= 50) & (F.length(text) <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
 
-    alpha = F.size(
-        F.filter(
-            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
-                        lambda c: F.ascii(c)),
-            lambda cp: ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122)) | (cp == 32),
-        )
-    )
+    # one codegen regex pass (keep only [A-Za-z ], count what's left)
+    # instead of the per-char split/transform/filter lambda chain
+    # (CodegenFallback) — identical counts
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
     alpha_ratio = alpha.cast("double") / n_chars.cast("double")
 
     all_stop = F.array(*[F.lit(w) for ws in LANG_PROFILES.values() for w in ws])
@@ -105,18 +102,10 @@ def subword_count_expr(text: Column) -> Column:
     alnum_tokens = F.aggregate(
         runs, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
     )
-    punct = F.size(
-        F.filter(
-            F.transform(F.filter(F.split(text, ""), lambda c: c != F.lit("")),
-                        lambda c: F.ascii(c)),
-            lambda cp: ~(
-                ((cp >= 48) & (cp <= 57))
-                | ((cp >= 65) & (cp <= 90))
-                | ((cp >= 97) & (cp <= 122))
-                | (cp == 32)
-            ),
-        )
-    )
+    # non-alnum-non-space count as one codegen regex pass (remove the
+    # keep-set, count the remainder) — the per-char lambda chain this
+    # replaces was CodegenFallback; identical counts
+    punct = F.length(F.regexp_replace(text, "[0-9A-Za-z ]", ""))
     return (alnum_tokens + punct).cast("long")
 
 
