@@ -49,6 +49,7 @@ from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
     dedup_spans,
+    materialize_chunks,
     pack_sequences,
     redact_pii,
 )
@@ -198,6 +199,7 @@ __all__ = [
     "contamination_pairs",
     "dedup_lines",
     "dedup_spans",
+    "materialize_chunks",
     "pack_sequences",
     "redact_pii",
     "ir_metrics",

@@ -368,3 +368,65 @@ def dedup_spans(
         .join(assembled, F.col(id_col) == F.col("_lt_did"), "left")
         .select(*other, F.coalesce(F.col("_lt_text"), F.lit("")).alias(text_col))
     )
+
+
+def materialize_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    bucket_width: int | None = 100_000,
+) -> DataFrame:
+    """Emit the actual packed training chunks that
+    :func:`pack_sequences` assigns: documents ordered by ``id_col`` are
+    laid head-to-tail on the token tape, the tape is cut every
+    ``budget`` tokens, and each chunk's tokens are re-joined with
+    single spaces. Returns (chunk_id, n_tokens, text) — every chunk
+    holds exactly ``budget`` tokens except the last.
+
+    Same offset machinery as pack_sequences (two-phase distributed
+    prefix sum over per-doc token counts — no corpus-global window);
+    the chunk assembly is a single groupBy on the chunk id whose
+    input is one row per TOKEN (the inherent cost of emitting chunk
+    text; run it once at materialization time, not per experiment).
+    """
+    toks_arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("_lt_did"), toks_arr.alias("_lt_toks")
+    ).localCheckpoint(eager=False)
+    counts = base.select(
+        F.col("_lt_did").alias("_lt_mc_id"),
+        F.size("_lt_toks").cast("long").alias("_lt_n"),
+    )
+    packed = pack_sequences(
+        counts, id_col="_lt_mc_id", n_tokens_col="_lt_n",
+        budget=budget, bucket_width=bucket_width,
+        chunk_col="_lt_c0", pos_col="_lt_p0", end_col="_lt_e0",
+    ).select(
+        "_lt_mc_id",
+        (F.col("_lt_c0") * budget + F.col("_lt_p0")).alias("_lt_off"),
+    )
+    tok = base.join(
+        packed, F.col("_lt_did") == F.col("_lt_mc_id")
+    ).select(
+        "_lt_off",
+        F.posexplode("_lt_toks").alias("_lt_pos", "_lt_tok"),
+    ).select(
+        (F.col("_lt_off") + F.col("_lt_pos")).alias("_lt_gpos"), "_lt_tok"
+    )
+    bud = F.lit(int(budget))
+    return (
+        tok.groupBy(F.floor(F.col("_lt_gpos") / bud).alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_lt_gpos", "_lt_tok"))),
+                    lambda s: s["_lt_tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )

@@ -2554,3 +2554,41 @@ def docs_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols="text", default_fraction=0.15,
     )
     return out.select("doc_id", "lang")
+
+
+_MATERIALIZE_CHUNKS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, toks,
+             coalesce(sum(len(toks)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t
+    ),
+    tok AS (
+      SELECT off + i AS gpos, tok FROM (
+        SELECT off, unnest(toks) AS tok, unnest(range(0, len(toks))) AS i
+        FROM o)
+    )
+    SELECT CAST(floor(gpos / 512.0) AS BIGINT) AS chunk_id,
+           count(*) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY gpos) AS text
+    FROM tok GROUP BY 1
+"""
+
+
+@_q("docs_materialize_chunks", _MATERIALIZE_CHUNKS_SQL)
+def docs_materialize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit the packed 512-token training chunks for the whole corpus
+    (the step after docs_pack_sequences assigns chunk ids); two-phase
+    prefix sum against the oracle's global window."""
+    from .operators.corpus import materialize_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_chunks(
+        docs, text_col="text", id_col="doc_id", budget=512, bucket_width=100
+    )

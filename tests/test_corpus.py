@@ -206,3 +206,37 @@ def test_dedup_spans_rejects_bad_n(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n must be"):
         lt.dedup_spans(df, n=1)
+
+
+def test_materialize_chunks_layout(spark):
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["chunk_id"]: r for r in
+           lt.materialize_chunks(df, budget=4, bucket_width=None).collect()}
+    # tape: a b c d | e f g h
+    assert out[0]["text"] == "a b c d" and out[0]["n_tokens"] == 4
+    assert out[1]["text"] == "e f g h" and out[1]["n_tokens"] == 4
+    assert len(out) == 2
+
+
+def test_materialize_chunks_last_partial_and_consistency(spark):
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(7))) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = lt.materialize_chunks(df, budget=16, bucket_width=2).collect()
+    total = sum(r["n_tokens"] for r in chunks)
+    assert total == 35
+    full = [r for r in sorted(chunks, key=lambda r: r["chunk_id"])]
+    assert all(r["n_tokens"] == 16 for r in full[:-1])
+    assert full[-1]["n_tokens"] == 35 - 16 * (len(full) - 1)
+    # chunk boundaries agree with pack_sequences' assignment
+    counts = df.select(
+        "doc_id",
+        __import__("pyspark.sql.functions", fromlist=["F"]).size(
+            __import__("pyspark.sql.functions", fromlist=["F"]).split("text", r"\s+")
+        ).cast("long").alias("n_tokens"),
+    )
+    packed = {r["doc_id"]: r for r in
+              lt.pack_sequences(counts, budget=16, bucket_width=None).collect()}
+    # doc 0 starts chunk 0 offset 0; doc 3 (offset 21) starts in chunk 1
+    assert (packed[0]["chunk_id"], packed[0]["chunk_pos"]) == (0, 0)
+    assert (packed[3]["chunk_id"], packed[3]["chunk_pos"]) == (1, 5)
