@@ -35,8 +35,10 @@ from .operators.dedup import (
     near_dup_pairs_minhash,
     near_dup_pairs_minhash_against,
     near_dup_pairs_minhash_against_index,
+    near_dup_pairs_semdedup,
     save_minhash_index,
     near_dup_pairs_simhash,
+    semantic_dedup,
     simhash64,
 )
 from .operators.textpipe import (
@@ -190,6 +192,8 @@ __all__ = [
     "near_dup_pairs_simhash",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_embedding",
+    "near_dup_pairs_semdedup",
+    "semantic_dedup",
     "minhash_signature",
     "simhash64",
     "analyze_documents",

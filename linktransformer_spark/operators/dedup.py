@@ -725,6 +725,72 @@ def dedup_embedding(
     ).select(*df.columns)
 
 
+def near_dup_pairs_semdedup(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): partition rows into IVF cells around
+    deterministic seed centroids (the ``n_cells`` smallest-id vectors —
+    same declarative single-probe assignment as
+    ``operators/ann.ivf_topk_seeded``, so the whole stage is
+    SQL-oracle-checkable), then emit within-cell pairs with cosine >=
+    ``threshold``. Returns ``(src, dst, cell, cosine)`` with src < dst.
+
+    Scale shape: the pair stage is an equi-join on ``cell`` — cost is
+    sum(|cell|^2) over cells, never a global n^2 cross product, and the
+    only broadcast is the n_cells-row centroid table. Pairs spanning two
+    cells are deliberately never generated (the SemDeDup approximation);
+    use :func:`near_dup_pairs_embedding` when global recall matters more
+    than scale.
+    """
+    from .ann import _assign_cells_declarative, ivf_seed_centroids
+
+    base = KJ.ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            S.l2_normalize(F.col(vector_col)).alias("_v"),
+        )
+    )
+    cent = ivf_seed_centroids(base, "_id", "_v", n_cells)
+    assigned = _assign_cells_declarative(base, "_id", "_v", cent, 1)
+    l = assigned.select("cell", F.col("_id").alias("_lid"), F.col("_v").alias("_lv"))
+    r = assigned.select("cell", F.col("_id").alias("_rid"), F.col("_v").alias("_rv"))
+    return (
+        l.join(r, "cell")
+        .filter(F.col("_lid") < F.col("_rid"))
+        .withColumn("cosine", S.dot(F.col("_lv"), F.col("_rv")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("_lid").alias("src"), F.col("_rid").alias("dst"),
+                "cell", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop all but the min-id member of
+    every within-cell cosine>=threshold duplicate group. Connected
+    components run over the within-cell pairs; since every row sits in
+    exactly one cell, components never span cells, so the result equals
+    per-cell grouping. With ``n_cells=1`` this reduces exactly to
+    :func:`dedup_embedding` (global threshold dedup) — pinned in
+    tests/test_dedup_ann.py."""
+    pairs = near_dup_pairs_semdedup(df, vector_col, id_col, threshold, n_cells)
+    comp = connected_components(pairs.select("src", "dst"))
+    out = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+    return out.filter(
+        F.col("component").isNull() | (F.col("component") == F.col(id_col))
+    ).select(*df.columns)
+
+
 # ---------------------------------------------------------------------------
 # Persistable MinHash index — the production ingest shape the
 # near_dup_pairs_minhash_against docstring describes: pay the seen

@@ -710,6 +710,57 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", F.round("cosine", 6).alias("cosine"))
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): IVF-cell-blocked
+# embedding dedup. Seeded centroids (16 smallest-id vectors) + the same
+# single-probe fold assignment as ann_topk_ivf_seeded make the blocking
+# SQL-expressible; within-cell cosine>=t pairs -> connected components
+# (recursive CTE) -> keep min-id per duplicate group. The Spark side's
+# candidate stage is a cell equi-join (sum(|cell|^2), never global n^2).
+def _semdedup_sql(n_cells: int = 16, t: float = 0.3) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH RECURSIVE
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    asg AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {sql_dot('a.v', 'b.v')} >= {t}
+    ),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM cn
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)
+    SELECT e.vec_id FROM embeddings e JOIN comp c ON e.vec_id = c.id
+    WHERE c.lbl = e.vec_id
+"""
+
+
+@_q("semdedup_embeddings", _semdedup_sql())
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "embedding", "vec_id", threshold=0.3, n_cells=16)
+    return out.select("vec_id")
+
+
 _ANN_SQL = f"""
     WITH qn AS (
       SELECT vec_id, {sql_l2_normalize('embedding')} AS v

@@ -441,3 +441,49 @@ def test_minhash_index_append_family_guard(spark, tmp_path):
         path, on="text", id_col="doc_id", threshold=0.5,
     ).collect()
     assert {r.dst for r in hits} == {1, 2}
+
+
+def test_semdedup_ncells1_equals_global_dedup(emb):
+    """With one cell SemDeDup degenerates to the global exact threshold
+    dedup — same survivors as dedup_embedding."""
+    a = lt.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, n_cells=1)
+    b = lt.dedup_embedding(emb, "embedding", "vec_id", threshold=0.4)
+    ai = sorted(r["vec_id"] for r in a.select("vec_id").collect())
+    bi = sorted(r["vec_id"] for r in b.select("vec_id").collect())
+    assert ai == bi and len(ai) > 0
+
+
+def test_semdedup_pairs_within_cell_and_subset_of_exact(emb):
+    """Every SemDeDup pair is a genuine cosine>=t pair (subset of the
+    exact global pair set), and both endpoints share the emitted cell."""
+    pairs = lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16
+    ).collect()
+    assert len(pairs) > 0
+    exact = {
+        (r["src"], r["dst"])
+        for r in lt.near_dup_pairs_embedding(
+            emb, "embedding", "vec_id", threshold=0.3
+        ).collect()
+    }
+    for r in pairs:
+        assert (r["src"], r["dst"]) in exact
+        assert r["src"] < r["dst"]
+        assert r["cosine"] >= 0.3
+
+
+def test_semdedup_survivors_are_min_ids(emb):
+    """Dropped rows always have a surviving smaller-id near-dup witness
+    chain: the kept row per component is the component's min id."""
+    kept = {r["vec_id"] for r in
+            lt.semantic_dedup(emb, "embedding", "vec_id",
+                              threshold=0.3, n_cells=16).collect()}
+    pairs = lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16
+    ).collect()
+    dropped = {r["vec_id"] for r in emb.collect()} - kept
+    assert dropped  # threshold chosen so some dedup happens
+    # every dropped id appears in at least one pair with a smaller id
+    # somewhere in its component; weaker local check: it appears in a pair
+    in_pair = {r["src"] for r in pairs} | {r["dst"] for r in pairs}
+    assert dropped <= in_pair
