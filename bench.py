@@ -90,8 +90,12 @@ def bench_queries(spark):
     def merge_k_judge_batched(sf_dir):
         # same retrieval + judge as merge_k_judge_mock but shipping 32
         # candidate pairs per LLM request (the judge_batch_size
-        # contract): identical rows, k-fold fewer round-trips — the
-        # delta vs merge_k_judge_mock is the per-request overhead saved
+        # contract): identical rows, 32x fewer judge calls. NOTE the
+        # mock judge has zero network latency, so this bench can only
+        # show the batching contract's own overhead (JSON array
+        # build/parse), not the per-request latency it amortizes — with
+        # a real provider each saved round-trip is 100ms-1s, which is
+        # where the 32x call reduction pays.
         cust = read_table(spark, sf_dir, "customer")
         supp = read_table(spark, sf_dir, "supplier")
         return lt.merge_k_judge(

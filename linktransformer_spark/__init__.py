@@ -25,6 +25,7 @@ from .operators.profile import profile_table
 from .operators.sampling import hash_sample, sample_mixture, sample_per_group
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
+    dedup_by_pairs,
     dedup_embedding,
     dedup_exact,
     dedup_against,
@@ -181,6 +182,7 @@ __all__ = [
     "decode_image",
     "resize_image",
     "frame_sample",
+    "dedup_by_pairs",
     "dedup_exact",
     "dedup_against",
     "dedup_minhash",

@@ -479,6 +479,57 @@ def dedup_against(
     return new.join(matched, id_col, "left_anti")
 
 
+def dedup_by_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    keep_by: Column | str | None = None,
+) -> DataFrame:
+    """Survivor selection over ANY near-dup pair relation ``(src, dst)``:
+    connected components of the pair graph, then keep exactly one row
+    per duplicate group —
+
+    - ``keep_by=None``: the min-id row (reference keep-first parity,
+      ``infer.py:481-482``);
+    - ``keep_by=<col>``: the row maximizing ``keep_by`` (min-id
+      tie-break) — the quality-aware policy corpus pipelines actually
+      want (keep the longest / highest-scoring member of each
+      duplicate cluster, e.g. ``keep_by=F.length("text")``).
+
+    Rows appearing in no pair pass through untouched. The survivor
+    argmax is a hash aggregation (``max(struct(q, -id))`` with map-side
+    partial aggregation) + a left-semi equi-join — one shuffle keyed by
+    component, no window over the full table."""
+    comp = connected_components(pairs.select("src", "dst"))
+    joined = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+    if keep_by is None:
+        return joined.filter(
+            F.col("component").isNull() | (F.col("component") == F.col(id_col))
+        ).select(*df.columns)
+    q = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    dup = joined.filter(F.col("component").isNotNull())
+    surv = (
+        dup.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    q.cast("double").alias("q"),
+                    (-F.col(id_col).cast("long")).alias("ni"),
+                )
+            ).alias("_m")
+        )
+        .select((-F.col("_m.ni")).alias("_keep_id"))
+    )
+    kept = dup.join(
+        surv, F.col(id_col).cast("long") == F.col("_keep_id"), "left_semi"
+    )
+    return (
+        joined.filter(F.col("component").isNull())
+        .select(*df.columns)
+        .unionByName(kept.select(*df.columns))
+    )
+
+
 def dedup_minhash(
     df: DataFrame,
     on,
@@ -489,25 +540,18 @@ def dedup_minhash(
     shingle: int = 3,
     word: bool = True,
     max_bucket_size: int | None = None,
+    keep_by: Column | str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dedup: connected components of the verified
-    near-dup pair graph, keep the min-id row per component.
+    near-dup pair graph, keep one row per component — min id by
+    default, or the ``keep_by`` argmax (see :func:`dedup_by_pairs`).
     ``max_bucket_size`` = the hot-bucket skew guard (see
     near_dup_pairs_minhash)."""
     pairs = near_dup_pairs_minhash(
         df, on, id_col, threshold, num_hashes, bands, shingle, word,
         max_bucket_size=max_bucket_size,
     )
-    comp = connected_components(pairs)
-    out = df.join(
-        comp.withColumnRenamed("node", id_col),
-        on=id_col,
-        how="left",
-    )
-    keep = out.filter(
-        F.col("component").isNull() | (F.col("component") == F.col(id_col))
-    )
-    return keep.select(*df.columns)
+    return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 
 
 def near_dup_pairs_simhash(
@@ -715,14 +759,12 @@ def dedup_embedding(
     id_col: str,
     threshold: float = 0.95,
     mode: str = "exact_cross",
+    keep_by: Column | str | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dedup: CC over near-dup pairs, keep min id."""
+    """Embedding-cosine near-dedup: CC over near-dup pairs, keep min id
+    (or the ``keep_by`` argmax — see :func:`dedup_by_pairs`)."""
     pairs = near_dup_pairs_embedding(df, vector_col, id_col, threshold, mode)
-    comp = connected_components(pairs)
-    out = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
-    return out.filter(
-        F.col("component").isNull() | (F.col("component") == F.col(id_col))
-    ).select(*df.columns)
+    return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 
 
 def near_dup_pairs_semdedup(
@@ -756,7 +798,11 @@ def near_dup_pairs_semdedup(
         )
     )
     cent = ivf_seed_centroids(base, "_id", "_v", n_cells)
-    assigned = _assign_cells_declarative(base, "_id", "_v", cent, 1)
+    # both sides of the pair self-join consume the assignment — cut
+    # lineage so the centroid scoring fold runs once, not twice
+    assigned = _assign_cells_declarative(base, "_id", "_v", cent, 1).localCheckpoint(
+        eager=False
+    )
     l = assigned.select("cell", F.col("_id").alias("_lid"), F.col("_v").alias("_lv"))
     r = assigned.select("cell", F.col("_id").alias("_rid"), F.col("_v").alias("_rv"))
     return (
@@ -775,20 +821,18 @@ def semantic_dedup(
     id_col: str,
     threshold: float = 0.95,
     n_cells: int = 16,
+    keep_by: Column | str | None = None,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): drop all but the min-id member of
-    every within-cell cosine>=threshold duplicate group. Connected
-    components run over the within-cell pairs; since every row sits in
-    exactly one cell, components never span cells, so the result equals
-    per-cell grouping. With ``n_cells=1`` this reduces exactly to
-    :func:`dedup_embedding` (global threshold dedup) — pinned in
-    tests/test_dedup_ann.py."""
+    """SemDeDup (Abbas et al. 2023): drop all but one member of every
+    within-cell cosine>=threshold duplicate group (min id by default,
+    ``keep_by`` argmax otherwise — see :func:`dedup_by_pairs`).
+    Connected components run over the within-cell pairs; since every
+    row sits in exactly one cell, components never span cells, so the
+    result equals per-cell grouping. With ``n_cells=1`` this reduces
+    exactly to :func:`dedup_embedding` (global threshold dedup) —
+    pinned in tests/test_dedup_ann.py."""
     pairs = near_dup_pairs_semdedup(df, vector_col, id_col, threshold, n_cells)
-    comp = connected_components(pairs.select("src", "dst"))
-    out = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
-    return out.filter(
-        F.col("component").isNull() | (F.col("component") == F.col(id_col))
-    ).select(*df.columns)
+    return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 
 
 # ---------------------------------------------------------------------------

@@ -686,6 +686,62 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Quality-aware survivor policy (dedup_by_pairs keep_by): instead of
+# the reference's keep-first/min-id rule, keep the LONGEST member of
+# each near-dup component (min-id tie-break) — what corpus pipelines
+# actually want when duplicates differ in completeness. Same exact
+# jaccard pair graph as dedup_jaccard_pairs; CC by recursive CTE;
+# survivor = row_number over (len DESC, id ASC) per component.
+_DEDUP_KEEP_LONGEST_SQL = (
+    "WITH RECURSIVE " + _AUG_SQL.format(L=200) + f""",
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM aug),
+    inter AS (
+      SELECT l.id AS src, r.id AS dst, count(*) AS i
+      FROM (SELECT id, unnest(sh) AS g FROM sh) l
+      JOIN (SELECT id, unnest(sh) AS g FROM sh) r ON l.g = r.g AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    p AS (
+      SELECT src, dst FROM inter
+      JOIN (SELECT id, len(sh) AS n FROM sh) a ON a.id = src
+      JOIN (SELECT id, len(sh) AS n FROM sh) b ON b.id = dst
+      WHERE CAST(i AS DOUBLE) / greatest(a.n + b.n - i, 1) >= 0.6
+    ),
+    edges AS (SELECT src AS i, dst AS j FROM p
+              UNION ALL SELECT dst, src FROM p),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM aug
+      UNION
+      SELECT r.a, e.j FROM reach r JOIN edges e ON r.b = e.i
+    ),
+    comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+    scored AS (
+      SELECT c.id,
+             row_number() OVER (
+               PARTITION BY c.lbl ORDER BY len(g.text) DESC, c.id ASC
+             ) AS rn
+      FROM comp c JOIN aug g ON g.doc_id = c.id
+    )
+    SELECT id AS doc_id FROM scored WHERE rn = 1
+"""
+)
+
+
+@_q("docs_dedup_keep_longest", _DEDUP_KEEP_LONGEST_SQL)
+def docs_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import (
+        dedup_by_pairs,
+        near_dup_pairs_jaccard,
+    )
+
+    aug = _augmented_docs(spark, sf_dir, 200)
+    pairs = near_dup_pairs_jaccard(
+        aug, on="text", id_col="doc_id", threshold=0.6, shingle=3, word=True
+    )
+    out = dedup_by_pairs(aug, pairs, id_col="doc_id", keep_by=F.length("text"))
+    return out.select("doc_id")
+
+
 # normalize ONCE per row in a CTE, then plain dot per pair — exactly
 # the Spark plan's float-op order (normalize-then-dot), so scores are
 # bit-identical before rounding.

@@ -487,3 +487,30 @@ def test_semdedup_survivors_are_min_ids(emb):
     # somewhere in its component; weaker local check: it appears in a pair
     in_pair = {r["src"] for r in pairs} | {r["dst"] for r in pairs}
     assert dropped <= in_pair
+
+
+def test_dedup_keep_by_selects_longest_not_min_id(docs_aug):
+    """keep_by=length(text) must keep the longer near-dup copy (the
+    +1000000 augmented ids), where the default min-id rule keeps the
+    original; pass-through rows are identical in both."""
+    kept_def = {r["doc_id"] for r in
+                lt.dedup_minhash(docs_aug, on="text", id_col="doc_id",
+                                 threshold=0.6).collect()}
+    kept_best = {r["doc_id"] for r in
+                 lt.dedup_minhash(docs_aug, on="text", id_col="doc_id",
+                                  threshold=0.6,
+                                  keep_by=F.length("text")).collect()}
+    assert len(kept_def) == len(kept_best)  # one survivor per component
+    # the default keeps originals; keep_by=len keeps the ' tail' copies
+    dup_survivors = {i for i in kept_best if i >= 1000000}
+    assert dup_survivors  # at least some components flipped survivor
+    assert not {i for i in kept_def if i >= 1000000} & dup_survivors
+
+
+def test_dedup_by_pairs_tie_breaks_on_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aa", 5.0), (1, "bb", 5.0), (9, "cc", 2.0)], ["id", "t", "q"]
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 9)], ["src", "dst"])
+    out = lt.dedup_by_pairs(df, pairs, id_col="id", keep_by="q")
+    assert [r["id"] for r in out.collect()] == [1]  # q tie 5.0 -> min id wins

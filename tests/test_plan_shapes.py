@@ -225,3 +225,22 @@ def test_pack_sequences_two_phase_avoids_corpus_global_window(spark, sf_dir):
     assert "BroadcastExchange" in plan
     m = re.findall(r"Exchange SinglePartition", plan)
     assert len(m) <= 1
+
+
+def test_semdedup_pairs_join_is_hash_join_on_cell(spark, sf_dir):
+    """SemDeDup's candidate stage must be an equi-join on cell (hash or
+    sort-merge), never a nested-loop pair scan; the only nested-loop /
+    broadcast-cross allowed is the n_cells-row centroid table."""
+    import linktransformer_spark as lt
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(lt.near_dup_pairs_semdedup(emb, "embedding", "vec_id",
+                                              threshold=0.3, n_cells=16))
+    assert "CartesianProduct" not in plan
+    # centroid attach may appear as BroadcastNestedLoopJoin (16-row
+    # build side, bounded); the id<id pair join must not
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    pair_joins = [ln for ln in joins
+                  if "cell" in ln and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+                                       or "BroadcastHashJoin" in ln)]
+    assert pair_joins, f"no equi-join on cell found in:\n{plan[:4000]}"
