@@ -157,6 +157,7 @@ def bench_queries(spark):
         "docs_dedup_spans": from_oracle("docs_dedup_spans"),
         "docs_contamination": from_oracle("docs_contamination"),
         "semdedup_embeddings": from_oracle("semdedup_embeddings"),
+        "docs_lm_perplexity": from_oracle("docs_lm_perplexity"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }
 

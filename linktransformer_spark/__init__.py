@@ -47,6 +47,7 @@ from .operators.textpipe import (
     annotate_quality_filter,
     filter_documents,
     repetition_stats,
+    unigram_lm_score,
 )
 from .operators.corpus import (
     contamination_pairs,
@@ -202,6 +203,7 @@ __all__ = [
     "annotate_quality_filter",
     "filter_documents",
     "repetition_stats",
+    "unigram_lm_score",
     "contamination_pairs",
     "dedup_lines",
     "dedup_spans",

@@ -275,3 +275,91 @@ def repetition_stats(
             F.col("_dp").cast("double") / F.col("_np").cast("double"), F.lit(0.0)
         ).alias("dup_ngram_frac"),
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2019,
+    arXiv:1911.00359): score each document by its per-token cross-
+    entropy under a unigram LM trained on ``reference`` (default: the
+    corpus itself). CCNet ships KenLM 5-grams; that library isn't in
+    this environment, so the model here is the add-``alpha``-smoothed
+    unigram distribution — the plumbing (train counts on a reference,
+    score every doc, filter/bucket by perplexity) is the same, and the
+    whole pipeline stays relational and SQL-oracle-checkable.
+
+    Returns ``(id_col, n_tokens, avg_neg_logprob, perplexity)``;
+    ``avg_neg_logprob`` is nats/token, ``perplexity = exp(H)``. Lower =
+    more typical of the reference. Rows with zero tokens are dropped
+    (they have no defined entropy — gate them with
+    ``annotate_quality_filter`` first).
+
+    Scale shape: token counting is explode + groupBy with map-side
+    partial aggregation (shuffle carries (doc, distinct-token) rows,
+    not every token occurrence); the vocab attach is an equi-join on
+    token (AQE broadcasts it while it fits — a unigram vocab is small
+    even at 100 TB); the totals are a broadcast one-row aggregate; and
+    the per-doc negative-log-likelihood folds token contributions in
+    token sort order (order-pinned — a plain SUM of doubles is
+    partial-aggregation-order dependent and would not be
+    cross-engine-reproducible), while ``n_tokens`` is an integer sum,
+    which commutes safely.
+    """
+    doc_toks = df.select(
+        F.col(id_col), F.explode(S.word_tokens(F.col(text_col))).alias("_tok")
+    )
+    dtc = doc_toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_n"))
+    if reference is None:
+        # self-trained model: derive the vocab from the per-doc counts
+        # instead of a second scan+explode of the text; cut lineage so
+        # the count relation executes once for both consumers
+        dtc = dtc.localCheckpoint(eager=False)
+        vocab = dtc.groupBy("_tok").agg(F.sum("_n").alias("_cnt"))
+    else:
+        rtc = ref_text_col if ref_text_col is not None else text_col
+        ref_toks = reference.select(
+            F.explode(S.word_tokens(F.col(rtc))).alias("_tok")
+        )
+        vocab = ref_toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    totals = vocab.agg(
+        F.sum("_cnt").alias("_T"), F.count("*").alias("_V")
+    )
+    per_tok = (
+        dtc.join(vocab, "_tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "_tok",
+            "_n",
+            (
+                F.col("_n").cast("double")
+                * -F.log(
+                    (F.coalesce(F.col("_cnt"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (F.col("_T").cast("double") + F.lit(alpha) * F.col("_V").cast("double"))
+                )
+            ).alias("_lp"),
+        )
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("_n").alias("_ntok"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_tok").alias("t"), F.col("_lp").alias("lp")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("_nll"),
+    )
+    h = F.col("_nll") / F.col("_ntok").cast("double")
+    return agg.select(
+        id_col,
+        F.col("_ntok").cast("long").alias("n_tokens"),
+        h.alias("avg_neg_logprob"),
+        F.exp(h).alias("perplexity"),
+    )

@@ -981,6 +981,74 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "drop_reason", "keep")
 
 
+# CCNet-style unigram-LM quality signal (Wenzek et al. 2019): per-doc
+# cross-entropy under the corpus's own add-1-smoothed unigram model.
+# NLL folds per-token contributions in token sort order on BOTH
+# engines (UTF-8 binary order matches) — a plain double SUM would be
+# partial-aggregation-order dependent; n_tokens is an integer sum.
+def _lm_ppl_sql() -> str:
+    from .functions.oracle import sql_word_tokens
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({sql_word_tokens('text')}) AS tok FROM documents
+    ),
+    dtc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS t, count(*) AS v FROM vocab),
+    lp AS (
+      SELECT d.doc_id, d.tok, d.n,
+             CAST(d.n AS DOUBLE) * -ln(
+               (CAST(coalesce(vb.cnt, 0) AS DOUBLE) + 1.0)
+               / (CAST(tt.t AS DOUBLE) + 1.0 * CAST(tt.v AS DOUBLE))
+             ) AS lp
+      FROM dtc d LEFT JOIN vocab vb ON d.tok = vb.tok CROSS JOIN tot tt
+    ),
+    agg AS (
+      SELECT doc_id, sum(n) AS n_tokens,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY tok)),
+               (acc, x) -> acc + x
+             ) AS nll
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll / n_tokens, 6) AS avg_neg_logprob,
+           round(exp(nll / n_tokens), 6) AS perplexity
+    FROM agg
+"""
+
+
+@_q("docs_lm_perplexity", _lm_ppl_sql())
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_score(docs, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+@_q("stream_quality_filter", _QFILTER_SQL)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming map: the C4/Gopher quality gate applied at
+    INGEST time (the shape a production corpus pipeline runs — gate
+    documents as they arrive, before anything is persisted). Identical
+    plan to the batch docs_quality_filter, just under a streaming
+    source; append mode, no state, no shuffle."""
+    from .operators.textpipe import annotate_quality_filter
+    from .streaming import read_stream_table, run_available_now
+
+    docs = read_stream_table(spark, sf_dir, "documents")
+    out = annotate_quality_filter(docs, langs=("en", "de")).select(
+        "doc_id", "drop_reason", "keep"
+    )
+    return run_available_now(out, output_mode="append")
+
+
 # One-pass profiler: the oracle mirrors column-by-column as a UNION ALL
 # (timestamps as epoch micros; exact decimal-summed means — see
 # operators/profile.py for why the one double division is portable).

@@ -121,3 +121,39 @@ def test_repetition_stats_hand_computed(spark):
         assert out[i]["top_ngram_frac"] == 0.0
         assert out[i]["dup_ngram_frac"] == 0.0
     assert out[4]["n_tokens"] == 0 and out[5]["n_tokens"] == 1
+
+
+def test_unigram_lm_score_orders_typical_before_rare(spark):
+    """A doc made of corpus-frequent words must score lower entropy
+    than a doc of corpus-rare words; OOV scoring against a separate
+    reference is penalized via smoothing, not a crash."""
+    import linktransformer_spark as lt
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zyzzyva qwertyuiop xylophone"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lt.unigram_lm_score(df).collect()}
+    assert out[0]["avg_neg_logprob"] < out[100]["avg_neg_logprob"]
+    assert out[0]["perplexity"] < out[100]["perplexity"]
+    assert out[0]["n_tokens"] == 6
+
+    # separate reference: OOV-heavy doc ranks worse than in-vocab doc
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta")], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "totally unseen words")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           lt.unigram_lm_score(probe, reference=ref).collect()}
+    assert got[1]["avg_neg_logprob"] < got[2]["avg_neg_logprob"]
+
+
+def test_unigram_lm_score_drops_empty_docs(spark):
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    ids = {r["doc_id"] for r in lt.unigram_lm_score(df).collect()}
+    assert ids == {1}
