@@ -158,6 +158,7 @@ def bench_queries(spark):
         "docs_contamination": from_oracle("docs_contamination"),
         "semdedup_embeddings": from_oracle("semdedup_embeddings"),
         "docs_lm_perplexity": from_oracle("docs_lm_perplexity"),
+        "docs_dsir_weights": from_oracle("docs_dsir_weights"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }
 

@@ -53,6 +53,8 @@ from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
     dedup_spans,
+    dsir_log_weights,
+    dsir_select,
     materialize_chunks,
     pack_sequences,
     redact_pii,
@@ -206,6 +208,8 @@ __all__ = [
     "unigram_lm_score",
     "contamination_pairs",
     "dedup_lines",
+    "dsir_log_weights",
+    "dsir_select",
     "dedup_spans",
     "materialize_chunks",
     "pack_sequences",

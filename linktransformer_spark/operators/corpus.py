@@ -430,3 +430,130 @@ def materialize_chunks(
             ).alias("text"),
         )
     )
+
+
+def _gram_bucket_rows(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Hashed n-gram OCCURRENCE rows ``(_id, _b)`` — word unigrams +
+    bigrams, each mapped to ``poly_hash(gram) % n_buckets``. Reuses the
+    codegen-friendly shingle explode from operators/dedup (positions +
+    slice, shuffle-free) and the engine-portable polynomial hash."""
+    from ..functions import similarity as S
+    from .dedup import _shingle_rows
+
+    rid = (
+        F.col(id_col).cast("long") if id_col is not None else F.lit(0).cast("long")
+    )
+    base = df.select(
+        rid.alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_key"),
+    )
+    rows = _shingle_rows(base, 1, True).unionByName(_shingle_rows(base, 2, True))
+    return rows.select(
+        "_id", (S.poly_hash(F.col("_g")) % F.lit(n_buckets)).alias("_b")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed-n-gram
+    profile is. Features are word unigram+bigram occurrences hashed
+    into ``n_buckets``; the weight is
+    ``log p_target(doc) - log p_raw(doc)`` under add-``alpha``-smoothed
+    bucket distributions (target trained on ``target``, raw trained on
+    ``df`` itself). Returns ``(id_col, n_grams, log_weight)`` — higher
+    = more target-like; feed to :func:`dsir_select` or threshold.
+
+    Scale shape: gram building is the shuffle-free position-explode
+    from the dedup family; both distributions are single groupBys over
+    bucket ids (at most ``n_buckets`` rows each, broadcast-joined back);
+    the per-doc fold accumulates bucket contributions in bucket order
+    (order-pinned — cross-engine-reproducible, unlike a plain double
+    SUM); ``n_grams`` is an integer sum. Nothing touches Python workers.
+    """
+    rawb = _gram_bucket_rows(df, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    rawdist = rawb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    # target id is irrelevant (only the gram distribution is used, and
+    # the target corpus need not carry id_col at all)
+    tgtb = _gram_bucket_rows(
+        target, target_text_col or text_col, None, n_buckets
+    )
+    tgtdist = tgtb.groupBy("_b").agg(F.count("*").alias("_ct"))
+    rtot = rawdist.agg(F.sum("_cr").alias("_tr"))
+    ttot = tgtdist.agg(F.sum("_ct").alias("_tt"))
+    a, k = float(alpha), float(n_buckets)
+    ratio = (
+        rawdist.join(tgtdist, "_b", "full_outer")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(a))
+                    / (F.col("_tt").cast("double") + F.lit(a) * F.lit(k))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + F.lit(a))
+                    / (F.col("_tr").cast("double") + F.lit(a) * F.lit(k))
+                )
+            ).alias("_lr"),
+        )
+    )
+    docb = rawb.groupBy("_id", "_b").agg(F.count("*").alias("_n"))
+    j = docb.join(ratio, "_b")
+    agg = j.groupBy("_id").agg(
+        F.sum("_n").alias("_ng"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_b").alias("b"),
+                        (F.col("_n").cast("double") * F.col("_lr")).alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("log_weight"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_ng").cast("long").alias("n_grams"),
+        "log_weight",
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Keep the ``k`` most target-like raw documents by DSIR weight
+    (ties broken by min id — deterministic). Global top-k goes through
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), not a full sort."""
+    w = dsir_log_weights(
+        df, target, text_col, id_col, target_text_col, n_buckets, alpha
+    )
+    return (
+        df.join(w, id_col)
+        .orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2767,3 +2767,71 @@ def docs_materialize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_chunks(
         docs, text_col="text", id_col="doc_id", budget=512, bucket_width=100
     )
+
+
+# DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
+# unigram+bigram importance weights of every raw doc against the
+# English subset as the target distribution. Gram building mirrors
+# _shingle_rows occurrence semantics (short-doc fallbacks included);
+# bucket = portable poly_hash % K; per-doc fold ordered by bucket.
+def _dsir_sql(k_buckets: int = 1024) -> str:
+    from .functions.oracle import sql_poly_hash, sql_word_tokens
+
+    kd = f"{float(k_buckets)!r}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {sql_word_tokens("coalesce(text, '')")} AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        list_concat(
+          CASE WHEN len(tk) = 0 THEN [''] ELSE tk END,
+          CASE WHEN len(tk) >= 2
+               THEN list_transform(range(0, len(tk) - 1),
+                                   i -> tk[i+1] || ' ' || tk[i+2])
+               ELSE [array_to_string(tk, ' ')] END
+        )
+      ) AS g FROM toks
+    ),
+    gb AS (SELECT doc_id, lang, {sql_poly_hash('g')} % {k_buckets} AS b FROM grams),
+    rawdist AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+    tgtdist AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+    rtot AS (SELECT sum(cr) AS tr FROM rawdist),
+    ttot AS (SELECT sum(ct) AS tt FROM tgtdist),
+    ratio AS (
+      SELECT coalesce(r.b, t.b) AS b,
+             ln((CAST(coalesce(t.ct, 0) AS DOUBLE) + 1.0)
+                / (CAST(tto.tt AS DOUBLE) + 1.0 * {kd}))
+           - ln((CAST(coalesce(r.cr, 0) AS DOUBLE) + 1.0)
+                / (CAST(rto.tr AS DOUBLE) + 1.0 * {kd})) AS lr
+      FROM rawdist r FULL OUTER JOIN tgtdist t ON r.b = t.b
+      CROSS JOIN rtot rto CROSS JOIN ttot tto
+    ),
+    docb AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY doc_id, b),
+    agg AS (
+      SELECT d.doc_id, sum(d.n) AS ng,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(d.n AS DOUBLE) * r.lr ORDER BY d.b)),
+               (acc, x) -> acc + x
+             ) AS lw
+      FROM docb d JOIN ratio r ON d.b = r.b GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, round(lw, 6) AS log_weight
+    FROM agg
+"""
+
+
+@_q("docs_dsir_weights", _dsir_sql())
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_log_weights(
+        docs, target, text_col="text", id_col="doc_id", n_buckets=1024
+    )
+    return out.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )

@@ -240,3 +240,27 @@ def test_materialize_chunks_last_partial_and_consistency(spark):
     # doc 0 starts chunk 0 offset 0; doc 3 (offset 21) starts in chunk 1
     assert (packed[0]["chunk_id"], packed[0]["chunk_pos"]) == (0, 0)
     assert (packed[3]["chunk_id"], packed[3]["chunk_pos"]) == (1, 5)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, sf_dir):
+    """With the English subset as the DSIR target, English docs must
+    score a higher mean importance weight than non-English ones, and
+    dsir_select(k) must return exactly the k top-weight docs."""
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en").select("text")  # no id col
+    w = lt.dsir_log_weights(docs, target, n_buckets=512)
+    j = docs.select("doc_id", "lang").join(w, "doc_id")
+    rows = j.collect()
+    en = [r["log_weight"] for r in rows if r["lang"] == "en"]
+    other = [r["log_weight"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+    sel = lt.dsir_select(docs, target, k=10, n_buckets=512)
+    got = {r["doc_id"] for r in sel.collect()}
+    top = {r["doc_id"] for r in
+           sorted(rows, key=lambda r: (-r["log_weight"], r["doc_id"]))[:10]}
+    assert got == top and len(got) == 10
