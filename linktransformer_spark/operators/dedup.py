@@ -499,7 +499,20 @@ def dedup_by_pairs(
     Rows appearing in no pair pass through untouched. The survivor
     argmax is a hash aggregation (``max(struct(q, -id))`` with map-side
     partial aggregation) + a left-semi equi-join — one shuffle keyed by
-    component, no window over the full table."""
+    component, no window over the full table.
+
+    ``id_col`` must be integral (same contract as the rest of the dedup
+    family — a string id would cast to null and silently drop rows)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"dedup_by_pairs: id_col {id_col!r} must be an integral type, "
+            f"got {df.schema[id_col].dataType.simpleString()}; add a "
+            "surrogate id (ids.with_row_id) first"
+        )
     comp = connected_components(pairs.select("src", "dst"))
     joined = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
     if keep_by is None:
@@ -773,6 +786,7 @@ def near_dup_pairs_semdedup(
     id_col: str,
     threshold: float = 0.95,
     n_cells: int = 16,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs (Abbas et al. 2023,
     arXiv:2303.09540): partition rows into IVF cells around
@@ -787,7 +801,10 @@ def near_dup_pairs_semdedup(
     only broadcast is the n_cells-row centroid table. Pairs spanning two
     cells are deliberately never generated (the SemDeDup approximation);
     use :func:`near_dup_pairs_embedding` when global recall matters more
-    than scale.
+    than scale. ``max_cell_size`` is the hot-cell skew guard (same
+    recall trade as the minhash family's ``max_bucket_size``): a cell
+    the seeded centroids fail to split contributes |cell|^2/2 pairs, so
+    at scale cap it — members of a dropped cell are simply not deduped.
     """
     from .ann import _assign_cells_declarative, ivf_seed_centroids
 
@@ -800,9 +817,11 @@ def near_dup_pairs_semdedup(
     cent = ivf_seed_centroids(base, "_id", "_v", n_cells)
     # both sides of the pair self-join consume the assignment — cut
     # lineage so the centroid scoring fold runs once, not twice
-    assigned = _assign_cells_declarative(base, "_id", "_v", cent, 1).localCheckpoint(
-        eager=False
-    )
+    assigned = _cap_buckets(
+        _assign_cells_declarative(base, "_id", "_v", cent, 1),
+        ["cell"],
+        max_cell_size,
+    ).localCheckpoint(eager=False)
     l = assigned.select("cell", F.col("_id").alias("_lid"), F.col("_v").alias("_lv"))
     r = assigned.select("cell", F.col("_id").alias("_rid"), F.col("_v").alias("_rv"))
     return (
@@ -822,6 +841,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_cells: int = 16,
     keep_by: Column | str | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop all but one member of every
     within-cell cosine>=threshold duplicate group (min id by default,
@@ -831,7 +851,9 @@ def semantic_dedup(
     result equals per-cell grouping. With ``n_cells=1`` this reduces
     exactly to :func:`dedup_embedding` (global threshold dedup) —
     pinned in tests/test_dedup_ann.py."""
-    pairs = near_dup_pairs_semdedup(df, vector_col, id_col, threshold, n_cells)
+    pairs = near_dup_pairs_semdedup(
+        df, vector_col, id_col, threshold, n_cells, max_cell_size
+    )
     return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 
 

@@ -1236,6 +1236,39 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semi-structured metadata extraction: events.props is a JSON string
+# (the shape JSONL corpora carry per-doc metadata in). get_json_object
+# stays JVM-side (Jackson, whole-stage codegen) — no Python workers —
+# and the filter on the extracted field still prunes before the agg.
+_PROPS_ROLLUP_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) >= 10
+    GROUP BY event_type
+"""
+
+
+@_q("events_props_rollup", _PROPS_ROLLUP_SQL)
+def events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .filter(F.col("_k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
 _TOPK_REVENUE_SQL = """
     SELECT o_custkey, revenue, rnk FROM (
       SELECT o.o_custkey,

@@ -514,3 +514,27 @@ def test_dedup_by_pairs_tie_breaks_on_min_id(spark):
     pairs = spark.createDataFrame([(1, 3), (3, 9)], ["src", "dst"])
     out = lt.dedup_by_pairs(df, pairs, id_col="id", keep_by="q")
     assert [r["id"] for r in out.collect()] == [1]  # q tie 5.0 -> min id wins
+
+
+def test_semdedup_cell_cap_bounds_pairs(emb):
+    """max_cell_size drops pathological cells wholesale: capped pairs
+    are a subset of uncapped, and a cap of 1 yields no pairs at all."""
+    full = {(r["src"], r["dst"]) for r in lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16).collect()}
+    capped = {(r["src"], r["dst"]) for r in lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16,
+        max_cell_size=40).collect()}
+    assert capped <= full and len(capped) < len(full)
+    none = lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16,
+        max_cell_size=1).count()
+    assert none == 0
+
+
+def test_dedup_by_pairs_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["id", "q"])
+    pairs = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="integral"):
+        lt.dedup_by_pairs(df, pairs, id_col="id", keep_by="q")
