@@ -16,12 +16,12 @@ from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
-    ivf_train_centroids,
+    ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
-from .operators.profile import profile_table
+from .operators.profile import profile_table, quantile_buckets
 from .operators.sampling import hash_sample, sample_mixture, sample_per_group
 from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
 from .operators.dedup import (
@@ -168,11 +168,14 @@ __all__ = [
     "OpenAIChatSpec",
     "GeminiSpec",
     "ann_topk",
+    "knn_classify",
+    "knn_label_eval",
     "merge_asof",
     "DATA_DIR_PATH",
     "LinkTransformer",
     "LinkTransformerClassifier",
     "profile_table",
+    "quantile_buckets",
     "hash_sample",
     "sample_mixture",
     "sample_per_group",

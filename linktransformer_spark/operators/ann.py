@@ -570,3 +570,95 @@ def ivf_topk(
         F.col("rank").cast("int").alias("rank"),
         F.col("score").alias("score"),
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    mode: str = "exact_cross",
+    n_planes: int = 12,
+    dim: int | None = None,
+) -> DataFrame:
+    """Leave-one-out kNN label prediction over an embedding column:
+    each row is classified by majority vote of its k nearest OTHER
+    rows (cosine; vote ties broken by min label, neighbor ties by
+    score DESC, id ASC). Returns ``(id_col, label_col, predicted)``.
+
+    The self-row is excluded in the candidate stage (not post-filtered
+    from a k+1 list), so the semantics are exact even when duplicate
+    vectors tie with the self at cosine 1.0. ``mode='exact_cross'`` is
+    the O(n^2) oracle-checkable baseline; ``'lsh_hyperplane'`` routes
+    candidates through the hyperplane bucket equi-join for scale (same
+    trade as :func:`ann_topk`). The vote argmax is a hash aggregation
+    (``max(struct(n, -label))``), not a window."""
+    base = KJ.ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(label_col).cast("long").alias("_lb"),
+        S.l2_normalize(F.col(vector_col)).alias("_v"),
+    ).localCheckpoint(eager=False)
+    q = base.select(
+        F.col("_id").alias(KJ.LEFT_ID),
+        F.col("_lb").alias("_tl"),
+        F.col("_v").alias(KJ.LEFT_EMB),
+    )
+    c = base.select(
+        F.col("_id").alias(KJ.RIGHT_ID),
+        F.col("_lb").alias("_nl"),
+        F.col("_v").alias(KJ.RIGHT_EMB),
+    )
+    if mode == "lsh_hyperplane":
+        if dim is None:
+            raise ValueError("lsh_hyperplane mode needs dim=")
+        qb = q.withColumn("_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes))
+        cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
+        cand = qb.join(cb, "_bkt").filter(
+            F.col(KJ.LEFT_ID) != F.col(KJ.RIGHT_ID)
+        )
+    elif mode == "exact_cross":
+        cand = q.join(c, F.col(KJ.LEFT_ID) != F.col(KJ.RIGHT_ID))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    cand = cand.withColumn(
+        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+    )
+    nn = KJ.topk(cand, k)
+    votes = nn.groupBy(KJ.LEFT_ID, "_tl", "_nl").agg(F.count(F.lit(1)).alias("_nv"))
+    pred = (
+        votes.groupBy(KJ.LEFT_ID, "_tl")
+        .agg(
+            F.max(
+                F.struct(F.col("_nv").alias("n"), (-F.col("_nl")).alias("negl"))
+            ).alias("_m")
+        )
+        .select(
+            F.col(KJ.LEFT_ID).alias(id_col),
+            F.col("_tl").alias(label_col),
+            (-F.col("_m.negl")).alias("predicted"),
+        )
+    )
+    return pred
+
+
+def knn_label_eval(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    mode: str = "exact_cross",
+) -> DataFrame:
+    """Per-label leave-one-out kNN accuracy — the embedding-quality
+    scorecard (how separable are the labels under this embedding?).
+    Returns ``(label_col, n, n_correct, accuracy)``."""
+    pred = knn_classify(df, vector_col, id_col, label_col, k, mode)
+    correct = F.when(F.col("predicted") == F.col(label_col), 1).otherwise(0)
+    return pred.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(correct).alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "accuracy"
+        ),
+    )

@@ -146,3 +146,50 @@ def profile_table(
             "min_num", "max_num", "mean", "min_str", "max_str",
         )
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 4,
+    bucket_col: str = "bucket",
+    approx: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Assign each row its quantile bucket of ``col`` (1..n_buckets) —
+    the binning step behind quality-stratified data mixes ("train on
+    the top quartile", "sample uniformly across perplexity deciles").
+
+    The boundaries are ONE aggregate over the column (exact
+    ``percentile`` by default — linearly interpolated, matching
+    DuckDB's quantile_cont, so the whole op is oracle-checkable;
+    ``approx=True`` switches to approx_percentile/GK-sketch for the
+    100 TB path where the exact percentile's per-group value map no
+    longer fits). Assignment is a broadcast of the (n_buckets-1)-row
+    boundary array + a counting filter — NO global sort and NO window
+    (an ntile() over the whole table would single-partition it).
+    Rows with a NULL ``col`` get a NULL bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    args = (F.col(col).cast("double"), F.array(*[F.lit(p) for p in probs]))
+    if approx:
+        bnds = df.agg(
+            F.approx_percentile(
+                F.col(col).cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(int(1.0 / relative_error)),
+            ).alias("_bnds")
+        )
+    else:
+        bnds = df.agg(F.percentile(*args).alias("_bnds"))
+    out = df.crossJoin(F.broadcast(bnds))
+    x = F.col(col).cast("double")
+    bucket = F.when(
+        x.isNotNull(),
+        (
+            F.size(F.filter(F.col("_bnds"), lambda b: x > b)) + F.lit(1)
+        ).cast("int"),
+    )
+    return out.withColumn(bucket_col, bucket).drop("_bnds")

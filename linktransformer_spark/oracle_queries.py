@@ -1049,6 +1049,41 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
+# Quantile binning of documents.n_chars into quartiles + per-bucket
+# rollup. Boundaries: exact linearly-interpolated percentile (Spark
+# `percentile` == DuckDB `quantile_cont`); assignment is a broadcast
+# boundary array + counting filter — no ntile()/global sort.
+_QUANTILE_SQL = """
+    WITH b AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS bnds
+      FROM documents
+    ),
+    asg AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(len(list_filter(b.bnds,
+                                  x -> CAST(d.n_chars AS DOUBLE) > x)) + 1
+                  AS INT) AS bucket
+      FROM documents d CROSS JOIN b
+    )
+    SELECT bucket, count(*) AS n, min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM asg GROUP BY bucket
+"""
+
+
+@_q("docs_quantile_buckets", _QUANTILE_SQL)
+def docs_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quantile_buckets(docs, "n_chars", n_buckets=4)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # One-pass profiler: the oracle mirrors column-by-column as a UNION ALL
 # (timestamps as epoch micros; exact decimal-summed means — see
 # operators/profile.py for why the one double division is portable).
@@ -1744,6 +1779,56 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_stream_table(spark, sf_dir, "events")
     return run_available_now(
         streaming_sessionize(ev, gap="30 minutes"), output_mode="complete"
+    )
+
+
+# Leave-one-out kNN label evaluation over the embeddings table — the
+# embedding-quality scorecard (per-label k=5 majority-vote accuracy).
+# Self excluded in the candidate join; neighbor tie-break (score DESC,
+# id ASC); vote tie-break min label.
+def _knn_eval_sql(k: int = 5) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, label, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    nn AS (
+      SELECT q, tl, nl FROM (
+        SELECT a.vec_id AS q, a.label AS tl, b.label AS nl,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {sql_dot('a.v', 'b.v')} DESC, b.vec_id ASC
+               ) AS rn
+        FROM cn a JOIN cn b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= {k}
+    ),
+    votes AS (SELECT q, tl, nl, count(*) AS n FROM nn GROUP BY q, tl, nl),
+    pred AS (
+      SELECT q, tl, nl AS predicted FROM (
+        SELECT q, tl, nl,
+               row_number() OVER (
+                 PARTITION BY q ORDER BY n DESC, nl ASC
+               ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(tl AS BIGINT) AS label, count(*) AS n,
+           sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END) AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred GROUP BY tl
+"""
+
+
+@_q("knn_label_eval", _knn_eval_sql())
+def knn_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import knn_label_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_label_eval(emb, "embedding", "vec_id", "label", k=5)
+    return out.select(
+        "label", "n", "n_correct", F.round("accuracy", 6).alias("accuracy")
     )
 
 

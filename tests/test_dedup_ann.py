@@ -538,3 +538,32 @@ def test_dedup_by_pairs_rejects_string_ids(spark):
     pairs = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with _pytest.raises(ValueError, match="integral"):
         lt.dedup_by_pairs(df, pairs, id_col="id", keep_by="q")
+
+
+def test_knn_classify_separable_clusters(spark):
+    """Two well-separated clusters: leave-one-out 3-NN recovers every
+    label; per-label eval reports accuracy 1.0."""
+    rows = []
+    for i in range(6):
+        rows.append((i, 0, [10.0 + i * 0.01, 1.0]))
+    for i in range(6, 12):
+        rows.append((i, 1, [-10.0 - i * 0.01, 1.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = lt.knn_classify(df, "embedding", "vec_id", "label", k=3)
+    assert all(r["predicted"] == r["label"] for r in out.collect())
+    ev = {r["label"]: r for r in
+          lt.knn_label_eval(df, "embedding", "vec_id", "label", k=3).collect()}
+    assert ev[0]["accuracy"] == 1.0 and ev[1]["accuracy"] == 1.0
+    assert ev[0]["n"] == 6 and ev[1]["n_correct"] == 6
+
+
+def test_knn_classify_excludes_self_even_on_duplicates(spark):
+    """Duplicate vectors: the self row must not vote for itself — with
+    k=1 the duplicate's OTHER copy (different label) wins."""
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    out = {r["vec_id"]: r["predicted"]
+           for r in lt.knn_classify(df, k=1).collect()}
+    assert out == {1: 1, 2: 0}

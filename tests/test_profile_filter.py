@@ -157,3 +157,27 @@ def test_unigram_lm_score_drops_empty_docs(spark):
     )
     ids = {r["doc_id"] for r in lt.unigram_lm_score(df).collect()}
     assert ids == {1}
+
+
+def test_quantile_buckets_exact_and_approx(spark):
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None)], ["id", "v"]
+    )
+    out = lt.quantile_buckets(df, "v", n_buckets=4)
+    rows = {r["id"]: r["bucket"] for r in out.collect()}
+    assert rows[100] is None              # null value -> null bucket
+    assert rows[0] == 1 and rows[99] == 4
+    from collections import Counter
+    c = Counter(b for i, b in rows.items() if b is not None)
+    assert set(c) == {1, 2, 3, 4}
+    assert max(c.values()) - min(c.values()) <= 1  # balanced quartiles
+
+    ap = lt.quantile_buckets(df, "v", n_buckets=4, approx=True)
+    ca = Counter(r["bucket"] for r in ap.collect() if r["bucket"] is not None)
+    assert set(ca) == {1, 2, 3, 4}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets"):
+        lt.quantile_buckets(df, "v", n_buckets=1)
