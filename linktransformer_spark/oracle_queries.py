@@ -2289,6 +2289,68 @@ def stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, output_mode="append")
 
 
+# Streaming incremental SEMANTIC near-dup: new embedding rows checked
+# against a static corpus SemDeDup-style. Stateless — the stream side's
+# cell assignment is a pure expression over the collected (bounded,
+# n_cells-row) centroid table; first-max argmax == the batch window's
+# (dot DESC, cell ASC) tie-break, so the whole thing is SQL-mirrored.
+def _stream_semdedup_sql(n_cells: int = 16, t: float = 0.3) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, v FROM cn WHERE vec_id < 400),
+    newv AS (SELECT vec_id, v FROM cn WHERE vec_id >= 400),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {n_cells})
+    ),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM corpus c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    nassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT q.vec_id, ct.cell, q.v,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM newv q CROSS JOIN cent ct
+      ) WHERE rn = 1
+    )
+    SELECT n.vec_id AS src, c.vec_id AS dst, CAST(n.cell AS INT) AS cell,
+           round({sql_dot('n.v', 'c.v')}, 6) AS cosine
+    FROM nassign n JOIN cassign c ON n.cell = c.cell
+    WHERE {sql_dot('n.v', 'c.v')} >= {t}
+"""
+
+
+@_q("stream_semdedup_against", _stream_semdedup_sql())
+def stream_semdedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import read_stream_table, run_available_now
+    from .streaming.ops import streaming_semdedup_against
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    s = read_stream_table(spark, sf_dir, "embeddings")
+    nw = s.filter(F.col("vec_id") >= 400)
+    out = streaming_semdedup_against(
+        nw, corpus, vector_col="embedding", id_col="vec_id",
+        threshold=0.3, n_cells=16,
+    )
+    out = out.select("src", "dst", "cell", F.round("cosine", 6).alias("cosine"))
+    return run_available_now(out, output_mode="append")
+
+
 @_q("stream_text_analyze", _TEXTPIPE_SQL)
 def stream_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless streaming map: the full text-analysis pass (lang id,

@@ -5,6 +5,7 @@ from .ops import (
     streaming_contamination,
     streaming_dedup,
     streaming_dedup_against,
+    streaming_semdedup_against,
     streaming_hourly_agg,
     streaming_merge,
     streaming_sessionize,
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_contamination",
     "streaming_dedup",
     "streaming_dedup_against",
+    "streaming_semdedup_against",
     "streaming_hourly_agg",
     "streaming_merge",
     "streaming_sessionize",

@@ -436,3 +436,63 @@ def streaming_contamination(
             F.size("_lt_shared").cast("long").alias("shared_ngrams"),
         )
     )
+
+
+def streaming_semdedup_against(
+    stream_new: DataFrame,
+    static_corpus: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Ingest-time SEMANTIC near-dup alerts: a stream of new embedding
+    rows checked against a static corpus, SemDeDup-style (cell-blocked
+    cosine — see operators/dedup.near_dup_pairs_semdedup). Emits
+    (src=new id, dst=corpus id, cell, cosine) per hit; STATELESS
+    (append mode, no watermark, no state store).
+
+    How it stays stateless: the corpus's seeded centroids are collected
+    ONCE at query definition (bounded — n_cells rows) and the stream
+    side's cell assignment is a pure per-row expression (array of
+    centroid dots -> first-max argmax, the same `dot DESC, cell ASC`
+    tie-break as the batch window formulation; centroids are already
+    L2-normalized doubles, so the literal embedding is bit-identical to
+    the batch column). Candidates come from a stream-static equi-join
+    on `cell` against the corpus's precomputed single-probe assignment;
+    the cosine filter is row-local. Shuffle volume scales with cell
+    collisions, never |stream| x |corpus|.
+    """
+    from ..functions import similarity as S
+    from ..operators.ann import _assign_cells_declarative, ivf_seed_centroids
+
+    c = static_corpus.select(
+        F.col(id_col).cast("long").alias("_dst"),
+        S.l2_normalize(F.col(vector_col)).alias("_cv"),
+    )
+    cent_df = ivf_seed_centroids(c, "_dst", "_cv", n_cells)
+    static_assigned = _assign_cells_declarative(c, "_dst", "_cv", cent_df, 1)
+    cents = sorted(
+        (r["cell"], list(r["_cent_emb"])) for r in cent_df.collect()
+    )
+    n = stream_new.select(
+        F.col(id_col).cast("long").alias("_src"),
+        S.l2_normalize(F.col(vector_col)).alias("_nv"),
+    )
+    dots = F.array(
+        *[
+            S.dot(F.col("_nv"), F.array(*[F.lit(float(x)) for x in vec]))
+            for _, vec in cents
+        ]
+    )
+    # first max == (dot DESC, cell ASC) tie-break of the batch window
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    hits = (
+        n.withColumn("cell", cell)
+        .join(static_assigned, "cell")
+        .withColumn("cosine", S.dot(F.col("_nv"), F.col("_cv")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return hits.select(
+        F.col("_src").alias("src"), F.col("_dst").alias("dst"), "cell", "cosine"
+    )

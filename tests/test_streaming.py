@@ -280,3 +280,52 @@ def test_streaming_contamination_short_and_empty_docs(spark):
     got = {(r.train_id, r.bench_id): r.shared_ngrams for r in out}
     # shared 5-grams: 'alpha..epsilon' and 'beta..zeta' -> 2
     assert got == {(1, 9): 2}
+
+
+def test_streaming_semdedup_matches_batch_cell_join(spark, sf_dir):
+    """The stateless stream-side cell assignment (expression argmax over
+    collected centroids) must agree row-for-row with the batch
+    declarative assignment: same hits as a batch cell equi-join."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.operators.ann import (
+        _assign_cells_declarative, ivf_seed_centroids,
+    )
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.streaming import (
+        read_stream_table, run_available_now,
+    )
+    from linktransformer_spark.streaming.ops import streaming_semdedup_against
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    stream = read_stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") >= 300
+    )
+    got = run_available_now(
+        streaming_semdedup_against(
+            stream, corpus, threshold=0.3, n_cells=8
+        ),
+        output_mode="append",
+    )
+    got_rows = {(r["src"], r["dst"]) for r in got.collect()}
+
+    # batch equivalent: both sides through the declarative assignment
+    c = corpus.select(
+        F.col("vec_id").cast("long").alias("_dst"),
+        S.l2_normalize(F.col("embedding")).alias("_cv"),
+    )
+    cent = ivf_seed_centroids(c, "_dst", "_cv", 8)
+    ca = _assign_cells_declarative(c, "_dst", "_cv", cent, 1)
+    n = emb.filter(F.col("vec_id") >= 300).select(
+        F.col("vec_id").cast("long").alias("_src"),
+        S.l2_normalize(F.col("embedding")).alias("_nv"),
+    )
+    na = _assign_cells_declarative(n, "_src", "_nv", cent, 1)
+    want_rows = {
+        (r["_src"], r["_dst"])
+        for r in na.join(ca, "cell")
+        .withColumn("cos", S.dot(F.col("_nv"), F.col("_cv")))
+        .filter(F.col("cos") >= 0.3)
+        .collect()
+    }
+    assert got_rows == want_rows and got_rows
