@@ -5,8 +5,9 @@ same family as the events sessionize/rollup substrate).
 
 Semantics (pandas ``merge_asof`` parity): for every left row, attach
 the single right row with the largest ``on`` value <= the left's
-(direction="backward"; ">=" and smallest for "forward"), matching
-within ``by`` groups, optionally within ``tolerance``.
+(direction="backward"; ">=" and smallest for "forward"; smallest
+|gap| with ties going backward for "nearest"), matching within ``by``
+groups, optionally within ``tolerance``.
 
 Spark-first plan — the union+window trick, ONE shuffle total:
 
@@ -86,8 +87,10 @@ def merge_asof(
     ``tolerance``: max |left.on - right.on| for a match — seconds when
     ``on`` is a timestamp, plain difference when numeric.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     r_on = right_on or on
     by = [by] if isinstance(by, str) else list(by or [])
 
@@ -137,28 +140,58 @@ def merge_asof(
     )
 
     u = l_side.unionByName(r_side.select(*l_side.columns))
+
     # NULLS-pinned ordering (engines disagree on default null order):
     # left rows carry _RID null -> coalesce keeps the frame total; left
     # and right rows never tie on (ts, side) with each other (side
     # separates them), and left-left order is irrelevant to the carry.
-    ts_ord = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(ts_ord, F.col(_SIDE).asc(), F.coalesce(F.col(_RID), F.lit(-1)).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn(_P, F.last(F.col(_P), ignorenulls=True).over(w))
+    def _carry_window(ts_ord):
+        return (
+            Window.partitionBy(*by)
+            .orderBy(
+                ts_ord, F.col(_SIDE).asc(), F.coalesce(F.col(_RID), F.lit(-1)).asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
 
-    out = matched.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
+    ts_is_timestamp = dict(left.dtypes)[on].startswith("timestamp")
 
-    if tolerance is not None:
-        lts, rts = F.col(on), F.col(_P)[r_on]
-        if dict(left.dtypes)[on].startswith("timestamp"):
-            gap = F.abs(
+    def _abs_gap(lts, rts):
+        if ts_is_timestamp:
+            return F.abs(
                 (F.unix_micros(lts) - F.unix_micros(rts)).cast("double") / 1e6
             )
-        else:
-            gap = F.abs(lts.cast("double") - rts.cast("double"))
+        return F.abs(lts.cast("double") - rts.cast("double"))
+
+    if direction == "nearest":
+        # both carries over the SAME union: one Exchange on `by`, two
+        # in-partition sorts (asc + desc). Per left row pick the struct
+        # with the smaller |gap|; gap ties go backward (pandas rule).
+        carried = u.withColumn(
+            "_pb", F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).asc()))
+        ).withColumn(
+            "_pf", F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).desc()))
+        )
+        out = carried.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
+        gb = _abs_gap(F.col(on), F.col("_pb")[r_on])
+        gf = _abs_gap(F.col(on), F.col("_pf")[r_on])
+        pick = (
+            F.when(F.col("_pf").isNull(), F.col("_pb"))
+            .when(F.col("_pb").isNull(), F.col("_pf"))
+            .when(gf < gb, F.col("_pf"))
+            .otherwise(F.col("_pb"))
+        )
+        out = out.withColumn(_P, pick).drop("_pb", "_pf")
+    else:
+        ts_ord = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
+        matched = u.withColumn(
+            _P, F.last(F.col(_P), ignorenulls=True).over(_carry_window(ts_ord))
+        )
+        out = matched.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
+
+    if tolerance is not None:
+        rts = F.col(_P)[r_on]
+        gap = _abs_gap(F.col(on), rts)
         # null out the WHOLE struct when out of tolerance — the match is
         # all-or-nothing, never a partial row
         keep = rts.isNotNull() & (gap <= F.lit(float(tolerance)))

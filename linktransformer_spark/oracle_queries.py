@@ -1226,6 +1226,60 @@ def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# direction="nearest": smallest |gap| wins, gap ties go backward
+# (pandas rule), same-side ts ties go to the larger event id — exactly
+# the two-carry pick in operators/asof.py. The oracle ranks the full
+# theta join by (|gap| ASC as exact integer micros, backward-first,
+# id DESC) — again an independent formulation.
+_ASOF_NEAREST_SQL = """
+    WITH l AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+    )
+    SELECT event_id, user_id, ts_us, value, view_event_id, view_ts_us, view_value
+    FROM (
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+             round(l.value, 6) AS value,
+             r.event_id AS view_event_id, epoch_us(r.ts) AS view_ts_us,
+             round(r.value, 6) AS view_value,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)) ASC NULLS LAST,
+                        CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC NULLS LAST,
+                        r.event_id DESC NULLS LAST
+             ) AS rn
+      FROM l LEFT JOIN r ON l.user_id = r.user_id
+    ) WHERE rn = 1
+"""
+
+
+@_q("events_asof_nearest", _ASOF_NEAREST_SQL)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import merge_asof
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = merge_asof(
+        l, r, on="ts", by="user_id", right_id_col="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        F.col("event_id_x").alias("event_id"), "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value_x", 6).alias("value"),
+        F.col("event_id_y").alias("view_event_id"),
+        F.unix_micros("ts_y").alias("view_ts_us"),
+        F.round("value_y", 6).alias("view_value"),
+    )
+
+
 @_q("events_sessionize", _SESSIONIZE_SQL)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

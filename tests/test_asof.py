@@ -107,7 +107,53 @@ def test_tie_between_right_rows(spark):
 def test_bad_direction(spark):
     l = spark.createDataFrame([(1, 1.0)], "lid long, x double")
     with pytest.raises(ValueError, match="direction"):
-        merge_asof(l, l, on="x", direction="nearest")
+        merge_asof(l, l, on="x", direction="sideways")
+
+
+def test_nearest_picks_smaller_gap_and_ties_backward(spark):
+    l = spark.createDataFrame(
+        [(1, 10.0), (2, 14.0), (3, 100.0)], "lid long, x double"
+    )
+    r = spark.createDataFrame(
+        [(101, 8.0, "a"), (102, 15.0, "b")], "rid long, x double, v string"
+    )
+    out = {row["lid"]: row["v"] for row in
+           merge_asof(l, r, on="x", right_id_col="rid",
+                      direction="nearest").collect()}
+    # lid=1: gaps 2 vs 5 -> backward 'a'; lid=2: gaps 6 vs 1 -> forward
+    # 'b'; lid=3: only backward candidates -> 'b'
+    assert out == {1: "a", 2: "b", 3: "b"}
+
+    # exact tie: left at 11.5 is 3.5 from both -> backward wins (pandas)
+    lt_ = spark.createDataFrame([(9, 11.5)], "lid long, x double")
+    [row] = merge_asof(lt_, r, on="x", right_id_col="rid",
+                       direction="nearest").collect()
+    assert row["v"] == "a"
+
+
+def test_nearest_matches_pandas(spark):
+    import pandas as pd
+
+    lpd = pd.DataFrame({"x": [1.0, 4.0, 7.5, 9.0, 20.0]})
+    rpd = pd.DataFrame({"x": [0.0, 5.0, 8.0, 30.0],
+                        "rid": [1, 2, 3, 4]})
+    want = pd.merge_asof(lpd, rpd, on="x", direction="nearest")
+    l = spark.createDataFrame(lpd.assign(lid=range(5)))
+    r = spark.createDataFrame(rpd)
+    got = {row["x"]: row["rid"] for row in
+           merge_asof(l, r, on="x", right_id_col="rid",
+                      direction="nearest").collect()}
+    for _, w in want.iterrows():
+        assert got[w["x"]] == w["rid"]
+
+
+def test_nearest_with_tolerance(spark):
+    l = spark.createDataFrame([(1, 10.0), (2, 50.0)], "lid long, x double")
+    r = spark.createDataFrame([(101, 12.0, "a")], "rid long, x double, v string")
+    out = {row["lid"]: row["v"] for row in
+           merge_asof(l, r, on="x", right_id_col="rid", direction="nearest",
+                      tolerance=5.0).collect()}
+    assert out == {1: "a", 2: None}  # 40-gap match nulled out whole
 
 
 def test_null_payload_field_carried_atomically(spark):
