@@ -75,3 +75,19 @@ def min_id_first(df: DataFrame, subset: list[str], id_col: str = LT_ID) -> DataF
         .filter(F.col("_lt_rn") == 1)
         .drop("_lt_rn")
     )
+
+
+def require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Raise unless ``id_col`` is an integral column. The dedup/ANN/DSIR
+    family casts ids to long internally — a string id would cast to
+    null and silently collapse or drop rows, so fail loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"{op}: id_col {id_col!r} must be an integral type, got "
+            f"{df.schema[id_col].dataType.simpleString()}; add a surrogate "
+            "id (ids.with_row_id) first"
+        )

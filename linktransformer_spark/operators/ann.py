@@ -594,6 +594,9 @@ def knn_classify(
     candidates through the hyperplane bucket equi-join for scale (same
     trade as :func:`ann_topk`). The vote argmax is a hash aggregation
     (``max(struct(n, -label))``), not a window."""
+    from ..ids import require_integral_id
+
+    require_integral_id(df, id_col, "knn_classify")
     base = KJ.ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(label_col).cast("long").alias("_lb"),
@@ -649,11 +652,13 @@ def knn_label_eval(
     label_col: str = "label",
     k: int = 5,
     mode: str = "exact_cross",
+    n_planes: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-label leave-one-out kNN accuracy — the embedding-quality
     scorecard (how separable are the labels under this embedding?).
     Returns ``(label_col, n, n_correct, accuracy)``."""
-    pred = knn_classify(df, vector_col, id_col, label_col, k, mode)
+    pred = knn_classify(df, vector_col, id_col, label_col, k, mode, n_planes, dim)
     correct = F.when(F.col("predicted") == F.col(label_col), 1).otherwise(0)
     return pred.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("n"),

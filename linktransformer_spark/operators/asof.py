@@ -63,6 +63,8 @@ _TS = "_asof_ts"
 _SIDE = "_asof_side"
 _RID = "_asof_rid"
 _P = "_asof_payload"
+_PB = "_asof_pb"
+_PF = "_asof_pf"
 
 
 def merge_asof(
@@ -139,6 +141,12 @@ def merge_asof(
         .withColumn(_RID, F.lit(None).cast("long"))
     )
 
+    # null ordering keys never match (pandas merge_asof raises on
+    # them; we accept the rows but keep them out of the matching): a
+    # null-ts right row would sort nulls-first and become everybody's
+    # "backward" candidate with an undefined gap — drop it from the
+    # union; null-ts left rows get a null match below.
+    r_side = r_side.filter(F.col(_TS).isNotNull())
     u = l_side.unionByName(r_side.select(*l_side.columns))
 
     # NULLS-pinned ordering (engines disagree on default null order):
@@ -168,26 +176,31 @@ def merge_asof(
         # in-partition sorts (asc + desc). Per left row pick the struct
         # with the smaller |gap|; gap ties go backward (pandas rule).
         carried = u.withColumn(
-            "_pb", F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).asc()))
+            _PB, F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).asc()))
         ).withColumn(
-            "_pf", F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).desc()))
+            _PF, F.last(F.col(_P), ignorenulls=True).over(_carry_window(F.col(_TS).desc()))
         )
         out = carried.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
-        gb = _abs_gap(F.col(on), F.col("_pb")[r_on])
-        gf = _abs_gap(F.col(on), F.col("_pf")[r_on])
+        gb = _abs_gap(F.col(on), F.col(_PB)[r_on])
+        gf = _abs_gap(F.col(on), F.col(_PF)[r_on])
         pick = (
-            F.when(F.col("_pf").isNull(), F.col("_pb"))
-            .when(F.col("_pb").isNull(), F.col("_pf"))
-            .when(gf < gb, F.col("_pf"))
-            .otherwise(F.col("_pb"))
+            F.when(F.col(_PF).isNull(), F.col(_PB))
+            .when(F.col(_PB).isNull(), F.col(_PF))
+            .when(gf < gb, F.col(_PF))
+            .otherwise(F.col(_PB))
         )
-        out = out.withColumn(_P, pick).drop("_pb", "_pf")
+        out = out.withColumn(_P, pick).drop(_PB, _PF)
     else:
         ts_ord = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
         matched = u.withColumn(
             _P, F.last(F.col(_P), ignorenulls=True).over(_carry_window(ts_ord))
         )
         out = matched.filter(F.col(_SIDE) == F.lit(1 if allow_exact_matches else 0))
+
+    # left rows with a null ordering key: no match by definition (the
+    # desc carry would otherwise hand nulls-last left rows the
+    # smallest-ts right row)
+    out = out.withColumn(_P, F.when(F.col(on).isNotNull(), F.col(_P)))
 
     if tolerance is not None:
         rts = F.col(_P)[r_on]

@@ -480,10 +480,19 @@ def dsir_log_weights(
     (order-pinned — cross-engine-reproducible, unlike a plain double
     SUM); ``n_grams`` is an integer sum. Nothing touches Python workers.
     """
-    rawb = _gram_bucket_rows(df, text_col, id_col, n_buckets).localCheckpoint(
-        eager=False
+    from ..ids import require_integral_id
+
+    require_integral_id(df, id_col, "dsir_log_weights")
+    # checkpoint the per-doc bucket COUNTS, not the raw occurrence rows
+    # (orders of magnitude smaller), and derive the raw distribution
+    # from them — the occurrence explode then executes exactly once
+    rawb = _gram_bucket_rows(df, text_col, id_col, n_buckets)
+    docb = (
+        rawb.groupBy("_id", "_b")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=False)
     )
-    rawdist = rawb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    rawdist = docb.groupBy("_b").agg(F.sum("_n").alias("_cr"))
     # target id is irrelevant (only the gram distribution is used, and
     # the target corpus need not carry id_col at all)
     tgtb = _gram_bucket_rows(
@@ -511,7 +520,6 @@ def dsir_log_weights(
             ).alias("_lr"),
         )
     )
-    docb = rawb.groupBy("_id", "_b").agg(F.count("*").alias("_n"))
     j = docb.join(ratio, "_b")
     agg = j.groupBy("_id").agg(
         F.sum("_n").alias("_ng"),

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..functions.serialize import DEFAULT_SEP, serialize_columns
-from ..ids import LT_ID, min_id_first, with_row_id
+from ..ids import LT_ID, min_id_first, require_integral_id, with_row_id
 from . import knn_join as KJ
 from .components import connected_components
 
@@ -496,45 +496,44 @@ def dedup_by_pairs(
       want (keep the longest / highest-scoring member of each
       duplicate cluster, e.g. ``keep_by=F.length("text")``).
 
-    Rows appearing in no pair pass through untouched. The survivor
-    argmax is a hash aggregation (``max(struct(q, -id))`` with map-side
-    partial aggregation) + a left-semi equi-join — one shuffle keyed by
-    component, no window over the full table.
+    Rows appearing in no pair pass through untouched. The survivor pick
+    is a hash aggregation per component (min present id, or
+    ``max(struct(q, -id))``, both with map-side partial aggregation) +
+    a left-semi equi-join — one shuffle keyed by component, no window
+    over the full table. The survivor is always chosen among the rows
+    PRESENT in ``df`` (an externally-supplied pair graph may name nodes
+    ``df`` no longer contains — e.g. corpus-side ids from an
+    against-index pair relation — and a component must still keep one
+    of its surviving members).
 
     ``id_col`` must be integral (same contract as the rest of the dedup
     family — a string id would cast to null and silently drop rows)."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    if not isinstance(
-        df.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
-    ):
-        raise ValueError(
-            f"dedup_by_pairs: id_col {id_col!r} must be an integral type, "
-            f"got {df.schema[id_col].dataType.simpleString()}; add a "
-            "surrogate id (ids.with_row_id) first"
-        )
+    require_integral_id(df, id_col, "dedup_by_pairs")
     comp = connected_components(pairs.select("src", "dst"))
     joined = df.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
-    if keep_by is None:
-        return joined.filter(
-            F.col("component").isNull() | (F.col("component") == F.col(id_col))
-        ).select(*df.columns)
-    q = F.col(keep_by) if isinstance(keep_by, str) else keep_by
     dup = joined.filter(F.col("component").isNotNull())
-    surv = (
-        dup.groupBy("component")
-        .agg(
-            F.max(
-                F.struct(
-                    q.cast("double").alias("q"),
-                    (-F.col(id_col).cast("long")).alias("ni"),
-                )
-            ).alias("_m")
+    if keep_by is None:
+        surv = dup.groupBy("component").agg(
+            F.min(F.col(id_col).cast("long")).alias("_keep_id")
         )
-        .select((-F.col("_m.ni")).alias("_keep_id"))
-    )
+    else:
+        q = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+        surv = (
+            dup.groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        q.cast("double").alias("q"),
+                        (-F.col(id_col).cast("long")).alias("ni"),
+                    )
+                ).alias("_m")
+            )
+            .select((-F.col("_m.ni")).alias("_keep_id"))
+        )
     kept = dup.join(
-        surv, F.col(id_col).cast("long") == F.col("_keep_id"), "left_semi"
+        surv.select("_keep_id"),
+        F.col(id_col).cast("long") == F.col("_keep_id"),
+        "left_semi",
     )
     return (
         joined.filter(F.col("component").isNull())
@@ -808,6 +807,7 @@ def near_dup_pairs_semdedup(
     """
     from .ann import _assign_cells_declarative, ivf_seed_centroids
 
+    require_integral_id(df, id_col, "near_dup_pairs_semdedup")
     base = KJ.ensure_parallelism(
         df.select(
             F.col(id_col).cast("long").alias("_id"),

@@ -172,20 +172,14 @@ def quantile_buckets(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    args = (F.col(col).cast("double"), F.array(*[F.lit(p) for p in probs]))
-    if approx:
-        bnds = df.agg(
-            F.approx_percentile(
-                F.col(col).cast("double"),
-                F.array(*[F.lit(p) for p in probs]),
-                F.lit(int(1.0 / relative_error)),
-            ).alias("_bnds")
-        )
-    else:
-        bnds = df.agg(F.percentile(*args).alias("_bnds"))
-    out = df.crossJoin(F.broadcast(bnds))
     x = F.col(col).cast("double")
+    probs_arr = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    if approx:
+        agg = F.approx_percentile(x, probs_arr, F.lit(int(1.0 / relative_error)))
+    else:
+        agg = F.percentile(x, probs_arr)
+    bnds = df.agg(agg.alias("_bnds"))
+    out = df.crossJoin(F.broadcast(bnds))
     bucket = F.when(
         x.isNotNull(),
         (

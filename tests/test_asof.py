@@ -212,3 +212,23 @@ def test_asof_map_payload_without_right_id(spark):
     out = lt.merge_asof(left, right, on="ts", by="uid").collect()
     assert len(out) == 1
     assert out[0]["attrs"] == {"k": "w"}  # latest ts <= 10
+
+
+def test_null_ordering_keys_never_match(spark):
+    """Null right ts rows are not candidates (any direction); null left
+    ts rows get a null match instead of a bogus carry."""
+    l = spark.createDataFrame([(1, 10.0), (2, None)], "lid long, x double")
+    r = spark.createDataFrame(
+        [(101, None, "bogus"), (102, 100.0, "good")],
+        "rid long, x double, v string",
+    )
+    for d in ("backward", "forward", "nearest"):
+        out = {row["lid"]: row["v"] for row in
+               merge_asof(l, r, on="x", right_id_col="rid",
+                          direction=d).collect()}
+        assert out[2] is None, d          # null left key -> no match
+        assert out[1] != "bogus", d       # null right key never matches
+    [row] = [x for x in merge_asof(l, r, on="x", right_id_col="rid",
+                                   direction="nearest").collect()
+             if x["lid"] == 1]
+    assert row["v"] == "good"             # real forward match survives

@@ -567,3 +567,36 @@ def test_knn_classify_excludes_self_even_on_duplicates(spark):
     out = {r["vec_id"]: r["predicted"]
            for r in lt.knn_classify(df, k=1).collect()}
     assert out == {1: 1, 2: 0}
+
+
+def test_dedup_by_pairs_survivor_among_present_rows(spark):
+    """A component whose min-labeled node is NOT a row of df (external
+    pair graph, e.g. against-index pairs) must still keep one present
+    member — the min PRESENT id — not drop the whole component."""
+    df = spark.createDataFrame([(2, "x"), (3, "y"), (9, "z")], ["id", "t"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])  # node 1 absent
+    out = sorted(r["id"] for r in lt.dedup_by_pairs(df, pairs, "id").collect())
+    assert out == [2, 9]
+
+
+def test_semdedup_and_dsir_reject_string_ids(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", [1.0, 0.0])], ["id", "embedding"])
+    with _pytest.raises(ValueError, match="integral"):
+        lt.near_dup_pairs_semdedup(df, "embedding", "id")
+    docs = spark.createDataFrame([("a", "text here")], ["id", "text"])
+    with _pytest.raises(ValueError, match="integral"):
+        lt.dsir_log_weights(docs, docs, id_col="id")
+    embl = spark.createDataFrame([("a", 0, [1.0])], ["id", "label", "embedding"])
+    with _pytest.raises(ValueError, match="integral"):
+        lt.knn_classify(embl, id_col="id")
+
+
+def test_knn_label_eval_lsh_mode_passthrough(spark):
+    rows = [(i, 0, [10.0, float(i)]) for i in range(5)] + [
+        (i, 1, [-10.0, float(i)]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    ev = lt.knn_label_eval(df, k=3, mode="lsh_hyperplane", dim=2, n_planes=4)
+    assert {r["label"] for r in ev.collect()} <= {0, 1}
