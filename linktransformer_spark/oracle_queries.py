@@ -2528,6 +2528,132 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    reaches the parquet scan (PushedFilters), no join, no shuffle past
+    the single partial/final aggregation pair."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, revenue, n_name, rnk FROM (
+      SELECT c.c_custkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             n.n_name,
+             row_number() OVER (
+               ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                        c.c_custkey ASC
+             ) AS rnk
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+        AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, n.n_name
+    ) WHERE rnk <= 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join + broadcast dims + top-20 by
+    aggregate (TakeOrdered over the aggregated relation, deterministic
+    custkey tie-break)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "c_custkey", F.round("_rev", 2).alias("revenue"), "n_name", "rnk"
+        )
+    )
+
+
+@_q(
+    "q18_large_volume_customers",
+    """
+    SELECT o.o_custkey, o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(q.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) q ON o.o_orderkey = q.l_orderkey
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-semijoin — the big fact
+    aggregates FIRST (map-side partial sums; quantities are
+    integer-valued doubles, so the sum commutes exactly) and only the
+    qualifying order keys join back."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    q = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(q, o["o_orderkey"] == q["l_orderkey"])
+        .select(
+            "o_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-curation ops (operators/corpus.py): C4-style line dedup, PII
 # redaction, benchmark-contamination detection.
