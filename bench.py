@@ -178,7 +178,8 @@ def main() -> None:
         "dedup_minhash_docs", "ann_lsh_topk", "merge_knn_k3",
         "merge_1nn_lev", "merge_hash_broadcast", "merge_blocking",
         "merge_k_judge_mock", "merge_k_judge_batched",
-        "docs_curation_pipeline",
+        "docs_curation_pipeline", "semdedup_embeddings",
+        "docs_dsir_weights",
     }
 
     queries = bench_queries(spark)
@@ -212,9 +213,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "methodology": (
                     "per query: 1 warm + N timed runs, min reported "
-                    "(N=3 for the merge family + dedup_minhash_docs + "
-                    "ann_lsh_topk, else 2); co-tenant load spikes on "
-                    "this box can inflate a single run several-fold"
+                    "(N=3 for the merge family, dedup_minhash_docs, "
+                    "ann_lsh_topk, curation/semdedup/dsir, else 2); "
+                    "co-tenant load spikes on this box can inflate a "
+                    "single run several-fold"
                 ),
             }
         )

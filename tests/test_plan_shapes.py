@@ -244,3 +244,29 @@ def test_semdedup_pairs_join_is_hash_join_on_cell(spark, sf_dir):
                   if "cell" in ln and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
                                        or "BroadcastHashJoin" in ln)]
     assert pair_joins, f"no equi-join on cell found in:\n{plan[:4000]}"
+
+
+def test_q6_pushes_all_predicates_no_join(spark, sf_dir):
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    # non-empty pushed-filter list (the full list is truncated in the
+    # plan string, so pin its presence + the pruned scan schema instead
+    # of individual predicate names)
+    assert "PushedFilters: [IsNotNull" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final, one exchange
+
+
+def test_q18_aggregates_fact_before_join(spark, sf_dir):
+    """The lineitem aggregation must sit BELOW the join with orders —
+    the shuffle carries one row per order, not one per lineitem."""
+    plan = plan_of(QUERIES["q18_large_volume_customers"](spark, sf_dir))
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    # physical plans print top-down: the aggregate appearing AFTER the
+    # join line in the text means it executes BELOW (before) the join
+    assert agg_pos > join_pos
