@@ -127,6 +127,13 @@ def bench_queries(spark):
         return lt.near_dup_pairs_minhash_against_index(
             nw, _idx_path[sf_dir], on="text", id_col="doc_id", threshold=0.6)
 
+    def knn_label_eval_lsh(sf_dir):
+        # the scale path of the embedding scorecard: candidates via the
+        # hyperplane bucket equi-join instead of the exact O(n^2) cross
+        emb = read_table(spark, sf_dir, "embeddings")
+        return lt.knn_label_eval(emb, k=5, mode="lsh_hyperplane",
+                                 dim=64, n_planes=6)
+
     def textpipe_docs(sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return lt.analyze_documents(docs)
@@ -159,6 +166,10 @@ def bench_queries(spark):
         "semdedup_embeddings": from_oracle("semdedup_embeddings"),
         "docs_lm_perplexity": from_oracle("docs_lm_perplexity"),
         "docs_dsir_weights": from_oracle("docs_dsir_weights"),
+        "docs_quantile_buckets": from_oracle("docs_quantile_buckets"),
+        "events_props_rollup": from_oracle("events_props_rollup"),
+        "q6_forecast_revenue": from_oracle("q6_forecast_revenue"),
+        "knn_label_eval_lsh": knn_label_eval_lsh,
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }
 
