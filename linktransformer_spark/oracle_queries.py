@@ -2162,6 +2162,30 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_multimodal_decode",
+    f"""
+    SELECT doc_id, width, height, aspect, out_width, out_height
+    FROM ({_MM_DECODE_SQL})
+""",
+)
+def stream_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming map: the multimodal decode/resize plumbing
+    applied at INGEST (the shape a media pipeline runs — binary columns
+    decoded as files arrive). Identical Arrow-batched mapInPandas plan
+    under a streaming source; append mode, no state, no shuffle."""
+    from .operators.multimodal import attach_fake_media, decode_image, resize_image
+    from .streaming import read_stream_table, run_available_now
+
+    docs = read_stream_table(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id", media_type="image")
+    resized = resize_image(decode_image(media), target=128)
+    out = resized.select(
+        "doc_id", "width", "height", "aspect", "out_width", "out_height"
+    )
+    return run_available_now(out, output_mode="append")
+
+
+@_q(
     "multimodal_frame_sample",
     f"""
     WITH h AS (SELECT doc_id, {_MM_H} AS hv FROM documents),
