@@ -270,3 +270,22 @@ def test_q18_aggregates_fact_before_join(spark, sf_dir):
     # physical plans print top-down: the aggregate appearing AFTER the
     # join line in the text means it executes BELOW (before) the join
     assert agg_pos > join_pos
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("semdedup_embeddings", 3),      # assign agg + pair join + CC/keep
+    ("docs_lm_perplexity", 4),       # counts, vocab, totals, per-doc NLL
+    ("docs_dsir_weights", 7),        # two corpora distributions + per-doc
+    ("docs_quantile_buckets", 2),    # boundary agg + bucket rollup
+    ("knn_label_eval", 2),           # top-k window + vote/accuracy aggs
+    ("events_props_rollup", 1),
+    ("q6_forecast_revenue", 1),
+    ("events_asof_nearest", 1),      # ONE exchange, two in-partition sorts
+])
+def test_new_ops_shuffle_ceilings(spark, sf_dir, name, max_shuffles):
+    """Shuffle-count ceilings for the round-4 operators at the fixed
+    test SF (broadcasts keep small sides exchange-free; a refactor that
+    adds an exchange should have to justify itself here)."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    got = n_shuffles(plan)
+    assert got <= max_shuffles, f"{name}: {got} shuffles > {max_shuffles}"
