@@ -191,7 +191,11 @@ def binary_eval(pairs: DataFrame, score: str = "score", label: str = "label") ->
 
     acc_expr = (F.col("tp") + (F.col("N") - F.col("fp"))) / (F.col("P") + F.col("N"))
     prec_expr = F.col("tp") / (F.col("tp") + F.col("fp"))
-    rec_expr = F.col("tp") / F.col("P")
+    # P can be 0 (no positive pairs in the evaluated slice — hit at tiny
+    # SFs); sklearn's zero_division convention: recall = 0, not an error
+    rec_expr = F.when(F.col("P") > 0, F.col("tp") / F.col("P")).otherwise(
+        F.lit(0.0)
+    )
     f1_expr = F.when(
         F.col("tp") > 0, 2 * prec_expr * rec_expr / (prec_expr + rec_expr)
     ).otherwise(F.lit(0.0))

@@ -1509,8 +1509,8 @@ _BINARY_EVAL_SQL = f"""
       SELECT threshold,
              (tp + (t.N - fp)) * 1.0 / (t.P + t.N) AS acc,
              tp * 1.0 / (tp + fp) AS prec,
-             tp * 1.0 / t.P AS rec,
-             CASE WHEN tp > 0
+             CASE WHEN t.P > 0 THEN tp * 1.0 / t.P ELSE 0.0 END AS rec,
+             CASE WHEN tp > 0 AND t.P > 0
                   THEN 2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / t.P)
                        / (tp * 1.0 / (tp + fp) + tp * 1.0 / t.P)
                   ELSE 0.0 END AS f1
@@ -1524,8 +1524,9 @@ _BINARY_EVAL_SQL = f"""
     ),
     ap_calc AS (
       SELECT sum((r - r_prev) * p) AS ap FROM (
-        SELECT tp * 1.0 / t.P AS r,
-               coalesce(lag(tp * 1.0 / t.P) OVER (ORDER BY s DESC), 0.0) AS r_prev,
+        SELECT CASE WHEN t.P > 0 THEN tp * 1.0 / t.P ELSE 0.0 END AS r,
+               coalesce(lag(CASE WHEN t.P > 0 THEN tp * 1.0 / t.P ELSE 0.0 END)
+                        OVER (ORDER BY s DESC), 0.0) AS r_prev,
                tp * 1.0 / (tp + fp) AS p
         FROM sweep, totals t
       )
