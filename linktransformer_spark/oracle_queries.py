@@ -3154,6 +3154,54 @@ def docs_materialize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus dashboard rollup: docs/chars/token totals per (source, lang)
+# with ROLLUP subtotals and grand total — one pass, GROUPING SETS are
+# planned as a single Expand + hash aggregate (no self-union of
+# per-level scans). grouping() flags disambiguate subtotal rows from
+# genuine NULL group values.
+def _source_rollup_sql() -> str:
+    from .functions.oracle import sql_token_count
+
+    return f"""
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           CAST(grouping(source) AS INT) AS is_source_total,
+           CAST(grouping(lang) AS INT) AS is_lang_total,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum({sql_token_count('text')}) AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+"""
+
+
+@_q("docs_source_rollup", _source_rollup_sql())
+def docs_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import token_count_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            # grouping() flags are aggregate-scope expressions — they
+            # must be computed IN the agg, not a downstream select
+            F.grouping("source").cast("int").alias("is_source_total"),
+            F.grouping("lang").cast("int").alias("is_lang_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count_expr(F.col("text")).cast("long")).alias(
+                "total_tokens"
+            ),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "is_source_total", "is_lang_total",
+            "n_docs", "total_chars", "total_tokens",
+        )
+    )
+
+
 # DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
 # unigram+bigram importance weights of every raw doc against the
 # English subset as the target distribution. Gram building mirrors
