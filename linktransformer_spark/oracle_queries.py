@@ -1363,7 +1363,9 @@ _TOPK_REVENUE_SQL = """
       SELECT o.o_custkey,
              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
              row_number() OVER (
-               ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_custkey ASC
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                          DESC,
+                        o.o_custkey ASC
              ) AS rnk
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_custkey
@@ -1381,15 +1383,16 @@ def topk_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
+            # rank on the ROUNDED revenue: the raw double sum is
+            # partial-aggregation-order dependent, and at the rank-10
+            # boundary that flips membership across engines/layouts
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_raw"),
         )
     )
-    w = Window.orderBy(F.col("_raw").desc(), F.col("o_custkey").asc())
-    return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("o_custkey", "revenue", "rnk")
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "o_custkey", "revenue", "rnk"
     )
 
 
@@ -2595,7 +2598,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
              n.n_name,
              row_number() OVER (
-               ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+               ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                          DESC,
                         c.c_custkey ASC
              ) AS rnk
       FROM customer c
@@ -2611,8 +2615,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: fact-fact join + broadcast dims + top-20 by
-    aggregate (TakeOrdered over the aggregated relation, deterministic
-    custkey tie-break)."""
+    aggregate. The rank key is the ROUNDED revenue (2dp, custkey
+    tie-break) — an unrounded double sum is partial-aggregation-order
+    dependent, and at a rank boundary that flips MEMBERSHIP, not just a
+    cent. The global top-20 is orderBy+limit (TakeOrderedAndProject —
+    per-partition heaps over the aggregated relation, no
+    single-partition exchange); rnk is a window over the 20 survivors
+    only."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")
@@ -2628,16 +2637,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select(
-            "c_custkey", F.round("_rev", 2).alias("revenue"), "n_name", "rnk"
-        )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "c_custkey", "revenue", "n_name", "rnk"
     )
 
 

@@ -18,6 +18,7 @@ Every BNLJ in the allowed set below is one of:
 import pytest
 
 from linktransformer_spark.oracle_queries import QUERIES
+from tests.test_plan_shapes import plan_of
 
 # query -> why a BroadcastNestedLoopJoin is deliberate there
 BNLJ_ALLOWED = {
@@ -48,8 +49,7 @@ def _batch_queries():
 
 @pytest.mark.parametrize("name", _batch_queries())
 def test_no_cartesian_and_only_sanctioned_bnlj(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan_of(QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name}: accidental cartesian"
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_ALLOWED, (

@@ -24,7 +24,13 @@ EXPECTED = {
 
 @pytest.mark.parametrize("table", sorted(EXPECTED))
 def test_table_has_expected_columns(spark, sf_dir, table):
-    cols = set(spark.read.parquet(f"{sf_dir}/{table}.parquet").columns)
+    # read through the engine's reader, not raw spark.read.parquet —
+    # it handles the TIMESTAMP(NANOS) re-encode a regeneration can
+    # introduce (the exact scenario this contract guards), so a schema
+    # change fails with the message below, not a parquet-type error
+    from linktransformer_spark.sources.tables import read_table
+
+    cols = set(read_table(spark, sf_dir, table).columns)
     missing = EXPECTED[table] - cols
     assert not missing, (
         f"testdata table {table} lost columns {sorted(missing)} — the "
