@@ -23,7 +23,9 @@ from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import profile_table, quantile_buckets
 from .operators.sampling import hash_sample, sample_mixture, sample_per_group
-from .operators.multimodal import attach_fake_media, decode_image, frame_sample, resize_image
+from .operators.multimodal import (
+    attach_fake_media, decode_image, extract_features, frame_sample, resize_image,
+)
 from .operators.dedup import (
     dedup_by_pairs,
     dedup_embedding,
@@ -188,6 +190,7 @@ __all__ = [
     "decode_image",
     "resize_image",
     "frame_sample",
+    "extract_features",
     "dedup_by_pairs",
     "dedup_exact",
     "dedup_against",

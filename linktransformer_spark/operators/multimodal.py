@@ -169,3 +169,52 @@ def frame_sample(
             yield base
 
     return KJ.ensure_parallelism(df).mapInPandas(gen, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 16,
+    codec: str = "fake",
+    output_col: str = "features",
+) -> DataFrame:
+    """payload -> + ``output_col`` (array<double>, length ``dim``) — the
+    media feature-extraction stage (CLIP/wav2vec embedding in a real
+    deployment; here the same deterministic-stub contract as
+    :func:`decode_image`). Features derive from the payload's real
+    header hash by exact integer arithmetic,
+        raw_i = (h*(2i+1) + 7919*i) % 104729,  f_i = raw_i/104729 - 0.5
+    so a SQL oracle reproduces every value bit-for-bit, and the output
+    column plugs directly into the embedding family (ann_topk,
+    semantic_dedup, knn_classify) for an end-to-end media near-dup
+    pipeline. Arrow-batched mapInPandas; numpy-vectorized per batch
+    (h < 2^31 and dim <= 512 keep h*(2i+1) well inside int64)."""
+    _codec_guard(codec)
+    if not 1 <= dim <= 512:
+        raise ValueError("dim must be in [1, 512]")
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(output_col, ArrayType(DoubleType()))]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        i = np.arange(dim, dtype="int64")
+        mul, add = (2 * i + 1), (7919 * i)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hs = (
+                pdf[payload_col]
+                .map(lambda b: int.from_bytes(bytes(b)[:8], "big"))
+                .to_numpy(dtype="int64")
+            )
+            raw = (hs[:, None] * mul[None, :] + add[None, :]) % 104729
+            feats = raw / 104729.0 - 0.5
+            pdf = pdf.copy()
+            pdf[output_col] = list(feats)
+            yield pdf
+
+    return KJ.ensure_parallelism(df).mapInPandas(gen, out_schema)

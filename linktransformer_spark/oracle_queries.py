@@ -2166,6 +2166,34 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_extract_features",
+    f"""
+    WITH h AS (SELECT doc_id, {_MM_H} AS hv FROM documents)
+    SELECT doc_id,
+           list_transform(range(0, 8), i ->
+             round(CAST((hv * (2*i + 1) + 7919*i) % 104729 AS DOUBLE)
+                   / 104729.0 - 0.5, 9)
+           ) AS features
+    FROM h
+""",
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction (the CLIP/wav2vec slot): payload header
+    hash -> exact-integer-derived feature vector via Arrow mapInPandas;
+    the output column is embedding-family-compatible (ann_topk /
+    semantic_dedup / knn_classify consume it directly)."""
+    from .operators.multimodal import attach_fake_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id", media_type="image")
+    out = extract_features(media, dim=8)
+    return out.select(
+        "doc_id",
+        F.transform(F.col("features"), lambda x: F.round(x, 9)).alias("features"),
+    )
+
+
+@_q(
     "stream_multimodal_decode",
     f"""
     SELECT doc_id, width, height, aspect, out_width, out_height

@@ -56,3 +56,40 @@ def test_real_codecs_raise_not_implemented(spark, sf_dir):
         decode_image(m, codec="pillow")
     with pytest.raises(ValueError):
         decode_image(m, codec="nonsense")
+
+
+def test_extract_features_feeds_embedding_family(spark):
+    """Features from media payloads plug straight into semantic_dedup —
+    the end-to-end media near-dup pipeline. Identical payloads (same
+    header hash) must land in the same duplicate group."""
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 40).select(F.col("id").alias("mid"))
+    media = lt.attach_fake_media(base, "mid", media_type="image")
+    # duplicate payloads under new ids: same bytes as mid=0..4
+    dup = lt.attach_fake_media(
+        spark.range(0, 5).select(F.col("id").alias("mid")), "mid"
+    ).withColumn("mid", F.col("mid") + 1000)
+    allm = media.unionByName(dup)
+    feats = lt.extract_features(allm, dim=8)
+    assert feats.schema["features"].simpleString().startswith("features:array<double>")
+    kept = lt.semantic_dedup(
+        feats.select("mid", "features"), "features", "mid",
+        threshold=1.0 - 1e-9, n_cells=4,
+    )
+    ids = {r["mid"] for r in kept.collect()}
+    # the 5 duplicated payloads keep only their min-id copy (0..4)
+    assert not ids & {1000, 1001, 1002, 1003, 1004}
+    assert {0, 1, 2, 3, 4} <= ids and len(ids) == 40
+
+
+def test_extract_features_dim_validation(spark):
+    import linktransformer_spark as lt
+    import pytest as _pytest
+
+    m = lt.attach_fake_media(spark.range(3).withColumnRenamed("id", "mid"), "mid")
+    with _pytest.raises(ValueError, match="dim"):
+        lt.extract_features(m, dim=0)
+    with _pytest.raises(NotImplementedError, match="codec"):
+        lt.extract_features(m, codec="pillow")
