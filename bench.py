@@ -170,6 +170,8 @@ def bench_queries(spark):
         "events_props_rollup": from_oracle("events_props_rollup"),
         "q6_forecast_revenue": from_oracle("q6_forecast_revenue"),
         "knn_label_eval_lsh": knn_label_eval_lsh,
+        "docs_source_rollup": from_oracle("docs_source_rollup"),
+        "multimodal_extract_features": from_oracle("multimodal_extract_features"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
     }
 
