@@ -78,6 +78,15 @@ def payload_hash(payload: Column) -> Column:
     return F.conv(F.hex(F.substring(payload, 1, 8)), 16, 10).cast("long")
 
 
+def _header_hashes(series):
+    """8-byte big-endian header of each payload as arbitrary-precision
+    Python ints (object dtype). Deliberately NOT to_numpy(int64): a
+    REAL media header (e.g. the PNG magic) exceeds int64 and would wrap
+    silently — all three stub decoders share this one exact
+    extraction."""
+    return series.map(lambda b: int.from_bytes(bytes(b)[:8], "big"))
+
+
 def decode_image(
     df: DataFrame, payload_col: str = "payload", codec: str = "fake"
 ) -> DataFrame:
@@ -102,7 +111,7 @@ def decode_image(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hs = pdf[payload_col].map(lambda b: int.from_bytes(bytes(b)[:8], "big"))
+            hs = _header_hashes(pdf[payload_col])
             w = (16 + hs % 240).astype("int32")
             h = (16 + (hs // 240) % 240).astype("int32")
             pdf = pdf.copy()
@@ -158,7 +167,7 @@ def frame_sample(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hs = pdf[payload_col].map(lambda b: int.from_bytes(bytes(b)[:8], "big"))
+            hs = _header_hashes(pdf[payload_col])
             dur = 1000 + hs % 60000
             base = pdf[id_cols].loc[pdf.index.repeat(nf)].reset_index(drop=True)
             idx = pd.Series(list(range(nf)) * len(pdf))
@@ -187,11 +196,20 @@ def extract_features(
     so a SQL oracle reproduces every value bit-for-bit, and the output
     column plugs directly into the embedding family (ann_topk,
     semantic_dedup, knn_classify) for an end-to-end media near-dup
-    pipeline. Arrow-batched mapInPandas; numpy-vectorized per batch
-    (h < 2^31 and dim <= 512 keep h*(2i+1) well inside int64)."""
+    pipeline. Arrow-batched mapInPandas; the header hash is reduced
+    mod 104729 in exact Python-int space FIRST (a real media header —
+    PNG magic etc. — exceeds int64 and would wrap silently under a
+    direct int64 cast; (h mod M)·k ≡ h·k (mod M) keeps the formula
+    identical), then the per-dim math vectorizes in bounded int64
+    (residue·(2·dim+1) < 2^37)."""
     _codec_guard(codec)
     if not 1 <= dim <= 512:
         raise ValueError("dim must be in [1, 512]")
+    if output_col in df.columns:
+        raise ValueError(
+            f"output_col {output_col!r} already exists — mapInPandas would "
+            "fail with an opaque Arrow schema mismatch; pick a fresh name"
+        )
     from pyspark.sql.types import ArrayType
 
     out_schema = StructType(
@@ -206,12 +224,12 @@ def extract_features(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hs = (
-                pdf[payload_col]
-                .map(lambda b: int.from_bytes(bytes(b)[:8], "big"))
+            res = (
+                _header_hashes(pdf[payload_col])
+                .map(lambda h: h % 104729)
                 .to_numpy(dtype="int64")
             )
-            raw = (hs[:, None] * mul[None, :] + add[None, :]) % 104729
+            raw = (res[:, None] * mul[None, :] + add[None, :]) % 104729
             feats = raw / 104729.0 - 0.5
             pdf = pdf.copy()
             pdf[output_col] = list(feats)

@@ -93,3 +93,25 @@ def test_extract_features_dim_validation(spark):
         lt.extract_features(m, dim=0)
     with _pytest.raises(NotImplementedError, match="codec"):
         lt.extract_features(m, codec="pillow")
+
+
+def test_extract_features_exact_for_real_media_headers(spark):
+    """A REAL media header (PNG magic, > int64 as unsigned big-endian)
+    must produce the documented formula's values — the modular
+    reduction happens in exact Python-int space, never a wrapping int64
+    cast. Also: output_col collision raises at the API boundary."""
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    png = bytes([0x89]) + b"PNG\r\n\x1a\n" + b"fakebody"
+    df = spark.createDataFrame([(1, bytearray(png))], "mid long, payload binary")
+    [row] = lt.extract_features(df, dim=4).collect()
+    h = int.from_bytes(png[:8], "big")
+    want = [((h * (2 * i + 1) + 7919 * i) % 104729) / 104729.0 - 0.5
+            for i in range(4)]
+    assert row["features"] == want
+
+    m = lt.attach_fake_media(spark.range(2).withColumnRenamed("id", "mid"), "mid")
+    with _pytest.raises(ValueError, match="output_col"):
+        lt.extract_features(m, output_col="n_bytes")
