@@ -804,6 +804,15 @@ def near_dup_pairs_semdedup(
     recall trade as the minhash family's ``max_bucket_size``): a cell
     the seeded centroids fail to split contributes |cell|^2/2 pairs, so
     at scale cap it — members of a dropped cell are simply not deduped.
+
+    **Sizing n_cells**: per-cell work is quadratic, so ``n_cells`` must
+    GROW with the corpus — target a few hundred rows per cell
+    (n_cells ≈ n/256). Measured at 20k rows/local[32]: n_cells=16 →
+    15.6s, 64 → 4.1s, 256 → 4.4s (past the sweet spot the centroid
+    broadcast and assignment argmax start to dominate). At 100 TB this
+    is the difference between a plan that finishes and one that
+    doesn't; SemDeDup's own recipe is ~100k clusters for web-scale
+    corpora.
     """
     from .ann import _assign_cells_declarative, ivf_seed_centroids
 
