@@ -22,7 +22,7 @@ from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import profile_table, quantile_buckets
-from .operators.sampling import hash_sample, sample_mixture, sample_per_group
+from .operators.sampling import hash_sample, hash_split, sample_mixture, sample_per_group
 from .operators.multimodal import (
     attach_fake_media, decode_image, extract_features, frame_sample, resize_image,
 )
@@ -179,6 +179,7 @@ __all__ = [
     "profile_table",
     "quantile_buckets",
     "hash_sample",
+    "hash_split",
     "sample_mixture",
     "sample_per_group",
     "ivf_topk",

@@ -122,3 +122,43 @@ def sample_mixture(
             F.lit(int(round(float(fractions[g]) * _M))),
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    fractions: dict[str, float],
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint splits (train/val/test) by content hash:
+    appends ``split_col`` naming the split whose cumulative-fraction
+    interval the row's hash bucket falls into. Same properties as
+    :func:`hash_sample` — reproducible across runs/engines/partition
+    layouts, STABLE under incremental reprocessing (new rows never move
+    old rows between splits, the property that keeps "was this example
+    in train?" answerable forever), map-only, zero shuffles.
+
+    ``fractions`` assigns splits in dict order; they must sum to <= 1
+    (the remainder, if any, gets a NULL split — filter or name it).
+    Example: ``hash_split(df, "text", {"train": .8, "val": .1,
+    "test": .1})``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = S.poly_hash(_key_expr(keys), salt=salt) % _M
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    cases = []
+    for name, frac in fractions.items():
+        cum += frac
+        cases.append((int(round(cum * _M)), name))
+    # build WHEN chain from the highest bound down so the first (i.e.
+    # lowest-bound) interval wins for its bucket range
+    for bound, name in reversed(cases):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -919,6 +919,33 @@ def _hash_sample_sql() -> str:
 """
 
 
+# Deterministic train/val/test split: cumulative hash-bucket intervals
+# (70/15/15), stable under incremental reprocessing by construction.
+def _hash_split_sql() -> str:
+    from .functions.oracle import sql_poly_hash
+
+    ph = sql_poly_hash("coalesce(text, '')")
+    return f"""
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE WHEN {ph} % 1000000 < 700000 THEN 'train'
+                  WHEN {ph} % 1000000 < 850000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+"""
+
+
+@_q("docs_hash_split", _hash_split_sql())
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "text", {"train": 0.7, "val": 0.15, "test": 0.15}
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @_q("docs_hash_sample", _hash_sample_sql())
 def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import hash_sample

@@ -120,3 +120,37 @@ def test_sample_mixture_validation(spark):
         lt.sample_mixture(df, "g", {"a": 1.5})
     with pytest.raises(ValueError, match="default_fraction"):
         lt.sample_mixture(df, "g", {"a": 0.5}, default_fraction=-0.1)
+
+
+def test_hash_split_disjoint_stable_and_consistent_with_sample(spark, sf_dir):
+    """Splits are disjoint+exhaustive for fractions summing to 1, every
+    row keeps its split when new rows arrive (incremental stability),
+    and the 'train' interval equals hash_sample at the same fraction."""
+    import linktransformer_spark as lt
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"train": 0.7, "val": 0.15, "test": 0.15}
+    out = lt.hash_split(docs, "text", fr)
+    rows = out.select("doc_id", "split").collect()
+    assert all(r["split"] in fr for r in rows)
+
+    # train interval == hash_sample(fraction=0.7) membership
+    train_ids = {r["doc_id"] for r in rows if r["split"] == "train"}
+    sample_ids = {r["doc_id"] for r in
+                  lt.hash_sample(docs, "text", 0.7).select("doc_id").collect()}
+    assert train_ids == sample_ids
+
+    # incremental stability: adding rows never moves old rows
+    more = docs.withColumn("doc_id", F.col("doc_id") + 500000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" suffix"))
+    )
+    again = {r["doc_id"]: r["split"]
+             for r in lt.hash_split(docs.unionByName(more), "text", fr)
+             .select("doc_id", "split").collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["split"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum"):
+        lt.hash_split(docs, "text", {"a": 0.9, "b": 0.2})
