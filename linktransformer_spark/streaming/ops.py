@@ -85,7 +85,17 @@ def run_available_now(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
-    return spark.table(name)
+    # materialize and RELEASE the sink: a memory sink pins its rows in
+    # the driver JVM for the session's lifetime, and a verification
+    # session that drains dozens of streaming queries accumulates them
+    # until a small driver OOMs. Rows round-trip as Row objects with
+    # the explicit schema (type- and null-exact); the drained result is
+    # small by this helper's contract.
+    out = spark.table(name)
+    rows = out.collect()
+    schema = out.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def streaming_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
