@@ -329,3 +329,21 @@ def test_streaming_semdedup_matches_batch_cell_join(spark, sf_dir):
         .collect()
     }
     assert got_rows == want_rows and got_rows
+
+
+def test_run_available_now_releases_memory_sink(spark, sf_dir):
+    """The drained result must survive while the memory-sink temp view
+    is GONE — sinks pinned per-query accumulate until a small driver
+    OOMs (the 1g mid-drive failure this guards against)."""
+    from linktransformer_spark.streaming import (
+        read_stream_table, run_available_now,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = run_available_now(
+        ev.select("event_id", "user_id"), output_mode="append"
+    )
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("_lt_stream_")}
+    assert out.count() > 0  # data outlives the dropped sink
