@@ -1359,7 +1359,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ROLLUP_SQL = """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'k' AS BIGINT)) AS min_k,
            max(CAST(props->>'k' AS BIGINT)) AS max_k
     FROM events
@@ -1899,7 +1899,7 @@ def _knn_eval_sql(k: int = 5) -> str:
       ) WHERE rn = 1
     )
     SELECT CAST(tl AS BIGINT) AS label, count(*) AS n,
-           sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN predicted = tl THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 6) AS accuracy
     FROM pred GROUP BY tl
@@ -3231,8 +3231,8 @@ def _source_rollup_sql() -> str:
            CAST(grouping(source) AS INT) AS is_source_total,
            CAST(grouping(lang) AS INT) AS is_lang_total,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum({sql_token_count('text')}) AS total_tokens
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({sql_token_count('text')}) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY ROLLUP (source, lang)
 """

@@ -18,6 +18,27 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     compare(df, duck, ORACLE[name])
 
 
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_output_dtypes_hashable(name, duck):
+    # Dtype-fidelity gate (round-4 verdict item 2): DuckDB's sum() over
+    # an integer column yields HUGEINT (int128), which the driver's
+    # value-hash serializes differently from Spark's bigint even when
+    # values are equal (the round-4 hash-red rows). Binding the relation
+    # resolves output types without executing the query; any
+    # HUGEINT/UHUGEINT/DECIMAL output column means the oracle SQL needs
+    # an explicit CAST(... AS BIGINT/DOUBLE).
+    rel = duck.sql(ORACLE[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))
+    ]
+    assert not bad, (
+        f"oracle for {name!r} yields driver-hash-unsafe dtypes {bad}; "
+        "wrap in CAST(... AS BIGINT) / CAST(... AS DOUBLE)"
+    )
+
+
 def test_every_query_has_oracle():
     # every registered query carries a full SQL oracle; genuinely
     # non-SQL-expressible ops (k-means IVF) are NOT registered — they
