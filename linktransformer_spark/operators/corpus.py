@@ -309,6 +309,15 @@ def dedup_spans(
     never by corpus size) -> anti-join + ordered reassembly. Every
     stage is an equi-join/aggregate on a derived key — no pairwise
     stage anywhere.
+
+    Scale note: the span group key is a PAIR of independent 64-bit
+    xxhash64 digests of the token slice, not the materialized n-token
+    string — at the default n=50 the string key would ship ~50x the
+    corpus text volume through the global-first shuffle; the hash pair
+    ships 16 bytes/span. Two independent 64-bit digests make a
+    cross-span collision astronomically unlikely (~n_spans^2 / 2^128);
+    the DuckDB oracle twin still groups on the real span string, so the
+    correctness gate doubles as a collision check.
     """
     if n < 2:
         raise ValueError("n must be >= 2")
@@ -335,14 +344,20 @@ def dedup_spans(
         .select(
             "_lt_did",
             (F.col("_lt_p") - 1).alias("_lt_pos"),  # 0-based like posexplode
-            F.array_join(F.slice("_lt_low", F.col("_lt_p"), n), " ").alias("_lt_g"),
+            # xxhash64 hashes the array elements directly (whitespace
+            # tokens can't collide under concatenation anyway); the
+            # second digest is decorrelated by hashing an extra literal
+            F.xxhash64(F.slice("_lt_low", F.col("_lt_p"), n)).alias("_lt_h1"),
+            F.xxhash64(
+                F.slice("_lt_low", F.col("_lt_p"), n), F.lit(0x9E3779B9)
+            ).alias("_lt_h2"),
         )
     )
-    firsts = occ.groupBy("_lt_g").agg(
+    firsts = occ.groupBy("_lt_h1", "_lt_h2").agg(
         F.min(F.struct("_lt_did", "_lt_pos")).alias("_lt_first")
     )
     marked = (
-        occ.join(firsts, "_lt_g")
+        occ.join(firsts, ["_lt_h1", "_lt_h2"])
         .filter(F.struct("_lt_did", "_lt_pos") != F.col("_lt_first"))
         .select("_lt_did", "_lt_pos")
     )

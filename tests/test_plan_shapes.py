@@ -272,6 +272,38 @@ def test_q18_aggregates_fact_before_join(spark, sf_dir):
     assert agg_pos > join_pos
 
 
+def test_dedup_spans_shuffle_key_is_hash_pair(spark, sf_dir):
+    """The ExactSubstr global-first groupBy must key on the two 64-bit
+    span digests, never the materialized n-token string (~50x the corpus
+    text volume through the exchange at default n=50)."""
+    plan = plan_of(QUERIES["docs_dedup_spans"](spark, sf_dir))
+    assert "_lt_g#" not in plan  # no string span key anywhere
+    assert "hashpartitioning(_lt_h1" in plan
+    # map-side partial min still defuses boilerplate-span skew
+    assert "partial_min(struct(_lt_did" in plan
+
+
+def test_curation_pipeline_gate_not_recomputed(spark, sf_dir):
+    """The quality->PII gated relation is lineage-cut ONCE before its
+    consumers: the final plan reads the checkpointed RDD and never
+    re-scans documents.parquet (which would re-run the gate per
+    consumer)."""
+    plan = plan_of(QUERIES["docs_curation_pipeline"](spark, sf_dir))
+    assert "documents.parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert n_shuffles(plan) <= 3
+
+
+def test_dsir_raw_explode_executes_once(spark, sf_dir):
+    """dsir_log_weights checkpoints the per-doc bucket counts, so the
+    raw-side gram explode appears once even though the counts feed both
+    the raw distribution and the per-doc fold. Without the cut the plan
+    grows to 6 Generate nodes (raw side duplicated)."""
+    plan = plan_of(QUERIES["docs_dsir_weights"](spark, sf_dir))
+    # 2 target (unigram+bigram union) + 2 raw, each exactly once
+    assert plan.count("Generate") <= 4
+
+
 @pytest.mark.parametrize("name,max_shuffles", [
     ("semdedup_embeddings", 3),      # assign agg + pair join + CC/keep
     ("docs_lm_perplexity", 4),       # counts, vocab, totals, per-doc NLL
