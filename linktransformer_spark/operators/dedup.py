@@ -784,7 +784,7 @@ def near_dup_pairs_semdedup(
     vector_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs (Abbas et al. 2023,
@@ -812,11 +812,14 @@ def near_dup_pairs_semdedup(
     broadcast and assignment argmax start to dominate). At 100 TB this
     is the difference between a plan that finishes and one that
     doesn't; SemDeDup's own recipe is ~100k clusters for web-scale
-    corpora.
+    corpora. The default ``n_cells="auto"`` applies that rule for you
+    (ceil(n/256) via a cheap count — see ``ann.resolve_n_cells``); pin
+    an int when you need a byte-stable SQL mirror of the assignment.
     """
-    from .ann import _assign_cells_declarative, ivf_seed_centroids
+    from .ann import _assign_cells_declarative, ivf_seed_centroids, resolve_n_cells
 
     require_integral_id(df, id_col, "near_dup_pairs_semdedup")
+    n_cells = resolve_n_cells(n_cells, df.count)
     base = KJ.ensure_parallelism(
         df.select(
             F.col(id_col).cast("long").alias("_id"),
@@ -848,7 +851,7 @@ def semantic_dedup(
     vector_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     keep_by: Column | str | None = None,
     max_cell_size: int | None = None,
 ) -> DataFrame:

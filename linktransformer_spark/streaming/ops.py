@@ -454,7 +454,7 @@ def streaming_semdedup_against(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
 ) -> DataFrame:
     """Ingest-time SEMANTIC near-dup alerts: a stream of new embedding
     rows checked against a static corpus, SemDeDup-style (cell-blocked
@@ -474,12 +474,15 @@ def streaming_semdedup_against(
     collisions, never |stream| x |corpus|.
     """
     from ..functions import similarity as S
-    from ..operators.ann import _assign_cells_declarative, ivf_seed_centroids
+    from ..operators.ann import (
+        _assign_cells_declarative, ivf_seed_centroids, resolve_n_cells,
+    )
 
     c = static_corpus.select(
         F.col(id_col).cast("long").alias("_dst"),
         S.l2_normalize(F.col(vector_col)).alias("_cv"),
     )
+    n_cells = resolve_n_cells(n_cells, static_corpus.count)
     cent_df = ivf_seed_centroids(c, "_dst", "_cv", n_cells)
     static_assigned = _assign_cells_declarative(c, "_dst", "_cv", cent_df, 1)
     cents = sorted(

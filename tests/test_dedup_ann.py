@@ -600,3 +600,50 @@ def test_knn_label_eval_lsh_mode_passthrough(spark):
     df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
     ev = lt.knn_label_eval(df, k=3, mode="lsh_hyperplane", dim=2, n_planes=4)
     assert {r["label"] for r in ev.collect()} <= {0, 1}
+
+
+def test_resolve_n_cells_auto_rule():
+    """auto = ceil(n/256) with a floor of 4; an explicit int never
+    triggers the count; the 20k-row case lands inside the measured
+    sweet spot (the 64..256 flat bottom of the docstring sweep)."""
+    from linktransformer_spark.operators.ann import resolve_n_cells
+
+    assert resolve_n_cells("auto", lambda: 0) == 4
+    assert resolve_n_cells("auto", lambda: 256) == 4
+    assert resolve_n_cells("auto", lambda: 257) == 4
+    assert resolve_n_cells("auto", lambda: 2000) == 8
+    auto_20k = resolve_n_cells("auto", lambda: 20_000)
+    assert auto_20k == 79 and 64 <= auto_20k <= 256
+    # explicit int: count_fn must not run
+    assert resolve_n_cells(16, lambda: (_ for _ in ()).throw(AssertionError)) == 16
+    with pytest.raises(ValueError, match="auto"):
+        resolve_n_cells("sixteen", lambda: 1)
+
+
+def test_semdedup_auto_matches_explicit_equivalent(emb):
+    """n_cells='auto' (the default) must produce exactly the survivors
+    of the explicitly-sized equivalent — auto only picks the number."""
+    from linktransformer_spark.operators.ann import resolve_n_cells
+
+    expected_cells = resolve_n_cells("auto", emb.count)
+    a = lt.semantic_dedup(emb, "embedding", "vec_id", threshold=0.3)
+    b = lt.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=expected_cells
+    )
+    ai = sorted(r["vec_id"] for r in a.select("vec_id").collect())
+    bi = sorted(r["vec_id"] for r in b.select("vec_id").collect())
+    assert ai == bi and len(ai) > 0
+
+
+def test_ivf_seeded_auto_matches_explicit_equivalent(spark, emb):
+    from linktransformer_spark.operators.ann import resolve_n_cells
+
+    q = emb.limit(20)
+    expected_cells = resolve_n_cells("auto", emb.count)
+    a = lt.ivf_topk_seeded(q, emb, vector_col="embedding", k=3, n_probe=4)
+    b = lt.ivf_topk_seeded(
+        q, emb, vector_col="embedding", k=3, n_cells=expected_cells, n_probe=4
+    )
+    ka = sorted(map(tuple, a.select("query_id", "rank", "neighbor_id").collect()))
+    kb = sorted(map(tuple, b.select("query_id", "rank", "neighbor_id").collect()))
+    assert ka == kb and len(ka) > 0
