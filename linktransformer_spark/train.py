@@ -2,12 +2,16 @@
 
 Stance (SURVEY §2.6/§7 step 9): Spark owns DATA PREP — validation,
 dense ids, connected-component clusters, splits, label maps, split
-persistence — and the torch/HF training step stays a local (or
-TorchDistributor-launched) process. This container ships no torch /
-sentence-transformers, so the train step is gated behind an import-try
-that raises NotImplementedError with guidance; ``prepare_only=True``
-runs the full Spark-side pipeline and returns its DataFrames, which is
-what the tests exercise.
+persistence — and the torch/HF training step runs through
+``pyspark.ml.torch.distributor.TorchDistributor`` (the public Spark
+way to launch torch DDP on executors). The full launch path — prep ->
+parquet persistence -> distributor construction -> worker fn ->
+dataset build -> fit/Trainer invocation — is real, wired code
+(unit-tested with stubbed torch modules in tests/test_train.py); ONLY
+the torch/sentence-transformers imports are environment-gated, raising
+NotImplementedError with guidance in this torch-less container.
+``prepare_only=True`` runs just the Spark-side pipeline and returns
+its DataFrames.
 
 Reference surfaces mirrored:
 - ``train_model``      (/root/reference/src/linktransformer/train_model.py:101-249):
@@ -87,6 +91,141 @@ def _torch_unavailable(what: str) -> NotImplementedError:
     )
 
 
+def _biencoder_train_fn(config: dict, paths: dict, model_path: str) -> str:
+    """Worker-side bi-encoder training step (runs inside each
+    TorchDistributor process; must stay module-level/picklable).
+    Mirrors the reference's train_biencoder contract
+    (modified_sbert/train.py:64-228): supcon trains on
+    (text, cluster-label) examples, onlinecontrastive on the same rows
+    via OnlineContrastiveLoss; model saved under
+    config[model_save_dir]/config[model_save_name].
+
+    Only the imports here are environment-gated — everything up to this
+    call (prep, persistence, distributor construction) is plain Spark
+    and runs in this sandbox."""
+    try:  # pragma: no cover - exercised via stubbed modules in tests
+        import torch  # noqa: F401
+        from sentence_transformers import (
+            InputExample, SentenceTransformer, losses,
+        )
+        from torch.utils.data import DataLoader
+    except ImportError:
+        raise _torch_unavailable("train_model (worker)") from None
+    import math
+
+    import pandas as pd
+
+    train = pd.read_parquet(paths["train_clusters"])
+    codes = train["cluster_assignment"].astype("category").cat.codes
+    examples = [
+        InputExample(texts=[t], label=int(c))
+        for t, c in zip(train["text"], codes)
+    ]
+    model = SentenceTransformer(model_path)
+    loss_params = dict(config.get("loss_params") or {})
+    loss_type = config.get("loss_type", "supcon")
+    if loss_type == "supcon":
+        # the reference ships its own SupConLoss; use it if the installed
+        # sentence_transformers has one, else the closest built-in
+        # label-grouped loss
+        sup = getattr(losses, "SupConLoss", None) or losses.BatchAllTripletLoss
+        loss = sup(model=model, **loss_params)
+    elif loss_type == "onlinecontrastive":
+        loss = losses.OnlineContrastiveLoss(model=model, **loss_params)
+    else:
+        raise ValueError(
+            "loss_type can only be either 'supcon' or 'onlinecontrastive'"
+        )
+    loader = DataLoader(
+        examples, shuffle=True, batch_size=int(config["train_batch_size"])
+    )
+    steps_per_epoch = max(1, math.ceil(len(examples) / int(config["train_batch_size"])))
+    warmup = int(steps_per_epoch * float(config.get("warm_up_perc", 0.1)))
+    out = os.path.join(config["model_save_dir"], config["model_save_name"])
+    model.fit(
+        train_objectives=[(loader, loss)],
+        epochs=int(config["num_epochs"]),
+        warmup_steps=warmup,
+        output_path=out,
+    )
+    return out
+
+
+def _clf_train_fn(config: dict, paths: dict, model: str) -> str:
+    """Worker-side classifier training step (TorchDistributor process):
+    HF Trainer over the prepared (text, label_id) splits, num_labels
+    from the persisted label map — the reference's
+    train_clf_model.py:352-490 fit, with parquet tables standing in for
+    its in-memory pandas splits."""
+    try:  # pragma: no cover - exercised via stubbed modules in tests
+        import torch  # noqa: F401
+        from datasets import Dataset
+        from transformers import (
+            AutoModelForSequenceClassification, AutoTokenizer, Trainer,
+            TrainingArguments,
+        )
+    except ImportError:
+        raise _torch_unavailable("train_clf_model (worker)") from None
+    import pandas as pd
+
+    n_labels = len(pd.read_parquet(paths["label_map"]))
+    tok = AutoTokenizer.from_pretrained(model)
+
+    def _ds(name):
+        pdf = pd.read_parquet(paths[name]).rename(
+            columns={"_text": "text", "label_id": "labels"}
+        )
+        d = Dataset.from_pandas(pdf)
+        return d.map(
+            lambda b: tok(b["text"], padding="max_length", truncation=True),
+            batched=True,
+        )
+
+    net = AutoModelForSequenceClassification.from_pretrained(
+        model, num_labels=n_labels
+    )
+    out = os.path.join(config.get("model_save_dir", "models"), "clf")
+    args = TrainingArguments(
+        output_dir=out,
+        num_train_epochs=float(config["num_train_epochs"]),
+        per_device_train_batch_size=int(config["per_device_train_batch_size"]),
+        per_device_eval_batch_size=int(config["per_device_eval_batch_size"]),
+        learning_rate=float(config["learning_rate"]),
+    )
+    trainer = Trainer(
+        model=net, args=args, train_dataset=_ds("train"), eval_dataset=_ds("val")
+    )
+    trainer.train()
+    trainer.save_model(out)
+    return out
+
+
+def launch_distributed_training(
+    train_fn: Callable[[dict, dict, str], str],
+    *,
+    config: dict,
+    paths: dict[str, str],
+    model_path: str,
+    distributor_cls=None,
+    num_processes: int | None = None,
+    local_mode: bool = True,
+    use_gpu: bool = False,
+):
+    """Launch a worker train fn through ``TorchDistributor``
+    (pyspark.ml.torch.distributor) — the public Spark way to run
+    torch DDP across executors. ``distributor_cls`` is injectable so the
+    wiring is unit-testable without torch; workers read the prepared
+    parquet at ``paths`` (never Spark DataFrames — only plain dicts and
+    strings cross the pickle boundary)."""
+    if distributor_cls is None:  # pragma: no cover - needs torch at run()
+        from pyspark.ml.torch.distributor import TorchDistributor as distributor_cls
+    n = int(num_processes or config.get("num_processes", 1))
+    dist = distributor_cls(
+        num_processes=n, local_mode=local_mode, use_gpu=use_gpu
+    )
+    return dist.run(train_fn, config, paths, model_path)
+
+
 def save_prepared(tables: dict[str, DataFrame], out_dir: str) -> dict[str, str]:
     """Persist prepared tables as parquet (the engine's replacement for
     the reference's val/test pickles, train_model.py:182-189)."""
@@ -112,6 +251,10 @@ def train_model(
     training_args: dict | None = None,
     save_dir: str | None = None,
     prepare_only: bool = False,
+    distributor_cls=None,
+    num_processes: int | None = None,
+    local_mode: bool = True,
+    use_gpu: bool = False,
 ):
     """Bi-encoder training wrapper. Dispatch mirrors
     preprocess_any_data (reference preprocess.py:203-258): a label
@@ -140,16 +283,28 @@ def train_model(
             test_at_end=config["test_at_end"],
         )
 
-    if save_dir:
-        save_prepared(tables, save_dir)
+    paths = save_prepared(tables, save_dir) if save_dir else None
     if prepare_only:
         return {"config": config, "tables": tables}
 
-    try:  # pragma: no cover - no torch in this environment
+    # driver-side gate: fail with guidance BEFORE spawning distributor
+    # processes when the training stack is absent (tests stub these
+    # modules to exercise the full launch wiring)
+    try:
         import sentence_transformers  # noqa: F401
+        import torch  # noqa: F401
     except ImportError:
         raise _torch_unavailable("train_model") from None
-    raise _torch_unavailable("train_model")  # pragma: no cover
+    if paths is None:
+        raise ValueError(
+            "save_dir is required to launch training: distributor workers "
+            "read the prepared parquet tables, not driver DataFrames"
+        )
+    return launch_distributed_training(
+        _biencoder_train_fn, config=config, paths=paths,
+        model_path=model_path, distributor_cls=distributor_cls,
+        num_processes=num_processes, local_mode=local_mode, use_gpu=use_gpu,
+    )
 
 
 def train_clf_model(
@@ -163,6 +318,10 @@ def train_clf_model(
     eval_perc: float = 0.15,
     save_dir: str | None = None,
     prepare_only: bool = False,
+    distributor_cls=None,
+    num_processes: int | None = None,
+    local_mode: bool = True,
+    use_gpu: bool = False,
 ):
     """Classifier training wrapper: label map + 70/15/15 deterministic
     split on Spark; HF Trainer step gated (no torch here).
@@ -206,16 +365,25 @@ def train_clf_model(
         "test": keyed.filter(F.col("_split") == "test").select("_text", "label_id"),
         "label_map": label_map,
     }
-    if save_dir:
-        save_prepared(tables, save_dir)
+    paths = save_prepared(tables, save_dir) if save_dir else None
     if prepare_only:
         return {"config": cfg, "tables": tables}
 
-    try:  # pragma: no cover
+    try:
+        import torch  # noqa: F401
         import transformers  # noqa: F401
     except ImportError:
         raise _torch_unavailable("train_clf_model") from None
-    raise _torch_unavailable("train_clf_model")  # pragma: no cover
+    if paths is None:
+        raise ValueError(
+            "save_dir is required to launch training: distributor workers "
+            "read the prepared parquet tables, not driver DataFrames"
+        )
+    return launch_distributed_training(
+        _clf_train_fn, config=cfg, paths=paths, model_path=model,
+        distributor_cls=distributor_cls, num_processes=num_processes,
+        local_mode=local_mode, use_gpu=use_gpu,
+    )
 
 
 def transform_column(
