@@ -173,6 +173,8 @@ def bench_queries(spark):
         "docs_source_rollup": from_oracle("docs_source_rollup"),
         "multimodal_extract_features": from_oracle("multimodal_extract_features"),
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
+        "search_bm25": from_oracle("search_bm25_documents"),
+        "docs_gopher_rules": from_oracle("docs_gopher_rules"),
     }
 
 

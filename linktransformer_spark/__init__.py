@@ -48,9 +48,11 @@ from .operators.textpipe import (
     analyze_documents,
     annotate_quality_filter,
     filter_documents,
+    gopher_quality_signals,
     repetition_stats,
     unigram_lm_score,
 )
+from .operators.search import bm25_topk
 from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
@@ -213,6 +215,8 @@ __all__ = [
     "filter_documents",
     "repetition_stats",
     "unigram_lm_score",
+    "gopher_quality_signals",
+    "bm25_topk",
     "contamination_pairs",
     "dedup_lines",
     "dsir_log_weights",

@@ -363,3 +363,96 @@ def unigram_lm_score(
         h.alias("avg_neg_logprob"),
         F.exp(h).alias("perplexity"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher/MassiveText document-quality rules (Rae et
+    al. 2021, arXiv:2112.11446, Appendix A1.1), as one map-only pass:
+
+    1. word count in [min_words, max_words];
+    2. mean word length in [min_mean_word_len, max_mean_word_len];
+    3. '#' / '...' symbol-to-word ratio <= max_symbol_ratio;
+    4. < max_bullet_ratio of lines starting with a bullet;
+    5. < max_ellipsis_ratio of lines ending with an ellipsis;
+    6. >= min_alpha_ratio of words containing an alphabetic character;
+    7. >= min_stop_hits distinct hits from the canonical 8-stopword
+       list (the Gopher "stop word filter").
+
+    Returns the id plus the raw signals (``n_words, mean_word_len,
+    symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+    n_stop_hits``) and a ``keep`` boolean ANDing all seven rules —
+    signals are kept so a pipeline can re-threshold without re-scanning.
+
+    Everything is whole-stage-codegen expressions over the token array
+    (zero shuffles, zero Python); divisions are single double ops over
+    exact integers, so the DuckDB oracle reproduces them bitwise.
+    Empty documents fail rule 1 and report zero ratios.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    toks = S.word_tokens(raw)
+    nw = F.size(toks)
+    nwd = F.when(nw > 0, nw.cast("double"))  # NULL-safe denominator
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    nl = F.size(lines)
+    nld = F.when(nl > 0, nl.cast("double"))
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("•") | l.startswith("-") | l.startswith("*"),
+        )
+    )
+    ell_ends = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    out = df.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.coalesce(char_sum / nwd, F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce((n_hash + n_ell) / nwd, F.lit(0.0)).alias("symbol_ratio"),
+        F.coalesce(bullets / nld, F.lit(0.0)).alias("bullet_ratio"),
+        F.coalesce(ell_ends / nld, F.lit(0.0)).alias("ellipsis_ratio"),
+        F.coalesce(alpha / nwd, F.lit(0.0)).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") < max_bullet_ratio)
+        & (F.col("ellipsis_ratio") < max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("n_stop_hits") >= min_stop_hits),
+    )

@@ -3331,3 +3331,168 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Robertson & Zaragoza 2009) — inverted-index
+# equi-joins, order-pinned score fold (see operators/search.py).
+# Queries are derived deterministically from the corpus itself: every
+# 50th document's first 8 tokens.
+# ---------------------------------------------------------------------------
+def _bm25_sql(k: int = 5) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    dtc AS (SELECT doc_id AS d, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT d, sum(tf) AS dl FROM dtc GROUP BY d),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM dtc GROUP BY tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+             s.avgdl
+      FROM dfreq CROSS JOIN stats s
+    ),
+    qt AS (
+      SELECT DISTINCT q, tok FROM (
+        SELECT doc_id AS q, unnest(({toks})[1:8]) AS tok
+        FROM documents WHERE doc_id % 50 = 0
+      )
+    ),
+    contrib AS (
+      SELECT qt.q, dtc.d, dtc.tok,
+             i.idf * (CAST(dtc.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(dtc.tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl.dl AS DOUBLE) / i.avgdl))) AS c
+      FROM qt JOIN dtc ON qt.tok = dtc.tok
+              JOIN idf i ON dtc.tok = i.tok
+              JOIN dl ON dtc.d = dl.d
+    ),
+    scored AS (
+      SELECT q, d, CAST(count(*) AS BIGINT) AS n_terms,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+               (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY q, d
+    )
+    SELECT q AS q_id, d AS doc_id, CAST(r AS INT) AS rank,
+           round(score, 6) AS score, n_terms
+    FROM (
+      SELECT q, d, n_terms, score,
+             row_number() OVER (PARTITION BY q ORDER BY score DESC, d ASC) AS r
+      FROM scored
+    ) WHERE r <= {k}
+"""
+
+
+@_q("search_bm25_documents", _bm25_sql())
+def search_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import similarity as S
+    from .operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    out = bm25_topk(docs, queries, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality rules (Rae et al. 2021, Appendix A1.1) —
+# map-only signal pass, see operators/textpipe.gopher_quality_signals.
+# ---------------------------------------------------------------------------
+def _gopher_sql() -> str:
+    from .functions.oracle import sql_word_tokens
+    from .operators.textpipe import GOPHER_STOPWORDS
+
+    toks = sql_word_tokens("text")
+    stoplist = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS BIGINT) AS nw,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform({toks}, t -> length(t))),
+               (a, x) -> a + x
+             ) AS cs,
+             length(coalesce(text, ''))
+               - length(replace(coalesce(text, ''), '#', '')) AS nhash,
+             (length(coalesce(text, ''))
+               - length(replace(coalesce(text, ''), '...', ''))) / 3 AS nell,
+             list_filter(
+               list_transform(string_split(coalesce(text, ''), chr(10)),
+                              l -> trim(l)),
+               l -> l <> ''
+             ) AS lines,
+             CAST(len(list_filter({toks},
+                 t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+             CAST(len(list_intersect({toks}, {stoplist})) AS BIGINT) AS nstop
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, nw,
+             CASE WHEN nw > 0 THEN CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN nw > 0 THEN (nhash + nell) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS symr,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines, l -> starts_with(l, '•')
+                 OR starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS bulr,
+             CASE WHEN len(lines) > 0 THEN
+               CAST(len(list_filter(lines, l -> ends_with(l, '...')
+                 OR ends_with(l, '…'))) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS ellr,
+             CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE)
+                  ELSE 0.0 END AS alphar,
+             nstop
+      FROM sig
+    )
+    SELECT doc_id, nw AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(symr, 6) AS symbol_ratio,
+           round(bulr, 6) AS bullet_ratio,
+           round(ellr, 6) AS ellipsis_ratio,
+           round(alphar, 6) AS alpha_word_ratio,
+           nstop AS n_stop_hits,
+           (nw >= 50 AND nw <= 100000
+            AND mwl >= 3.0 AND mwl <= 10.0
+            AND symr <= 0.1
+            AND bulr < 0.9
+            AND ellr < 0.3
+            AND alphar >= 0.8
+            AND nstop >= 2) AS keep
+    FROM r
+"""
+
+
+@_q("docs_gopher_rules", _gopher_sql())
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import gopher_quality_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality_signals(docs)
+    return out.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_ratio", 6).alias("bullet_ratio"),
+        F.round("ellipsis_ratio", 6).alias("ellipsis_ratio"),
+        F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
+        "n_stop_hits", "keep",
+    )

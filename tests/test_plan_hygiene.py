@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "ann_topk_ivfpq_rerank": "n_cells/n_codes-row codebook broadcast",
     "ann_topk_ivf_seeded": "n_cells-row centroid broadcast",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
+    "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
 }
 
 

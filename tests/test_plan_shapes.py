@@ -272,6 +272,19 @@ def test_q18_aggregates_fact_before_join(spark, sf_dir):
     assert agg_pos > join_pos
 
 
+def test_bm25_is_jvm_only_with_rank_limit(spark, sf_dir):
+    """BM25: one doc-side explode (Generate), WindowGroupLimit bounds
+    the top-k window, and nothing leaves the JVM (no Python workers in
+    the hot path)."""
+    plan = plan_of(QUERIES["search_bm25_documents"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+    # the doc-side tokenize explode runs ONCE (dtc is lineage-cut and
+    # reused for lengths, document frequencies, and the posting join);
+    # the query-side slice needs no explode of the corpus
+    assert plan.count("Generate") <= 2
+
+
 def test_dedup_spans_shuffle_key_is_hash_pair(spark, sf_dir):
     """The ExactSubstr global-first groupBy must key on the two 64-bit
     span digests, never the materialized n-token string (~50x the corpus
@@ -313,6 +326,8 @@ def test_dsir_raw_explode_executes_once(spark, sf_dir):
     ("events_props_rollup", 1),
     ("q6_forecast_revenue", 1),
     ("events_asof_nearest", 1),      # ONE exchange, two in-partition sorts
+    ("search_bm25_documents", 7),    # tf/dl/df aggs + posting join + topk
+    ("docs_gopher_rules", 0),        # strictly map-only
 ])
 def test_new_ops_shuffle_ceilings(spark, sf_dir, name, max_shuffles):
     """Shuffle-count ceilings for the round-4 operators at the fixed

@@ -1,0 +1,104 @@
+"""BM25 search (operators/search.py) + Gopher quality rules
+(textpipe.gopher_quality_signals). Oracle parity runs in
+test_oracle_queries (search_bm25_documents, docs_gopher_rules); these
+pin the semantic properties on hand-built corpora.
+"""
+
+import pytest
+
+import linktransformer_spark as lt
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana"),
+        (3, "banana cherry date"),
+        (4, "date egg fig grape"),
+        (5, "unrelated words entirely different"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _q(spark, *pairs):
+    return spark.createDataFrame(list(pairs), ["q_id", "q_text"])
+
+
+def test_bm25_tf_ranks_repeated_term_higher(spark, corpus):
+    out = lt.bm25_topk(corpus, _q(spark, (1, "apple")), k=5).collect()
+    ids = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 1 has tf=2 and only slightly longer length -> outranks doc 2
+    assert ids[0] == 1 and ids[1] == 2
+    assert all(r["n_terms"] == 1 for r in out)
+    # non-matching docs never appear
+    assert set(ids) == {1, 2}
+
+
+def test_bm25_idf_favors_rare_terms(spark, corpus):
+    # "egg" appears in 1 doc, "banana" in 3: for a two-term query the
+    # egg doc should beat a banana-only doc of equal length
+    out = lt.bm25_topk(corpus, _q(spark, (1, "banana egg")), k=5).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["doc_id"] == 4  # the egg doc wins on idf
+
+
+def test_bm25_k_and_rank_contract(spark, corpus):
+    out = lt.bm25_topk(corpus, _q(spark, (1, "apple banana cherry date")), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert out.columns == ["q_id", "doc_id", "rank", "score", "n_terms"]
+    with pytest.raises(ValueError, match="k must be"):
+        lt.bm25_topk(corpus, _q(spark, (1, "apple")), k=0)
+
+
+def test_bm25_no_match_query_yields_no_rows(spark, corpus):
+    out = lt.bm25_topk(corpus, _q(spark, (7, "zzz qqq")), k=3)
+    assert out.count() == 0
+
+
+def test_bm25_query_terms_deduplicated(spark, corpus):
+    once = lt.bm25_topk(corpus, _q(spark, (1, "apple")), k=5).collect()
+    thrice = lt.bm25_topk(corpus, _q(spark, (1, "apple apple apple")), k=5).collect()
+    key = lambda rs: sorted((r["doc_id"], r["rank"], round(r["score"], 9)) for r in rs)
+    assert key(once) == key(thrice)
+
+
+def test_gopher_rules_known_values(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog with energy"] * 6
+    )
+    rows = [
+        (1, good),                                # passes everything
+        (2, "short text"),                        # too few words
+        (3, "- a\n- b\n- c"),                     # all bullet lines
+        (4, ("#" * 40) + " " + good),             # symbol ratio blown
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lt.gopher_quality_signals(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 66
+    assert out[1]["n_stop_hits"] >= 2
+    assert out[2]["keep"] is False and out[2]["n_words"] == 2
+    assert out[3]["bullet_ratio"] == 1.0 and out[3]["keep"] is False
+    assert out[4]["symbol_ratio"] > 0.1 and out[4]["keep"] is False
+
+
+def test_gopher_rules_empty_and_null_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lt.gopher_quality_signals(df).collect()}
+    for r in got.values():
+        assert r["keep"] is False
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] == 0.0
+        assert r["bullet_ratio"] == 0.0
+
+
+def test_gopher_thresholds_are_tunable(spark):
+    df = spark.createDataFrame(
+        [(1, "three words here and the that be of with have")],
+        ["doc_id", "text"],
+    )
+    strict = lt.gopher_quality_signals(df).collect()[0]
+    loose = lt.gopher_quality_signals(df, min_words=5).collect()[0]
+    assert strict["keep"] is False and loose["keep"] is True
