@@ -1,0 +1,251 @@
+"""Event-pipeline analytics: ordered conversion funnels and cohort
+retention — the two workhorse queries of any large event stream, and a
+natural companion to the events sessionize/as-of/rollup substrate
+(north-star extensions; the reference is batch record linkage and has
+no event surface).
+
+funnel_user_steps — strict-order funnel in ONE shuffle
+------------------------------------------------------
+For each user, step 1 fires at the user's earliest step-1 event; step
+i (i>1) fires at the earliest step-i event at-or-after step (i-1)'s
+fire time (and, with ``within``, no later than ``within`` seconds
+after step 1). The textbook SQL formulation is a chain of k-1
+(groupBy + join) rounds — 2(k-1) shuffles, all on the user key. The
+Spark-first plan instead folds each user's event list once:
+
+    filter to funnel step types (tiny IN-list, pushed to the scan)
+      -> groupBy(user).agg(sort_array(collect_list(struct(ts, step))))
+      -> F.aggregate fold over the sorted list, state = array of k
+         fire-times (epoch micros), updated per event expression-side
+
+ONE hash shuffle on the user key; the fold is a JVM expression (no
+Python, no window). Processing events in (ts, step) order makes the
+fold equal to the recursive min-join definition: when an event of
+step i arrives, state[i-1] already holds the earliest achievable
+step-(i-1) time iff one exists at ts' <= ts — ties at identical ts
+resolve lower-step-first, which is exactly the at-or-after (>=)
+join semantics the oracle uses.
+
+Skew note (100 TB): per-user state is the filtered event list; a
+pathological user with millions of funnel events makes one big array.
+Cap upstream with a per-(user, step) time-bucket pre-dedup if your
+event stream has such keys; the fold itself is O(list) per user.
+
+retention — classic day-N cohort retention
+------------------------------------------
+Cohort = calendar period of the user's first event; a user is
+retained at offset d if they have any event in cohort+d. Two hash
+aggregations (first-seen per user, distinct user-period activity) and
+one broadcast-friendly join, all keyed on user — Catalyst reuses the
+exchange. Output is one row per (cohort, offset) with the cohort size
+and retention fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_user_steps", "funnel", "retention"]
+
+_US = 1_000_000  # microseconds per second (fold state is epoch micros)
+
+
+def _validate_steps(steps) -> list[str]:
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    return steps
+
+
+def funnel_user_steps(
+    events: DataFrame,
+    steps,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+) -> DataFrame:
+    """Per-user strict-order funnel fire times.
+
+    Returns one row per user that completed step 1, with columns
+    ``user_col, t_1, ..., t_k`` (timestamps; ``t_i`` null when the
+    user never reached step i). ``within`` (seconds) bounds every
+    later step to at most ``within`` seconds after the step-1 time.
+    """
+    steps = _validate_steps(steps)
+    k = len(steps)
+
+    # step name -> 0-based index, as a tiny CASE chain (IN-filter first
+    # so the scan prunes to funnel event types only)
+    idx = F.when(F.col(type_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], start=1):
+        idx = idx.when(F.col(type_col) == s, F.lit(i))
+
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
+            idx.alias("step"),
+        ).alias("_e"),
+    )
+
+    init = F.array([F.lit(None).cast("long") for _ in range(k)])
+    within_us = None if within is None else int(round(within * _US))
+
+    def _merge(acc, e):
+        # fire step e.step iff not already fired, predecessor fired
+        # (events arrive ts-ascending so acc[step-1] <= e.ts always),
+        # and the within-budget from step 1 is not exhausted.
+        def upd(v, i):
+            # element_at is 1-based, so position i is the 0-based
+            # predecessor; clamp to 1 because ANSI mode evaluates both
+            # branches of the OR and errors on index 0.
+            pred = F.element_at(acc, F.greatest(i, F.lit(1)))
+            can_fire = (
+                (i == e["step"])
+                & v.isNull()
+                & ((i == F.lit(0)) | pred.isNotNull())
+            )
+            if within_us is not None:
+                can_fire = can_fire & (
+                    (i == F.lit(0)) | (e["ts"] <= acc[0] + F.lit(within_us))
+                )
+            return F.when(can_fire, e["ts"]).otherwise(v)
+
+        return F.transform(acc, upd)
+
+    folded = (
+        ev.groupBy("_u")
+        .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
+        .select(
+            "_u",
+            F.aggregate(F.col("_evs"), init, _merge).alias("_t"),
+        )
+    )
+    out = folded.filter(F.col("_t")[0].isNotNull()).select(
+        F.col("_u").alias(user_col),
+        *[
+            F.timestamp_micros(F.col("_t")[i]).alias(f"t_{i + 1}")
+            for i in range(k)
+        ],
+    )
+    return out
+
+
+def funnel(
+    events: DataFrame,
+    steps,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+) -> DataFrame:
+    """Funnel summary: one row per step with the user count that
+    reached it and conversion fractions (vs step 1 and vs the previous
+    step), rounded to 6 decimals. Column names: ``step`` (1-based),
+    ``step_name``, ``n_users``, ``frac_first``, ``frac_prev``."""
+    steps = _validate_steps(steps)
+    k = len(steps)
+    per_user = funnel_user_steps(
+        events, steps, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, within=within,
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t_{i + 1}")).alias(f"n_{i + 1}")
+            for i in range(k)
+        ]
+    )
+    # k is tiny: unpivot the single counts row expression-side
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(steps[i]).alias("step_name"),
+                F.col(f"n_{i + 1}").cast("long").alias("n_users"),
+                F.col("n_1").cast("long").alias("_n1"),
+                (F.col("n_1") if i == 0 else F.col(f"n_{i}"))
+                .cast("long")
+                .alias("_nprev"),
+            )
+            for i in range(k)
+        ]
+    )
+    exploded = counts.select(F.explode(rows).alias("r")).select("r.*")
+    zero_safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+    return exploded.select(
+        "step",
+        "step_name",
+        "n_users",
+        zero_safe(F.col("n_users"), F.col("_n1")).alias("frac_first"),
+        zero_safe(F.col("n_users"), F.col("_nprev")).alias("frac_prev"),
+    )
+
+
+def retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention table.
+
+    Cohort = ``date_trunc(period)`` of the user's first event; a user
+    counts at offset d when they have any event in period cohort+d.
+    Returns (``cohort``, ``period_offset``, ``n_active``, ``n_cohort``,
+    ``retention``) with retention rounded to 6 decimals; offset 0 is
+    the cohort itself (retention 1.0 by construction).
+
+    Plan: distinct (user, period) activity and first-period per user
+    are both hash aggs on the user key (exchange reused), joined back
+    on user, then one agg on (cohort, offset). No windows, no Python.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    ts = F.col(ts_col).cast("timestamp")
+    p = F.date_trunc(period, ts).cast("date")
+    ev = events.select(F.col(user_col).alias("_u"), p.alias("_p"))
+
+    activity = ev.distinct()
+    first = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+
+    if period == "day":
+        off = F.datediff(F.col("_p"), F.col("_cohort"))
+    elif period == "week":
+        off = (F.datediff(F.col("_p"), F.col("_cohort")) / 7).cast("int")
+    else:
+        off = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        )
+
+    joined = activity.join(first, "_u").select(
+        F.col("_cohort").alias("cohort"), off.cast("int").alias("period_offset")
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("period_offset") <= max_offset)
+
+    sizes = first.groupBy(F.col("_cohort").alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    act = joined.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return act.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
+        ).alias("retention"),
+    )

@@ -3496,3 +3496,202 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alpha_word_ratio", 6).alias("alpha_word_ratio"),
         "n_stop_hits", "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-pipeline: ordered conversion funnel + cohort retention
+# (operators/eventpipe.py). The oracle is the INDEPENDENT textbook
+# formulation — a chain of min-join CTEs — while the Spark side is the
+# one-shuffle sorted-fold plan, so a value match checks the semantics,
+# not the implementation.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WITHIN_S = 259200  # 72 h from step 1
+
+
+def _funnel_ctes() -> str:
+    ctes = [
+        """s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        )"""
+    ]
+    for i, step in enumerate(_FUNNEL_STEPS[1:], start=2):
+        ctes.append(f"""s{i} AS (
+          SELECT e.user_id, min(e.ts) AS t{i}
+          FROM events e
+          JOIN s{i - 1} p ON e.user_id = p.user_id
+          JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = '{step}'
+            AND e.ts >= p.t{i - 1}
+            AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WITHIN_S} SECOND
+          GROUP BY e.user_id
+        )""")
+    return ",\n    ".join(ctes)
+
+
+def _funnel_summary_sql() -> str:
+    names = ", ".join(
+        f"(SELECT count(*) FROM s{i + 1}) AS n{i + 1}"
+        for i in range(len(_FUNNEL_STEPS))
+    )
+    rows = []
+    for i, step in enumerate(_FUNNEL_STEPS, start=1):
+        prev = f"n{i - 1}" if i > 1 else "n1"
+        rows.append(
+            f"SELECT {i} AS step, '{step}' AS step_name, "
+            f"n{i} AS n_users, n1 AS _n1, {prev} AS _nprev FROM c"
+        )
+    body = "\n      UNION ALL ".join(rows)
+    return f"""
+    WITH {_funnel_ctes()},
+    c AS (SELECT {names})
+    SELECT step, step_name, n_users,
+           CASE WHEN _n1 > 0
+                THEN round(CAST(n_users AS DOUBLE) / _n1, 6)
+                ELSE 0.0 END AS frac_first,
+           CASE WHEN _nprev > 0
+                THEN round(CAST(n_users AS DOUBLE) / _nprev, 6)
+                ELSE 0.0 END AS frac_prev
+    FROM ({body})
+    """
+
+
+def _funnel_users_sql() -> str:
+    joins = "\n    ".join(
+        f"LEFT JOIN s{i} ON s1.user_id = s{i}.user_id"
+        for i in range(2, len(_FUNNEL_STEPS) + 1)
+    )
+    cols = ", ".join(f"t{i} AS t_{i}" for i in range(1, len(_FUNNEL_STEPS) + 1))
+    return f"""
+    WITH {_funnel_ctes()}
+    SELECT s1.user_id, {cols}
+    FROM s1
+    {joins}
+    """
+
+
+@_q("events_funnel_summary", _funnel_summary_sql())
+def events_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.eventpipe import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)
+
+
+@_q("events_funnel_users", _funnel_users_sql())
+def events_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.eventpipe import funnel_user_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_user_steps(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)
+
+
+_RETENTION_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id
+    ),
+    j AS (
+      SELECT f.cohort,
+             CAST(datediff('day', f.cohort, a.p) AS INTEGER) AS period_offset
+      FROM act a JOIN firstp f ON a.user_id = f.user_id
+      WHERE datediff('day', f.cohort, a.p) <= 14
+    ),
+    sizes AS (
+      SELECT cohort, count(*) AS n_cohort FROM firstp GROUP BY cohort
+    )
+    SELECT j.cohort, j.period_offset, count(*) AS n_active, s.n_cohort,
+           round(CAST(count(*) AS DOUBLE) / s.n_cohort, 6) AS retention
+    FROM j JOIN sizes s ON j.cohort = s.cohort
+    GROUP BY j.cohort, j.period_offset, s.n_cohort
+"""
+
+
+@_q("events_retention_daily", _RETENTION_SQL)
+def events_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.eventpipe import retention
+
+    ev = _t(spark, sf_dir, "events")
+    return retention(ev, period="day", max_offset=14)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics (operators/vocab.py): tokenizer-prep frequency/
+# coverage table + PMI collocations. Tokenizer = the engine-wide
+# word_tokens twin pair.
+# ---------------------------------------------------------------------------
+
+def _top_vocab_sql(k: int = 500) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT unnest({toks}) AS token FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+    top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT {k})
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+           round(CAST(n AS DOUBLE) / total, 6) AS frac,
+           round(CAST(sum(n) OVER (ORDER BY n DESC, token
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / total, 6) AS cum_frac
+    FROM top, tot
+    """
+
+
+@_q("docs_top_vocab", _top_vocab_sql(500))
+def docs_top_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.vocab import top_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_vocab(docs, vocab_size=500)
+
+
+def _collocations_sql(min_count: int = 10, top_k: int = 200) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH base AS (SELECT {toks} AS t FROM documents),
+    toks AS (SELECT unnest(t) AS token FROM base),
+    pos AS (
+      SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM base WHERE len(t) >= 2
+    ),
+    bi AS (
+      SELECT w1, w2, count(*) AS n_pair FROM pos GROUP BY w1, w2
+      HAVING count(*) >= {min_count}
+    ),
+    uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tok,
+             CAST((SELECT count(*) FROM pos) AS BIGINT) AS n_bi
+    )
+    SELECT w1, w2, n_pair, pmi FROM (
+      SELECT bi.w1, bi.w2, bi.n_pair,
+             round(ln((CAST(bi.n_pair AS DOUBLE) / tot.n_bi)
+                      / ((CAST(u1.c AS DOUBLE) / tot.n_tok)
+                         * (CAST(u2.c AS DOUBLE) / tot.n_tok))), 6) AS pmi
+      FROM bi
+      JOIN uni u1 ON bi.w1 = u1.token
+      JOIN uni u2 ON bi.w2 = u2.token
+      CROSS JOIN tot
+    )
+    ORDER BY pmi DESC, w1, w2 LIMIT {top_k}
+    """
+
+
+@_q("docs_collocations_pmi", _collocations_sql(10, 200))
+def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.vocab import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=10, top_k=200)

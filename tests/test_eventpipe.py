@@ -1,0 +1,143 @@
+"""Funnel + retention semantics (operators/eventpipe.py).
+
+Hand-built micro-frames pin the strict-order / within / tie rules;
+the registered queries are oracle-checked separately by the driver."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from linktransformer_spark.operators.eventpipe import (
+    funnel,
+    funnel_user_steps,
+    retention,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=T0 + dt.timedelta(seconds=s), event_type=t)
+         for (u, s, t) in rows]
+    )
+
+
+def test_funnel_strict_order(spark):
+    # user 1 completes a->b->c; user 2 has b BEFORE a, so b never fires
+    ev = _ev(spark, [
+        (1, 0, "a"), (1, 10, "b"), (1, 20, "c"),
+        (2, 0, "b"), (2, 10, "a"),
+    ])
+    out = {r["user_id"]: r for r in
+           funnel_user_steps(ev, ["a", "b", "c"]).collect()}
+    assert out[1]["t_1"] == T0
+    assert out[1]["t_2"] == T0 + dt.timedelta(seconds=10)
+    assert out[1]["t_3"] == T0 + dt.timedelta(seconds=20)
+    assert out[2]["t_1"] == T0 + dt.timedelta(seconds=10)
+    assert out[2]["t_2"] is None and out[2]["t_3"] is None
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # at-or-after semantics: b at the exact ts of a still fires
+    ev = _ev(spark, [(1, 5, "a"), (1, 5, "b")])
+    row = funnel_user_steps(ev, ["a", "b"]).collect()[0]
+    assert row["t_1"] == row["t_2"] == T0 + dt.timedelta(seconds=5)
+
+
+def test_funnel_earliest_chain_used(spark):
+    # step 2 fires at the EARLIEST b after the EARLIEST a, even when a
+    # later a would also qualify
+    ev = _ev(spark, [(1, 0, "a"), (1, 3, "b"), (1, 10, "a"), (1, 11, "b")])
+    row = funnel_user_steps(ev, ["a", "b"]).collect()[0]
+    assert row["t_1"] == T0
+    assert row["t_2"] == T0 + dt.timedelta(seconds=3)
+
+
+def test_funnel_within_budget_from_step1(spark):
+    # c at t=100 is inside b's reach but outside the 50 s budget from a
+    ev = _ev(spark, [(1, 0, "a"), (1, 40, "b"), (1, 100, "c"),
+                     (2, 0, "a"), (2, 40, "b"), (2, 50, "c")])
+    out = {r["user_id"]: r for r in
+           funnel_user_steps(ev, ["a", "b", "c"], within=50).collect()}
+    assert out[1]["t_3"] is None
+    assert out[2]["t_3"] == T0 + dt.timedelta(seconds=50)  # boundary inclusive
+
+
+def test_funnel_users_only_step1_completers(spark):
+    ev = _ev(spark, [(1, 0, "a"), (2, 0, "b")])
+    rows = funnel_user_steps(ev, ["a", "b"]).collect()
+    assert [r["user_id"] for r in rows] == [1]
+
+
+def test_funnel_summary_counts_and_fracs(spark):
+    ev = _ev(spark, [
+        (1, 0, "a"), (1, 1, "b"),
+        (2, 0, "a"), (2, 1, "b"),
+        (3, 0, "a"),
+        (4, 0, "a"), (4, 1, "b"),
+    ])
+    rows = {r["step"]: r for r in funnel(ev, ["a", "b", "c"]).collect()}
+    assert rows[1]["n_users"] == 4 and rows[1]["frac_first"] == 1.0
+    assert rows[2]["n_users"] == 3 and rows[2]["frac_first"] == 0.75
+    assert rows[3]["n_users"] == 0 and rows[3]["frac_prev"] == 0.0
+    assert rows[2]["frac_prev"] == 0.75
+    assert [rows[i]["step_name"] for i in (1, 2, 3)] == ["a", "b", "c"]
+
+
+def test_funnel_validation(spark):
+    ev = _ev(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError):
+        funnel_user_steps(ev, ["a"])
+    with pytest.raises(ValueError):
+        funnel_user_steps(ev, ["a", "a"])
+
+
+def test_retention_offsets_and_rates(spark):
+    # user 1 first seen day 0, active days 0/1/3; user 2 day 0 only;
+    # user 3 first seen day 1, active day 2 as offset 1
+    day = 86400
+    ev = _ev(spark, [
+        (1, 0, "x"), (1, day + 5, "x"), (1, 3 * day, "x"),
+        (2, 10, "x"),
+        (3, day, "x"), (3, 2 * day, "x"),
+    ])
+    rows = {(str(r["cohort"]), r["period_offset"]): r
+            for r in retention(ev).collect()}
+    c0 = "2024-01-01"
+    c1 = "2024-01-02"
+    assert rows[(c0, 0)]["n_active"] == 2 and rows[(c0, 0)]["n_cohort"] == 2
+    assert rows[(c0, 1)]["n_active"] == 1
+    assert rows[(c0, 1)]["retention"] == 0.5
+    assert rows[(c0, 3)]["n_active"] == 1
+    assert (c0, 2) not in rows  # nobody from cohort 0 active on day 2
+    assert rows[(c1, 0)]["n_cohort"] == 1 and rows[(c1, 1)]["n_active"] == 1
+
+
+def test_retention_max_offset_and_period_validation(spark):
+    day = 86400
+    ev = _ev(spark, [(1, 0, "x"), (1, 9 * day, "x")])
+    rows = retention(ev, max_offset=7).collect()
+    assert max(r["period_offset"] for r in rows) <= 7
+    with pytest.raises(ValueError):
+        retention(ev, period="hour")
+
+
+def test_retention_dedups_within_period(spark):
+    # many events in one day still count the user once
+    ev = _ev(spark, [(1, 0, "x"), (1, 5, "x"), (1, 10, "x")])
+    rows = retention(ev).collect()
+    assert len(rows) == 1 and rows[0]["n_active"] == 1
+
+
+def test_funnel_is_single_shuffle(spark, sf_dir):
+    """The fold plan shuffles once (the user groupBy) — no join chain."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = funnel_user_steps(
+        ev, ["signup", "view", "click"]
+    )._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
