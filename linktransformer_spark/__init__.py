@@ -16,6 +16,7 @@ from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
+    quantize_embeddings,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .data import DATA_DIR_PATH
@@ -30,6 +31,7 @@ from .operators.dedup import (
     dedup_by_pairs,
     dedup_embedding,
     dedup_exact,
+    dedup_exact_against,
     dedup_against,
     dedup_minhash,
     minhash_signature,
@@ -172,6 +174,7 @@ __all__ = [
     "OpenAIChatSpec",
     "GeminiSpec",
     "ann_topk",
+    "quantize_embeddings",
     "knn_classify",
     "knn_label_eval",
     "merge_asof",
@@ -196,6 +199,7 @@ __all__ = [
     "extract_features",
     "dedup_by_pairs",
     "dedup_exact",
+    "dedup_exact_against",
     "dedup_against",
     "dedup_minhash",
     "dedup_embedding",

@@ -210,6 +210,40 @@ def dedup_exact(df: DataFrame, on, id_col: str | None = None,
     return min_id_first(work, on_list).select(*df.columns)
 
 
+def dedup_exact_against(new: DataFrame, seen: DataFrame, on,
+                        *, hash_keys: bool = True) -> DataFrame:
+    """New-batch rows whose exact key does NOT appear in the seen
+    corpus — the exact twin of :func:`dedup_against` (ingest-time
+    filter; within-batch duplicates are untouched, chain
+    :func:`dedup_exact` for those).
+
+    With ``hash_keys=True`` the anti-join ships a pair of independent
+    64-bit xxhash64 digests of the serialized key instead of the key
+    text itself — same trick as the ExactSubstr span dedup
+    (corpus.py): for document-length keys this cuts the shuffled bytes
+    by roughly mean-key-length/16x, and a false drop needs a
+    simultaneous collision in BOTH digests (~n^2/2^128 — astronomically
+    unlikely at any corpus size). ``hash_keys=False`` joins on the raw
+    key (the oracle formulation).
+
+    ``on`` may name columns from either side as long as BOTH frames
+    have them (the usual contract: same logical schema for batch and
+    corpus)."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    if not hash_keys:
+        mk = [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"_k{i}")
+              for i, c in enumerate(on_list)]
+        nk = new.select("*", *mk)
+        sk = seen.select(*mk)
+        out = nk.join(sk, [f"_k{i}" for i in range(len(on_list))], "left_anti")
+        return out.select(*new.columns)
+    h = [F.xxhash64(key).alias("_h1"), F.xxhash64(key, F.lit(1)).alias("_h2")]
+    nk = new.select("*", *h)
+    sk = seen.select(*h)
+    return nk.join(sk, ["_h1", "_h2"], "left_anti").select(*new.columns)
+
+
 def _cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     """Skew guard: drop LSH buckets with more than ``cap`` members.
 

@@ -3695,3 +3695,105 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return collocations(docs, min_count=10, top_k=200)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized exact ANN (operators/ann.py mode="exact_int8"): the
+# quantization is pure arithmetic (max-abs scale, round-half-up) and
+# the integer dot is order-independent, so the whole compressed path
+# is hash-checkable — the rare case where a bandwidth optimization
+# costs no oracle coverage.
+# ---------------------------------------------------------------------------
+
+def _ann_int8_sql() -> str:
+    from .functions.oracle import sql_l2_normalize
+
+    def quant(src: str, id_filter: str) -> str:
+        return f"""(
+          SELECT vec_id, s,
+                 list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS c
+          FROM (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                     / 127.0 AS s
+            FROM (
+              SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+              FROM embeddings {id_filter}
+            )
+          )
+        )"""
+
+    int_dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(q.c) + 1), "
+        "i -> q.c[i] * c.c[i])), (acc, x) -> acc + x)"
+    )
+    score = f"CAST({int_dot} AS DOUBLE) * q.s * c.s"
+    return f"""
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {score} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {score} DESC, c.vec_id ASC
+             ) AS rank
+      FROM {quant('embeddings', 'WHERE vec_id < 50')} q
+      CROSS JOIN {quant('embeddings', '')} c
+    ) WHERE rank <= 5
+    """
+
+
+@_q("ann_topk_int8", _ann_int8_sql())
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.ann import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_topk(q, emb, vector_col="embedding", k=5, mode="exact_int8")
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact incremental dedup (operators/dedup.py dedup_exact_against):
+# Spark side anti-joins on a 64-bit digest PAIR of the key (the
+# bandwidth-optimized path); the oracle anti-joins on the raw text —
+# a value match certifies the hashed plan loses nothing.
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_AGAINST_SQL = """
+    WITH seen AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ),
+    nw AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    )
+    SELECT n.doc_id, n.text FROM nw n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen s
+      WHERE coalesce(s.text, '') = coalesce(n.text, '')
+    )
+"""
+
+
+@_q("docs_dedup_exact_against", _DEDUP_EXACT_AGAINST_SQL)
+def docs_dedup_exact_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linktransformer_spark.operators.dedup import dedup_exact_against
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    nw = (
+        d.filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+            .select("doc_id", "text")
+        )
+    )
+    return dedup_exact_against(nw, seen, on="text")

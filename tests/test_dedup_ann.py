@@ -647,3 +647,72 @@ def test_ivf_seeded_auto_matches_explicit_equivalent(spark, emb):
     ka = sorted(map(tuple, a.select("query_id", "rank", "neighbor_id").collect()))
     kb = sorted(map(tuple, b.select("query_id", "rank", "neighbor_id").collect()))
     assert ka == kb and len(ka) > 0
+
+
+def test_ann_int8_matches_exact_neighbors(emb):
+    """int8 quantization at dim 64 perturbs cosine by ~1e-3 — the
+    neighbor SET at k=5 should agree with exact search almost
+    everywhere, and every score must be within the quantization
+    error bound of the exact score."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = lt.ann_topk(q, emb, k=5, mode="exact_cross").collect()
+    int8 = lt.ann_topk(q, emb, k=5, mode="exact_int8").collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    i8 = {(r["query_id"], r["neighbor_id"]): r["score"] for r in int8}
+    overlap = len(set(ex) & set(i8)) / len(ex)
+    assert overlap >= 0.9, overlap
+    for key in set(ex) & set(i8):
+        assert abs(ex[key] - i8[key]) < 0.02, (key, ex[key], i8[key])
+
+
+def test_ann_int8_self_is_top1(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    top1 = lt.ann_topk(q, emb, k=3, mode="exact_int8").filter(F.col("rank") == 1)
+    assert top1.filter(F.col("query_id") != F.col("neighbor_id")).count() == 0
+
+
+def test_quantize_embeddings_codes_and_scale(emb):
+    out = lt.quantize_embeddings(emb.limit(50)).collect()
+    for r in out:
+        assert r["q_scale"] > 0
+        assert all(-127 <= c <= 127 for c in r["q_codes"])
+        # at least one component must hit the max-abs code +-127
+        assert max(abs(c) for c in r["q_codes"]) == 127
+        # dequantized vector reconstructs the normalized one closely
+        import math
+        nrm = math.sqrt(sum(x * x for x in r["embedding"]))
+        recon_err = max(
+            abs(c * r["q_scale"] - x / nrm)
+            for c, x in zip(r["q_codes"], r["embedding"])
+        )
+        assert recon_err <= r["q_scale"] / 2 + 1e-12
+
+
+def test_dedup_exact_against_hash_equals_raw(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    seen = d.filter(F.col("doc_id") < 30)
+    nw = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    ).unionByName(d.filter(F.col("doc_id") >= 40))
+    a = lt.dedup_exact_against(nw, seen, on="text", hash_keys=True)
+    b = lt.dedup_exact_against(nw, seen, on="text", hash_keys=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the 10 exact copies must be dropped
+    assert a.filter(F.col("doc_id") >= 500000).count() == 0
+
+
+def test_dedup_exact_against_null_keys_match(spark):
+    nw = spark.createDataFrame([(1, None), (2, "x")], "id long, t string")
+    seen = spark.createDataFrame([(9, None)], "id long, t string")
+    # null serializes to '' (reference parity) -> null matches null
+    out = lt.dedup_exact_against(nw, seen, on="t").collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_dedup_exact_against_multi_column_key(spark):
+    from pyspark.sql import Row
+    nw = spark.createDataFrame(
+        [Row(id=1, a="x", b="y"), Row(id=2, a="x", b="z")])
+    seen = spark.createDataFrame([Row(id=9, a="x", b="y")])
+    out = lt.dedup_exact_against(nw, seen, on=["a", "b"]).collect()
+    assert [r["id"] for r in out] == [2]

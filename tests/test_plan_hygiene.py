@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "ann_topk_ivf_seeded": "n_cells-row centroid broadcast",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
+    "ann_topk_int8": "quantized exact-cross baseline (4x bandwidth cut; lsh/ivf modes are the scale path)",
     "docs_top_vocab": "1-row token-total broadcast",
     "docs_collocations_pmi": "1-row totals (n_tok, n_bi) broadcast",
 }
