@@ -175,6 +175,13 @@ def bench_queries(spark):
         "docs_curation_pipeline": from_oracle("docs_curation_pipeline"),
         "search_bm25": from_oracle("search_bm25_documents"),
         "docs_gopher_rules": from_oracle("docs_gopher_rules"),
+        "events_funnel": from_oracle("events_funnel_summary"),
+        "events_retention": from_oracle("events_retention_daily"),
+        "docs_top_vocab": from_oracle("docs_top_vocab"),
+        "docs_collocations": from_oracle("docs_collocations_pmi"),
+        "ann_int8_topk": from_oracle("ann_topk_int8"),
+        "dedup_exact_against": from_oracle("docs_dedup_exact_against"),
+        "er_resolve": from_oracle("er_resolve_entities"),
     }
 
 

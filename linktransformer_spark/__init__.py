@@ -54,6 +54,7 @@ from .operators.textpipe import (
     repetition_stats,
     unigram_lm_score,
 )
+from .operators.entity import match_pairs, resolve_entities
 from .operators.search import bm25_topk
 from .operators.corpus import (
     contamination_pairs,
@@ -221,6 +222,8 @@ __all__ = [
     "unigram_lm_score",
     "gopher_quality_signals",
     "bm25_topk",
+    "match_pairs",
+    "resolve_entities",
     "contamination_pairs",
     "dedup_lines",
     "dsir_log_weights",

@@ -1,0 +1,195 @@
+"""Cross-table entity resolution — the reference's flagship user
+story (link two record tables) composed end-to-end into ONE Catalyst
+plan: blocked candidate generation -> similarity scoring -> match
+threshold -> connected components over the bipartite match graph ->
+one entity id + canonical key per group.
+
+The reference exposes the stages separately (merge_blocking to score,
+clusters_from_edges to group — infer.py:169-274, utils.py:236-268);
+``resolve_entities`` is the composition a production linkage pipeline
+actually runs, returning the assignment table both input sides map
+into.
+
+Plan shape at 100 TB:
+- candidates: equi-join on the blocking key (hash-partitioned, never
+  a cross product when ``blocking_vars`` is given); score is a JVM
+  expression (levenshtein or hash-ngram dot), filter pushes into the
+  join's output before anything widens.
+- graph: left record i becomes node 2i, right record j node 2j+1 —
+  the bipartite encoding keeps one CC over longs instead of a
+  struct-keyed graph. CC is the engine's large-/small-star iteration
+  (operators/components.py), label = min node id of the component.
+- output: entity_id = component label (singletons keep their own
+  node id), canonical = lexicographically smallest key in the entity
+  (deterministic, no float ties), n_members by one hash agg keyed on
+  entity_id.
+
+Every stage is an equi-join or hash agg on a derived key; nothing
+touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.serialize import serialize_columns
+from .components import connected_components
+
+__all__ = ["match_pairs", "resolve_entities"]
+
+
+def _norm_blocking(blocking_vars):
+    """Normalize to [(left_col, right_col), ...] — a bare string means
+    the same column name on both sides."""
+    out = []
+    for b in blocking_vars or []:
+        out.append((b, b) if isinstance(b, str) else (b[0], b[1]))
+    return out
+
+
+def _sides(df1, df2, left_on, right_on, left_id_col, right_id_col, blocking_vars):
+    blocks = _norm_blocking(blocking_vars)
+    lkey = serialize_columns([left_on] if isinstance(left_on, str) else list(left_on))
+    rkey = serialize_columns([right_on] if isinstance(right_on, str) else list(right_on))
+    lb = [F.col(lc).alias(f"_b{i}") for i, (lc, _) in enumerate(blocks)]
+    rb = [F.col(rc).alias(f"_b{i}") for i, (_, rc) in enumerate(blocks)]
+    left = df1.select(
+        F.col(left_id_col).cast("long").alias("_lid"), lkey.alias("_lkey"), *lb
+    )
+    right = df2.select(
+        F.col(right_id_col).cast("long").alias("_rid"), rkey.alias("_rkey"), *rb
+    )
+    return left, right
+
+
+def match_pairs(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    left_on,
+    right_on,
+    left_id_col: str,
+    right_id_col: str,
+    sim_threshold: float,
+    blocking_vars: list[str] | None = None,
+    model: str = "levenshtein",
+) -> DataFrame:
+    """Scored candidate pairs above ``sim_threshold``:
+    ``(left_id, right_id, score)``.
+
+    ``blocking_vars`` entries are either a column name present in BOTH
+    frames or a ``(left_col, right_col)`` pair; candidates are
+    generated only within equal blocking values (an equi-join —
+    the 100 TB path). Without blocking the candidate stage is the
+    exact cross product: correct, and only sane when one side is
+    small. ``model`` picks the scorer: ``levenshtein`` (normalized
+    edit similarity) or ``hash-ngram`` (deterministic n-gram embedding
+    cosine) — both exact JVM expressions with DuckDB twins."""
+    if not -1.0 <= sim_threshold <= 1.0:
+        raise ValueError("sim_threshold must be within [-1, 1]")
+    for lc, rc in _norm_blocking(blocking_vars):
+        if lc not in df1.columns:
+            raise ValueError(f"blocking var {lc!r} not in left frame")
+        if rc not in df2.columns:
+            raise ValueError(f"blocking var {rc!r} not in right frame")
+    left, right = _sides(
+        df1, df2, left_on, right_on, left_id_col, right_id_col, blocking_vars)
+
+    if model == "levenshtein":
+        from ..functions.similarity import lev_sim
+
+        score = lev_sim(F.col("_lkey"), F.col("_rkey"))
+    elif model == "hash-ngram":
+        # relational encode (embed-once CSE; see encoders/hash_ngram.py
+        # for why the inline expression form is off the table), then a
+        # plain normalized dot — both sides' vectors ride the join
+        from ..encoders.hash_ngram import HashNgramEncoder
+        from ..functions.similarity import dot
+
+        enc = HashNgramEncoder()
+        left = enc.encode(left, "_lkey", "_lemb")
+        right = enc.encode(right, "_rkey", "_remb")
+        score = dot(F.col("_lemb"), F.col("_remb"))
+    else:
+        raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
+
+    if blocking_vars:
+        on = [f"_b{i}" for i in range(len(blocking_vars))]
+        cand = left.join(right, on)
+    else:
+        cand = left.crossJoin(right)
+    return (
+        cand.withColumn("score", score)
+        .filter(F.col("score") >= F.lit(sim_threshold))
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            "score",
+        )
+    )
+
+
+def resolve_entities(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    left_on,
+    right_on,
+    left_id_col: str,
+    right_id_col: str,
+    sim_threshold: float,
+    blocking_vars: list[str] | None = None,
+    model: str = "levenshtein",
+) -> DataFrame:
+    """Full ER pipeline: match, group, label.
+
+    Returns one row per INPUT RECORD (both sides):
+    ``entity_id`` (long — stable min-node label), ``side`` ('L'/'R'),
+    ``record_id`` (the side's id), ``key`` (the serialized match key),
+    ``canonical`` (lexicographically smallest key in the entity),
+    ``n_members`` (records in the entity; 1 for unmatched singletons).
+    """
+    pairs = match_pairs(
+        df1, df2,
+        left_on=left_on, right_on=right_on,
+        left_id_col=left_id_col, right_id_col=right_id_col,
+        sim_threshold=sim_threshold,
+        blocking_vars=blocking_vars, model=model,
+    )
+    edges = pairs.select(
+        (F.col("left_id") * 2).alias("src"),
+        (F.col("right_id") * 2 + 1).alias("dst"),
+    )
+    left, right = _sides(
+        df1, df2, left_on, right_on, left_id_col, right_id_col, None)
+    nodes = (
+        left.select(
+            (F.col("_lid") * 2).alias("_node"),
+            F.lit("L").alias("side"),
+            F.col("_lid").alias("record_id"),
+            F.col("_lkey").alias("key"),
+        )
+        .unionByName(
+            right.select(
+                (F.col("_rid") * 2 + 1).alias("_node"),
+                F.lit("R").alias("side"),
+                F.col("_rid").alias("record_id"),
+                F.col("_rkey").alias("key"),
+            )
+        )
+    )
+    comp = connected_components(edges).withColumnRenamed("node", "_node")
+    labeled = nodes.join(comp, "_node", "left").select(
+        F.coalesce(F.col("component"), F.col("_node")).alias("entity_id"),
+        "side",
+        "record_id",
+        "key",
+    )
+    groups = labeled.groupBy("entity_id").agg(
+        F.min("key").alias("canonical"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return labeled.join(groups, "entity_id").select(
+        "entity_id", "side", "record_id", "key", "canonical", "n_members"
+    )

@@ -38,6 +38,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
 
@@ -58,9 +59,22 @@ def bm25_topk(
     and the posting join; corpus stats (N, avgdl) are a broadcast
     one-row aggregate; candidates = query-term equi-join on term; top-k
     is a rank window with WindowGroupLimit pushdown.
+
+    ``max_df_ratio`` (opt-in) drops query terms whose document
+    frequency exceeds that fraction of the corpus — classic stopword
+    impact pruning. On a corpus where some terms appear in nearly
+    every document, those terms contribute ~0 IDF but dominate the
+    posting-join volume (a term in every doc costs |Q|x|corpus|
+    candidate rows); pruning them bounds the join at
+    |Q| x max_df_ratio x N per term, which is the knob that keeps
+    retrieval latency flat as the corpus grows to 100 TB. Changes
+    scores only by the pruned terms' (near-zero) contributions, and
+    changes ``n_terms`` accordingly.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_df_ratio is not None and not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError("max_df_ratio must be in (0, 1]")
     dtc = (
         docs.select(
             F.col(id_col).alias("_d"),
@@ -92,6 +106,17 @@ def bm25_topk(
         )
         .distinct()
     )
+    if max_df_ratio is not None:
+        # prune BEFORE the posting join: the df relation is vocab-sized
+        keep = (
+            dfreq.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("_df").cast("double")
+                <= F.lit(max_df_ratio) * F.col("_N").cast("double")
+            )
+            .select("_tok")
+        )
+        qterms = qterms.join(keep, "_tok", "left_semi")
     contrib = (
         qterms.join(dtc, "_tok")
         .join(idf, "_tok")

@@ -3797,3 +3797,92 @@ def docs_dedup_exact_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_exact_against(nw, seen, on="text")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (operators/entity.py): blocked scoring + bipartite
+# CC + canonical labeling as ONE plan. Oracle = independent recursive-
+# CTE transitive closure over the same match graph.
+# ---------------------------------------------------------------------------
+
+_ER_EDGES_SQL = f"""
+    l AS (SELECT c_custkey AS id, coalesce(CAST(c_name AS VARCHAR), '') AS key,
+                 c_nationkey AS blk FROM customer),
+    r AS (SELECT s_suppkey AS id, coalesce(CAST(s_name AS VARCHAR), '') AS key,
+                 s_nationkey AS blk FROM supplier),
+    e0 AS (
+      SELECT l.id AS lid, r.id AS rid,
+             {sql_lev_sim('l.key', 'r.key')} AS score
+      FROM l JOIN r ON l.blk = r.blk
+      WHERE {sql_lev_sim('l.key', 'r.key')} >= 0.62
+    )
+"""
+
+_ER_PAIRS_SQL = (
+    "WITH " + _ER_EDGES_SQL
+    + """
+    SELECT lid AS left_id, rid AS right_id, round(score, 6) AS score FROM e0
+"""
+)
+
+
+@_q("er_match_pairs", _ER_PAIRS_SQL)
+def er_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entity import match_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    out = match_pairs(
+        cust, supp, left_on="c_name", right_on="s_name",
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+        sim_threshold=0.62, blocking_vars=[("c_nationkey", "s_nationkey")],
+    )
+    return out.select("left_id", "right_id", F.round("score", 6).alias("score"))
+
+
+_ER_RESOLVE_SQL = (
+    "WITH RECURSIVE " + _ER_EDGES_SQL
+    + """,
+    nodes AS (
+      SELECT 2 * id AS node, 'L' AS side, id AS record_id, key FROM l
+      UNION ALL
+      SELECT 2 * id + 1, 'R', id, key FROM r
+    ),
+    ed AS (
+      SELECT 2 * lid AS a, 2 * rid + 1 AS b FROM e0
+      UNION
+      SELECT 2 * rid + 1, 2 * lid FROM e0
+    ),
+    reach(x, y) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.x, ed.b FROM reach JOIN ed ON reach.y = ed.a
+    ),
+    comp AS (SELECT x AS node, min(y) AS entity_id FROM reach GROUP BY x),
+    lab AS (
+      SELECT c.entity_id, n.side, n.record_id, n.key
+      FROM nodes n JOIN comp c ON n.node = c.node
+    ),
+    agg AS (
+      SELECT entity_id, min(key) AS canonical,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM lab GROUP BY entity_id
+    )
+    SELECT lab.entity_id, lab.side, lab.record_id, lab.key,
+           agg.canonical, agg.n_members
+    FROM lab JOIN agg USING (entity_id)
+"""
+)
+
+
+@_q("er_resolve_entities", _ER_RESOLVE_SQL)
+def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entity import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return resolve_entities(
+        cust, supp, left_on="c_name", right_on="s_name",
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+        sim_threshold=0.62, blocking_vars=[("c_nationkey", "s_nationkey")],
+    )

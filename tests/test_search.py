@@ -102,3 +102,26 @@ def test_gopher_thresholds_are_tunable(spark):
     strict = lt.gopher_quality_signals(df).collect()[0]
     loose = lt.gopher_quality_signals(df, min_words=5).collect()[0]
     assert strict["keep"] is False and loose["keep"] is True
+
+
+def test_bm25_max_df_ratio_prunes_stopwords(spark):
+    from pyspark.sql import Row
+    bm25_topk = lt.bm25_topk
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the common doc{i} word{i % 3}") for i in range(10)]
+    )
+    qs = spark.createDataFrame([Row(q_id=1, q_text="the word0")])
+    full = bm25_topk(docs, qs, k=10).collect()
+    pruned = bm25_topk(docs, qs, k=10, max_df_ratio=0.5).collect()
+    # "the" appears in every doc -> pruned out; only word0 docs remain
+    assert {r["doc_id"] for r in pruned} == {0, 3, 6, 9}
+    assert all(r["n_terms"] == 1 for r in pruned)
+    # unpruned keeps all 10 docs ("the" matches everything)
+    assert len(full) == 10
+    # scores of surviving docs only lose the stopword's contribution
+    fmap = {r["doc_id"]: r["score"] for r in full}
+    for r in pruned:
+        assert r["score"] <= fmap[r["doc_id"]] + 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bm25_topk(docs, qs, max_df_ratio=0.0)
