@@ -345,11 +345,17 @@ def dedup_spans(
             "_lt_did",
             (F.col("_lt_p") - 1).alias("_lt_pos"),  # 0-based like posexplode
             # xxhash64 hashes the array elements directly (whitespace
-            # tokens can't collide under concatenation anyway); the
-            # second digest is decorrelated by hashing an extra literal
+            # tokens can't collide under concatenation anyway). The
+            # second digest salts a literal FIRST: multi-arg xxhash64
+            # chains the running hash forward as the next seed, so a
+            # trailing salt would leave _lt_h2 a pure function of
+            # _lt_h1 (any h1 collision collides h2 too). Salting first
+            # gives an independent seed chain — a false span-group
+            # merge needs a simultaneous collision in both 64-bit
+            # digests (~n_spans^2/2^128).
             F.xxhash64(F.slice("_lt_low", F.col("_lt_p"), n)).alias("_lt_h1"),
             F.xxhash64(
-                F.slice("_lt_low", F.col("_lt_p"), n), F.lit(0x9E3779B9)
+                F.lit(0x9E3779B9), F.slice("_lt_low", F.col("_lt_p"), n)
             ).alias("_lt_h2"),
         )
     )

@@ -217,28 +217,39 @@ def dedup_exact_against(new: DataFrame, seen: DataFrame, on,
     filter; within-batch duplicates are untouched, chain
     :func:`dedup_exact` for those).
 
-    With ``hash_keys=True`` the anti-join ships a pair of independent
-    64-bit xxhash64 digests of the serialized key instead of the key
-    text itself — same trick as the ExactSubstr span dedup
-    (corpus.py): for document-length keys this cuts the shuffled bytes
-    by roughly mean-key-length/16x, and a false drop needs a
-    simultaneous collision in BOTH digests (~n^2/2^128 — astronomically
-    unlikely at any corpus size). ``hash_keys=False`` joins on the raw
-    key (the oracle formulation).
+    With ``hash_keys=True`` the anti-join ships a pair of 64-bit
+    xxhash64 digests of the key columns instead of the key text itself
+    — same trick as the ExactSubstr span dedup (corpus.py): for
+    document-length keys this cuts the shuffled bytes by roughly
+    mean-key-length/16x. The two digests use DIFFERENT seed chains
+    (the second salts a literal FIRST, so its seed when the key bytes
+    arrive is H(1, seed=42) != 42) — Spark's multi-arg xxhash64 feeds
+    the running hash forward as the next seed, so salting LAST would
+    make digest 2 a pure function of digest 1 and buy no extra
+    protection. With decorrelated chains a false drop needs a
+    simultaneous collision in two independent 64-bit hashes
+    (~n_new*n_seen/2^128 — negligible at any corpus size). Each key
+    column is passed to xxhash64 as its own argument (structural
+    chaining, no separator), so multi-column keys whose values contain
+    the serializer's separator cannot be conflated — the per-column
+    semantics match the raw path exactly. ``hash_keys=False`` joins on
+    the raw key columns (the oracle formulation).
 
     ``on`` may name columns from either side as long as BOTH frames
     have them (the usual contract: same logical schema for batch and
     corpus)."""
     on_list = [on] if isinstance(on, str) else list(on)
-    key = serialize_columns(on_list, DEFAULT_SEP)
+    # null -> '' parity with the raw path (Spark's xxhash64 SKIPS null
+    # args, which would conflate ('a', null) with just ('a')).
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in on_list]
     if not hash_keys:
-        mk = [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"_k{i}")
-              for i, c in enumerate(on_list)]
+        mk = [p.alias(f"_k{i}") for i, p in enumerate(parts)]
         nk = new.select("*", *mk)
         sk = seen.select(*mk)
         out = nk.join(sk, [f"_k{i}" for i in range(len(on_list))], "left_anti")
         return out.select(*new.columns)
-    h = [F.xxhash64(key).alias("_h1"), F.xxhash64(key, F.lit(1)).alias("_h2")]
+    h = [F.xxhash64(*parts).alias("_h1"),
+         F.xxhash64(F.lit(1), *parts).alias("_h2")]
     nk = new.select("*", *h)
     sk = seen.select(*h)
     return nk.join(sk, ["_h1", "_h2"], "left_anti").select(*new.columns)

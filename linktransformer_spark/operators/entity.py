@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.serialize import serialize_columns
+from ..ids import require_integral_id
 from .components import connected_components
 
 __all__ = ["match_pairs", "resolve_entities"]
@@ -88,6 +89,11 @@ def match_pairs(
     cosine) — both exact JVM expressions with DuckDB twins."""
     if not -1.0 <= sim_threshold <= 1.0:
         raise ValueError("sim_threshold must be within [-1, 1]")
+    # _sides casts ids to long and the CC stage encodes nodes as
+    # 2*id/2*id+1 — a string/UUID id would cast to null (non-ANSI) and
+    # collapse every record into one null entity, so fail loudly first.
+    require_integral_id(df1, left_id_col, "match_pairs")
+    require_integral_id(df2, right_id_col, "match_pairs")
     for lc, rc in _norm_blocking(blocking_vars):
         if lc not in df1.columns:
             raise ValueError(f"blocking var {lc!r} not in left frame")

@@ -716,3 +716,44 @@ def test_dedup_exact_against_multi_column_key(spark):
     seen = spark.createDataFrame([Row(id=9, a="x", b="y")])
     out = lt.dedup_exact_against(nw, seen, on=["a", "b"]).collect()
     assert [r["id"] for r in out] == [2]
+
+
+def test_dedup_exact_against_no_separator_conflation(spark):
+    # ('a</s>', 'b') and ('a', '</s>b') serialize identically under a
+    # join-with-separator scheme; the hashed path chains columns as
+    # separate xxhash64 args, so they must NOT be conflated (parity
+    # with the raw per-column join).
+    from pyspark.sql import Row
+    nw = spark.createDataFrame([Row(id=1, a="a</s>", b="b")])
+    seen = spark.createDataFrame([Row(id=9, a="a", b="</s>b")])
+    for hk in (True, False):
+        out = lt.dedup_exact_against(nw, seen, on=["a", "b"], hash_keys=hk)
+        assert out.count() == 1, f"conflated with hash_keys={hk}"
+
+
+def test_dedup_exact_against_digests_decorrelated(spark):
+    # The two shipped digests must come from different seed chains:
+    # xxhash64(key) vs xxhash64(lit(1), key). If the second were
+    # xxhash64(key, lit(1)) it would be a pure function of the first
+    # (multi-arg xxhash64 feeds the running hash forward as the seed).
+    df = spark.range(1).select(F.lit("probe").alias("k"))
+    r = df.select(
+        F.xxhash64(F.lit(1), F.col("k")).alias("salt_first"),
+        F.xxhash64(F.col("k"), F.lit(1)).alias("salt_last"),
+        F.xxhash64(F.lit(1), F.xxhash64(F.col("k"))).alias("not_this_either"),
+    ).first()
+    assert r["salt_first"] != r["salt_last"]
+    assert r["salt_first"] != r["not_this_either"]
+
+
+def test_entity_resolution_rejects_string_ids(spark):
+    from linktransformer_spark.operators.entity import match_pairs
+    import pytest as _pytest
+    df1 = spark.createDataFrame([("u-1", "acme")], "rid string, name string")
+    df2 = spark.createDataFrame([(1, "acme co")], "rid long, name string")
+    with _pytest.raises(ValueError, match="integral"):
+        match_pairs(df1, df2, left_on="name", right_on="name",
+                    left_id_col="rid", right_id_col="rid", sim_threshold=0.5)
+    with _pytest.raises(ValueError, match="integral"):
+        match_pairs(df2, df1, left_on="name", right_on="name",
+                    left_id_col="rid", right_id_col="rid", sim_threshold=0.5)
