@@ -55,7 +55,12 @@ from .operators.textpipe import (
     unigram_lm_score,
 )
 from .operators.entity import match_pairs, resolve_entities
-from .operators.search import bm25_topk
+from .operators.search import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_bm25_index,
+    save_bm25_index,
+)
 from .operators.corpus import (
     contamination_pairs,
     dedup_lines,
@@ -222,6 +227,9 @@ __all__ = [
     "unigram_lm_score",
     "gopher_quality_signals",
     "bm25_topk",
+    "bm25_topk_indexed",
+    "build_bm25_index",
+    "save_bm25_index",
     "match_pairs",
     "resolve_entities",
     "contamination_pairs",

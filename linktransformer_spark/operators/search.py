@@ -1,4 +1,5 @@
-"""BM25 keyword search over a document corpus — inverted-index joins.
+"""BM25 keyword search over a document corpus — impact-scored
+inverted-index joins.
 
 Part of the beyond-the-reference training-data tier (the reference's
 query surface is embedding-based; corpus curation also needs exact
@@ -6,12 +7,24 @@ keyword retrieval: building eval slices, pulling topic subsets,
 contamination forensics). Okapi BM25 per Robertson & Zaragoza 2009,
 "The Probabilistic Relevance Framework: BM25 and Beyond".
 
-Why this shape at 100 TB: there is no index *structure* to build —
-the posting list IS a DataFrame ``(term, doc, tf)``, and retrieval is
-an equi-join of query terms against it (AQE broadcasts the query side
-while it fits). Every aggregate partial-aggregates map-side; the only
-per-(query, doc) state is the order-pinned score fold. Nothing leaves
-the JVM.
+Why this shape at 100 TB: the index IS a DataFrame
+``(term, doc, impact)`` where ``impact`` is the FULL per-posting BM25
+contribution ``idf * tf*(k1+1)/(tf + k1*(1-b + b*dl/avgdl))`` — BM25's
+per-(query, doc, term) summand depends only on the posting, never on
+the query, so it can be baked at index-build time (the same
+precomputation Lucene does with its stored norms and impact-ordered
+postings). Retrieval is then ONE equi-join of query terms against the
+impact relation + a groupBy + a top-k window; the build-time joins
+(doc length, document frequency) run once over the posting relation
+instead of once per candidate row. Every aggregate partial-aggregates
+map-side; nothing leaves the JVM.
+
+The persistable form (:func:`save_bm25_index`) writes the impact
+relation partitioned by a term-hash bucket; :func:`bm25_topk_indexed`
+computes the buckets of the incoming query terms and pushes
+``bucket IN (...)`` down to the parquet scan, so a query batch
+touching t distinct terms reads at most t of the ``n_buckets``
+partitions — retrieval I/O tracks the query, not the corpus.
 
 Determinism: the BM25 score sums double contributions across matched
 terms; a plain SUM's partial-aggregation order is engine- and
@@ -22,10 +35,152 @@ bit-identical across Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
+
+
+def _impact_postings(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the impact-scored posting relation.
+
+    Returns ``(postings, dfreq)`` where ``postings`` is
+    ``(_tok, _d, _c)`` with ``_c`` the fully precomputed BM25
+    contribution of that (term, doc) pair, and ``dfreq`` is
+    ``(_tok, _df, _N)`` for stopword-impact pruning.
+
+    Plan: one doc-side explode -> (doc, dl, term) groupBy (map-side
+    combine; the shuffle carries distinct (doc, term) rows, not token
+    occurrences — ``dl`` rides the key for free since it is
+    functionally dependent on the doc). Corpus stats (N, avgdl) are a
+    broadcast one-row aggregate of that relation; IDF joins the
+    vocab-sized df relation against it; the final postings join
+    reshuffles the posting relation on term ONCE — exactly the
+    exchange the retrieval join needs anyway.
+    """
+    base = docs.select(
+        F.col(id_col).alias("_d"),
+        S.word_tokens(F.col(text_col)).alias("_toks"),
+    )
+    dtc = (
+        base.select(
+            "_d",
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_tok"),
+        )
+        .groupBy("_d", "_dl", "_tok")
+        .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    stats = dtc.agg(
+        F.countDistinct("_d").alias("_N"),
+        (F.sum("_tf").cast("double") / F.countDistinct("_d")).alias("_avgdl"),
+    )
+    dfreq = (
+        dtc.groupBy("_tok")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = dfreq.select(
+        "_tok",
+        F.log(
+            F.lit(1.0)
+            + (F.col("_N").cast("double") - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        ).alias("_idf"),
+        "_avgdl",
+    )
+    postings = dtc.join(idf, "_tok").select(
+        "_tok",
+        "_d",
+        (
+            F.col("_idf")
+            * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl"))
+                )
+            )
+        ).alias("_c"),
+    )
+    return postings, dfreq.select("_tok", "_df", "_N")
+
+
+def _query_terms(
+    queries: DataFrame,
+    query_id: str,
+    query_col: str,
+    dfreq: DataFrame | None,
+    max_df_ratio: float | None,
+) -> DataFrame:
+    """Distinct (query, term) pairs, optionally stopword-impact-pruned
+    against the vocab-sized df relation (semi-join BEFORE the posting
+    join — the pruning must never touch the big relation)."""
+    qterms = queries.select(
+        F.col(query_id).alias("_q"),
+        F.explode(S.word_tokens(F.col(query_col))).alias("_tok"),
+    ).distinct()
+    if max_df_ratio is not None:
+        if dfreq is None:
+            raise ValueError(
+                "max_df_ratio pruning needs the index's df relation; "
+                "pass store_df=True at build time"
+            )
+        keep = dfreq.filter(
+            F.col("_df").cast("double")
+            <= F.lit(max_df_ratio) * F.col("_N").cast("double")
+        ).select("_tok")
+        qterms = qterms.join(keep, "_tok", "left_semi")
+    return qterms
+
+
+def _retrieve(
+    postings: DataFrame,
+    qterms: DataFrame,
+    id_col: str,
+    query_id: str,
+    k: int,
+) -> DataFrame:
+    """The retrieval tail shared by the live and indexed paths:
+    ONE equi-join on term, an order-pinned score fold, a top-k rank
+    window (WindowGroupLimit pushdown)."""
+    scored = (
+        qterms.join(postings, "_tok")
+        .groupBy("_q", "_d")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_tok").alias("t"), F.col("_c").alias("c"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_score").desc(), F.col("_d").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("_q").alias(query_id),
+            F.col("_d").alias(id_col),
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_score").alias("score"),
+            F.col("_nt").cast("long").alias("n_terms"),
+        )
+    )
 
 
 def bm25_topk(
@@ -40,7 +195,10 @@ def bm25_topk(
     b: float = 0.75,
     max_df_ratio: float | None = None,
 ) -> DataFrame:
-    """Top-``k`` documents per query by Okapi BM25.
+    """Top-``k`` documents per query by Okapi BM25 (one-shot form:
+    index build + retrieval in one plan; for repeated query batches
+    over a stable corpus use :func:`save_bm25_index` +
+    :func:`bm25_topk_indexed`).
 
     Tokenization is the engine's standard word tokenizer (lowercase,
     whitespace split — functions/similarity.word_tokens, SQL twin
@@ -52,13 +210,6 @@ def bm25_topk(
     1-based by ``score DESC, id ASC``; ``n_terms`` counts matched query
     terms. Queries matching nothing produce no rows (left-join against
     the query table to see them).
-
-    Plan: one doc-side explode -> (doc, term, tf) groupBy (map-side
-    combine; the shuffle carries distinct (doc, term) rows, not token
-    occurrences), lineage-cut once and reused for doc lengths, df/IDF,
-    and the posting join; corpus stats (N, avgdl) are a broadcast
-    one-row aggregate; candidates = query-term equi-join on term; top-k
-    is a rank window with WindowGroupLimit pushdown.
 
     ``max_df_ratio`` (opt-in) drops query terms whose document
     frequency exceeds that fraction of the corpus — classic stopword
@@ -75,89 +226,125 @@ def bm25_topk(
         raise ValueError("k must be >= 1")
     if max_df_ratio is not None and not 0.0 < max_df_ratio <= 1.0:
         raise ValueError("max_df_ratio must be in (0, 1]")
-    dtc = (
-        docs.select(
-            F.col(id_col).alias("_d"),
-            F.explode(S.word_tokens(F.col(text_col))).alias("_tok"),
+    postings, dfreq = _impact_postings(docs, text_col, id_col, k1, b)
+    qterms = _query_terms(queries, query_id, query_col, dfreq, max_df_ratio)
+    return _retrieve(postings, qterms, id_col, query_id, k)
+
+
+# ---------------------------------------------------------------------------
+# Persistable index
+# ---------------------------------------------------------------------------
+
+N_BUCKETS_DEFAULT = 64
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable impact index: returns
+    ``(postings, dfreq)`` with postings =
+    ``(bucket, term, doc id (original name), impact)`` and dfreq =
+    ``(term, df, n_docs)``. ``bucket = pmod(xxhash64(term), n_buckets)``
+    is the partition key :func:`save_bm25_index` writes under."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    postings, dfreq = _impact_postings(docs, text_col, id_col, k1, b)
+    out = postings.select(
+        F.pmod(F.xxhash64("_tok"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col("_tok").alias("term"),
+        F.col("_d").alias(id_col),
+        F.col("_c").alias("impact"),
+    )
+    df_out = dfreq.select(
+        F.col("_tok").alias("term"),
+        F.col("_df").alias("df"),
+        F.col("_N").alias("n_docs"),
+    )
+    return out, df_out
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> None:
+    """Write the impact index under ``path``: ``postings/`` parquet
+    PARTITIONED BY bucket (term-hash), plus ``dfreq/`` (vocab-sized,
+    for max_df_ratio pruning at retrieval). Partitioning by the term
+    hash is what makes the on-disk form an index rather than a dump:
+    a retrieval touching t distinct terms reads <= min(t, n_buckets)
+    partitions, so few-term lookups scan a sliver of the corpus
+    regardless of its size. Size n_buckets so one bucket
+    (~|postings|/n_buckets rows) is a few HDFS blocks at your scale."""
+    postings, dfreq = build_bm25_index(
+        docs, text_col=text_col, id_col=id_col, k1=k1, b=b, n_buckets=n_buckets
+    )
+    # one file per (shuffle partition, bucket) would explode the file
+    # count; cluster rows by bucket first so each bucket writes from
+    # few tasks. repartition(bucket) hashes the low-cardinality bucket
+    # key — adequate here because n_buckets >> shuffle parallelism is
+    # the sizing rule anyway.
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id: str = "q_id",
+    query_col: str = "q_text",
+    k: int = 10,
+    max_df_ratio: float | None = None,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> DataFrame:
+    """Top-``k`` retrieval against a :func:`save_bm25_index` directory.
+
+    The scoring work left at query time is only the posting join, the
+    order-pinned fold, and the rank window — IDF, doc length, and the
+    tf saturation are baked into the stored ``impact``. The query
+    batch's distinct term buckets are collected (bounded: <= number of
+    distinct query terms, itself <= the query batch size — the same
+    bounded-collect contract as the broadcast-kNN right side) and
+    pushed as a partition filter, so the scan reads only the buckets
+    the batch actually touches."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    postings = spark.read.parquet(f"{index_path}/postings")
+    dfreq = (
+        spark.read.parquet(f"{index_path}/dfreq")
+        .select(
+            F.col("term").alias("_tok"),
+            F.col("df").alias("_df"),
+            F.col("n_docs").alias("_N"),
         )
-        .groupBy("_d", "_tok")
-        .agg(F.count("*").alias("_tf"))
-        .localCheckpoint(eager=False)
+        if max_df_ratio is not None
+        else None
     )
-    dl = dtc.groupBy("_d").agg(F.sum("_tf").alias("_dl"))
-    stats = dl.agg(
-        F.count("*").alias("_N"),
-        (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
-    )
-    dfreq = dtc.groupBy("_tok").agg(F.count("*").alias("_df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "_tok",
-        F.log(
-            F.lit(1.0)
-            + (F.col("_N").cast("double") - F.col("_df") + F.lit(0.5))
-            / (F.col("_df") + F.lit(0.5))
-        ).alias("_idf"),
-        "_avgdl",
-    )
-    qterms = (
-        queries.select(
-            F.col(query_id).alias("_q"),
-            F.explode(S.word_tokens(F.col(query_col))).alias("_tok"),
+    qterms = _query_terms(queries, query_id, query_col, dfreq, max_df_ratio)
+    buckets = [
+        r["_b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("_tok"), F.lit(n_buckets)).cast("int").alias("_b")
         )
         .distinct()
+        .collect()
+    ]
+    pruned = postings.filter(F.col("bucket").isin(buckets)).select(
+        F.col("term").alias("_tok"),
+        F.col(id_col).alias("_d"),
+        F.col("impact").alias("_c"),
     )
-    if max_df_ratio is not None:
-        # prune BEFORE the posting join: the df relation is vocab-sized
-        keep = (
-            dfreq.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("_df").cast("double")
-                <= F.lit(max_df_ratio) * F.col("_N").cast("double")
-            )
-            .select("_tok")
-        )
-        qterms = qterms.join(keep, "_tok", "left_semi")
-    contrib = (
-        qterms.join(dtc, "_tok")
-        .join(idf, "_tok")
-        .join(dl, "_d")
-        .select(
-            "_q",
-            "_d",
-            "_tok",
-            (
-                F.col("_idf")
-                * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
-                / (
-                    F.col("_tf").cast("double")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl"))
-                    )
-                )
-            ).alias("_c"),
-        )
-    )
-    scored = contrib.groupBy("_q", "_d").agg(
-        F.count("*").alias("_nt"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_tok").alias("t"), F.col("_c").alias("c")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"],
-        ).alias("_score"),
-    )
-    w = Window.partitionBy("_q").orderBy(F.col("_score").desc(), F.col("_d").asc())
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .select(
-            F.col("_q").alias(query_id),
-            F.col("_d").alias(id_col),
-            F.col("_r").cast("int").alias("rank"),
-            F.col("_score").alias("score"),
-            F.col("_nt").cast("long").alias("n_terms"),
-        )
-    )
+    return _retrieve(pruned, F.broadcast(qterms), id_col, query_id, k)

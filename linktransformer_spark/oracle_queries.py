@@ -3411,6 +3411,37 @@ def search_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("search_bm25_indexed", _bm25_sql())
+def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistable-index serving path: build + save the
+    impact-scored inverted index (operators/search.py
+    save_bm25_index — postings partitioned by term-hash bucket), then
+    retrieve through bm25_topk_indexed, whose scan reads only the
+    buckets the query batch touches. Same oracle as the one-shot form:
+    the stored impact IS the per-posting BM25 contribution, so results
+    are bit-identical."""
+    import hashlib
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import bm25_topk_indexed, save_bm25_index
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_bm25_idx_{tag}"
+    save_bm25_index(docs, path)
+    out = bm25_topk_indexed(spark, path, queries, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher/MassiveText quality rules (Rae et al. 2021, Appendix A1.1) —
 # map-only signal pass, see operators/textpipe.gopher_quality_signals.

@@ -125,3 +125,48 @@ def test_bm25_max_df_ratio_prunes_stopwords(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bm25_topk(docs, qs, max_df_ratio=0.0)
+
+
+def test_bm25_index_round_trip_equals_direct(spark, corpus, tmp_path):
+    """save_bm25_index + bm25_topk_indexed must return exactly what
+    the one-shot bm25_topk returns — the stored impact IS the full
+    per-posting contribution."""
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=4)
+    q = _q(spark, (1, "apple banana"), (2, "egg"), (3, "zzz"))
+    direct = {
+        (r["q_id"], r["doc_id"]): (r["rank"], r["score"], r["n_terms"])
+        for r in lt.bm25_topk(corpus, q, k=5).collect()
+    }
+    indexed = {
+        (r["q_id"], r["doc_id"]): (r["rank"], r["score"], r["n_terms"])
+        for r in lt.bm25_topk_indexed(spark, path, q, k=5, n_buckets=4).collect()
+    }
+    assert direct == indexed and direct
+
+
+def test_bm25_index_bucket_pruning_reads_subset(spark, corpus, tmp_path):
+    """The indexed scan must carry a bucket partition filter — a
+    single-term query touches exactly one of the n_buckets
+    partitions."""
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=16)
+    q = _q(spark, (1, "apple"))
+    out = lt.bm25_topk_indexed(spark, path, q, k=5, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan  # partition filter visible in the scan
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_bm25_indexed_max_df_ratio_uses_stored_dfreq(spark, tmp_path):
+    rows = [(i, "the common filler words " + ("rare" if i == 1 else "noise"))
+            for i in range(1, 11)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=4)
+    q = _q(spark, (1, "the rare"))
+    pruned = lt.bm25_topk_indexed(
+        spark, path, q, k=10, max_df_ratio=0.5, n_buckets=4).collect()
+    # 'the' (df=10/10) pruned; only the 'rare' doc matches, n_terms=1
+    assert [(r["doc_id"], r["n_terms"]) for r in pruned] == [(1, 1)]
