@@ -23,7 +23,13 @@ from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import profile_table, quantile_buckets
-from .operators.sampling import hash_sample, hash_split, sample_mixture, sample_per_group
+from .operators.sampling import (
+    hash_sample,
+    hash_split,
+    sample_mixture,
+    sample_per_group,
+    temperature_mixture,
+)
 from .operators.multimodal import (
     attach_fake_media, decode_image, extract_features, frame_sample, resize_image,
 )
@@ -192,6 +198,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "sample_mixture",
+    "temperature_mixture",
     "sample_per_group",
     "ivf_topk",
     "ivf_pq_topk",

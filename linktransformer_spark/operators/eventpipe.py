@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_user_steps", "funnel", "retention"]
+__all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix", "trending"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -248,4 +248,131 @@ def retention(
         F.round(
             F.col("n_active").cast("double") / F.col("n_cohort").cast("double"), 6
         ).alias("retention"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition table over each user's event
+    sequence: one row per observed (from_type, to_type) pair with the
+    transition count and the row-conditional probability
+    ``p = n / sum(n over from_type)`` — the "what do users do next"
+    path-analysis primitive.
+
+    Ordering inside a user is (ts, tiebreak) — pass a unique
+    ``tiebreak_col`` (e.g. the event id) to pin simultaneous events;
+    without one, ties order by the event type string (still
+    deterministic, but arbitrary).
+
+    Plan: ONE shuffle — a lead window on the user key produces each
+    event's successor in-partition; the (from, to) pair counts are a
+    hash aggregate (map-side combine), and the per-from totals come
+    from a second window over the AGGREGATED relation, which has at
+    most |event types|^2 rows — negligible at any corpus size. p is a
+    ratio of exact integers (engine-portable). No Python, no joins.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("_tb").asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(type_col).alias("from_type"),
+            tb.alias("_tb"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("_t", F.sum("n").over(tot))
+        .filter(F.col("n") >= min_count)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 6).alias("p"),
+        )
+    )
+
+
+def trending(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 3600,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` event types per fixed time window, with the
+    window-over-window lift — the "what is spiking right now"
+    dashboard primitive.
+
+    Windows are ``floor(epoch / window_seconds)`` buckets (engine-
+    portable, unlike session-local window frames). Returns
+    (``window_start``, ``event_type``, ``n``, ``rank``, ``lift``) for
+    the top-k of each window, rank 1-based by (n DESC, type ASC);
+    ``lift = n / n_previous_window`` for the same type (null when the
+    type was absent from the immediately preceding window).
+
+    Plan: one hash aggregate on (window, type) — map-side combined, so
+    the shuffle carries at most |windows|x|types| rows regardless of
+    event volume — then two windows (lag by type, rank by window) over
+    that aggregated relation. At 100 TB the aggregate output is still
+    tiny (cardinality is bounded by time x type, not rows), so the
+    window stages are free; no Python, no joins.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    from pyspark.sql import Window
+
+    win = (
+        F.floor(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+            / F.lit(window_seconds)
+        ).cast("long")
+    ).alias("_w")
+    counts = events.select(win, F.col(type_col).alias("event_type")).groupBy(
+        "_w", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lag_w = Window.partitionBy("event_type").orderBy(F.col("_w").asc())
+    rank_w = Window.partitionBy("_w").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    prev = F.lag(F.struct(F.col("_w").alias("w"), F.col("n").alias("n"))).over(lag_w)
+    return (
+        counts.withColumn(
+            "_lift",
+            F.when(
+                prev["w"] == F.col("_w") - 1,
+                F.round(F.col("n").cast("double") / prev["n"].cast("double"), 6),
+            ),
+        )
+        .withColumn("_r", F.row_number().over(rank_w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.timestamp_seconds(F.col("_w") * window_seconds).alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_lift").alias("lift"),
+        )
     )

@@ -162,3 +162,84 @@ def hash_split(
     for bound, name in reversed(cases):
         expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    key_cols: list[str] | str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-rebalanced mixture sampling (the multilingual /
+    multi-source rebalancing rule of Lample & Conneau 2019 / XLM-R:
+    sample group g with probability proportional to ``count_g^alpha``).
+    ``alpha=1`` keeps natural proportions, ``alpha -> 0`` approaches
+    uniform-over-groups; 0.5-0.7 is the usual range for boosting
+    low-resource sources without drowning the head.
+
+    Deterministic and exact-n: group g receives
+    ``target_g = min(count_g, floor(budget * w_g))`` rows with
+    ``w_g = count_g^alpha / sum_h count_h^alpha``, and WHICH rows is
+    the same content-hash order as :func:`sample_per_group` — stable
+    across runs, engines and partitionings. Floor apportionment means
+    ``sum(target_g) <= budget`` (remainders are dropped, not
+    redistributed — reproducibility beats hitting the budget exactly);
+    sampling is without replacement, so upweighted small groups cap at
+    their own size rather than repeating rows.
+
+    Plan: per-group counts are one hash aggregate (|groups| rows); the
+    normalizer folds those counts in group-sort order (order-pinned
+    float sum — cross-engine-reproducible); targets broadcast-join
+    back; selection is one (group, hash-order) window with the
+    WindowGroupLimit rank pushdown. For a shuffle-free approximate
+    variant, feed the computed per-group fractions to
+    :func:`sample_mixture` instead (hash-threshold membership: map-only
+    but only ~target_g rows per group, not exactly).
+
+    ``alpha=0.5`` routes through sqrt (IEEE-correctly-rounded in every
+    engine — bit-exact oracle parity); other alphas use pow.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys = (
+        [key_cols] if isinstance(key_cols, str)
+        else list(key_cols) if key_cols is not None
+        else [c for c in df.columns if c != group_col]
+    )
+    cnt = F.col("_n").cast("double")
+    powed = F.sqrt(cnt) if alpha == 0.5 else F.pow(cnt, F.lit(float(alpha)))
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = counts.select("_g", "_n", powed.alias("_wp"))
+    # order-pinned normalizer: fold the (tiny) group relation sorted by
+    # group value — a plain SUM's partial order is partition-dependent
+    norm = scored.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_g").alias("g"), F.col("_wp").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("_z")
+    )
+    targets = scored.crossJoin(F.broadcast(norm)).select(
+        "_g",
+        F.least(
+            F.col("_n"),
+            F.floor(F.lit(float(budget)) * F.col("_wp") / F.col("_z")).cast("long"),
+        ).alias("_target"),
+    )
+    key = _key_expr(keys)
+    h = S.poly_hash(key, salt=salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), key.asc())
+    return (
+        df.join(F.broadcast(targets), F.col(group_col) == F.col("_g"))
+        .withColumn("_smp_rank", F.row_number().over(w))
+        .filter(F.col("_smp_rank") <= F.col("_target"))
+        .drop("_g", "_target", "_smp_rank")
+    )

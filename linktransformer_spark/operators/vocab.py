@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import word_tokens
 
-__all__ = ["token_counts", "top_vocab", "collocations"]
+__all__ = ["token_counts", "top_vocab", "collocations", "tfidf_top_terms"]
 
 
 def token_counts(df: DataFrame, on: str = "text", *, min_count: int = 1) -> DataFrame:
@@ -149,3 +149,74 @@ def collocations(
             F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
         ).limit(top_k)
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    on: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the
+    topic-labeling / corpus-audit primitive ("what is each document
+    about", keyword extraction for slice discovery).
+
+    tf is the raw in-document count; idf is the smoothed
+    ``ln((1 + N) / (1 + df)) + 1`` (sklearn's ``smooth_idf`` form —
+    never zero, so single-doc corpora still rank). Returns
+    (``id_col``, ``term``, ``tf``, ``tfidf``, ``rank``), rank 1-based
+    by (tfidf DESC, term ASC); ties in score resolve to the
+    lexicographically first term. ``min_df`` drops hapax noise before
+    ranking (df < min_df terms never surface).
+
+    Plan: the same (doc, term, tf) relation the BM25 index builds —
+    one explode + hash agg shuffle (map-side combine) — a vocab-sized
+    df aggregate joined back on term, the 1-row N broadcast, and a
+    per-doc rank window with WindowGroupLimit pushdown. The window
+    partitions on the DOCUMENT key, so parallelism tracks documents;
+    per-doc state is its distinct-term list. No Python anywhere.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    dtc = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(word_tokens(F.col(on))).alias("term"),
+        )
+        .groupBy("_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    ndocs = dtc.agg(F.countDistinct("_d").alias("_N"))
+    dfreq = dtc.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("_df") >= min_df)
+    idf = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        (
+            F.log(
+                (F.lit(1.0) + F.col("_N").cast("double"))
+                / (F.lit(1.0) + F.col("_df").cast("double"))
+            )
+            + F.lit(1.0)
+        ).alias("_idf"),
+    )
+    scored = dtc.join(idf, "term").select(
+        "_d", "term", "tf", (F.col("tf").cast("double") * F.col("_idf")).alias("_s")
+    )
+    w = Window.partitionBy("_d").orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("_d").alias(id_col),
+            "term",
+            "tf",
+            F.col("_s").alias("tfidf"),
+            F.col("_r").cast("int").alias("rank"),
+        )
+    )

@@ -3917,3 +3917,191 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id_col="c_custkey", right_id_col="s_suppkey",
         sim_threshold=0.62, blocking_vars=[("c_nationkey", "s_nationkey")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Event path analysis (operators/eventpipe.py transition_matrix /
+# trending) — round-6 additions: first-order Markov transitions and
+# windowed trending top-k with window-over-window lift.
+# ---------------------------------------------------------------------------
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n, p FROM (
+      SELECT from_type, to_type, n,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM c
+    ) WHERE n >= 2
+"""
+
+
+@_q("events_transitions", _TRANSITIONS_SQL)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event table: per-user lead window (one
+    shuffle), pair hash agg, conditional p over the tiny aggregated
+    relation. min_count prunes noise AFTER the conditional total, so p
+    still conditions on all outgoing transitions."""
+    from .operators.eventpipe import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, tiebreak_col="event_id", min_count=2
+    )
+
+
+_TRENDING_SQL = """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS w,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT w, event_type, n,
+             lag(w) OVER (PARTITION BY event_type ORDER BY w ASC) AS pw,
+             lag(n) OVER (PARTITION BY event_type ORDER BY w ASC) AS pn
+      FROM c
+    ),
+    r AS (
+      SELECT w, event_type, n,
+             CASE WHEN pw = w - 1
+                  THEN round(CAST(n AS DOUBLE) / pn, 6) END AS lift,
+             row_number() OVER (
+               PARTITION BY w ORDER BY n DESC, event_type ASC) AS rk
+      FROM l
+    )
+    SELECT make_timestamp(w * 21600 * 1000000) AS window_start,
+           event_type, n, CAST(rk AS INT) AS rank, lift
+    FROM r WHERE rk <= 3
+"""
+
+
+@_q("events_trending", _TRENDING_SQL)
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed trending top-k with lift: 6-hour buckets, top 3 types
+    per bucket. The only corpus-sized stage is the map-side-combined
+    (window, type) aggregate; both window functions run over its tiny
+    output. Bucketing by floor(epoch/W) is exact across engines:
+    second-truncation (Spark unix_timestamp) never crosses a
+    whole-second window boundary."""
+    from .operators.eventpipe import trending
+
+    ev = _t(spark, sf_dir, "events")
+    return trending(ev, window_seconds=21600, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-rebalanced mixture sampling (operators/sampling.py
+# temperature_mixture) — XLM-R-style count^alpha rebalancing, exact-n,
+# content-hash deterministic.
+# ---------------------------------------------------------------------------
+def _temperature_mixture_sql(budget: int = 250) -> str:
+    from .functions.oracle import sql_poly_hash
+
+    key = "coalesce(text, '')"
+    ph = sql_poly_hash(key)
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    z AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+               (acc, x) -> acc + x) AS z
+      FROM c
+    ),
+    t AS (
+      SELECT lang,
+             least(n, CAST(floor(CAST({budget} AS DOUBLE)
+                                 * sqrt(CAST(n AS DOUBLE)) / z.z)
+                           AS BIGINT)) AS target
+      FROM c, z
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {ph} ASC, {key} ASC) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN t ON r.lang = t.lang
+    WHERE r.rk <= t.target
+"""
+
+
+@_q("docs_temperature_mixture", _temperature_mixture_sql())
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the skewed lang distribution to count^0.5 proportions
+    in a 250-doc budget. alpha=0.5 routes through sqrt on both engines
+    (correctly rounded -> bit-exact weights); the normalizer folds the
+    per-group relation in group order (order-pinned float sum)."""
+    from .operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "lang", budget=250, alpha=0.5, key_cols="text")
+    return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF characteristic terms (operators/vocab.py tfidf_top_terms) —
+# per-document keyword extraction for topic labeling / slice audit.
+# ---------------------------------------------------------------------------
+def _tfidf_sql(k: int = 3, min_df: int = 2) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ),
+    dtc AS (
+      SELECT doc_id AS d, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(DISTINCT d) AS N FROM dtc),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM dtc GROUP BY term
+      HAVING count(*) >= {min_df}
+    ),
+    idf AS (
+      SELECT term,
+             ln((1.0 + CAST(nd.N AS DOUBLE)) / (1.0 + CAST(df AS DOUBLE)))
+             + 1.0 AS idf
+      FROM dfreq, nd
+    ),
+    s AS (
+      SELECT d, dtc.term, tf, CAST(tf AS DOUBLE) * idf AS s
+      FROM dtc JOIN idf ON dtc.term = idf.term
+    ),
+    r AS (
+      SELECT d, term, tf, s,
+             row_number() OVER (
+               PARTITION BY d ORDER BY s DESC, term ASC) AS rk
+      FROM s
+    )
+    SELECT d AS doc_id, term, tf, round(s, 6) AS tfidf, CAST(rk AS INT) AS rank
+    FROM r WHERE rk <= {k}
+"""
+
+
+@_q("docs_tfidf_terms", _tfidf_sql())
+def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (smooth-idf tf-idf,
+    min_df=2): the BM25 index's (doc, term, tf) relation, a vocab-sized
+    idf join, and a per-doc rank window (WindowGroupLimit)."""
+    from .operators.vocab import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=3, min_df=2)
+    return out.select(
+        "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )

@@ -18,15 +18,29 @@ def _norm(v):
     return v
 
 
+def _nonekey(t):
+    # None is not orderable against floats/strings; sort None-last with
+    # a type tag so mixed-type columns (nullable lift etc.) still sort
+    return tuple(
+        (v is None, "" if v is None else type(v).__name__, 0 if v is None else v)
+        for v in t
+    )
+
+
 def rows_of_spark(df):
     cols = sorted(df.columns)
-    return sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+    return sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=_nonekey
+    )
 
 
 def rows_of_duck(con, sql, columns):
     rel = con.sql(sql)
     idx = [rel.columns.index(c) for c in sorted(columns)]
-    return sorted(tuple(_norm(row[i]) for i in idx) for row in rel.fetchall())
+    return sorted(
+        (tuple(_norm(row[i]) for i in idx) for row in rel.fetchall()),
+        key=_nonekey,
+    )
 
 
 def compare(spark_df, con, sql, max_diff_print: int = 5):

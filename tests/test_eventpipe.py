@@ -141,3 +141,81 @@ def test_funnel_is_single_shuffle(spark, sf_dir):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix / trending (round 6)
+# ---------------------------------------------------------------------------
+from linktransformer_spark.operators.eventpipe import (  # noqa: E402
+    transition_matrix,
+    trending,
+)
+
+
+def test_transitions_counts_and_conditional_p(spark):
+    # user 1: a->b->a ; user 2: a->b  =>  a->b n=2, b->a n=1
+    ev = _ev(spark, [(1, 0, "a"), (1, 10, "b"), (1, 20, "a"),
+                     (2, 0, "a"), (2, 10, "b")])
+    rows = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in transition_matrix(ev).collect()}
+    assert rows[("a", "b")] == (2, 1.0)
+    assert rows[("b", "a")] == (1, 1.0)
+    assert len(rows) == 2  # last events have no successor
+
+
+def test_transitions_p_conditions_on_prefiltered_total(spark):
+    # a->b x3, a->c x1: with min_count=2 the a->c row is dropped but
+    # a->b's p stays 0.75 (conditioned on ALL outgoing transitions)
+    ev = _ev(spark, [(u, 0, "a") for u in range(1, 5)]
+             + [(u, 10, "b") for u in range(1, 4)] + [(4, 10, "c")])
+    rows = {(r["from_type"], r["to_type"]): r["p"]
+            for r in transition_matrix(ev, min_count=2).collect()}
+    assert rows == {("a", "b"): 0.75}
+
+
+def test_transitions_tiebreak_pins_simultaneous_events(spark):
+    ev = spark.createDataFrame([
+        Row(user_id=1, ts=T0, event_type="b", event_id=2),
+        Row(user_id=1, ts=T0, event_type="a", event_id=1),
+        Row(user_id=1, ts=T0 + dt.timedelta(seconds=1), event_type="c", event_id=3),
+    ])
+    rows = {(r["from_type"], r["to_type"])
+            for r in transition_matrix(ev, tiebreak_col="event_id").collect()}
+    assert rows == {("a", "b"), ("b", "c")}
+
+
+def test_transitions_single_shuffle_before_agg(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = transition_matrix(
+        ev, tiebreak_col="event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan  # no joins at all
+
+
+def test_trending_topk_rank_and_lift(spark):
+    # window 0: a x3, b x1; window 1: a x1, b x2 -> lift a=1/3, b=2
+    rows = [(1, 0, "a"), (2, 1, "a"), (3, 2, "a"), (1, 3, "b"),
+            (1, 60, "a"), (2, 61, "b"), (3, 62, "b")]
+    ev = _ev(spark, rows)
+    out = {(int(r["window_start"].timestamp()), r["event_type"]):
+           (r["n"], r["rank"], r["lift"])
+           for r in trending(ev, window_seconds=60, k=2).collect()}
+    base = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[(base, "a")] == (3, 1, None)          # no previous window
+    assert out[(base, "b")] == (1, 2, None)
+    assert out[(base + 60, "b")] == (2, 1, 2.0)
+    assert out[(base + 60, "a")] == (1, 2, round(1 / 3, 6))
+
+
+def test_trending_lift_null_when_gap(spark):
+    # type present in window 0 and window 2 but not 1 -> lift null
+    ev = _ev(spark, [(1, 0, "a"), (1, 125, "a")])
+    out = trending(ev, window_seconds=60, k=1).collect()
+    assert all(r["lift"] is None for r in out)
+
+
+def test_trending_k_bounds_rows_per_window(spark):
+    ev = _ev(spark, [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")])
+    out = trending(ev, window_seconds=60, k=2).collect()
+    assert len(out) == 2 and {r["rank"] for r in out} == {1, 2}

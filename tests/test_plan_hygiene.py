@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
     "ann_topk_int8": "quantized exact-cross baseline (4x bandwidth cut; lsh/ivf modes are the scale path)",
     "docs_top_vocab": "1-row token-total broadcast",
+    "docs_temperature_mixture": "1-row order-pinned normalizer broadcast",
+    "docs_tfidf_terms": "1-row doc-count (N) broadcast",
     "docs_collocations_pmi": "1-row totals (n_tok, n_bi) broadcast",
 }
 

@@ -2,6 +2,8 @@
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import linktransformer_spark as lt
 
 
@@ -154,3 +156,53 @@ def test_hash_split_disjoint_stable_and_consistent_with_sample(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum"):
         lt.hash_split(docs, "text", {"a": 0.9, "b": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture (round 6)
+# ---------------------------------------------------------------------------
+def test_temperature_mixture_rebalances_toward_sqrt(spark):
+    import math
+    rows = ([("big", f"b{i}") for i in range(400)]
+            + [("small", f"s{i}") for i in range(100)])
+    df = spark.createDataFrame(rows, ["src", "text"])
+    out = lt.temperature_mixture(df, "src", budget=100, alpha=0.5,
+                                 key_cols="text")
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    z = math.sqrt(400) + math.sqrt(100)
+    assert counts["big"] == math.floor(100 * math.sqrt(400) / z)   # 66
+    assert counts["small"] == math.floor(100 * math.sqrt(100) / z)  # 33
+    # natural proportions would be 80/20 — the tail got boosted
+    assert counts["small"] > 20
+
+
+def test_temperature_mixture_caps_at_group_size(spark):
+    rows = ([("big", f"b{i}") for i in range(1000)]
+            + [("tiny", "t0"), ("tiny", "t1")])
+    df = spark.createDataFrame(rows, ["src", "text"])
+    out = lt.temperature_mixture(df, "src", budget=900, alpha=0.5,
+                                 key_cols="text")
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["tiny"] == 2  # cannot exceed the group, no replacement
+
+
+def test_temperature_mixture_deterministic_and_stable(spark):
+    rows = [(f"s{i % 3}", f"doc {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    a = {tuple(r) for r in lt.temperature_mixture(
+        df, "src", budget=150, key_cols="text").collect()}
+    b = {tuple(r) for r in lt.temperature_mixture(
+        df.repartition(7), "src", budget=150, key_cols="text").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mixture_validates(spark):
+    df = spark.createDataFrame([("a", "x")], ["src", "text"])
+    with pytest.raises(ValueError):
+        lt.temperature_mixture(df, "src", budget=0)
+    with pytest.raises(ValueError):
+        lt.temperature_mixture(df, "src", budget=10, alpha=0.0)
+    with pytest.raises(ValueError):
+        lt.temperature_mixture(df, "src", budget=10, alpha=1.5)

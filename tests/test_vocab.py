@@ -74,3 +74,44 @@ def test_top_vocab_plan_is_takeordered(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = top_vocab(docs, vocab_size=100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms (round 6)
+# ---------------------------------------------------------------------------
+from linktransformer_spark.operators.vocab import tfidf_top_terms  # noqa: E402
+
+
+def test_tfidf_surfaces_characteristic_terms(spark):
+    rows = [
+        (1, "common common zebra zebra zebra"),
+        (2, "common yak yak"),
+        (3, "common filler filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["term"]
+           for r in tfidf_top_terms(df, k=1).collect()}
+    # the doc-specific rare term beats the corpus-wide 'common'
+    assert out[1] == "zebra" and out[2] == "yak" and out[3] == "filler"
+
+
+def test_tfidf_min_df_drops_hapax(spark):
+    rows = [(1, "shared unique1"), (2, "shared unique2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, k=5, min_df=2).collect()
+    assert {r["term"] for r in out} == {"shared"}
+
+
+def test_tfidf_rank_ties_break_lexicographically(spark):
+    df = spark.createDataFrame([(1, "b a")], ["doc_id", "text"])
+    out = sorted(tfidf_top_terms(df, k=2).collect(), key=lambda r: r["rank"])
+    assert [r["term"] for r in out] == ["a", "b"]
+
+
+def test_tfidf_validates(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tfidf_top_terms(df, k=0)
+    with _pytest.raises(ValueError):
+        tfidf_top_terms(df, min_df=0)
