@@ -16,7 +16,7 @@ from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
-    quantize_embeddings,
+    mmr_rerank, quantize_embeddings,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .data import DATA_DIR_PATH
@@ -186,6 +186,7 @@ __all__ = [
     "OpenAIChatSpec",
     "GeminiSpec",
     "ann_topk",
+    "mmr_rerank",
     "quantize_embeddings",
     "knn_classify",
     "knn_label_eval",

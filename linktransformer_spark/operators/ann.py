@@ -763,3 +763,102 @@ def knn_label_eval(
             "accuracy"
         ),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    query_id: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "score",
+    vector_col: str = "embedding",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_picked`` —
+    the standard diversity pass over an ANN/BM25 candidate list
+    (dedup near-identical hits, cover multiple facets).
+
+    ``candidates`` is a per-(query, candidate) relation carrying the
+    relevance score and the CANDIDATE's embedding (the usual shape:
+    ``ann_topk`` output joined back to the corpus vectors). Embeddings
+    are L2-normalized internally, so the diversity penalty is cosine.
+    Returns ``(query_id, id_col, rank, score, mmr)`` — rank 1..k in
+    greedy pick order, ``score`` the input relevance, ``mmr`` the
+    marginal objective at pick time (``lam*score`` for rank 1; ties
+    break on candidate id).
+
+    Fully relational greedy loop — NO driver-side collect: iteration j
+    joins the remaining candidates against the j-1 picked rows per
+    query (at most ``|cand_q| * (j-1)`` pairs per query), takes the
+    per-candidate MAX similarity (order-free — float-deterministic
+    without sort pinning), and picks the argmax via a rank-1 window.
+    Each iteration's picks and remainder are lazily lineage-cut, so
+    the composed plan is LINEAR in k (k-1 small self-joins), not
+    exponential. Work is O(k^2 * |candidates|) dots, partitioned by
+    query — the contract is candidate lists already bounded by an
+    upstream top-N, the only setting where greedy MMR is defined.
+    DuckDB oracle: the same chain, unrolled as k-1 CTE blocks.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = candidates.select(
+        F.col(query_id).cast("long").alias("_q"),
+        F.col(id_col).cast("long").alias("_d"),
+        F.col(score_col).cast("double").alias("_rel"),
+        S.l2_normalize(F.col(vector_col)).alias("_v"),
+    ).localCheckpoint(eager=False)
+
+    def _rank1(df: DataFrame, order: Column, rank_val: int, mmr: Column) -> DataFrame:
+        w = Window.partitionBy("_q").orderBy(order.desc(), F.col("_d").asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "_q", "_d", "_rel", "_v",
+                F.lit(rank_val).alias("rank"), mmr.alias("mmr"),
+            )
+        )
+
+    first = _rank1(
+        cand, F.col("_rel"), 1, F.lit(lam) * F.col("_rel")
+    ).localCheckpoint(eager=False)
+    picks = [first]
+    selected = first
+    remaining = cand.join(
+        first.select("_q", "_d"), ["_q", "_d"], "left_anti"
+    ).localCheckpoint(eager=False)
+    for j in range(2, k + 1):
+        pen = (
+            remaining.join(
+                selected.select("_q", F.col("_v").alias("_sv")), "_q"
+            )
+            .groupBy("_q", "_d")
+            .agg(
+                F.first("_rel").alias("_rel"),
+                F.first("_v").alias("_v"),
+                F.max(S.dot(F.col("_v"), F.col("_sv"))).alias("_pen"),
+            )
+        )
+        mmr = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_pen")
+        pick = _rank1(pen.withColumn("_mmr", mmr), F.col("_mmr"), j,
+                      F.col("_mmr")).localCheckpoint(eager=False)
+        picks.append(pick)
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("_q", "_d"), ["_q", "_d"], "left_anti"
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("_q").alias(query_id),
+        F.col("_d").alias(id_col),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("_rel").alias(score_col),
+        F.col("mmr").alias("mmr"),
+    )

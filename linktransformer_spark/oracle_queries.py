@@ -4105,3 +4105,86 @@ def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (operators/ann.py mmr_rerank, Carbonell &
+# Goldstein 1998) — the greedy loop unrolls into k-1 chained CTE
+# blocks, so even the iterative operator is fully value-checkable.
+# ---------------------------------------------------------------------------
+def _mmr_sql(k: int = 5, lam: float = 0.7, nq: int = 50, ncand: int = 20) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    l, ml = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [f"""
+    WITH qn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id < {nq}
+    ),
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    cand AS (
+      SELECT q, d, rel, v FROM (
+        SELECT q.vec_id AS q, c.vec_id AS d,
+               {sql_dot('q.v', 'c.v')} AS rel, c.v AS v,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+               ) AS rn
+        FROM qn q CROSS JOIN cn c
+      ) WHERE rn <= {ncand}
+    ),
+    sel1 AS (
+      SELECT q, d, rel, v, 1 AS rank, {l} * rel AS mmr FROM (
+        SELECT q, d, rel, v,
+               row_number() OVER (PARTITION BY q ORDER BY rel DESC, d ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""]
+    pen_dot = sql_dot("r.v", "s.v")
+    for j in range(2, k + 1):
+        parts.append(f""",
+    pen{j} AS (
+      SELECT r.q, r.d, r.rel, r.v, max({pen_dot}) AS pen
+      FROM cand r JOIN sel{j - 1} s ON r.q = s.q
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{j - 1} x WHERE x.q = r.q AND x.d = r.d)
+      GROUP BY r.q, r.d, r.rel, r.v
+    ),
+    pick{j} AS (
+      SELECT q, d, rel, v, {j} AS rank, mmr FROM (
+        SELECT q, d, rel, v, {l} * rel - {ml} * pen AS mmr,
+               row_number() OVER (
+                 PARTITION BY q ORDER BY {l} * rel - {ml} * pen DESC, d ASC
+               ) AS rn
+        FROM pen{j}
+      ) WHERE rn = 1
+    ),
+    sel{j} AS (SELECT * FROM sel{j - 1} UNION ALL SELECT * FROM pick{j})""")
+    parts.append(f"""
+    SELECT q AS query_id, d AS neighbor_id, CAST(rank AS INT) AS rank,
+           round(rel, 6) AS score, round(mmr, 6) AS mmr
+    FROM sel{k}""")
+    return "".join(parts)
+
+
+@_q("ann_mmr_rerank", _mmr_sql())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-rank of the exact-cosine top-20 candidate lists:
+    k=5 greedy MMR picks per query at lam=0.7. The Spark plan is the
+    relational greedy chain (k-1 lineage-cut self-joins, max-penalty
+    aggregation — order-free floats); the oracle unrolls the identical
+    chain as CTEs."""
+    from .operators.ann import ann_topk, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    cand = ann_topk(q, emb, vector_col="embedding", k=20, mode="exact_cross")
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    out = mmr_rerank(cand, k=5, lam=0.7)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("score", 6).alias("score"), F.round("mmr", 6).alias("mmr"),
+    )

@@ -757,3 +757,66 @@ def test_entity_resolution_rejects_string_ids(spark):
     with _pytest.raises(ValueError, match="integral"):
         match_pairs(df2, df1, left_on="name", right_on="name",
                     left_id_col="rid", right_id_col="rid", sim_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (round 6)
+# ---------------------------------------------------------------------------
+def _mmr_cand(spark, rows):
+    # rows: (q, d, rel, vec)
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(query_id=q, neighbor_id=d, score=r, embedding=v)
+         for (q, d, r, v) in rows]
+    )
+
+
+def test_mmr_first_pick_is_max_relevance(spark):
+    cand = _mmr_cand(spark, [
+        (1, 10, 0.9, [1.0, 0.0]), (1, 11, 0.8, [0.0, 1.0]),
+    ])
+    out = sorted(lt.mmr_rerank(cand, k=2).collect(), key=lambda r: r["rank"])
+    assert out[0]["neighbor_id"] == 10 and out[0]["rank"] == 1
+    assert abs(out[0]["mmr"] - 0.7 * 0.9) < 1e-12
+
+
+def test_mmr_penalizes_redundant_candidates(spark):
+    # d=11 is a near-clone of the first pick; d=12 is orthogonal with
+    # lower relevance — MMR must pick 12 second
+    cand = _mmr_cand(spark, [
+        (1, 10, 0.90, [1.0, 0.0]),
+        (1, 11, 0.89, [1.0, 0.001]),   # redundant
+        (1, 12, 0.60, [0.0, 1.0]),     # diverse
+    ])
+    out = sorted(lt.mmr_rerank(cand, k=2, lam=0.5).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [10, 12]
+
+
+def test_mmr_lam_one_reduces_to_relevance_order(spark):
+    cand = _mmr_cand(spark, [
+        (1, 10, 0.9, [1.0, 0.0]), (1, 11, 0.89, [1.0, 0.0]),
+        (1, 12, 0.6, [0.0, 1.0]),
+    ])
+    out = sorted(lt.mmr_rerank(cand, k=3, lam=1.0).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in out] == [10, 11, 12]
+
+
+def test_mmr_short_candidate_lists_yield_short_results(spark):
+    cand = _mmr_cand(spark, [(1, 10, 0.9, [1.0, 0.0]),
+                             (2, 20, 0.5, [1.0, 0.0]),
+                             (2, 21, 0.4, [0.0, 1.0])])
+    out = lt.mmr_rerank(cand, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert sorted(per_q[1]) == [1] and sorted(per_q[2]) == [1, 2]
+
+
+def test_mmr_validates(spark):
+    cand = _mmr_cand(spark, [(1, 10, 0.9, [1.0, 0.0])])
+    with pytest.raises(ValueError):
+        lt.mmr_rerank(cand, k=0)
+    with pytest.raises(ValueError):
+        lt.mmr_rerank(cand, lam=1.5)

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "merge_k_judge_mock": "exact-cross retrieval stage",
     "dedup_embedding_pairs": "exact pair baseline (lsh mode is the scale path)",
     "ann_topk_bruteforce": "brute-force baseline by definition",
+    "ann_mmr_rerank": "exact-cross candidate stage (rerank input)",
     "knn_label_eval": "exact leave-one-out baseline (lsh mode for scale)",
     "docs_lm_perplexity": "1-row totals broadcast",
     "docs_quantile_buckets": "1-row boundary-array broadcast",
