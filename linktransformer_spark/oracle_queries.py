@@ -4188,3 +4188,20 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank",
         F.round("score", 6).alias("score"), F.round("mmr", 6).alias("mmr"),
     )
+
+
+@_q("stream_trending", _TRENDING_SQL)
+def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_trending: watermarked tumbling-window
+    counts in the state store (update mode), rank+lift as a drain-time
+    finalizer — checked against the same SQL as the batch operator."""
+    from .streaming import (
+        final_trending, read_stream_table, run_available_now,
+        streaming_trending,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    drained = run_available_now(
+        streaming_trending(ev, window_seconds=21600), output_mode="update"
+    )
+    return final_trending(drained, window_seconds=21600, k=3)

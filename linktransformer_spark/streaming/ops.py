@@ -509,3 +509,80 @@ def streaming_semdedup_against(
     return hits.select(
         F.col("_src").alias("src"), F.col("_dst").alias("dst"), "cell", "cosine"
     )
+
+
+def streaming_trending(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of the trending dashboard: per-(tumbling window,
+    event type) counts maintained in the state store, watermark-bounded
+    (windows older than the watermark finalize and evict). Tumbling
+    windows align to the epoch, so the buckets equal the batch
+    ``trending`` operator's ``floor(epoch/W)`` buckets exactly.
+
+    Emits (``window_start`` epoch-seconds bucket, ``event_type``,
+    ``n``). Rank/lift need the final count of EVERY window, so they are
+    a drain-time finalizer (:func:`final_trending`) — same split as
+    ``streaming_user_stats`` / ``final_user_stats``. In production the
+    counts stream feeds the dashboard store continuously and the
+    finalizer runs over any time slice of it.
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{window_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_micros(F.col("w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("_w_sec"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def final_trending(
+    drained: DataFrame, window_seconds: int = 3600, k: int = 5
+) -> DataFrame:
+    """Rank + lift over a drained :func:`streaming_trending` sink.
+    Update-mode sinks emit a (window, type) row once per micro-batch it
+    grew in; n is strictly monotone per key, so max() recovers the
+    final count. Output matches the batch ``trending`` operator
+    column-for-column."""
+    from pyspark.sql import Window
+
+    counts = drained.groupBy(
+        F.col("_w_sec").alias("_wsec"), "event_type"
+    ).agg(F.max("n").alias("n"))
+    w = (F.col("_wsec") / F.lit(window_seconds)).cast("long")
+    counts = counts.select(w.alias("_w"), "event_type", "n")
+    lag_w = Window.partitionBy("event_type").orderBy(F.col("_w").asc())
+    rank_w = Window.partitionBy("_w").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    prev = F.lag(F.struct(F.col("_w").alias("w"), F.col("n").alias("n"))).over(lag_w)
+    return (
+        counts.withColumn(
+            "_lift",
+            F.when(
+                prev["w"] == F.col("_w") - 1,
+                F.round(F.col("n").cast("double") / prev["n"].cast("double"), 6),
+            ),
+        )
+        .withColumn("_r", F.row_number().over(rank_w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.timestamp_seconds(F.col("_w") * window_seconds).alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_lift").alias("lift"),
+        )
+    )

@@ -347,3 +347,38 @@ def test_run_available_now_releases_memory_sink(spark, sf_dir):
     after = {t.name for t in spark.catalog.listTables()}
     assert not {n for n in after - before if n.startswith("_lt_stream_")}
     assert out.count() > 0  # data outlives the dropped sink
+
+
+def test_streaming_trending_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """Counts accumulated across micro-batches + drain-time finalizer
+    must equal the batch trending operator exactly."""
+    from linktransformer_spark.operators.eventpipe import trending
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_trending, run_available_now, streaming_trending,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = str(tmp_path / "ev_trend")
+    ev.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # files arrive in random time order here, so the watermark must
+    # exceed the full data span or genuinely-late rows drop (correct
+    # production semantics, wrong for an equality check)
+    drained = run_available_now(
+        streaming_trending(sdf, window_seconds=21600, watermark="800 hours"),
+        output_mode="update",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["rank"], r["lift"])
+        for r in final_trending(drained, window_seconds=21600, k=3).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["rank"], r["lift"])
+        for r in trending(ev, window_seconds=21600, k=3).collect()
+    }
+    assert got == want and got
