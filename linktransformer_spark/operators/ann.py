@@ -862,3 +862,68 @@ def mmr_rerank(
         F.col("_rel").alias(score_col),
         F.col("mmr").alias("mmr"),
     )
+
+
+def srp_signs(in_dim: int, out_dim: int, salt: int = 0) -> list[list[int]]:
+    """Deterministic +/-1 sign matrix for signed random projection —
+    a pure build-time function of (i, j, salt), so Spark and any
+    oracle share the exact same literals (no runtime hash mirroring).
+
+    Signs come from SHA-256 of the coordinate string, NOT the engine's
+    polynomial rolling hash: for short coordinate strings the poly
+    hash never wraps its modulus, so its parity degenerates to the
+    parity of the character-code sum — rows become exact copies or
+    negations of each other and the effective projection rank
+    collapses (measured: out_dim=32 performed identically to 16). A
+    cryptographic hash's low bit has no such structure."""
+    import hashlib
+
+    def bit(i: int, j: int) -> int:
+        d = hashlib.sha256(f"{salt}:{i}:{j}".encode()).digest()
+        return d[0] & 1
+
+    return [
+        [1 if bit(i, j) == 0 else -1 for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def srp_project(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    out_col: str = "projected",
+    *,
+    in_dim: int,
+    out_dim: int = 16,
+    salt: int = 0,
+) -> DataFrame:
+    """Signed-random-projection dimensionality reduction (Achlioptas
+    2003 / Charikar 2002): ``out[j] = sum_i sign_ij * v[i]`` with a
+    deterministic +/-1 matrix. By Johnson-Lindenstrauss, dot products
+    and cosines survive approximately at out_dim << in_dim — this is
+    the DIMENSION axis of embedding compression, composing with
+    :func:`quantize_embeddings` (the PRECISION axis) for a combined
+    (in_dim/out_dim) x 4 shuffle/storage cut on the ANN family.
+
+    Purely expression-side: the projection unrolls to out_dim
+    sequential sums of signed element references (whole-stage codegen,
+    no Python, no shuffle — fuses into whatever scan or join feeds
+    it). The sequential add order is pinned by construction, so any
+    SQL oracle writing the same literal chain matches bit-for-bit.
+    Input vectors shorter than ``in_dim`` raise at runtime via
+    element_at's bounds behavior being avoided up front: missing
+    elements contribute NULL and would null the output — callers own
+    fixed-dim embedding columns (the repo-wide embedding contract).
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    signs = srp_signs(in_dim, out_dim, salt)
+    v = F.col(vector_col)
+    comps = []
+    for j in range(out_dim):
+        acc = None
+        for i, s in enumerate(signs[j]):
+            term = v[i].cast("double") if s > 0 else -v[i].cast("double")
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    return df.withColumn(out_col, F.array(*comps))

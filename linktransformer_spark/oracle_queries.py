@@ -4205,3 +4205,97 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_trending(ev, window_seconds=21600), output_mode="update"
     )
     return final_trending(drained, window_seconds=21600, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection ANN (operators/ann.py srp_project) — the
+# DIMENSION axis of embedding compression (int8 quantization is the
+# precision axis). The +/-1 matrix is a build-time literal shared by
+# both engines, so even the projected search is exact-value-checkable.
+# ---------------------------------------------------------------------------
+def _srp_sql(in_dim: int = 64, out_dim: int = 32, nq: int = 50,
+             shortlist: int = 50, k: int = 5) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+    from .operators.ann import srp_signs
+
+    signs = srp_signs(in_dim, out_dim)
+    comps = []
+    for j in range(out_dim):
+        terms = []
+        for i, sg in enumerate(signs[j]):
+            c = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            if not terms:
+                terms.append(f"-{c}" if sg < 0 else c)
+            else:
+                terms.append(f"{'-' if sg < 0 else '+'} {c}")
+        comps.append("(" + " ".join(terms) + ")")
+    plist = "list_value(" + ", ".join(comps) + ")"
+    return f"""
+    WITH pr AS (SELECT vec_id, {plist} AS p FROM embeddings),
+    qp AS (SELECT vec_id, {sql_l2_normalize('p')} AS v FROM pr WHERE vec_id < {nq}),
+    cp AS (SELECT vec_id, {sql_l2_normalize('p')} AS v FROM pr),
+    short AS (
+      SELECT q, d FROM (
+        SELECT qp.vec_id AS q, cp.vec_id AS d,
+               row_number() OVER (
+                 PARTITION BY qp.vec_id
+                 ORDER BY {sql_dot('qp.v', 'cp.v')} DESC, cp.vec_id ASC
+               ) AS rn
+        FROM qp CROSS JOIN cp
+      ) WHERE rn <= {shortlist}
+    ),
+    fn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings)
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT s.q AS query_id, s.d AS neighbor_id,
+             {sql_dot('fq.v', 'fc.v')} AS score,
+             row_number() OVER (
+               PARTITION BY s.q
+               ORDER BY {sql_dot('fq.v', 'fc.v')} DESC, s.d ASC
+             ) AS rank
+      FROM short s JOIN fn fq ON s.q = fq.vec_id
+                   JOIN fn fc ON s.d = fc.vec_id
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_topk_srp_rerank", _srp_sql())
+def ann_topk_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP compression pattern end-to-end: 64->32-dim signed
+    random projection generates a 50-candidate shortlist per query
+    (2x smaller vectors through the scoring cross/shuffle; combine
+    with int8 quantization for the precision axis), then the exact
+    cosine on FULL vectors re-ranks the shortlist to top-5 — the
+    standard coarse-then-exact ANN serving shape. Recall floor vs the
+    uncompressed exact search is pinned in tests/test_dedup_ann.py."""
+    from pyspark.sql import Window
+
+    from .functions import similarity as S
+    from .operators.ann import ann_topk, srp_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pr = srp_project(emb, in_dim=64, out_dim=32)
+    q = pr.filter(F.col("vec_id") < 50)
+    short = ann_topk(q, pr, vector_col="projected", k=50,
+                     mode="exact_cross").select("query_id", "neighbor_id")
+    fn = emb.select(
+        F.col("vec_id").alias("_id"),
+        S.l2_normalize(F.col("embedding")).alias("_v"),
+    )
+    cand = (
+        short.join(fn.select(F.col("_id").alias("query_id"),
+                             F.col("_v").alias("_qv")), "query_id")
+        .join(fn.select(F.col("_id").alias("neighbor_id"),
+                        F.col("_v").alias("_nv")), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                S.dot(F.col("_qv"), F.col("_nv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"),
+                F.round("score", 6).alias("score"))
+    )

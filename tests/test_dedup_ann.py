@@ -820,3 +820,63 @@ def test_mmr_validates(spark):
         lt.mmr_rerank(cand, k=0)
     with pytest.raises(ValueError):
         lt.mmr_rerank(cand, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# srp_project (round 6)
+# ---------------------------------------------------------------------------
+def test_srp_shortlist_rerank_recall_floor(spark, sf_dir):
+    """The production composition: 64->32 projected shortlist (50) ->
+    exact rerank. Recall@10 vs the uncompressed exact search has a
+    pinned floor (the synthetic embeddings have weakly separated
+    neighborhoods — near-uniform pairwise cosines — so even a 2x
+    compression costs recall; real embedding geometry does better)."""
+    from linktransformer_spark.operators.ann import ann_topk, srp_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(q, emb, k=10, mode="exact_cross").collect()}
+    pr = srp_project(emb, in_dim=64, out_dim=32)
+    short = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(pr.filter(F.col("vec_id") < 50), pr,
+                               vector_col="projected", k=50,
+                               mode="exact_cross").collect()}
+    # exact rerank keeps any true neighbor that survived the shortlist
+    recall = len(exact & short) / len(exact)
+    assert recall >= 0.6, f"SRP shortlist recall@10 {recall:.3f} < 0.6"
+
+
+def test_srp_signs_deterministic_and_balanced(spark):
+    from linktransformer_spark.operators.ann import srp_signs
+
+    a = srp_signs(64, 16)
+    assert a == srp_signs(64, 16)
+    assert a != srp_signs(64, 16, salt=1)
+    flat = [s for row in a for s in row]
+    assert set(flat) == {-1, 1}
+    # roughly balanced signs (a degenerate all-+1 matrix would be a
+    # projection onto one line)
+    assert 0.3 < flat.count(1) / len(flat) < 0.7
+
+
+def test_srp_preserves_self_similarity(spark):
+    from linktransformer_spark.operators.ann import srp_project
+    from linktransformer_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [float(i % 7 - 3) for i in range(32)])], ["id", "embedding"])
+    out = srp_project(df, in_dim=32, out_dim=8).select(
+        S.dot(S.l2_normalize(F.col("projected")),
+              S.l2_normalize(F.col("projected"))).alias("d")).first()
+    assert abs(out["d"] - 1.0) < 1e-9
+
+
+def test_srp_validates(spark):
+    from linktransformer_spark.operators.ann import srp_project
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "embedding"])
+    with pytest.raises(ValueError):
+        srp_project(df, in_dim=0, out_dim=4)
+    with pytest.raises(ValueError):
+        srp_project(df, in_dim=2, out_dim=0)

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "dedup_embedding_pairs": "exact pair baseline (lsh mode is the scale path)",
     "ann_topk_bruteforce": "brute-force baseline by definition",
     "ann_mmr_rerank": "exact-cross candidate stage (rerank input)",
+    "ann_topk_srp_rerank": "projected exact-cross shortlist stage (2x-compressed vectors)",
     "knn_label_eval": "exact leave-one-out baseline (lsh mode for scale)",
     "docs_lm_perplexity": "1-row totals broadcast",
     "docs_quantile_buckets": "1-row boundary-array broadcast",
