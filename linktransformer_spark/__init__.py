@@ -14,6 +14,7 @@ from .operators.range_join import merge_range
 from .operators.pair_eval import all_pair_combos_evaluate, evaluate_pairs
 from .operators.cluster import cluster, cluster_rows, dedup_rows
 from .operators.components import clusters_from_edges, connected_components
+from .operators.graph import pagerank
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     mmr_rerank, quantize_embeddings,
@@ -175,6 +176,7 @@ __all__ = [
     "cluster_rows",
     "dedup_rows",
     "connected_components",
+    "pagerank",
     "merge_k_judge",
     "merge_knn_with_llm",
     "merge_knn_openai",

@@ -4299,3 +4299,86 @@ def ann_topk_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("int").alias("rank"),
                 F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py) — link-graph centrality for corpus
+# curation; fixed iterations unroll into chained CTEs, so the
+# iterative kernel is exact-value-checkable like mmr_rerank.
+# Graph: undirected customer<->supplier co-purchase (2i / 2i+1 node
+# encoding, edge weight = lineitem count).
+# ---------------------------------------------------------------------------
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d = repr(float(damping))
+    body = [f"""
+    WITH ce AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT src AS _src, dst AS _dst, w FROM ce
+      UNION ALL
+      SELECT dst AS _src, src AS _dst, w FROM ce
+    ),
+    ow AS (
+      SELECT _src,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w ORDER BY _dst)),
+                         (a, x) -> a + x) AS _ow
+      FROM e GROUP BY _src
+    ),
+    e2 AS (SELECT e._src, e._dst, e.w, ow._ow FROM e JOIN ow USING (_src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT _src AS node FROM e UNION ALL SELECT _dst AS node FROM e)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"""]
+    for j in range(1, iterations + 1):
+        body.append(f""",
+    r{j} AS (
+      SELECT n.node,
+             (1.0 - {d}) / nn.n
+             + {d} * coalesce(s.m, CAST(0.0 AS DOUBLE)) AS r
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e2._dst AS node,
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list((p.r * e2.w) / e2._ow ORDER BY e2._src)),
+                 (a, x) -> a + x) AS m
+        FROM e2 JOIN r{j - 1} p ON e2._src = p.node
+        GROUP BY e2._dst
+      ) s ON n.node = s.node
+    )""")
+    body.append(f"""
+    SELECT node, round(r, 9) AS rank FROM r{iterations}""")
+    return "".join(body)
+
+
+@_q("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the customer<->supplier co-purchase
+    graph (edge weight = lineitem count, undirected via both-direction
+    edges). Per-iteration plan: ranks join the lineage-cut edge
+    relation on src, messages fold per dst in src order (pinned float
+    sum), teleport applies in a node left-join. The oracle unrolls the
+    same three rounds as CTEs."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    e = ce.select("src", "dst", "w").unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    out = pagerank(e, "src", "dst", weight_col="w", iterations=3)
+    return out.select("node", F.round("rank", 9).alias("rank"))
