@@ -4274,7 +4274,12 @@ def ann_topk_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import ann_topk, srp_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    pr = srp_project(emb, in_dim=64, out_dim=32)
+    # lineage-cut the projection: downstream l2_normalize + dot expand
+    # their input expression tree per reference (no cross-Column CSE —
+    # the hash_ngram embed-once finding), so an un-materialized
+    # 2048-node projection would re-evaluate ~60x per scored pair
+    # (measured 14s -> 3s at sf0.1 from this one cut)
+    pr = srp_project(emb, in_dim=64, out_dim=32).localCheckpoint(eager=False)
     q = pr.filter(F.col("vec_id") < 50)
     short = ann_topk(q, pr, vector_col="projected", k=50,
                      mode="exact_cross").select("query_id", "neighbor_id")
