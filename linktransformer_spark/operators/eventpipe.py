@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix", "trending"]
+__all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix",
+           "trending", "session_paths", "volume_anomaly"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -374,5 +375,183 @@ def trending(
             "n",
             F.col("_r").cast("int").alias("rank"),
             F.col("_lift").alias("lift"),
+        )
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+    gap_seconds: int = 1800,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most frequent length-``n`` event-type paths within
+    sessions — the sequence-mining generalization of
+    :func:`transition_matrix` (n=2 paths are its transitions, but
+    bounded by session, not the user's whole history).
+
+    Sessions use the engine's standard lag/cumsum rule (a gap
+    STRICTLY GREATER than ``gap_seconds`` starts a new session — same
+    boundary as the events_sessionize query). A session with fewer
+    than ``n`` events contributes no paths. Returns
+    (``path`` — ' -> '-joined type sequence, ``n_occurrences``,
+    ``rank``), rank 1-based by (count DESC, path ASC).
+
+    Plan: one window shuffle on the user key assigns sessions; one
+    groupBy (user, session) collects the ordered type array (sorted
+    in-group by (ts, tiebreak) — the same sorted-collect fold shape as
+    the funnel); path n-grams slice out map-side (the shingle
+    position-explode — no further shuffle); the count is a hash agg on
+    the path and top-k is TakeOrdered. Per-session state is its event
+    list — cap pathological sessions upstream, the funnel's skew rule.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if gap_seconds < 1:
+        raise ValueError("gap_seconds must be >= 1")
+    from pyspark.sql import Window
+
+    tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(type_col).alias("_t"),
+        tb.alias("_tb"),
+    )
+    w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+    gap_us = gap_seconds * 1_000_000
+    sess = (
+        ev.withColumn("_prev", F.lag("_ts").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.unix_micros("_ts") - F.unix_micros("_prev") > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    seqs = sess.groupBy("_u", "_sid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("_ts", "_tb", F.col("_t").alias("t")))
+            ),
+            lambda x: x["t"],
+        ).alias("_seq")
+    )
+    paths = (
+        seqs.filter(F.size("_seq") >= n)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("_seq") - F.lit(n - 1))
+            ).alias("_p"),
+            "_seq",
+        )
+        .select(
+            F.array_join(F.slice("_seq", F.col("_p"), n), " -> ").alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(k)
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return topk.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+def volume_anomaly(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int = 3600,
+    trailing: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-(window, type) volume anomalies: flag windows whose event
+    count deviates from the TRAILING ``trailing``-window mean by more
+    than ``z_threshold`` standard deviations — the monitoring
+    primitive for ingest pipelines (drops, spikes, stuck producers).
+
+    The trailing mean/std derive from INTEGER window sums (count and
+    count-squared over the preceding frame), so the float arithmetic
+    is a fixed expression over exact integers — engine-portable with
+    no order pinning needed. Windows with fewer than 2 trailing
+    observations yield null z and are never flagged; zero trailing
+    variance also yields null z (no finite score exists), but a count
+    DEVIATING from a constant history is still flagged — the
+    "perfectly steady pipeline suddenly spikes" case is precisely the
+    alert this exists for. Returns (``window_start``, ``event_type``,
+    ``n``, ``mean_n``, ``z``, ``is_anomaly``).
+
+    Plan: one map-side-combined (window, type) hash agg over the
+    corpus; both frame sums run over its bounded |windows| x |types|
+    output. Missing windows (zero events) do NOT appear as zero counts
+    — densify upstream if gaps must count as anomalies.
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    if trailing < 2:
+        raise ValueError("trailing must be >= 2")
+    from pyspark.sql import Window
+
+    win = (
+        F.floor(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+            / F.lit(window_seconds)
+        ).cast("long")
+    ).alias("_w")
+    counts = events.select(win, F.col(type_col).alias("event_type")).groupBy(
+        "_w", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_w").asc())
+        .rowsBetween(-trailing, -1)
+    )
+    s1 = F.sum("n").over(frame)
+    s2 = F.sum(F.col("n") * F.col("n")).over(frame)
+    cnt = F.count("n").over(frame)
+    mean = s1.cast("double") / cnt.cast("double")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / cnt.cast("double")
+    ) / cnt.cast("double")
+    z = F.when(
+        (cnt >= 2) & (var > 0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
+    # constant history (var == 0) with a deviating count: infinite z —
+    # no finite score, but definitely an anomaly
+    flat_dev = (cnt >= 2) & (var == F.lit(0.0)) & (
+        F.col("n").cast("double") != mean
+    )
+    return (
+        counts.withColumn("_c", cnt)
+        .withColumn("mean_n", F.when(cnt >= 1, F.round(mean, 6)))
+        .withColumn("z", F.round(z, 6))
+        .withColumn("_flat_dev", flat_dev)
+        .select(
+            F.timestamp_seconds(F.col("_w") * window_seconds).alias("window_start"),
+            "event_type",
+            "n",
+            "mean_n",
+            "z",
+            (
+                F.coalesce(
+                    F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(False)
+                )
+                | F.coalesce(F.col("_flat_dev"), F.lit(False))
+            ).alias("is_anomaly"),
         )
     )

@@ -4387,3 +4387,116 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(e, "src", "dst", weight_col="w", iterations=3)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Session path mining + volume anomaly (operators/eventpipe.py
+# session_paths / volume_anomaly) — round-6 event analytics.
+# ---------------------------------------------------------------------------
+_SESSION_PATHS_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    seqs AS (
+      SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS sq
+      FROM sess GROUP BY user_id, sid
+    ),
+    p AS (
+      SELECT array_to_string(sq[i:i+2], ' -> ') AS path FROM (
+        SELECT sq, unnest(range(1, len(sq) - 1)) AS i
+        FROM seqs WHERE len(sq) >= 3
+      )
+    ),
+    c AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY path
+    )
+    SELECT path, n_occurrences, CAST(rk AS INT) AS rank FROM (
+      SELECT path, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, path ASC) AS rk
+      FROM c
+    ) WHERE rk <= 20
+"""
+
+
+@_q("events_session_paths", _SESSION_PATHS_SQL)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 in-session event-type paths (30-minute gap
+    sessions, the engine's standard sessionize boundary)."""
+    from .operators.eventpipe import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(
+        ev, tiebreak_col="event_id", gap_seconds=1800, n=3, k=20
+    )
+
+
+_VOLUME_ANOMALY_SQL = """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS w,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT w, event_type, n,
+             sum(n) OVER fr AS s1,
+             sum(n * n) OVER fr AS s2,
+             count(n) OVER fr AS cc
+      FROM c
+      WINDOW fr AS (PARTITION BY event_type ORDER BY w ASC
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    ),
+    v AS (
+      SELECT w, event_type, n, cc,
+             CASE WHEN cc >= 1
+                  THEN CAST(s1 AS DOUBLE) / CAST(cc AS DOUBLE) END AS mean,
+             CASE WHEN cc >= 1
+                  THEN (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(cc AS DOUBLE)) / CAST(cc AS DOUBLE)
+             END AS var
+      FROM f
+    ),
+    z AS (
+      SELECT w, event_type, n, cc, mean, var,
+             CASE WHEN cc >= 2 AND var > 0
+                  THEN (CAST(n AS DOUBLE) - mean) / sqrt(var) END AS zval
+      FROM v
+    )
+    SELECT make_timestamp(w * 21600 * 1000000) AS window_start,
+           event_type, n,
+           round(mean, 6) AS mean_n,
+           round(zval, 6) AS z,
+           coalesce(abs(round(zval, 6)) > 2.0, false)
+           OR coalesce(cc >= 2 AND var = 0.0
+                       AND CAST(n AS DOUBLE) <> mean, false) AS is_anomaly
+    FROM z
+"""
+
+
+@_q("events_volume_anomaly", _VOLUME_ANOMALY_SQL)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8-window z-score anomalies over 6-hour volume buckets.
+    mean/std derive from integer frame sums, so the float expression
+    is engine-portable with no order pinning."""
+    from .operators.eventpipe import volume_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return volume_anomaly(
+        ev, window_seconds=21600, trailing=8, z_threshold=2.0
+    )

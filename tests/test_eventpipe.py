@@ -219,3 +219,70 @@ def test_trending_k_bounds_rows_per_window(spark):
     ev = _ev(spark, [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")])
     out = trending(ev, window_seconds=60, k=2).collect()
     assert len(out) == 2 and {r["rank"] for r in out} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# session_paths / volume_anomaly (round 6)
+# ---------------------------------------------------------------------------
+from linktransformer_spark.operators.eventpipe import (  # noqa: E402
+    session_paths,
+    volume_anomaly,
+)
+
+
+def test_session_paths_bounded_by_session(spark):
+    # user 1: [a b c] then (gap) [a b c]; the path crossing the gap
+    # (b c a / c a b) must NOT appear
+    rows = [(1, 0, "a"), (1, 10, "b"), (1, 20, "c"),
+            (1, 10000, "a"), (1, 10010, "b"), (1, 10020, "c")]
+    ev = _ev(spark, rows)
+    out = session_paths(ev, gap_seconds=1800, n=3, k=10).collect()
+    assert {(r["path"], r["n_occurrences"]) for r in out} == {("a -> b -> c", 2)}
+    assert out[0]["rank"] == 1
+
+
+def test_session_paths_short_sessions_contribute_nothing(spark):
+    ev = _ev(spark, [(1, 0, "a"), (1, 10, "b")])
+    assert session_paths(ev, n=3).count() == 0
+
+
+def test_session_paths_rank_ties_lexicographic(spark):
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+            (2, 0, "c"), (2, 1, "b"), (2, 2, "a")]
+    out = sorted(session_paths(_ev(spark, rows), n=3, k=5).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["path"] for r in out] == ["a -> b -> c", "c -> b -> a"]
+
+
+def test_volume_anomaly_flags_spike(spark):
+    # steady 2 events/window for 10 windows, then a 40-event spike
+    rows = []
+    for w in range(10):
+        rows += [(1, w * 60 + 1, "a"), (2, w * 60 + 2, "a")]
+    rows += [(u, 10 * 60 + u % 50, "a") for u in range(40)]
+    ev = _ev(spark, rows)
+    out = {int(r["window_start"].timestamp()) % 100000 // 60: r
+           for r in volume_anomaly(ev, window_seconds=60, trailing=5).collect()}
+    spike = [r for r in out.values() if r["n"] == 40]
+    assert len(spike) == 1 and spike[0]["is_anomaly"]
+    # steady windows with full trailing history are not anomalous
+    # (zero variance -> null z -> never flagged)
+    steady = [r for r in out.values() if r["n"] == 2]
+    assert all(not r["is_anomaly"] for r in steady)
+    assert all(r["z"] is None for r in steady)  # var == 0 guard
+
+
+def test_volume_anomaly_first_window_unflagged(spark):
+    ev = _ev(spark, [(1, 0, "a"), (2, 1, "a")])
+    rows = volume_anomaly(ev, window_seconds=60, trailing=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["mean_n"] is None and r["z"] is None and not r["is_anomaly"]
+
+
+def test_volume_anomaly_validates(spark):
+    ev = _ev(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError):
+        volume_anomaly(ev, trailing=1)
+    with pytest.raises(ValueError):
+        session_paths(ev, n=0)
