@@ -43,6 +43,7 @@ from .operators.dedup import (
     dedup_minhash,
     minhash_signature,
     near_dup_pairs_embedding,
+    containment_pairs,
     near_dup_pairs_jaccard,
     near_dup_pairs_minhash,
     near_dup_pairs_minhash_against,
@@ -224,6 +225,7 @@ __all__ = [
     "near_dup_pairs_minhash_against_index",
     "save_minhash_index",
     "near_dup_pairs_simhash",
+    "containment_pairs",
     "near_dup_pairs_jaccard",
     "near_dup_pairs_embedding",
     "near_dup_pairs_semdedup",

@@ -1045,3 +1045,72 @@ def near_dup_pairs_minhash_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("src", "dst", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    on,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+    word: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment join: ``|A ∩ B| / |A|`` over distinct
+    n-gram shingle sets — the quote/subset detector symmetric Jaccard
+    misses (a paragraph fully contained in a long document has
+    containment ~1 but Jaccard ~|para|/|doc| ~ 0). The classic use is
+    finding documents that EMBED training/benchmark text, or short
+    boilerplate swallowed into aggregator pages.
+
+    Same relational shape as :func:`near_dup_pairs_jaccard` (distinct
+    shingle explode -> self equi-join -> per-pair intersection count),
+    with the same ``max_shingle_freq`` stopword cap (containment values
+    stay exact lower bounds under the cap). Emits BOTH directions when
+    both clear the threshold: ``(src, dst, containment)`` means
+    "containment of SRC's shingle set inside dst" — src is the
+    (possibly) contained side. Pairs are src != dst, each direction
+    scored with its own denominator.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    base = KJ.ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("_id"), key.alias("_key")
+    )
+    tok = _distinct_shingle_rows(base, shingle, word).localCheckpoint(eager=False)
+    sizes = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    joinable = tok
+    if max_shingle_freq is not None:
+        freq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_gf"))
+        joinable = tok.join(
+            freq.filter(F.col("_gf") <= max_shingle_freq).drop("_gf"), "_g"
+        )
+    l = joinable.alias("l")
+    r = joinable.alias("r")
+    # strict < join halves the pair work; both directions emit from the
+    # same intersection count with their own denominators
+    inter = (
+        l.join(r, (F.col("l._g") == F.col("r._g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("_a"), F.col("r._id").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sized = (
+        inter.join(
+            sizes.withColumnRenamed("_id", "_a").withColumnRenamed("_n", "_na"), "_a"
+        ).join(
+            sizes.withColumnRenamed("_id", "_b").withColumnRenamed("_n", "_nb"), "_b"
+        )
+    )
+    ab = sized.select(
+        F.col("_a").alias("src"), F.col("_b").alias("dst"),
+        (F.col("_inter").cast("double")
+         / F.greatest(F.col("_na"), F.lit(1)).cast("double")).alias("containment"),
+    )
+    ba = sized.select(
+        F.col("_b").alias("src"), F.col("_a").alias("dst"),
+        (F.col("_inter").cast("double")
+         / F.greatest(F.col("_nb"), F.lit(1)).cast("double")).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)

@@ -4500,3 +4500,71 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomaly(
         ev, window_seconds=21600, trailing=8, z_threshold=2.0
     )
+
+
+@_q("stream_volume_anomaly", _VOLUME_ANOMALY_SQL)
+def stream_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deployment of events_volume_anomaly: the watermarked
+    counts live in the state store (streaming_trending), the z-score
+    pass runs over the drained counts — same SQL oracle as the batch
+    operator."""
+    from .streaming import (
+        final_volume_anomaly, read_stream_table, run_available_now,
+        streaming_trending,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    drained = run_available_now(
+        streaming_trending(ev, window_seconds=21600), output_mode="update"
+    )
+    return final_volume_anomaly(
+        drained, window_seconds=21600, trailing=8, z_threshold=2.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (operators/dedup.py containment_pairs) —
+# the quote/subset detector symmetric Jaccard misses. Same augmented
+# corpus as the jaccard oracle; src = the (possibly) contained side.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_PAIRS_SQL = (
+    "WITH " + _AUG_SQL.format(L=200) + f""",
+    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM aug),
+    tok AS (SELECT id, unnest(sh) AS g FROM sh),
+    inter AS (
+      SELECT l.id AS a, r.id AS b, count(*) AS i
+      FROM tok l JOIN tok r ON l.g = r.g AND l.id < r.id
+      GROUP BY l.id, r.id
+    ),
+    sized AS (
+      SELECT inter.a, inter.b, inter.i, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN (SELECT id, len(sh) AS n FROM sh) sa ON sa.id = inter.a
+      JOIN (SELECT id, len(sh) AS n FROM sh) sb ON sb.id = inter.b
+    ),
+    bidir AS (
+      SELECT a AS src, b AS dst,
+             CAST(i AS DOUBLE) / greatest(na, 1) AS containment
+      FROM sized
+      UNION ALL
+      SELECT b AS src, a AS dst,
+             CAST(i AS DOUBLE) / greatest(nb, 1) AS containment
+      FROM sized
+    )
+    SELECT src, dst, round(containment, 6) AS containment
+    FROM bidir WHERE containment >= 0.8
+"""
+)
+
+
+@_q("dedup_containment_pairs", _CONTAINMENT_PAIRS_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_pairs
+
+    aug = _augmented_docs(spark, sf_dir, 200)
+    out = containment_pairs(
+        aug, on="text", id_col="doc_id", threshold=0.8, shingle=3, word=True
+    )
+    return out.select(
+        "src", "dst", F.round("containment", 6).alias("containment")
+    )

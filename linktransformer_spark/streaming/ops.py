@@ -586,3 +586,64 @@ def final_trending(
             F.col("_lift").alias("lift"),
         )
     )
+
+
+def final_volume_anomaly(
+    drained: DataFrame,
+    window_seconds: int = 3600,
+    trailing: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing z-score anomaly pass over a drained
+    :func:`streaming_trending` counts sink — the streaming deployment
+    of ``eventpipe.volume_anomaly``: the state store maintains the
+    (window, type) counts continuously; this finalizer (or any
+    downstream consumer of the counts stream) scores each window
+    against its trailing history. Matches the batch operator
+    column-for-column."""
+    from ..operators.eventpipe import volume_anomaly  # noqa: F401  (contract)
+    from pyspark.sql import Window
+
+    counts = drained.groupBy(
+        F.col("_w_sec").alias("_wsec"), "event_type"
+    ).agg(F.max("n").alias("n"))
+    w = (F.col("_wsec") / F.lit(window_seconds)).cast("long")
+    counts = counts.select(w.alias("_w"), "event_type", "n")
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_w").asc())
+        .rowsBetween(-trailing, -1)
+    )
+    s1 = F.sum("n").over(frame)
+    s2 = F.sum(F.col("n") * F.col("n")).over(frame)
+    cnt = F.count("n").over(frame)
+    mean = s1.cast("double") / cnt.cast("double")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / cnt.cast("double")
+    ) / cnt.cast("double")
+    z = F.when(
+        (cnt >= 2) & (var > 0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
+    flat_dev = (cnt >= 2) & (var == F.lit(0.0)) & (
+        F.col("n").cast("double") != mean
+    )
+    return (
+        counts.withColumn("_c", cnt)
+        .withColumn("mean_n", F.when(cnt >= 1, F.round(mean, 6)))
+        .withColumn("z", F.round(z, 6))
+        .withColumn("_flat_dev", flat_dev)
+        .select(
+            F.timestamp_seconds(F.col("_w") * window_seconds).alias("window_start"),
+            "event_type",
+            "n",
+            "mean_n",
+            "z",
+            (
+                F.coalesce(
+                    F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(False)
+                )
+                | F.coalesce(F.col("_flat_dev"), F.lit(False))
+            ).alias("is_anomaly"),
+        )
+    )

@@ -880,3 +880,41 @@ def test_srp_validates(spark):
         srp_project(df, in_dim=0, out_dim=4)
     with pytest.raises(ValueError):
         srp_project(df, in_dim=2, out_dim=0)
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (round 6)
+# ---------------------------------------------------------------------------
+def test_containment_detects_subset_jaccard_misses(spark):
+    from pyspark.sql import Row
+    long_words = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(8))  # fully contained prefix
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=quote),
+        Row(doc_id=2, text=long_words),
+    ])
+    cont = {(r["src"], r["dst"]): r["containment"]
+            for r in lt.containment_pairs(
+                df, on="text", id_col="doc_id", threshold=0.8).collect()}
+    assert cont[(1, 2)] == 1.0          # the quote is fully inside doc 2
+    assert (2, 1) not in cont           # big doc is NOT inside the quote
+    jac = lt.near_dup_pairs_jaccard(
+        df, on="text", id_col="doc_id", threshold=0.8).collect()
+    assert jac == []                    # symmetric jaccard misses it
+
+
+def test_containment_both_directions_for_twins(spark):
+    from pyspark.sql import Row
+    t = " ".join(f"x{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t)])
+    out = {(r["src"], r["dst"]) for r in lt.containment_pairs(
+        df, on="text", id_col="doc_id", threshold=0.99).collect()}
+    assert out == {(1, 2), (2, 1)}
+
+
+def test_containment_validates(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        lt.containment_pairs(df, on="text", id_col="doc_id", threshold=0.0)
