@@ -952,3 +952,118 @@ def srp_project(
             yield pdf
 
     return df.mapInPandas(gen, schema=schema)
+
+
+_IVF_INDEX_VERSION = 1
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vector_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    n_cells: int | str = "auto",
+    mode: str = "seeded",
+) -> None:
+    """Materialize an IVF index at ``path``: ``cells/`` parquet
+    PARTITIONED BY cell holding (id, normalized vector) per corpus row,
+    ``centroids/`` (cell, centroid vector), and a one-row ``meta/``
+    json (version, n_cells, mode) validated at load time.
+
+    Build once / probe many: the expensive parts of every IVF query —
+    normalizing the corpus, assigning each vector to its cell — are
+    paid at ingest; retrieval reads ONLY the probed cell partitions
+    (Spark partition pruning on the ``cell`` directory key), so query
+    I/O is ~(n_probe / n_cells) of the corpus regardless of its size —
+    the same sublinear-serving shape as the BM25 bucket index and the
+    MinHash band index.
+
+    ``mode='seeded'`` uses the deterministic smallest-id seed centroids
+    (bit-exact SQL mirror — the checkable path); ``mode='kmeans'`` runs
+    the Lloyd trainer for better recall per probe (deterministic given
+    the seeding, but not SQL-expressible).
+    """
+    if mode not in ("seeded", "kmeans"):
+        raise ValueError("mode must be seeded|kmeans")
+    spark = corpus.sparkSession
+    c = KJ.ensure_parallelism(corpus).select(
+        F.col(corpus_id).cast("long").alias(corpus_id),
+        S.l2_normalize(F.col(vector_col)).alias(vector_col),
+    )
+    ncells = resolve_n_cells(n_cells, corpus.count)
+    if mode == "seeded":
+        cent = ivf_seed_centroids(c, corpus_id, vector_col, ncells)
+    else:
+        cmat = ivf_train_centroids(c, vector_col, corpus_id, ncells)
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+            "cell int, _cent_emb array<double>",
+        )
+    assigned = _assign_cells_declarative(c, corpus_id, vector_col, cent, 1)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    cent.select("cell", F.col("_cent_emb").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(_IVF_INDEX_VERSION, int(ncells), mode, corpus_id, vector_col)],
+        "version int, n_cells int, mode string, id_col string, vector_col string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k retrieval against a :func:`save_ivf_index` directory.
+
+    The query batch normalizes and cell-assigns against the stored
+    centroids (broadcast — n_cells rows), the distinct probed cells
+    are collected (bounded: <= |queries| x n_probe, same bounded-
+    collect contract as the BM25 bucket filter) and pushed as a
+    partition filter on ``cells/``, and scoring is the usual cell
+    equi-join + top-k window. Results equal ``ivf_topk_seeded`` on the
+    same corpus/centroids bit-for-bit."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        "cell", F.col("centroid").alias("_cent_emb")
+    )
+    q = KJ.ensure_parallelism(queries).select(
+        F.col(query_id).cast("long").alias(KJ.LEFT_ID),
+        S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
+    )
+    cq = _assign_cells_declarative(q, KJ.LEFT_ID, KJ.LEFT_EMB, cent, n_probe)
+    probed = [r["cell"] for r in cq.select("cell").distinct().collect()]
+    stored = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    cand = cq.join(
+        stored.select(
+            "cell",
+            F.col(str(meta["id_col"])).alias(KJ.RIGHT_ID),
+            F.col(str(meta["vector_col"])).alias(KJ.RIGHT_EMB),
+        ),
+        "cell",
+    ).withColumn("score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB)))
+    ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
+    return ranked.select(
+        F.col(KJ.LEFT_ID).alias("query_id"),
+        F.col(KJ.RIGHT_ID).alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").alias("score"),
+    )

@@ -4568,3 +4568,27 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "dst", F.round("containment", 6).alias("containment")
     )
+
+
+@_q("ann_ivf_indexed", _ann_ivf_seeded_sql())
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF serving path: save_ivf_index (cells parquet
+    partitioned by cell + centroids + meta), then probe through
+    ann_topk_ivf_indexed whose scan reads only the probed cell
+    partitions. Same oracle as ann_topk_ivf_seeded — identical
+    centroids/assignment/probe => bit-identical results."""
+    import hashlib
+    import tempfile
+
+    from .operators.ann import ann_topk_ivf_indexed, save_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_ivf_idx_{tag}"
+    save_ivf_index(emb, path, n_cells=16, mode="seeded")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

@@ -918,3 +918,60 @@ def test_containment_validates(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     with pytest.raises(ValueError):
         lt.containment_pairs(df, on="text", id_col="doc_id", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# save_ivf_index / ann_topk_ivf_indexed (round 6)
+# ---------------------------------------------------------------------------
+def test_ivf_index_round_trip_equals_seeded(spark, sf_dir, tmp_path):
+    from linktransformer_spark.operators.ann import ivf_topk_seeded
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16, mode="seeded")
+    q = emb.filter(F.col("vec_id") < 30)
+    direct = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in ivf_topk_seeded(q, emb, k=5, n_cells=16,
+                                       n_probe=4).collect()}
+    indexed = {(r["query_id"], r["neighbor_id"], r["rank"])
+               for r in lt.ann_topk_ivf_indexed(spark, path, q, k=5,
+                                                n_probe=4).collect()}
+    assert direct == indexed and direct
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16, mode="seeded")
+    import os
+    cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    assert len(cells) > 4  # corpus actually spread over cells
+    one_q = emb.filter(F.col("vec_id") == 0)
+    out = lt.ann_topk_ivf_indexed(spark, path, one_q, k=3, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    assert out.count() <= 3
+
+
+def test_ivf_index_version_gate(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=8)
+    bad = spark.createDataFrame(
+        [(99, 8, "seeded", "vec_id", "embedding")],
+        "version int, n_cells int, mode string, id_col string, vector_col string",
+    )
+    bad.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    with pytest.raises(ValueError, match="version"):
+        lt.ann_topk_ivf_indexed(spark, path, emb.limit(1)).count()
+
+
+def test_ivf_index_kmeans_mode_builds(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200)
+    path = str(tmp_path / "ivfk")
+    lt.save_ivf_index(emb, path, n_cells=8, mode="kmeans")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lt.ann_topk_ivf_indexed(spark, path, q, k=3, n_probe=2)
+    rows = out.collect()
+    assert rows and all(1 <= r["rank"] <= 3 for r in rows)

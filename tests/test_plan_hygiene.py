@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "ann_topk_ivfpq": "n_cells/n_codes-row codebook broadcast",
     "ann_topk_ivfpq_rerank": "n_cells/n_codes-row codebook broadcast",
     "ann_topk_ivf_seeded": "n_cells-row centroid broadcast",
+    "ann_ivf_indexed": "n_cells-row stored-centroid broadcast",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
     "ann_topk_int8": "quantized exact-cross baseline (4x bandwidth cut; lsh/ivf modes are the scale path)",
