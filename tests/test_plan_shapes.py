@@ -336,3 +336,20 @@ def test_new_ops_shuffle_ceilings(spark, sf_dir, name, max_shuffles):
     plan = plan_of(QUERIES[name](spark, sf_dir))
     got = n_shuffles(plan)
     assert got <= max_shuffles, f"{name}: {got} shuffles > {max_shuffles}"
+
+
+def test_q4_semi_join_no_duplication(spark, sf_dir):
+    """The EXISTS plans as a LeftSemi join (orders rows never
+    duplicate), and the order-date filters reach the orders scan."""
+    plan = plan_of(QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q14_broadcasts_part_and_prunes_shipdate(spark, sf_dir):
+    """part rides a broadcast hash join; the shipdate range reaches
+    the lineitem scan as pushed filters."""
+    plan = plan_of(QUERIES["q14_promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1][:400]
