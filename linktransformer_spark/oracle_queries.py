@@ -4668,3 +4668,36 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_revenue_pct")
     )
+
+
+@_q("stream_ann_ivf_indexed", _ann_ivf_seeded_sql())
+def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic search against the persisted IVF index:
+    stateless per-batch cell assignment (numpy with the declarative
+    fold's exact float order) + stream-static cell join; drain-time
+    top-k finalizer. Same SQL oracle as the batch seeded/indexed
+    paths — all three are bit-identical."""
+    import hashlib
+    import tempfile
+
+    from .operators.ann import save_ivf_index
+    from .streaming import (
+        final_ann_topk, read_stream_table, run_available_now,
+        streaming_ann_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_ivf_sidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16, mode="seeded")
+    qs = read_stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    drained = run_available_now(
+        streaming_ann_against_index(spark, qs, path, n_probe=4),
+        output_mode="append",
+    )
+    out = final_ann_topk(drained, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )

@@ -647,3 +647,127 @@ def final_volume_anomaly(
             ).alias("is_anomaly"),
         )
     )
+
+
+def streaming_ann_against_index(
+    spark: SparkSession,
+    stream_queries: DataFrame,
+    index_path: str,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Real-time semantic search: a STREAM of query vectors probed
+    against a :func:`~linktransformer_spark.operators.ann.save_ivf_index`
+    directory — scored candidates out, STATELESS end to end (append
+    mode, no watermark, no state store).
+
+    How it stays stateless: the batch path's cell assignment uses a
+    rank window (unsupported on streams); here each Arrow batch
+    assigns cells in numpy with the SAME sequential-fold float order
+    as the declarative fold (dots accumulated dimension-by-dimension,
+    ties (dot DESC, cell ASC) via exact sorting) — bit-identical cell
+    choices, so the drained candidates + :func:`final_ann_topk` equal
+    the batch ``ann_topk_ivf_indexed`` row for row, and the same SQL
+    oracle checks both. Candidates come from a stream-static equi-join
+    on cell; scoring is the usual expression dot.
+
+    Scale note: a stream-static join re-reads the static side per
+    micro-batch and cannot partition-prune on cells it has not seen —
+    persist the cells relation hot (or restrict to a known cell
+    domain) for high-frequency triggers.
+    """
+    import numpy as np
+
+    from ..functions import similarity as S
+    from ..operators import knn_join as KJ
+    from ..operators.ann import _IVF_INDEX_VERSION
+
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    meta = spark.read.json(f"{index_path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {index_path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    cent_rows = sorted(
+        (r["cell"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cids = [c for c, _ in cent_rows]
+    npb = min(n_probe, len(cids))
+    dim = cmat.shape[1]
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("_qid", LongType()),
+        StructField("cell", IntegerType()),
+        StructField("_qv", ArrayType(DoubleType())),
+    ])
+    vc, qc = vector_col, query_id
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vc].tolist(), dtype=np.float64)
+            # sequential-fold L2 norm + dots: same left-assoc float
+            # order as S.l2_normalize / S.dot (no BLAS)
+            acc = np.zeros(len(v))
+            for i in range(dim):
+                acc = acc + v[:, i] * v[:, i]
+            nrm = np.maximum(np.sqrt(acc), 1e-12)
+            vn = v / nrm[:, None]
+            dots = np.zeros((len(v), len(cids)))
+            for i in range(dim):
+                dots = dots + vn[:, i : i + 1] * cmat[:, i][None, :]
+            rows = {"_qid": [], "cell": [], "_qv": []}
+            for r in range(len(v)):
+                order = sorted(
+                    range(len(cids)), key=lambda j: (-dots[r, j], cids[j])
+                )[:npb]
+                for j in order:
+                    rows["_qid"].append(int(pdf[qc].iloc[r]))
+                    rows["cell"].append(int(cids[j]))
+                    rows["_qv"].append(list(vn[r]))
+            yield pd.DataFrame(rows)
+
+    assigned = stream_queries.select(query_id, vector_col).mapInPandas(
+        assign, schema=out_schema
+    )
+    stored = spark.read.parquet(f"{index_path}/cells").select(
+        "cell",
+        F.col(str(meta["id_col"])).alias("neighbor_id"),
+        F.col(str(meta["vector_col"])).alias("_cv"),
+    )
+    return (
+        assigned.join(stored, "cell")
+        .withColumn("score", S.dot(F.col("_qv"), F.col("_cv")))
+        .select(F.col("_qid").alias("query_id"), "neighbor_id", "score")
+    )
+
+
+def final_ann_topk(drained: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k rank over a drained :func:`streaming_ann_against_index`
+    candidate sink — (query_id, neighbor_id, rank, score), the batch
+    ``ann_topk_ivf_indexed`` output shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "score",
+        )
+    )

@@ -382,3 +382,35 @@ def test_streaming_trending_multibatch_equals_batch(spark, sf_dir, tmp_path):
         for r in trending(ev, window_seconds=21600, k=3).collect()
     }
     assert got == want and got
+
+
+def test_streaming_ann_against_index_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-micro-batch streaming probe of the persisted IVF index
+    must equal the batch indexed search exactly (cell assignment uses
+    the declarative fold's float order)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import (
+        final_ann_topk, run_available_now, streaming_ann_against_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16, mode="seeded")
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    src = str(tmp_path / "qstream")
+    q.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_ann_against_index(spark, sdf, path, n_probe=4),
+        output_mode="append",
+    )
+    got = {(r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+           for r in final_ann_topk(drained, k=5).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+            for r in lt.ann_topk_ivf_indexed(spark, path, q, k=5,
+                                             n_probe=4).collect()}
+    assert got == want and got
