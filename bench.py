@@ -152,6 +152,22 @@ def bench_queries(spark):
         )
         return lt.bm25_topk_indexed(spark, _bm25_idx_path[sf_dir], queries, k=5)
 
+    _ivf_idx_path = {}
+
+    def ann_ivf_indexed(sf_dir):
+        # build-once / probe-many, same stance as the other two index
+        # benches: the cell-partitioned index is written at first call
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        if sf_dir not in _ivf_idx_path:
+            path = tempfile.mkdtemp(prefix="lt_bench_ivf_idx_")
+            lt.save_ivf_index(emb, path, n_cells=16, mode="seeded")
+            _ivf_idx_path[sf_dir] = path
+        q = emb.filter(F.col("vec_id") < 500)
+        return lt.ann_topk_ivf_indexed(
+            spark, _ivf_idx_path[sf_dir], q, k=10, n_probe=4)
+
     def knn_label_eval_lsh(sf_dir):
         # the scale path of the embedding scorecard: candidates via the
         # hyperplane bucket equi-join instead of the exact O(n^2) cross
@@ -213,6 +229,10 @@ def bench_queries(spark):
         "ann_mmr_rerank": from_oracle("ann_mmr_rerank"),
         "ann_srp_rerank": from_oracle("ann_topk_srp_rerank"),
         "graph_pagerank": from_oracle("graph_pagerank"),
+        "events_session_paths": from_oracle("events_session_paths"),
+        "events_volume_anomaly": from_oracle("events_volume_anomaly"),
+        "docs_temperature_mixture": from_oracle("docs_temperature_mixture"),
+        "ann_ivf_indexed": ann_ivf_indexed,
     }
 
 

@@ -236,3 +236,111 @@ def test_pack_sequences_invariants(spark, sizes, width_sel):
     # consecutive offsets differ by exactly the doc's token count
     for (o1, (_, n, *_)), o2 in zip(zip(offs, single), offs[1:]):
         assert o2 - o1 == n
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 5000),
+                  st.sampled_from(["a", "b", "c", "d"])),
+        min_size=2, max_size=60,
+    )
+)
+def test_transition_matrix_invariants(spark, events):
+    """p conditions: per from_type, sum of p over ALL outgoing rows
+    (min_count=1) is 1 within rounding; n >= 1; no self-successor
+    constraint assumed."""
+    import datetime as dt
+
+    from linktransformer_spark.operators.eventpipe import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), ty, i)
+        for i, (u, s, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = transition_matrix(df, tiebreak_col="event_id").collect()
+    by_from = {}
+    for r in out:
+        assert r["n"] >= 1
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["p"]
+    for tot in by_from.values():
+        assert abs(tot - 1.0) < 1e-4  # p rounded to 6dp per row
+
+
+@SLOW
+@given(
+    st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=5, max_size=80),
+    st.integers(1, 50),
+)
+def test_temperature_mixture_invariants(spark, groups, budget):
+    """Output is a subset of the input; per-group counts respect both
+    the group size and the floor apportionment target; total <= budget."""
+    import math
+
+    import linktransformer_spark as lt
+
+    rows = [(g, f"t{i}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = lt.temperature_mixture(df, "src", budget=budget, key_cols="text")
+    got = out.groupBy("src").count().collect()
+    cnt = {g: groups.count(g) for g in set(groups)}
+    # same fold order as the operator: group-sort order
+    z = 0.0
+    for g in sorted(cnt):
+        z += math.sqrt(cnt[g])
+    total = 0
+    for r in got:
+        g, n = r["src"], r["count"]
+        target = min(cnt[g], math.floor(budget * math.sqrt(cnt[g]) / z))
+        assert n == target
+        total += n
+    assert total <= budget
+
+
+@SLOW
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8)),
+                min_size=1, max_size=30))
+def test_pagerank_invariants(spark, pairs):
+    """Ranks positive; total mass <= 1 (+eps); exactly 1 when no node
+    is dangling."""
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rows = lt.pagerank(df, iterations=3).collect()
+    total = sum(r["rank"] for r in rows)
+    assert all(r["rank"] > 0 for r in rows)
+    assert total <= 1.0 + 1e-9
+    srcs = {s for s, _ in pairs}
+    nodes = srcs | {d for _, d in pairs}
+    if nodes <= srcs:  # every node has an out-edge -> mass conserved
+        assert abs(total - 1.0) < 1e-9
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=30),
+                min_size=2, max_size=12))
+def test_containment_bounds_and_dominates_jaccard(spark, texts):
+    """containment in (0, 1]; for any pair, max-direction containment
+    >= jaccard (set identity: |I|/min(|A|,|B|) >= |I|/|A∪B|)."""
+    import linktransformer_spark as lt
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    cont = {(r["src"], r["dst"]): r["containment"]
+            for r in lt.containment_pairs(
+                df, on="text", id_col="doc_id", threshold=1e-9,
+                shingle=2).collect()}
+    jac = {(r["src"], r["dst"]): r["jaccard"]
+           for r in lt.near_dup_pairs_jaccard(
+               df, on="text", id_col="doc_id", threshold=1e-9,
+               shingle=2).collect()}
+    for v in cont.values():
+        assert 0.0 < v <= 1.0 + 1e-12
+    for (a, b), j in jac.items():
+        m = max(cont.get((a, b), 0.0), cont.get((b, a), 0.0))
+        assert m >= j - 1e-9
