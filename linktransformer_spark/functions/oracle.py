@@ -228,3 +228,40 @@ def sql_subword_count(s: str) -> str:
 def sql_fingerprint(s: str) -> str:
     norm = f"regexp_replace(trim(lower({s})), '\\s+', ' ', 'g')"
     return sql_poly_hash(norm)
+
+
+def sql_hyperplane_probes(dots: str, n_planes: int, n_extra: int) -> str:
+    """Mirror of ann.hyperplane_probe_buckets' bucket LIST given a
+    per-plane dot list expression ``dots`` (1-based): the exact bucket
+    plus ``n_extra`` least-confident-bit flips. Confidence ranks use
+    the same O(n_planes^2) counting comparison — integer arithmetic
+    after the (bit-identical) dot folds, so probe sets match Spark
+    exactly."""
+    def d(h):
+        return f"{dots}[{h + 1}]"
+
+    b0 = " + ".join(
+        f"(CASE WHEN {d(h)} >= 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(n_planes)
+    )
+    b0 = f"({b0})"
+    ranks = []
+    for h in range(n_planes):
+        terms = []
+        for k in range(n_planes):
+            if k == h:
+                continue
+            tie = f"(abs({d(k)}) = abs({d(h)}) AND {int(k < h)} = 1)"
+            terms.append(
+                f"(CASE WHEN abs({d(k)}) < abs({d(h)}) OR {tie} "
+                f"THEN 1 ELSE 0 END)"
+            )
+        ranks.append("(" + (" + ".join(terms) if terms else "0") + ")")
+    probes = [b0]
+    for r in range(n_extra):
+        mask = " + ".join(
+            f"({1 << h} * (CASE WHEN {ranks[h]} = {r} THEN 1 ELSE 0 END))"
+            for h in range(n_planes)
+        )
+        probes.append(f"xor({b0}, ({mask}))")
+    return "[" + ", ".join(probes) + "]"

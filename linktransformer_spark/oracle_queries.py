@@ -4701,3 +4701,75 @@ def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN (Lv et al. 2007; operators/ann.py
+# hyperplane_probe_buckets) — flip the least-confident hyperplane bits
+# to recover bucket-granularity recall without touching the corpus
+# side. Fully SQL-mirrored: the dot folds are bit-identical and the
+# confidence ranking is O(n_planes^2) integer counting.
+# ---------------------------------------------------------------------------
+def _ann_lsh_multiprobe_sql(
+    dim: int = 64, n_planes: int = 6, n_extra: int = 2,
+    nq: int = 50, k: int = 5,
+) -> str:
+    from .functions.oracle import (
+        sql_dot, sql_hyperplane_bucket, sql_hyperplane_probes,
+        sql_l2_normalize,
+    )
+    from .operators.ann import hyperplane_component
+
+    dot_list = "[" + ", ".join(
+        sql_dot(
+            "v",
+            "[" + ", ".join(
+                repr(hyperplane_component(h, j)) for j in range(dim)
+            ) + "]",
+        )
+        for h in range(n_planes)
+    ) + "]"
+    probes = sql_hyperplane_probes("dots", n_planes, n_extra)
+    return f"""
+    WITH qn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id < {nq}
+    ),
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    qd AS (SELECT vec_id, v, {dot_list} AS dots FROM qn),
+    qb AS (SELECT vec_id, v, unnest({probes}) AS bkt FROM qd),
+    cb AS (
+      SELECT vec_id, v, {sql_hyperplane_bucket('v', dim, n_planes)} AS bkt
+      FROM cn
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qb q JOIN cb c ON q.bkt = c.bkt
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_lsh_multiprobe", _ann_lsh_multiprobe_sql())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: the exact bucket plus the 2
+    least-confident bit flips per query (n_planes=6 -> 64 buckets).
+    Compare ann_topk_lsh (single probe, same planes): higher recall at
+    3x probe rows, corpus bucketing unchanged."""
+    from .operators.ann import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_topk(
+        q, emb, vector_col="embedding", k=5, mode="lsh_hyperplane",
+        dim=64, n_planes=6, multi_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

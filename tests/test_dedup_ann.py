@@ -975,3 +975,42 @@ def test_ivf_index_kmeans_mode_builds(spark, sf_dir, tmp_path):
     out = lt.ann_topk_ivf_indexed(spark, path, q, k=3, n_probe=2)
     rows = out.collect()
     assert rows and all(1 <= r["rank"] <= 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH (round 6)
+# ---------------------------------------------------------------------------
+def test_multiprobe_improves_recall_over_single(spark, sf_dir):
+    from linktransformer_spark.operators.ann import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(q, emb, k=5, mode="exact_cross").collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in ann_topk(q, emb, k=5, mode="lsh_hyperplane",
+                                dim=64, n_planes=6).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk(q, emb, k=5, mode="lsh_hyperplane",
+                               dim=64, n_planes=6, multi_probe=2).collect()}
+    r1 = len(exact & single) / len(exact)
+    r2 = len(exact & multi) / len(exact)
+    assert r2 >= r1  # extra probes can only add candidates
+    assert single <= {p for p in multi} or r2 > r1  # strictly more pairs seen
+
+
+def test_multiprobe_buckets_distinct_and_counted(spark):
+    from linktransformer_spark.operators.ann import hyperplane_probe_buckets
+
+    df = spark.createDataFrame(
+        [(1, [float(i % 5 - 2) for i in range(16)])], ["id", "v"])
+    out = hyperplane_probe_buckets(df, "v", 16, 6, 3).collect()
+    assert len(out) == 4  # 1 exact + 3 flips
+    assert len({r["_bkt"] for r in out}) == 4  # all distinct
+
+
+def test_multiprobe_validates(spark):
+    from linktransformer_spark.operators.ann import hyperplane_probe_buckets
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "v"])
+    with pytest.raises(ValueError):
+        hyperplane_probe_buckets(df, "v", 2, 4, 4)
