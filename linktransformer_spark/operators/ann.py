@@ -841,10 +841,15 @@ def mmr_rerank(
     ).localCheckpoint(eager=False)
     picks = [first]
     selected = first
-    remaining = cand.join(
-        first.select("_q", "_d"), ["_q", "_d"], "left_anti"
-    ).localCheckpoint(eager=False)
     for j in range(2, k + 1):
+        # remaining derives from the (already lineage-cut) cand and
+        # pick frames each round instead of chaining its own
+        # checkpoints — one anti-join against the selected union costs
+        # |cand| x (j-1) comparisons on the tiny pick side and drops
+        # k-1 checkpoint materializations from the composed plan
+        remaining = cand.join(
+            selected.select("_q", "_d"), ["_q", "_d"], "left_anti"
+        )
         pen = (
             remaining.join(
                 selected.select("_q", F.col("_v").alias("_sv")), "_q"
@@ -861,9 +866,6 @@ def mmr_rerank(
                       F.col("_mmr")).localCheckpoint(eager=False)
         picks.append(pick)
         selected = selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select("_q", "_d"), ["_q", "_d"], "left_anti"
-        ).localCheckpoint(eager=False)
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
