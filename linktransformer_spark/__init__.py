@@ -17,7 +17,8 @@ from .operators.components import clusters_from_edges, connected_components
 from .operators.graph import pagerank
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
-    ann_topk_ivf_indexed, mmr_rerank, quantize_embeddings, save_ivf_index,
+    ann_topk_ivf_indexed, append_to_ivf_index, mmr_rerank, quantize_embeddings,
+    save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .data import DATA_DIR_PATH
@@ -192,6 +193,7 @@ __all__ = [
     "mmr_rerank",
     "ann_topk_ivf_indexed",
     "save_ivf_index",
+    "append_to_ivf_index",
     "quantize_embeddings",
     "knn_classify",
     "knn_label_eval",

@@ -1148,3 +1148,49 @@ def hyperplane_probe_buckets(
             mask = t if mask is None else mask + t
         probes.append(b0.bitwiseXOR(mask))
     return step.withColumn(out_col, F.explode(F.array(*probes))).drop("_hp_dots")
+
+
+def append_to_ivf_index(
+    new: DataFrame,
+    path: str,
+    vector_col: str | None = None,
+    corpus_id: str | None = None,
+) -> None:
+    """Append a new corpus batch to a :func:`save_ivf_index` directory.
+
+    Sound WITHOUT rebuilding because the index's scoring state is
+    per-row only: new vectors are assigned against the STORED
+    centroids (frozen at build time) and their (id, vector) rows
+    append into the cell partitions — existing rows are untouched and
+    every previously-correct probe stays correct. Contrast the BM25
+    impact index, where appending documents silently STALES the whole
+    index (idf and avgdl are corpus-global, baked into every stored
+    impact) — that one is rebuild-only by design.
+
+    Centroid quality degrades as the appended distribution drifts from
+    the build-time corpus (cells imbalance -> recall per probe drops);
+    monitor cell sizes and rebuild when skewed — the standard IVF
+    maintenance trade. Column names default to the ones recorded in
+    the index meta."""
+    spark = new.sparkSession
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    id_col = corpus_id or str(meta["id_col"])
+    vec_col = vector_col or str(meta["vector_col"])
+    cent = spark.read.parquet(f"{path}/centroids").select(
+        "cell", F.col("centroid").alias("_cent_emb")
+    )
+    c = KJ.ensure_parallelism(new).select(
+        F.col(id_col).cast("long").alias(str(meta["id_col"])),
+        S.l2_normalize(F.col(vec_col)).alias(str(meta["vector_col"])),
+    )
+    assigned = _assign_cells_declarative(
+        c, str(meta["id_col"]), str(meta["vector_col"]), cent, 1
+    )
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")

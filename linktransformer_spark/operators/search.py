@@ -284,7 +284,16 @@ def save_bm25_index(
     a retrieval touching t distinct terms reads <= min(t, n_buckets)
     partitions, so few-term lookups scan a sliver of the corpus
     regardless of its size. Size n_buckets so one bucket
-    (~|postings|/n_buckets rows) is a few HDFS blocks at your scale."""
+    (~|postings|/n_buckets rows) is a few HDFS blocks at your scale.
+
+    REBUILD-ONLY by design: appending documents would silently stale
+    the whole index — idf and avgdl are corpus-global and baked into
+    every stored impact, so one new document changes the correct score
+    of every existing posting. (Contrast the IVF index, whose per-row
+    state makes :func:`~linktransformer_spark.operators.ann.append_to_ivf_index`
+    sound.) The standard production shape is periodic rebuild plus a
+    small fresh-tail segment searched with the live :func:`bm25_topk`
+    and merged at the application layer."""
     postings, dfreq = build_bm25_index(
         docs, text_col=text_col, id_col=id_col, k1=k1, b=b, n_buckets=n_buckets
     )

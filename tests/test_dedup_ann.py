@@ -1014,3 +1014,43 @@ def test_multiprobe_validates(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "v"])
     with pytest.raises(ValueError):
         hyperplane_probe_buckets(df, "v", 2, 4, 4)
+
+
+def test_ivf_index_append_equals_full_with_same_centroids(spark, sf_dir, tmp_path):
+    """build(half1) + append(half2) must equal a from-scratch search
+    that uses the SAME (half1-seeded) centroids over the full corpus —
+    appends never disturb existing rows or probes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    h1 = emb.filter(F.col("vec_id") < 250)
+    h2 = emb.filter(F.col("vec_id") >= 250)
+    inc = str(tmp_path / "inc")
+    lt.save_ivf_index(h1, inc, n_cells=8, mode="seeded")
+    lt.append_to_ivf_index(h2, inc)
+
+    q = emb.filter(F.col("vec_id") < 20)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in lt.ann_topk_ivf_indexed(spark, inc, q, k=5,
+                                            n_probe=3).collect()}
+
+    # reference: same centroids (seeded from h1 = the 8 smallest ids of
+    # the FULL corpus too, since h1 holds the smallest ids) built over
+    # the full corpus in one shot
+    full = str(tmp_path / "full")
+    lt.save_ivf_index(emb, full, n_cells=8, mode="seeded")
+    want = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in lt.ann_topk_ivf_indexed(spark, full, q, k=5,
+                                             n_probe=3).collect()}
+    assert got == want and got
+
+
+def test_ivf_index_append_version_gate(spark, sf_dir, tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb.filter(F.col("vec_id") < 100), path, n_cells=4)
+    bad = spark.createDataFrame(
+        [(99, 4, "seeded", "vec_id", "embedding")],
+        "version int, n_cells int, mode string, id_col string, vector_col string",
+    )
+    bad.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    with pytest.raises(ValueError, match="version"):
+        lt.append_to_ivf_index(emb.filter(F.col("vec_id") >= 100), path)
