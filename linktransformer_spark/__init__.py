@@ -76,6 +76,7 @@ from .operators.corpus import (
     dedup_spans,
     dsir_log_weights,
     dsir_select,
+    chunk_documents,
     materialize_chunks,
     pack_sequences,
     redact_pii,
@@ -253,6 +254,7 @@ __all__ = [
     "dsir_log_weights",
     "dsir_select",
     "dedup_spans",
+    "chunk_documents",
     "materialize_chunks",
     "pack_sequences",
     "redact_pii",

@@ -586,3 +586,63 @@ def dsir_select(
         .orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Per-document SLIDING-WINDOW chunking — the RAG/embedding-index
+    prep step (each chunk embeds separately; ``overlap`` keeps
+    sentences split by a boundary retrievable from both sides).
+    Contrast :func:`materialize_chunks`, which packs documents
+    head-to-tail ACROSS doc boundaries for LM pretraining.
+
+    Chunk i covers tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; start positions run while they
+    still index a token, so every token lands in >= 1 chunk and final
+    chunks may be short. Empty/whitespace-only docs yield no rows.
+    Returns (``id_col``, ``chunk_idx`` 0-based, ``n_tokens``,
+    ``text``) — map-only (tokenize -> position explode -> slice/join,
+    all whole-stage codegen; no shuffle, no Python), so it fuses into
+    the scan at any corpus size.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    toks_arr = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    # filter BEFORE the explode: sequence(0, -1) is a DESCENDING
+    # sequence in Spark, not an empty one (same guard as char_ngrams)
+    base = df.select(F.col(id_col), toks_arr.alias("_lt_toks")).filter(
+        F.size("_lt_toks") > 0
+    )
+    n = F.size("_lt_toks")
+    # number of chunks = ceil over starts: last start index i satisfies
+    # i*step < n  ->  i_max = floor((n-1)/step)
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(step)) + 1
+    out = base.select(
+        id_col,
+        "_lt_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.slice(
+            "_lt_toks", F.col("chunk_idx") * step + 1, chunk_tokens
+        ).alias("_lt_chunk"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size("_lt_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_lt_chunk", " ").alias("text"),
+    )

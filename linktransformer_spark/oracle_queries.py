@@ -4773,3 +4773,45 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG sliding-window chunking (operators/corpus.py chunk_documents) —
+# per-doc overlapping chunks for embedding indexes, map-only.
+# ---------------------------------------------------------------------------
+_CHUNK_DOCS_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(floor((len(toks) - 1) / 96.0) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             toks[chunk_idx * 96 + 1 : chunk_idx * 96 + 128] AS chunk
+      FROM e
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS text
+    FROM c
+"""
+
+
+@_q("docs_chunk_sliding", _CHUNK_DOCS_SQL)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-token chunks with 32-token overlap (step 96) per document —
+    the RAG embedding-index prep; map-only, no shuffle."""
+    from .operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=128, overlap=32)
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "n_tokens", "text",
+    )

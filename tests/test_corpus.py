@@ -264,3 +264,48 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, sf_dir):
     top = {r["doc_id"] for r in
            sorted(rows, key=lambda r: (-r["log_weight"], r["doc_id"]))[:10]}
     assert got == top and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (round 6)
+# ---------------------------------------------------------------------------
+def test_chunk_documents_overlap_and_coverage(spark):
+    import linktransformer_spark as lt
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        lt.chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # step 2: starts 0,2,4,6,8 -> 5 chunks, last short
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+    assert rows[0]["text"] == "t0 t1 t2 t3"
+    assert rows[1]["text"] == "t2 t3 t4 t5"      # 2-token overlap
+    assert rows[-1]["text"] == "t8 t9"
+    # every token covered
+    covered = set()
+    for r in rows:
+        covered |= set(r["text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_empty_doc_and_validation(spark):
+    import linktransformer_spark as lt
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "   "), (2, "a b")], ["doc_id", "text"])
+    rows = lt.chunk_documents(df, chunk_tokens=4, overlap=0).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    with _pytest.raises(ValueError):
+        lt.chunk_documents(df, chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        lt.chunk_documents(df, chunk_tokens=0)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    import linktransformer_spark as lt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = lt.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
