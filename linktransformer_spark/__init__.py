@@ -63,7 +63,11 @@ from .operators.textpipe import (
     repetition_stats,
     unigram_lm_score,
 )
-from .operators.entity import match_pairs, resolve_entities
+from .operators.entity import (
+    match_pairs,
+    resolve_entities,
+    sorted_neighborhood_pairs,
+)
 from .operators.search import (
     bm25_topk,
     bm25_topk_indexed,
@@ -249,6 +253,7 @@ __all__ = [
     "save_bm25_index",
     "match_pairs",
     "resolve_entities",
+    "sorted_neighborhood_pairs",
     "contamination_pairs",
     "dedup_lines",
     "dsir_log_weights",

@@ -4815,3 +4815,45 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "n_tokens", "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernández & Stolfo 1995;
+# operators/entity.py sorted_neighborhood_pairs) — candidate pairs
+# within a window of the global key sort, no equi-blocking key needed.
+# ---------------------------------------------------------------------------
+_SNM_SQL = """
+    WITH u AS (
+      SELECT 0 AS side, c_custkey AS rid,
+             coalesce(CAST(c_name AS VARCHAR), '') AS key FROM customer
+      UNION ALL
+      SELECT 1, s_suppkey, coalesce(CAST(s_name AS VARCHAR), '') FROM supplier
+    ),
+    ranked AS (
+      SELECT side, rid,
+             row_number() OVER (ORDER BY key ASC, side ASC, rid ASC) AS rnk
+      FROM u
+    )
+    SELECT l.rid AS left_id, r.rid AS right_id,
+           CAST(abs(l.rnk - r.rnk) AS INT) AS rank_gap
+    FROM ranked l JOIN ranked r
+      ON l.side = 0 AND r.side = 1 AND abs(l.rnk - r.rnk) <= 5
+"""
+
+
+@_q("er_sorted_neighborhood", _SNM_SQL)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-5 sorted-neighborhood candidates over the combined
+    customer/supplier name sort. The oracle ranks with ONE global
+    window + a theta join (fine at oracle scale); the Spark plan is
+    the scale shape — prefix-bucketed distributed ranking and a band
+    equi-join."""
+    from .operators.entity import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return sorted_neighborhood_pairs(
+        cust, supp, left_on="c_name", right_on="s_name",
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+        window=5, prefix_len=2,
+    )

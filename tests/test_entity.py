@@ -106,3 +106,66 @@ def test_blocked_plan_is_equi_join(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs (round 6)
+# ---------------------------------------------------------------------------
+def test_snm_finds_adjacent_cross_side_pairs(spark):
+    import linktransformer_spark as lt
+    l = spark.createDataFrame(
+        [(1, "aaa"), (2, "mmm"), (3, "zzz")], ["id", "name"])
+    r = spark.createDataFrame(
+        [(10, "aab"), (11, "zzy")], ["id", "name"])
+    out = {(p["left_id"], p["right_id"])
+           for p in lt.sorted_neighborhood_pairs(
+               l, r, left_on="name", right_on="name",
+               left_id_col="id", right_id_col="id", window=1).collect()}
+    # sort: aaa(L1) aab(R10) mmm(L2) zzy(R11) zzz(L3)
+    assert out == {(1, 10), (2, 10), (2, 11), (3, 11)}
+
+
+def test_snm_catches_what_equality_blocking_misses(spark):
+    """Near-identical names with DIFFERENT blocking attributes: the
+    equi-blocked match_pairs finds nothing, the neighborhood does."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.operators.entity import match_pairs
+    l = spark.createDataFrame([(1, "acme corp", 10)], ["id", "name", "region"])
+    r = spark.createDataFrame([(2, "acme corp.", 20)], ["id", "name", "region"])
+    blocked = match_pairs(
+        l, r, left_on="name", right_on="name", left_id_col="id",
+        right_id_col="id", sim_threshold=0.5, blocking_vars=["region"])
+    assert blocked.count() == 0
+    snm = lt.sorted_neighborhood_pairs(
+        l, r, left_on="name", right_on="name",
+        left_id_col="id", right_id_col="id", window=2)
+    assert snm.count() == 1
+
+
+def test_snm_prefix_bucketing_matches_global_sort(spark, sf_dir):
+    """Distributed prefix-bucket ranking must equal a single global
+    rank — pairs identical for any prefix_len."""
+    import linktransformer_spark as lt
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    kw = dict(left_on="c_name", right_on="s_name",
+              left_id_col="c_custkey", right_id_col="s_suppkey", window=4)
+    a = {tuple(r) for r in lt.sorted_neighborhood_pairs(
+        cust, supp, prefix_len=1, **kw).collect()}
+    b = {tuple(r) for r in lt.sorted_neighborhood_pairs(
+        cust, supp, prefix_len=3, **kw).collect()}
+    assert a == b and a
+
+
+def test_snm_validates(spark):
+    import linktransformer_spark as lt
+    l = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError):
+        lt.sorted_neighborhood_pairs(
+            l, l, left_on="name", right_on="name",
+            left_id_col="id", right_id_col="id", window=0)
+    s = spark.createDataFrame([("x", "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="integral"):
+        lt.sorted_neighborhood_pairs(
+            s, l, left_on="name", right_on="name",
+            left_id_col="id", right_id_col="id")
