@@ -65,6 +65,7 @@ from .operators.textpipe import (
 )
 from .operators.entity import (
     match_pairs,
+    match_pairs_weighted,
     resolve_entities,
     sorted_neighborhood_pairs,
 )
@@ -252,6 +253,7 @@ __all__ = [
     "build_bm25_index",
     "save_bm25_index",
     "match_pairs",
+    "match_pairs_weighted",
     "resolve_entities",
     "sorted_neighborhood_pairs",
     "contamination_pairs",

@@ -37,7 +37,8 @@ from ..functions.serialize import serialize_columns
 from ..ids import require_integral_id
 from .components import connected_components
 
-__all__ = ["match_pairs", "resolve_entities", "sorted_neighborhood_pairs"]
+__all__ = ["match_pairs", "match_pairs_weighted", "resolve_entities",
+           "sorted_neighborhood_pairs"]
 
 
 def _norm_blocking(blocking_vars):
@@ -306,4 +307,93 @@ def sorted_neighborhood_pairs(
             F.abs(F.col("_lr") - F.col("_rr")).cast("int").alias("rank_gap"),
         )
         .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+def match_pairs_weighted(
+    df1: DataFrame,
+    df2: DataFrame,
+    *,
+    fields: list[tuple],
+    left_id_col: str,
+    right_id_col: str,
+    sim_threshold: float,
+    blocking_vars: list[str] | None = None,
+) -> DataFrame:
+    """Field-weighted record comparison (the Fellegi-Sunter-shaped
+    scoring rule every production linkage system uses): each field
+    contributes ``weight * field_similarity`` and the pair score is
+    their sum — name similarity dominating, address/code/amount fields
+    refining, all in one threshold.
+
+    ``fields`` entries are ``(left_col, right_col, weight, kind)``:
+    - ``'lev'``   : normalized edit similarity of the string forms
+    - ``'exact'`` : 1.0 on null-safe equality else 0.0
+    - ``'num'``   : 1 - |a-b| / max(|a|, |b|, 1) (scale-relative
+      numeric proximity; nulls score 0)
+    The weighted sum accumulates in ``fields`` order (order-pinned
+    floats — the SQL oracle mirrors the same chain). Weights are the
+    caller's calibration; they need not sum to 1, the threshold is on
+    the raw sum. Returns (``left_id``, ``right_id``, ``score``).
+
+    Blocking and the candidate plan are exactly :func:`match_pairs`'s
+    (equi-join on blocking values, else cross); the scorer is still a
+    pure JVM expression.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    require_integral_id(df1, left_id_col, "match_pairs_weighted")
+    require_integral_id(df2, right_id_col, "match_pairs_weighted")
+    for lc, rc in _norm_blocking(blocking_vars):
+        if lc not in df1.columns:
+            raise ValueError(f"blocking var {lc!r} not in left frame")
+        if rc not in df2.columns:
+            raise ValueError(f"blocking var {rc!r} not in right frame")
+    from ..functions.similarity import lev_sim
+
+    blocks = _norm_blocking(blocking_vars)
+    lcols = [F.col(lc).alias(f"_f{i}_l") for i, (lc, *_rest) in enumerate(fields)]
+    rcols = [F.col(rc).alias(f"_f{i}_r") for i, (_lc, rc, *_rest) in enumerate(fields)]
+    lb = [F.col(lc).alias(f"_b{i}") for i, (lc, _) in enumerate(blocks)]
+    rb = [F.col(rc).alias(f"_b{i}") for i, (_, rc) in enumerate(blocks)]
+    left = df1.select(
+        F.col(left_id_col).cast("long").alias("_lid"), *lcols, *lb
+    )
+    right = df2.select(
+        F.col(right_id_col).cast("long").alias("_rid"), *rcols, *rb
+    )
+    if blocking_vars:
+        cand = left.join(right, [f"_b{i}" for i in range(len(blocks))])
+    else:
+        cand = left.crossJoin(right)
+
+    score = None
+    for i, (_lc, _rc, weight, kind) in enumerate(fields):
+        a, b = F.col(f"_f{i}_l"), F.col(f"_f{i}_r")
+        if kind == "lev":
+            s = lev_sim(
+                F.coalesce(a.cast("string"), F.lit("")),
+                F.coalesce(b.cast("string"), F.lit("")),
+            )
+        elif kind == "exact":
+            s = F.when(a.eqNullSafe(b), F.lit(1.0)).otherwise(F.lit(0.0))
+        elif kind == "num":
+            ad, bd = a.cast("double"), b.cast("double")
+            s = F.when(
+                ad.isNotNull() & bd.isNotNull(),
+                F.lit(1.0)
+                - F.abs(ad - bd) / F.greatest(F.abs(ad), F.abs(bd), F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        else:
+            raise ValueError(f"unknown field kind {kind!r}; use lev|exact|num")
+        t = F.lit(float(weight)) * s
+        score = t if score is None else score + t
+    return (
+        cand.withColumn("score", score)
+        .filter(F.col("score") >= F.lit(float(sim_threshold)))
+        .select(
+            F.col("_lid").alias("left_id"),
+            F.col("_rid").alias("right_id"),
+            "score",
+        )
     )

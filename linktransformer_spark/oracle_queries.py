@@ -4857,3 +4857,55 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id_col="c_custkey", right_id_col="s_suppkey",
         window=5, prefix_len=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Field-weighted record comparison (operators/entity.py
+# match_pairs_weighted) — Fellegi-Sunter-shaped multi-field scoring:
+# 0.7 * name lev + 0.2 * acctbal proximity + 0.1 * nation equality.
+# ---------------------------------------------------------------------------
+def _er_weighted_sql(threshold: float = 0.75) -> str:
+    from .functions.oracle import sql_lev_sim
+
+    name_sim = sql_lev_sim(
+        "coalesce(CAST(c.c_name AS VARCHAR), '')",
+        "coalesce(CAST(s.s_name AS VARCHAR), '')",
+    )
+    num_sim = (
+        "(CASE WHEN c.c_acctbal IS NOT NULL AND s.s_acctbal IS NOT NULL "
+        "THEN 1.0 - abs(CAST(c.c_acctbal AS DOUBLE) - CAST(s.s_acctbal AS DOUBLE)) "
+        "/ greatest(abs(CAST(c.c_acctbal AS DOUBLE)), "
+        "abs(CAST(s.s_acctbal AS DOUBLE)), 1.0) ELSE 0.0 END)"
+    )
+    eq_sim = (
+        "(CASE WHEN c.c_nationkey IS NOT DISTINCT FROM s.s_nationkey "
+        "THEN 1.0 ELSE 0.0 END)"
+    )
+    score = f"(0.7 * {name_sim} + 0.2 * {num_sim} + 0.1 * {eq_sim})"
+    return f"""
+    SELECT left_id, right_id, round(score, 6) AS score FROM (
+      SELECT c.c_custkey AS left_id, s.s_suppkey AS right_id,
+             {score} AS score
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ) WHERE score >= {threshold}
+"""
+
+
+@_q("er_match_pairs_weighted", _er_weighted_sql())
+def er_match_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.entity import match_pairs_weighted
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    out = match_pairs_weighted(
+        cust, supp,
+        fields=[
+            ("c_name", "s_name", 0.7, "lev"),
+            ("c_acctbal", "s_acctbal", 0.2, "num"),
+            ("c_nationkey", "s_nationkey", 0.1, "exact"),
+        ],
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+        sim_threshold=0.75,
+        blocking_vars=[("c_nationkey", "s_nationkey")],
+    )
+    return out.select("left_id", "right_id", F.round("score", 6).alias("score"))

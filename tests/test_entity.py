@@ -169,3 +169,54 @@ def test_snm_validates(spark):
         lt.sorted_neighborhood_pairs(
             s, l, left_on="name", right_on="name",
             left_id_col="id", right_id_col="id")
+
+
+# ---------------------------------------------------------------------------
+# match_pairs_weighted (round 6)
+# ---------------------------------------------------------------------------
+def test_weighted_fields_combine_and_threshold(spark):
+    import linktransformer_spark as lt
+    l = spark.createDataFrame(
+        [(1, "acme corp", 100.0, 5)], ["id", "name", "bal", "nat"])
+    r = spark.createDataFrame(
+        [(2, "acme corp", 100.0, 5),    # perfect: 1.0
+         (3, "acme corp", 100.0, 9),    # loses the 0.1 exact field
+         (4, "zzz", 100.0, 5)],         # name mismatch dominates
+        ["id", "name", "bal", "nat"])
+    out = {p["right_id"]: p["score"]
+           for p in lt.match_pairs_weighted(
+               l, r,
+               fields=[("name", "name", 0.7, "lev"),
+                       ("bal", "bal", 0.2, "num"),
+                       ("nat", "nat", 0.1, "exact")],
+               left_id_col="id", right_id_col="id",
+               sim_threshold=0.85).collect()}
+    assert abs(out[2] - 1.0) < 1e-12
+    assert abs(out[3] - 0.9) < 1e-12
+    assert 4 not in out
+
+
+def test_weighted_num_field_relative_proximity(spark):
+    import linktransformer_spark as lt
+    l = spark.createDataFrame([(1, 100.0)], ["id", "v"])
+    r = spark.createDataFrame([(2, 90.0), (3, None)], ["id", "v"])
+    out = {p["right_id"]: p["score"]
+           for p in lt.match_pairs_weighted(
+               l, r, fields=[("v", "v", 1.0, "num")],
+               left_id_col="id", right_id_col="id",
+               sim_threshold=-1.0).collect()}
+    assert abs(out[2] - 0.9) < 1e-12   # 1 - 10/100
+    assert out[3] == 0.0               # null scores 0
+
+
+def test_weighted_validates(spark):
+    import linktransformer_spark as lt
+    l = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="non-empty"):
+        lt.match_pairs_weighted(
+            l, l, fields=[], left_id_col="id", right_id_col="id",
+            sim_threshold=0.5)
+    with pytest.raises(ValueError, match="kind"):
+        lt.match_pairs_weighted(
+            l, l, fields=[("name", "name", 1.0, "soundex")],
+            left_id_col="id", right_id_col="id", sim_threshold=0.5)
