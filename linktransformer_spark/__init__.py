@@ -24,7 +24,7 @@ from .operators.ann import (
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
-from .operators.profile import profile_table, quantile_buckets
+from .operators.profile import profile_table, quantile_buckets, winsorize
 from .operators.sampling import (
     hash_sample,
     hash_split,
@@ -209,6 +209,7 @@ __all__ = [
     "LinkTransformerClassifier",
     "profile_table",
     "quantile_buckets",
+    "winsorize",
     "hash_sample",
     "hash_split",
     "sample_mixture",

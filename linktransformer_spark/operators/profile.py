@@ -187,3 +187,42 @@ def quantile_buckets(
         ).cast("int"),
     )
     return out.withColumn(bucket_col, bucket).drop("_bnds")
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    out_col: str | None = None,
+    approx: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Clamp ``col`` to its [p_low, p_high] quantile range — the
+    outlier-robustification step before scaling/averaging quality or
+    engagement signals (one pathological value otherwise dominates any
+    mean-based downstream statistic).
+
+    Same plan shape as :func:`quantile_buckets`: the two boundaries are
+    ONE aggregate (exact ``percentile`` by default — matches DuckDB's
+    quantile_cont, oracle-checkable; ``approx=True`` for the GK-sketch
+    100 TB path), broadcast back, and the clamp is a map-only
+    least/greatest expression. NULLs pass through unchanged.
+    """
+    if not 0.0 <= p_low < p_high <= 1.0:
+        raise ValueError("need 0 <= p_low < p_high <= 1")
+    x = F.col(col).cast("double")
+    probs = F.array(F.lit(float(p_low)), F.lit(float(p_high)))
+    if approx:
+        agg = F.approx_percentile(x, probs, F.lit(int(1.0 / relative_error)))
+    else:
+        agg = F.percentile(x, probs)
+    bnds = df.agg(agg.alias("_wb"))
+    out = df.crossJoin(F.broadcast(bnds))
+    clamped = F.when(
+        x.isNotNull(),
+        F.least(
+            F.greatest(x, F.element_at("_wb", 1)), F.element_at("_wb", 2)
+        ),
+    )
+    return out.withColumn(out_col or col, clamped).drop("_wb")

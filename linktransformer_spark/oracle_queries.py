@@ -4909,3 +4909,32 @@ def er_match_pairs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocking_vars=[("c_nationkey", "s_nationkey")],
     )
     return out.select("left_id", "right_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (operators/profile.py winsorize) — quantile clamp for
+# outlier-robust signal columns; exact percentile = quantile_cont.
+# ---------------------------------------------------------------------------
+_WINSORIZE_SQL = """
+    WITH b AS (
+      SELECT quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+      FROM events
+    )
+    SELECT e.event_id,
+           round(CASE WHEN e.value IS NOT NULL
+                 THEN least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi)
+                 END, 6) AS value_w
+    FROM events e CROSS JOIN b
+"""
+
+
+@_q("events_winsorize_value", _WINSORIZE_SQL)
+def events_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamp event values to the [p5, p95] quantile range — one exact
+    percentile aggregate broadcast back, map-only clamp."""
+    from .operators.profile import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    out = winsorize(ev, "value", p_low=0.05, p_high=0.95, out_col="value_w")
+    return out.select("event_id", F.round("value_w", 6).alias("value_w"))

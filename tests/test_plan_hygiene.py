@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "knn_label_eval": "exact leave-one-out baseline (lsh mode for scale)",
     "docs_lm_perplexity": "1-row totals broadcast",
     "docs_quantile_buckets": "1-row boundary-array broadcast",
+    "events_winsorize_value": "1-row quantile-bounds broadcast",
     "docs_dsir_weights": "1-row totals broadcasts",
     "ir_metrics_eval": "bounded threshold/total relation broadcast",
     "binary_eval_name_match": "bounded threshold relation broadcast",

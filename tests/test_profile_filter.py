@@ -181,3 +181,32 @@ def test_quantile_buckets_exact_and_approx(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_buckets"):
         lt.quantile_buckets(df, "v", n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# winsorize (round 6)
+# ---------------------------------------------------------------------------
+def test_winsorize_clamps_tails_only(spark):
+    import linktransformer_spark as lt
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               ["id", "v"])
+    out = {r["id"]: r["v"] for r in
+           lt.winsorize(df, "v", p_low=0.1, p_high=0.9).collect()}
+    lo = min(out.values()); hi = max(out.values())
+    # interpolated p10/p90 of 1..100
+    assert abs(lo - 10.9) < 1e-9 and abs(hi - 90.1) < 1e-9
+    # interior values untouched
+    assert out[49] == 50.0
+
+
+def test_winsorize_nulls_pass_and_validation(spark):
+    import linktransformer_spark as lt
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 100.0)],
+                               "id long, v double")
+    rows = {r["id"]: r["vw"] for r in
+            lt.winsorize(df, "v", 0.25, 0.75, out_col="vw").collect()}
+    assert rows[2] is None
+    with _pytest.raises(ValueError):
+        lt.winsorize(df, "v", 0.9, 0.1)
