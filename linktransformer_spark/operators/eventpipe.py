@@ -47,7 +47,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix",
-           "trending", "session_paths", "volume_anomaly"]
+           "trending", "session_paths", "volume_anomaly",
+           "decayed_engagement"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -554,4 +555,61 @@ def volume_anomaly(
                 | F.coalesce(F.col("_flat_dev"), F.lit(False))
             ).alias("is_anomaly"),
         )
+    )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    *,
+    as_of: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    half_life_seconds: float = 604800.0,
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score:
+    ``sum(value * 2^(-(as_of - t) / half_life))`` — the standard
+    recency-weighted activity metric (a week-old action counts half as
+    much under the default 7-day half-life). Events after ``as_of``
+    are excluded; ``as_of`` is an explicit timestamp string (never
+    "now" — determinism and backfills both need a pinned reference
+    point).
+
+    Returns (``user_col``, ``n_events``, ``score``). ONE hash shuffle
+    on the user key; the decayed sum folds each user's events in
+    (ts, tiebreak) order (order-pinned floats, the engine-wide rule —
+    pass the event id as ``tiebreak_col`` to pin simultaneous events).
+    The decay term's pow/division chain is mirrored operation-for-
+    operation in the SQL twin.
+    """
+    if half_life_seconds <= 0:
+        raise ValueError("half_life_seconds must be > 0")
+    tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(value_col)
+    ref = F.lit(as_of).cast("timestamp")
+    ev = events.filter(F.col(ts_col).cast("timestamp") <= ref).select(
+        F.col(user_col),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            tb.alias("tb"),
+            (
+                F.col(value_col).cast("double")
+                * F.pow(
+                    F.lit(2.0),
+                    -(
+                        (F.unix_micros(ref) - F.unix_micros(F.col(ts_col).cast("timestamp")))
+                        .cast("double")
+                        / F.lit(float(half_life_seconds) * 1_000_000.0)
+                    ),
+                )
+            ).alias("w"),
+        ).alias("_e"),
+    )
+    return ev.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_e")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("score"),
     )

@@ -4938,3 +4938,40 @@ def events_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = winsorize(ev, "value", p_low=0.05, p_high=0.95, out_col="value_w")
     return out.select("event_id", F.round("value_w", 6).alias("value_w"))
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement (operators/eventpipe.py decayed_engagement)
+# — recency-weighted per-user activity, order-pinned fold.
+# ---------------------------------------------------------------------------
+_DECAY_SQL = """
+    WITH ev AS (
+      SELECT user_id, value, ts, event_id,
+             CAST(value AS DOUBLE) * pow(2.0,
+               -(CAST(epoch_us(TIMESTAMP '2024-01-25 00:00:00')
+                      - epoch_us(ts) AS DOUBLE) / 604800000000.0)) AS w
+      FROM events WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list(w ORDER BY epoch_us(ts), event_id)),
+             (acc, x) -> acc + x), 4) AS score
+    FROM ev GROUP BY user_id
+"""
+
+
+@_q("events_decayed_engagement", _DECAY_SQL)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day half-life decayed engagement as of 2024-01-25; the decay
+    chain (epoch-micros diff -> double divide -> pow) mirrors the SQL
+    twin operation for operation, and the per-user sum folds in
+    (ts, event_id) order."""
+    from .operators.eventpipe import decayed_engagement
+
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_engagement(
+        ev, as_of="2024-01-25 00:00:00", tiebreak_col="event_id",
+        half_life_seconds=604800.0,
+    )
+    return out.select("user_id", "n_events", F.round("score", 4).alias("score"))

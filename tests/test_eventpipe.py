@@ -286,3 +286,45 @@ def test_volume_anomaly_validates(spark):
         volume_anomaly(ev, trailing=1)
     with pytest.raises(ValueError):
         session_paths(ev, n=0)
+
+
+# ---------------------------------------------------------------------------
+# decayed_engagement (round 6)
+# ---------------------------------------------------------------------------
+def test_decayed_engagement_halves_per_half_life(spark):
+    from linktransformer_spark.operators.eventpipe import decayed_engagement
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, 8), value=10.0, event_id=1),
+        Row(user_id=2, ts=dt.datetime(2024, 1, 1), value=10.0, event_id=2),
+        Row(user_id=3, ts=dt.datetime(2024, 1, 15), value=10.0, event_id=3),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = {r["user_id"]: r["score"]
+           for r in decayed_engagement(
+               ev, as_of="2024-01-15 00:00:00", tiebreak_col="event_id",
+               half_life_seconds=7 * 86400.0).collect()}
+    assert abs(out[3] - 10.0) < 1e-9          # zero age
+    assert abs(out[1] - 5.0) < 1e-9           # one half-life
+    assert abs(out[2] - 2.5) < 1e-9           # two half-lives
+
+
+def test_decayed_engagement_excludes_future_events(spark):
+    from linktransformer_spark.operators.eventpipe import decayed_engagement
+
+    ev = spark.createDataFrame([
+        Row(user_id=1, ts=dt.datetime(2024, 1, 1), value=1.0, event_id=1),
+        Row(user_id=1, ts=dt.datetime(2024, 2, 1), value=99.0, event_id=2),
+    ])
+    out = decayed_engagement(
+        ev, as_of="2024-01-10 00:00:00", tiebreak_col="event_id").collect()
+    assert len(out) == 1 and out[0]["n_events"] == 1
+    assert out[0]["score"] < 1.0  # only the decayed first event
+
+
+def test_decayed_engagement_validates(spark):
+    from linktransformer_spark.operators.eventpipe import decayed_engagement
+
+    ev = _ev(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError):
+        decayed_engagement(ev, as_of="2024-01-01", half_life_seconds=0)
