@@ -265,3 +265,19 @@ def sql_hyperplane_probes(dots: str, n_planes: int, n_extra: int) -> str:
         )
         probes.append(f"xor({b0}, ({mask}))")
     return "[" + ", ".join(probes) + "]"
+
+
+def sql_phonetic_key(s: str) -> str:
+    """Mirror of similarity.phonetic_key — the same
+    regexp_replace/translate/substr pipeline, text for text."""
+    from .similarity import _PHONETIC_CODES, _PHONETIC_LETTERS
+
+    a = f"regexp_replace(upper(coalesce({s}, '')), '[^A-Z]', '', 'g')"
+    t = f"translate({a}, '{_PHONETIC_LETTERS}', '{_PHONETIC_CODES}')"
+    for d in range(7):
+        t = f"regexp_replace({t}, '{d}{{2,}}', '{d}', 'g')"
+    rest = f"regexp_replace(substr({t}, 2), '0', '', 'g')"
+    return (
+        f"CASE WHEN {a} = '' THEN '' ELSE "
+        f"substr({a}, 1, 1) || substr({rest} || '000', 1, 3) END"
+    )

@@ -204,3 +204,34 @@ def lev_sim(a: Column, b: Column) -> Column:
     return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
         F.length(a), F.length(b), F.lit(1)
     ).cast("double")
+
+
+_PHONETIC_LETTERS = "AEIOUYHWBFPVCGJKQSXZDTLMNR"
+_PHONETIC_CODES = "00000000111122222222334556"
+
+
+def phonetic_key(s: Column) -> Column:
+    """Simplified Soundex blocking key: first letter + the first three
+    consonant-class digits (runs collapsed, vowels/H/W dropped, padded
+    with '0'). A deterministic phonetic PARTITIONER for record-linkage
+    blocking — spelling variants of the same spoken name usually share
+    the key — not a claim of byte-compatibility with any particular
+    library's Soundex (the fiddly H/W separator rules differ between
+    implementations; a blocking key only needs to be deterministic and
+    phonetically coarse). Entirely regexp_replace/translate/substr
+    chains, so the DuckDB twin (functions/oracle.sql_phonetic_key) is
+    the same pipeline text-for-text. Empty/non-alpha input -> ''.
+    """
+    a = F.regexp_replace(F.upper(F.coalesce(s, F.lit(""))), "[^A-Z]", "")
+    t = F.translate(a, _PHONETIC_LETTERS, _PHONETIC_CODES)
+    for d in range(7):
+        t = F.regexp_replace(t, f"{d}{{2,}}", str(d))
+    rest = F.regexp_replace(F.substring(t, 2, 2_000_000), "0", "")
+    return F.when(
+        a == F.lit(""), F.lit("")
+    ).otherwise(
+        F.concat(
+            F.substring(a, 1, 1),
+            F.substring(F.concat(rest, F.lit("000")), 1, 3),
+        )
+    )

@@ -4975,3 +4975,54 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_life_seconds=604800.0,
     )
     return out.select("user_id", "n_events", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (functions/similarity.py phonetic_key) — simplified-
+# Soundex partitioner for record linkage; key pipeline mirrored text-
+# for-text in DuckDB.
+# ---------------------------------------------------------------------------
+def _phonetic_sql(threshold: float = 0.75) -> str:
+    from .functions.oracle import sql_lev_sim, sql_phonetic_key
+
+    pk = sql_phonetic_key("p_name")
+    lev = sql_lev_sim("l.p_name", "r.p_name")
+    return f"""
+    WITH p AS (SELECT p_partkey, p_name, {pk} AS pk FROM part)
+    SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+           l.pk AS phonetic, round({lev}, 6) AS score
+    FROM p l JOIN p r ON l.pk = r.pk AND l.p_partkey < r.p_partkey
+    WHERE {lev} >= {threshold}
+"""
+
+
+@_q("er_phonetic_blocked", _phonetic_sql())
+def er_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sound-alike part-name pairs: block on the phonetic key (an
+    equi-join — spelling variants share the key even when a prefix
+    typo breaks prefix blocking), verify with normalized lev. The
+    phonetic key is a regexp/translate expression chain mirrored
+    text-for-text in the oracle."""
+    from .functions.similarity import lev_sim, phonetic_key
+
+    part = _t(spark, sf_dir, "part")
+    p = part.select("p_partkey", "p_name").withColumn(
+        "_pk", phonetic_key(F.col("p_name"))
+    )
+    l, r = p.alias("l"), p.alias("r")
+    lev = lev_sim(F.col("l.p_name"), F.col("r.p_name"))
+    return (
+        l.join(
+            r,
+            (F.col("l._pk") == F.col("r._pk"))
+            & (F.col("l.p_partkey") < F.col("r.p_partkey")),
+        )
+        .withColumn("score", lev)
+        .filter(F.col("score") >= 0.75)
+        .select(
+            F.col("l.p_partkey").alias("left_id"),
+            F.col("r.p_partkey").alias("right_id"),
+            F.col("l._pk").alias("phonetic"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -220,3 +220,25 @@ def test_weighted_validates(spark):
         lt.match_pairs_weighted(
             l, l, fields=[("name", "name", 1.0, "soundex")],
             left_id_col="id", right_id_col="id", sim_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# phonetic_key (round 6)
+# ---------------------------------------------------------------------------
+def test_phonetic_key_groups_sound_alikes(spark):
+    from linktransformer_spark.functions.similarity import phonetic_key
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("robert!",), ("Ashcraft",), ("",),
+         (None,), ("123",)], ["name"])
+    out = [r["pk"] for r in df.select(phonetic_key(F.col("name")).alias("pk")).collect()]
+    assert out[0] == out[1] == out[2] == "R163"
+    assert out[3].startswith("A")
+    assert out[4] == "" and out[5] == "" and out[6] == ""
+
+
+def test_phonetic_key_pads_short_names(spark):
+    from linktransformer_spark.functions.similarity import phonetic_key
+    df = spark.createDataFrame([("Lee",), ("Ab",)], ["name"])
+    out = [r["pk"] for r in df.select(phonetic_key(F.col("name")).alias("pk")).collect()]
+    assert all(len(k) == 4 for k in out)
+    assert out[0] == "L000"
