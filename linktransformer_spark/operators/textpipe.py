@@ -456,3 +456,146 @@ def gopher_quality_signals(
         & (F.col("alpha_word_ratio") >= min_alpha_ratio)
         & (F.col("n_stop_hits") >= min_stop_hits),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM quality signal — one modeling step up
+    from :func:`unigram_lm_score` toward CCNet's KenLM n-grams:
+    transition ``i`` scores ``lam * P_bi(w_i | w_{i-1}) +
+    (1 - lam) * P_uni(w_i)`` with add-``alpha`` smoothing
+    (``P_bi = (c(prev, cur) + a) / (c(prev) + a * V)``), trained on
+    ``reference`` (default: the corpus itself). Jelinek-Mercer
+    interpolation keeps unseen bigrams from saturating at the
+    uniform floor — a repeated-boilerplate doc now scores MUCH lower
+    (more typical) than a unigram model can express, which is exactly
+    the signal that separates templated spam from prose.
+
+    Scores transitions only (positions 2..n); docs with < 2 tokens are
+    dropped. Returns ``(id_col, n_transitions, avg_neg_logprob,
+    perplexity)`` — nats per transition, lower = more reference-like.
+
+    Scale shape: per-doc bigram counts via the position-slice explode
+    (codegen, shuffle carries distinct (doc, prev, cur) rows); the
+    model attaches through three vocab-sized equi-joins (bigram
+    counts, prev-unigram for the bigram denominator, cur-unigram for
+    the interpolation) — AQE broadcasts them while they fit; the
+    totals ride a 1-row broadcast; the per-doc NLL folds in
+    (prev, cur) order (order-pinned floats).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def _bi_rows(frame: DataFrame, tcol: str, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        base = frame.select(
+            *cols, S.word_tokens(F.col(tcol)).alias("_tk")
+        ).filter(F.size("_tk") >= 2)
+        return base.select(
+            *cols,
+            "_tk",
+            F.explode(F.sequence(F.lit(1), F.size("_tk") - 1)).alias("_p"),
+        ).select(
+            *cols,
+            F.element_at("_tk", F.col("_p")).alias("_prev"),
+            F.element_at("_tk", F.col("_p") + 1).alias("_cur"),
+        )
+
+    doc_bi = (
+        _bi_rows(df, text_col, True)
+        .groupBy(id_col, "_prev", "_cur")
+        .agg(F.count("*").alias("_m"))
+    )
+    if reference is None:
+        doc_bi = doc_bi.localCheckpoint(eager=False)
+        bi_counts = doc_bi.groupBy("_prev", "_cur").agg(
+            F.sum("_m").alias("_cbi")
+        ).localCheckpoint(eager=False)
+        uni_from = df.select(
+            F.explode(S.word_tokens(F.col(text_col))).alias("_tok")
+        )
+    else:
+        rtc = ref_text_col if ref_text_col is not None else text_col
+        ref_bi = _bi_rows(reference, rtc, False)
+        bi_counts = ref_bi.groupBy("_prev", "_cur").agg(
+            F.count("*").alias("_cbi")
+        )
+        uni_from = reference.select(
+            F.explode(S.word_tokens(F.col(rtc))).alias("_tok")
+        )
+    uni = uni_from.groupBy("_tok").agg(F.count("*").alias("_cu")).localCheckpoint(
+        eager=False
+    )
+    totals = uni.agg(F.sum("_cu").alias("_T"), F.count("*").alias("_V"))
+    a = float(alpha)
+    per_bi = (
+        doc_bi.join(bi_counts, ["_prev", "_cur"], "left")
+        .join(
+            uni.select(F.col("_tok").alias("_prev"), F.col("_cu").alias("_cprev")),
+            "_prev", "left",
+        )
+        .join(
+            uni.select(F.col("_tok").alias("_cur"), F.col("_cu").alias("_ccur")),
+            "_cur", "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "_prev",
+            "_cur",
+            "_m",
+            (
+                F.col("_m").cast("double")
+                * -F.log(
+                    F.lit(lam)
+                    * (
+                        (F.coalesce(F.col("_cbi"), F.lit(0)).cast("double") + F.lit(a))
+                        / (
+                            F.coalesce(F.col("_cprev"), F.lit(0)).cast("double")
+                            + F.lit(a) * F.col("_V").cast("double")
+                        )
+                    )
+                    + F.lit(1.0 - lam)
+                    * (
+                        (F.coalesce(F.col("_ccur"), F.lit(0)).cast("double") + F.lit(a))
+                        / (
+                            F.col("_T").cast("double")
+                            + F.lit(a) * F.col("_V").cast("double")
+                        )
+                    )
+                )
+            ).alias("_nll"),
+        )
+    )
+    agg = per_bi.groupBy(id_col).agg(
+        F.sum("_m").alias("_nt"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_prev").alias("p"),
+                        F.col("_cur").alias("c"),
+                        F.col("_nll").alias("w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("_h"),
+    )
+    h = F.col("_h") / F.col("_nt").cast("double")
+    return agg.select(
+        id_col,
+        F.col("_nt").cast("long").alias("n_transitions"),
+        h.alias("avg_neg_logprob"),
+        F.exp(h).alias("perplexity"),
+    )

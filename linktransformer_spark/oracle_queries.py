@@ -5026,3 +5026,72 @@ def er_phonetic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (operators/textpipe.py bigram_lm_score) —
+# Jelinek-Mercer lam*P_bi + (1-lam)*P_uni, add-alpha smoothed.
+# ---------------------------------------------------------------------------
+def _bigram_lm_sql(alpha: float = 1.0, lam: float = 0.7) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    a, l, ml = repr(float(alpha)), repr(float(lam)), repr(1.0 - float(lam))
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    bi AS (
+      SELECT doc_id, tk[p] AS prev, tk[p + 1] AS cur FROM (
+        SELECT doc_id, tk, unnest(range(1, len(tk))) AS p
+        FROM t WHERE len(tk) >= 2
+      )
+    ),
+    doc_bi AS (
+      SELECT doc_id, prev, cur, count(*) AS m FROM bi GROUP BY 1, 2, 3
+    ),
+    bic AS (SELECT prev, cur, sum(m) AS cbi FROM doc_bi GROUP BY prev, cur),
+    toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+    uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cu) AS t, count(*) AS v FROM uni),
+    lp AS (
+      SELECT d.doc_id, d.prev, d.cur, d.m,
+             CAST(d.m AS DOUBLE) * -ln(
+               {l} * ((CAST(coalesce(b.cbi, 0) AS DOUBLE) + {a})
+                      / (CAST(coalesce(up.cu, 0) AS DOUBLE)
+                         + {a} * CAST(tt.v AS DOUBLE)))
+               + {ml} * ((CAST(coalesce(uc.cu, 0) AS DOUBLE) + {a})
+                         / (CAST(tt.t AS DOUBLE)
+                            + {a} * CAST(tt.v AS DOUBLE)))
+             ) AS nll
+      FROM doc_bi d
+      LEFT JOIN bic b ON d.prev = b.prev AND d.cur = b.cur
+      LEFT JOIN uni up ON d.prev = up.tok
+      LEFT JOIN uni uc ON d.cur = uc.tok
+      CROSS JOIN tot tt
+    ),
+    agg AS (
+      SELECT doc_id, sum(m) AS nt,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(nll ORDER BY prev, cur)),
+               (acc, x) -> acc + x
+             ) AS h
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nt AS BIGINT) AS n_transitions,
+           round(h / nt, 6) AS avg_neg_logprob,
+           round(exp(h / nt), 6) AS perplexity
+    FROM agg
+"""
+
+
+@_q("docs_bigram_lm", _bigram_lm_sql())
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textpipe import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_score(docs, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "n_transitions",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )

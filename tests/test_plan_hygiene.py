@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "ann_topk_srp_rerank": "projected exact-cross shortlist stage (2x-compressed vectors)",
     "knn_label_eval": "exact leave-one-out baseline (lsh mode for scale)",
     "docs_lm_perplexity": "1-row totals broadcast",
+    "docs_bigram_lm": "1-row totals (T, V) broadcast",
     "docs_quantile_buckets": "1-row boundary-array broadcast",
     "events_winsorize_value": "1-row quantile-bounds broadcast",
     "docs_dsir_weights": "1-row totals broadcasts",

@@ -210,3 +210,46 @@ def test_winsorize_nulls_pass_and_validation(spark):
     assert rows[2] is None
     with _pytest.raises(ValueError):
         lt.winsorize(df, "v", 0.9, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score (round 6)
+# ---------------------------------------------------------------------------
+def test_bigram_lm_prefers_seen_transitions(spark):
+    from linktransformer_spark.operators.textpipe import bigram_lm_score
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(10)],
+        ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "fox the jumps quick")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["perplexity"]
+           for r in bigram_lm_score(test, reference=ref).collect()}
+    # in-order transitions are all seen in the reference; shuffled
+    # order hits unseen bigrams -> higher perplexity
+    assert out[100] < out[101]
+
+
+def test_bigram_lm_short_docs_dropped_and_validation(spark):
+    from linktransformer_spark.operators.textpipe import bigram_lm_score
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens")], ["doc_id", "text"])
+    rows = bigram_lm_score(df).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["n_transitions"] == 1
+    with _pytest.raises(ValueError):
+        bigram_lm_score(df, lam=1.5)
+    with _pytest.raises(ValueError):
+        bigram_lm_score(df, alpha=0.0)
+
+
+def test_bigram_lm_interpolation_bounds(spark):
+    """lam=0 reduces to the unigram model's transition scoring: the
+    perplexity must then be independent of token ORDER."""
+    from linktransformer_spark.operators.textpipe import bigram_lm_score
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d c b a")], ["doc_id", "text"])
+    out = {r["doc_id"]: round(r["perplexity"], 9)
+           for r in bigram_lm_score(df, lam=0.0).collect()}
+    assert out[1] == out[2]
