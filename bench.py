@@ -233,6 +233,10 @@ def bench_queries(spark):
         "events_volume_anomaly": from_oracle("events_volume_anomaly"),
         "docs_temperature_mixture": from_oracle("docs_temperature_mixture"),
         "ann_ivf_indexed": ann_ivf_indexed,
+        "docs_bigram_lm": from_oracle("docs_bigram_lm"),
+        "docs_chunk_sliding": from_oracle("docs_chunk_sliding"),
+        "er_sorted_neighborhood": from_oracle("er_sorted_neighborhood"),
+        "events_decayed_engagement": from_oracle("events_decayed_engagement"),
     }
 
 
