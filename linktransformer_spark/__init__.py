@@ -71,6 +71,7 @@ from .operators.entity import (
 )
 from .operators.search import (
     bm25_topk,
+    rrf_fuse,
     bm25_topk_indexed,
     build_bm25_index,
     save_bm25_index,
@@ -251,6 +252,7 @@ __all__ = [
     "gopher_quality_signals",
     "bm25_topk",
     "bm25_topk_indexed",
+    "rrf_fuse",
     "build_bm25_index",
     "save_bm25_index",
     "match_pairs",

@@ -357,3 +357,67 @@ def bm25_topk_indexed(
         F.col("impact").alias("_c"),
     )
     return _retrieve(pruned, F.broadcast(qterms), id_col, query_id, k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_id: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-search combiner: given N ranked lists per
+    query (lexical BM25, semantic ANN, ...), score each document
+    ``sum over lists containing it of 1 / (k_rrf + rank)`` and re-rank.
+    Rank-based fusion needs no score calibration between arms, which
+    is why it is the default in every hybrid retrieval stack.
+
+    Each input carries (``query_id``, ``id_col``, ``rank_col``).
+    Returns (``query_id``, ``id_col``, ``rank``, ``rrf_score``,
+    ``n_lists``) — top-``k`` per query by (score DESC, id ASC);
+    ``n_lists`` counts the arms that retrieved the document.
+
+    Plan: union the arms (each tagged with its list index), ONE hash
+    aggregate on (query, doc) whose float sum folds contributions in
+    arm order (order-pinned — arms containing the same doc contribute
+    in a fixed sequence), and a top-k rank window (WindowGroupLimit).
+    Fusion cost scales with the CANDIDATE lists, never the corpus.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1 or k_rrf < 1:
+        raise ValueError("k and k_rrf must be >= 1")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_id).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.lit(i).alias("_arm"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    scored = tagged.groupBy("_q", "_d").agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_arm").alias("a"), F.col("_r").alias("r")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / (F.lit(float(k_rrf)) + x["r"].cast("double")),
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_d").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_q").alias(query_id),
+            F.col("_d").alias(id_col),
+            F.col("_rk").cast("int").alias("rank"),
+            F.col("_s").alias("rrf_score"),
+            F.col("_nl").cast("long").alias("n_lists"),
+        )
+    )

@@ -5095,3 +5095,135 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
         F.round("perplexity", 6).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: Reciprocal Rank Fusion of the BM25 lexical arm and
+# the exact-cosine semantic arm (Cormack et al. 2009;
+# operators/search.py rrf_fuse). Query i = document i's first 8
+# tokens (lexical) + embedding vector i (semantic), i % 50 == 0.
+# ---------------------------------------------------------------------------
+def _hybrid_rrf_sql(k_arm: int = 10, k_rrf: int = 60, k: int = 10) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize, sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    return f"""
+    WITH dtoks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    dtc AS (SELECT doc_id AS d, tok, count(*) AS tf FROM dtoks GROUP BY 1, 2),
+    dl AS (SELECT d, sum(tf) AS dl FROM dtc GROUP BY d),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM dtc GROUP BY tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+             s.avgdl
+      FROM dfreq CROSS JOIN stats s
+    ),
+    qt AS (
+      SELECT DISTINCT q, tok FROM (
+        SELECT doc_id AS q, unnest(({toks})[1:8]) AS tok
+        FROM documents WHERE doc_id % 50 = 0
+      )
+    ),
+    contrib AS (
+      SELECT qt.q, dtc.d, dtc.tok,
+             i.idf * (CAST(dtc.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(dtc.tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl.dl AS DOUBLE) / i.avgdl))) AS c
+      FROM qt JOIN dtc ON qt.tok = dtc.tok
+              JOIN idf i ON dtc.tok = i.tok
+              JOIN dl ON dtc.d = dl.d
+    ),
+    bms AS (
+      SELECT q, d,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+               (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY q, d
+    ),
+    bmr AS (
+      SELECT q, d, rnk FROM (
+        SELECT q, d,
+               row_number() OVER (PARTITION BY q ORDER BY score DESC, d ASC) AS rnk
+        FROM bms
+      ) WHERE rnk <= {k_arm}
+    ),
+    qn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
+    anr AS (
+      SELECT q, d, rnk FROM (
+        SELECT qn.vec_id AS q, cn.vec_id AS d,
+               row_number() OVER (
+                 PARTITION BY qn.vec_id
+                 ORDER BY {sql_dot('qn.v', 'cn.v')} DESC, cn.vec_id ASC
+               ) AS rnk
+        FROM qn CROSS JOIN cn
+      ) WHERE rnk <= {k_arm}
+    ),
+    uni AS (
+      SELECT q, d, 0 AS arm, rnk FROM bmr
+      UNION ALL
+      SELECT q, d, 1 AS arm, rnk FROM anr
+    ),
+    fused AS (
+      SELECT q, d, CAST(count(*) AS BIGINT) AS nl,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(1.0 / ({k_rrf}.0 + CAST(rnk AS DOUBLE))
+                                 ORDER BY arm)),
+               (acc, x) -> acc + x
+             ) AS s
+      FROM uni GROUP BY q, d
+    )
+    SELECT q AS q_id, d AS doc_id, CAST(rk AS INT) AS rank,
+           round(s, 6) AS rrf_score, nl AS n_lists
+    FROM (
+      SELECT q, d, nl, s,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk
+      FROM fused
+    ) WHERE rk <= {k}
+"""
+
+
+@_q("search_hybrid_rrf", _hybrid_rrf_sql())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 + exact-cosine semantic
+    top-10 fused by Reciprocal Rank Fusion (k_rrf=60) — rank-based, so
+    no score calibration between arms; the fusion fold accumulates in
+    arm order."""
+    from .functions import similarity as S
+    from .operators.ann import ann_topk
+    from .operators.search import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    bm = bm25_topk(docs, queries, k=10).select("q_id", "doc_id", "rank")
+    an = ann_topk(
+        emb.filter(F.col("vec_id") % 50 == 0), emb,
+        vector_col="embedding", k=10, mode="exact_cross",
+    ).select(
+        F.col("query_id").alias("q_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    out = rrf_fuse([bm, an], query_id="q_id", id_col="doc_id",
+                   k_rrf=60, k=10)
+    return out.select(
+        "q_id", "doc_id", "rank",
+        F.round("rrf_score", 6).alias("rrf_score"), "n_lists",
+    )

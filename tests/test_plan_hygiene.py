@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_indexed": "n_cells-row stored-centroid broadcast",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
+    "search_hybrid_rrf": "1-row corpus-stats broadcast (bm25 arm) + exact-cross semantic arm",
     "ann_topk_int8": "quantized exact-cross baseline (4x bandwidth cut; lsh/ivf modes are the scale path)",
     "docs_top_vocab": "1-row token-total broadcast",
     "docs_temperature_mixture": "1-row order-pinned normalizer broadcast",

@@ -170,3 +170,36 @@ def test_bm25_indexed_max_df_ratio_uses_stored_dfreq(spark, tmp_path):
         spark, path, q, k=10, max_df_ratio=0.5, n_buckets=4).collect()
     # 'the' (df=10/10) pruned; only the 'rare' doc matches, n_terms=1
     assert [(r["doc_id"], r["n_terms"]) for r in pruned] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse (round 6)
+# ---------------------------------------------------------------------------
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["q_id", "doc_id", "rank"])
+
+
+def test_rrf_rewards_agreement_between_arms(spark):
+    # doc 1 is rank 2 in BOTH arms; docs 2/3 are rank 1 in one arm only
+    a = _ranked(spark, [(1, 2, 1), (1, 1, 2)])
+    b = _ranked(spark, [(1, 3, 1), (1, 1, 2)])
+    out = sorted(lt.rrf_fuse([a, b], k=3).collect(), key=lambda r: r["rank"])
+    assert out[0]["doc_id"] == 1 and out[0]["n_lists"] == 2
+    # 2/(60+2) > 1/(60+1): consensus beats a single first place
+    assert abs(out[0]["rrf_score"] - 2 / 62) < 1e-12
+    assert {out[1]["doc_id"], out[2]["doc_id"]} == {2, 3}
+
+
+def test_rrf_single_list_preserves_order(spark):
+    a = _ranked(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    out = sorted(lt.rrf_fuse([a], k=3).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in out] == [10, 11, 12]
+    assert all(r["n_lists"] == 1 for r in out)
+
+
+def test_rrf_validates(spark):
+    with pytest.raises(ValueError):
+        lt.rrf_fuse([])
+    a = _ranked(spark, [(1, 10, 1)])
+    with pytest.raises(ValueError):
+        lt.rrf_fuse([a], k=0)
