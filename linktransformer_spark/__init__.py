@@ -24,7 +24,12 @@ from .operators.ann import (
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
-from .operators.profile import profile_table, quantile_buckets, winsorize
+from .operators.profile import (
+    profile_table,
+    quantile_buckets,
+    table_diff,
+    winsorize,
+)
 from .operators.sampling import (
     hash_sample,
     hash_split,
@@ -211,6 +216,7 @@ __all__ = [
     "profile_table",
     "quantile_buckets",
     "winsorize",
+    "table_diff",
     "hash_sample",
     "hash_split",
     "sample_mixture",

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix",
            "trending", "session_paths", "volume_anomaly",
-           "decayed_engagement"]
+           "decayed_engagement", "ab_test"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -612,4 +612,73 @@ def decayed_engagement(
             F.lit(0.0),
             lambda acc, x: acc + x["w"],
         ).alias("score"),
+    )
+
+
+def ab_test(
+    events: DataFrame,
+    *,
+    variant_col: str,
+    control: str,
+    treatment: str,
+    flag_col: str,
+    by: str | None = None,
+    z_threshold: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion z-test per group — the experiment-readout
+    primitive: compare conversion rates between a control and a
+    treatment variant, with the pooled-variance z statistic and a
+    significance flag (default threshold = the two-sided 95% critical
+    value).
+
+    ``flag_col`` is the 0/1 success indicator; rows whose variant is
+    neither ``control`` nor ``treatment`` are ignored. Returns one row
+    per ``by`` group (or one row total): ``n_c, conv_c, rate_c, n_t,
+    conv_t, rate_t, lift, z, significant``. Groups where either arm
+    has no exposures, or where the pooled variance is zero (all
+    successes or all failures), yield null z and are never flagged.
+
+    ONE hash aggregate (conditional sums, map-side combined); every
+    float derives from exact integer counts through a fixed expression
+    — engine-portable with no order pinning.
+    """
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    flag = F.col(flag_col).cast("long")
+    grp = [F.col(by)] if by is not None else []
+    agg = events.filter(is_c | is_t).groupBy(*grp).agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(is_c, flag).otherwise(0)).alias("conv_c"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_t, flag).otherwise(0)).alias("conv_t"),
+    )
+    rc = F.col("conv_c").cast("double") / F.col("n_c").cast("double")
+    rt = F.col("conv_t").cast("double") / F.col("n_t").cast("double")
+    pp = (F.col("conv_c") + F.col("conv_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    ).cast("double")
+    var = (
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_c").cast("double")
+            + F.lit(1.0) / F.col("n_t").cast("double")
+        )
+    )
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (var > 0),
+        (rt - rc) / F.sqrt(var),
+    )
+    both = (F.col("n_c") > 0) & (F.col("n_t") > 0)
+    return agg.select(
+        *([by] if by is not None else []),
+        "n_c", "conv_c",
+        F.when(F.col("n_c") > 0, F.round(rc, 6)).alias("rate_c"),
+        "n_t", "conv_t",
+        F.when(F.col("n_t") > 0, F.round(rt, 6)).alias("rate_t"),
+        F.when(both & (rc > 0), F.round(rt / rc - F.lit(1.0), 6)).alias("lift"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(F.round(z, 6)) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("significant"),
     )

@@ -226,3 +226,75 @@ def winsorize(
         ),
     )
     return out.withColumn(out_col or col, clamped).drop("_wb")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a table: one row per key
+    that was ``added``, ``removed``, or ``changed`` (unchanged rows
+    are omitted — at 100 TB the diff output should scale with the
+    CHANGE volume, not the table). ``changed_cols`` lists which of the
+    compared columns differ (null-safe comparison; NaN != NaN like
+    SQL). ``compare_cols`` defaults to the non-key columns both frames
+    share.
+
+    One full-outer hash join on the keys plus map-only comparison
+    expressions — the pipeline regression check before promoting a
+    rebuilt corpus/index (what did the new dedup config actually
+    change?).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns
+            if c not in keys and c in new.columns
+        ]
+    for c in keys + compare_cols:
+        if c not in old.columns:
+            raise ValueError(f"column {c!r} not in old frame")
+        if c not in new.columns:
+            raise ValueError(f"column {c!r} not in new frame")
+    o = old.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, [f"_k{i}" for i in range(len(keys))], "full_outer")
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    ctype = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+    )
+    # changed_cols is meaningful only when the key exists on BOTH
+    # sides — an added/removed row "differs" in every column trivially
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    return (
+        j.withColumn("change_type", ctype)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.col(f"_k{i}").alias(k) for i, k in enumerate(keys)],
+            "change_type",
+            F.when(both, changed)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

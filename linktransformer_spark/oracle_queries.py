@@ -5227,3 +5227,128 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "doc_id", "rank",
         F.round("rrf_score", 6).alias("rrf_score"), "n_lists",
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B readout (operators/eventpipe.py ab_test) — two-proportion z per
+# event type; variant derived deterministically from the props key
+# parity, success = value above the global median... no: success =
+# value > 50 (fixed threshold — fully portable).
+# ---------------------------------------------------------------------------
+_AB_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS flag
+      FROM events WHERE props IS NOT NULL
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN variant = 'A' THEN flag ELSE 0 END) AS conv_c,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN variant = 'B' THEN flag ELSE 0 END) AS conv_t
+      FROM base GROUP BY event_type
+    ),
+    m AS (
+      SELECT *,
+             CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rc,
+             CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rt,
+             CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) AS pp
+      FROM agg
+    ),
+    zc AS (
+      SELECT *,
+             pp * (1.0 - pp) * (1.0 / CAST(n_c AS DOUBLE)
+                                + 1.0 / CAST(n_t AS DOUBLE)) AS var
+      FROM m
+    )
+    SELECT event_type, n_c, conv_c,
+           CASE WHEN n_c > 0 THEN round(rc, 6) END AS rate_c,
+           n_t, conv_t,
+           CASE WHEN n_t > 0 THEN round(rt, 6) END AS rate_t,
+           CASE WHEN n_c > 0 AND n_t > 0 AND rc > 0
+                THEN round(rt / rc - 1.0, 6) END AS lift,
+           CASE WHEN n_c > 0 AND n_t > 0 AND var > 0
+                THEN round((rt - rc) / sqrt(var), 6) END AS z,
+           coalesce(abs(CASE WHEN n_c > 0 AND n_t > 0 AND var > 0
+                             THEN round((rt - rc) / sqrt(var), 6) END)
+                    > 1.959963984540054, false) AS significant
+    FROM zc
+"""
+
+
+@_q("events_ab_test", _AB_SQL)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type; variant = parity of the
+    props JSON's k field, success = value > 50. All floats derive from
+    integer counts through a fixed expression."""
+    from .operators.eventpipe import ab_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") % 2 == 0, "A"
+        ).otherwise("B").alias("variant"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("flag"),
+    )
+    return ab_test(
+        base, variant_col="variant", control="A", treatment="B",
+        flag_col="flag", by="event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (operators/profile.py table_diff) — regression check
+# between two corpus versions; diff output scales with change volume.
+# ---------------------------------------------------------------------------
+_TABLE_DIFF_SQL = """
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+             CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                       AND o.text IS DISTINCT FROM n.text THEN 1 ELSE 0 END AS dt,
+             CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                       AND o.lang IS DISTINCT FROM n.lang THEN 1 ELSE 0 END AS dl
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN NOT in_old OR NOT in_new THEN []
+                ELSE list_filter(['text', 'lang'],
+                                 c -> (c = 'text' AND dt = 1)
+                                      OR (c = 'lang' AND dl = 1)) END
+             AS changed_cols
+    FROM j WHERE NOT in_old OR NOT in_new OR dt = 1 OR dl = 1
+"""
+
+
+@_q("docs_table_diff", _TABLE_DIFF_SQL)
+def docs_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two synthetic corpus versions (drop different slivers,
+    edit every 5th text): added/removed/changed with per-column
+    change flags."""
+    from .operators.profile import table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    return table_diff(old, new, keys="doc_id", compare_cols=["text", "lang"])

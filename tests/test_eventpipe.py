@@ -328,3 +328,36 @@ def test_decayed_engagement_validates(spark):
     ev = _ev(spark, [(1, 0, "a")])
     with pytest.raises(ValueError):
         decayed_engagement(ev, as_of="2024-01-01", half_life_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# ab_test (round 6)
+# ---------------------------------------------------------------------------
+def test_ab_test_detects_clear_effect(spark):
+    from linktransformer_spark.operators.eventpipe import ab_test
+
+    rows = ([("A", 1)] * 10 + [("A", 0)] * 90
+            + [("B", 1)] * 50 + [("B", 0)] * 50)
+    df = spark.createDataFrame(rows, ["variant", "flag"])
+    r = ab_test(df, variant_col="variant", control="A", treatment="B",
+                flag_col="flag").first()
+    assert r["n_c"] == 100 and r["conv_c"] == 10
+    assert r["rate_c"] == 0.1 and r["rate_t"] == 0.5
+    assert r["lift"] == 4.0
+    assert r["significant"] and r["z"] > 5
+
+
+def test_ab_test_null_z_cases(spark):
+    from linktransformer_spark.operators.eventpipe import ab_test
+
+    # all conversions identical -> pooled variance 0 -> null z
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], ["variant", "flag"])
+    r = ab_test(df, variant_col="variant", control="A", treatment="B",
+                flag_col="flag").first()
+    assert r["z"] is None and not r["significant"]
+    # one-armed experiment
+    df2 = spark.createDataFrame([("A", 1), ("A", 0)], ["variant", "flag"])
+    r2 = ab_test(df2, variant_col="variant", control="A", treatment="B",
+                 flag_col="flag").first()
+    assert r2["n_t"] == 0 and r2["z"] is None and not r2["significant"]

@@ -253,3 +253,32 @@ def test_bigram_lm_interpolation_bounds(spark):
     out = {r["doc_id"]: round(r["perplexity"], 9)
            for r in bigram_lm_score(df, lam=0.0).collect()}
     assert out[1] == out[2]
+
+
+# ---------------------------------------------------------------------------
+# table_diff (round 6)
+# ---------------------------------------------------------------------------
+def test_table_diff_classifies_changes(spark):
+    import linktransformer_spark as lt
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "v"])
+    new = spark.createDataFrame(
+        [(2, "b", 99), (3, "c", 30), (4, "d", 40)], ["id", "s", "v"])
+    out = {r["id"]: (r["change_type"], sorted(r["changed_cols"]))
+           for r in lt.table_diff(old, new, keys="id").collect()}
+    assert out[1] == ("removed", [])
+    assert out[2] == ("changed", ["v"])
+    assert out[4] == ("added", [])
+    assert 3 not in out  # unchanged rows omitted
+
+
+def test_table_diff_null_safe_and_validates(spark):
+    import linktransformer_spark as lt
+    import pytest as _pytest
+
+    old = spark.createDataFrame([(1, None)], "id long, s string")
+    new = spark.createDataFrame([(1, None)], "id long, s string")
+    assert lt.table_diff(old, new, keys="id").count() == 0  # null == null
+    with _pytest.raises(ValueError, match="not in"):
+        lt.table_diff(old, new, keys="id", compare_cols=["zz"])
