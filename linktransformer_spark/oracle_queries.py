@@ -5264,9 +5264,10 @@ _AB_SQL = """
                                 + 1.0 / CAST(n_t AS DOUBLE)) AS var
       FROM m
     )
-    SELECT event_type, n_c, conv_c,
+    SELECT event_type,
+           CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
            CASE WHEN n_c > 0 THEN round(rc, 6) END AS rate_c,
-           n_t, conv_t,
+           CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
            CASE WHEN n_t > 0 THEN round(rt, 6) END AS rate_t,
            CASE WHEN n_c > 0 AND n_t > 0 AND rc > 0
                 THEN round(rt / rc - 1.0, 6) END AS lift,
