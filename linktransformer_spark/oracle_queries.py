@@ -5353,3 +5353,36 @@ def docs_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return table_diff(old, new, keys="doc_id", compare_cols=["text", "lang"])
+
+
+@_q("stream_ab_test", _AB_SQL)
+def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B readout: per-(type, variant) counters live in the
+    state store (streaming_ab_counts, update mode, unwindowed running
+    totals), the z-test runs at drain — same SQL oracle as the batch
+    events_ab_test."""
+    from .streaming import (
+        final_ab_test, read_stream_table, run_available_now,
+        streaming_ab_counts,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") % 2 == 0, "A"
+        ).otherwise("B").alias("variant"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("flag"),
+    )
+    drained = run_available_now(
+        streaming_ab_counts(
+            base, variant_col="variant", flag_col="flag", by="event_type"
+        ),
+        output_mode="update",
+    )
+    return final_ab_test(
+        drained, variant_col="variant", control="A", treatment="B",
+        by="event_type",
+    )

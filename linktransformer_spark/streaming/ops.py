@@ -771,3 +771,77 @@ def final_ann_topk(drained: DataFrame, k: int = 10) -> DataFrame:
             F.col("rank").cast("int").alias("rank"), "score",
         )
     )
+
+
+def streaming_ab_counts(
+    events: DataFrame,
+    *,
+    variant_col: str,
+    flag_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Streaming half of the A/B readout: per-(group, variant)
+    exposure and conversion counts maintained in the state store —
+    the experiment dashboard's live counters. Unwindowed running
+    totals (no watermark: an experiment readout wants ALL exposures);
+    state is bounded by |groups| x |variants|."""
+    grp = ([F.col(by)] if by is not None else []) + [F.col(variant_col)]
+    return events.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(flag_col).cast("long")).alias("conv"),
+    )
+
+
+def final_ab_test(
+    drained: DataFrame,
+    *,
+    variant_col: str,
+    control: str,
+    treatment: str,
+    by: str | None = None,
+    z_threshold: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion z readout over a drained
+    :func:`streaming_ab_counts` sink (update mode re-emits a counter
+    row per micro-batch it grew in; counts are monotone, so max
+    recovers the final value). Matches the batch
+    ``eventpipe.ab_test`` column for column."""
+    grp = [F.col(by)] if by is not None else []
+    counts = drained.groupBy(*grp, F.col(variant_col)).agg(
+        F.max("n").alias("n"), F.max("conv").alias("conv")
+    )
+    is_c = F.col(variant_col) == F.lit(control)
+    is_t = F.col(variant_col) == F.lit(treatment)
+    agg = counts.filter(is_c | is_t).groupBy(*grp).agg(
+        F.sum(F.when(is_c, F.col("n")).otherwise(0)).alias("n_c"),
+        F.sum(F.when(is_c, F.col("conv")).otherwise(0)).alias("conv_c"),
+        F.sum(F.when(is_t, F.col("n")).otherwise(0)).alias("n_t"),
+        F.sum(F.when(is_t, F.col("conv")).otherwise(0)).alias("conv_t"),
+    )
+    rc = F.col("conv_c").cast("double") / F.col("n_c").cast("double")
+    rt = F.col("conv_t").cast("double") / F.col("n_t").cast("double")
+    pp = (F.col("conv_c") + F.col("conv_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    ).cast("double")
+    var = (
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_c").cast("double")
+           + F.lit(1.0) / F.col("n_t").cast("double"))
+    )
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (var > 0),
+        (rt - rc) / F.sqrt(var),
+    )
+    both = (F.col("n_c") > 0) & (F.col("n_t") > 0)
+    return agg.select(
+        *([by] if by is not None else []),
+        "n_c", "conv_c",
+        F.when(F.col("n_c") > 0, F.round(rc, 6)).alias("rate_c"),
+        "n_t", "conv_t",
+        F.when(F.col("n_t") > 0, F.round(rt, 6)).alias("rate_t"),
+        F.when(both & (rc > 0), F.round(rt / rc - F.lit(1.0), 6)).alias("lift"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(
+            F.abs(F.round(z, 6)) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("significant"),
+    )

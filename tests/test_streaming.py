@@ -414,3 +414,41 @@ def test_streaming_ann_against_index_equals_batch(spark, sf_dir, tmp_path):
             for r in lt.ann_topk_ivf_indexed(spark, path, q, k=5,
                                              n_probe=4).collect()}
     assert got == want and got
+
+
+def test_streaming_ab_counts_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """Counter state accumulated across micro-batches + drain z-test
+    must equal the batch ab_test exactly."""
+    from linktransformer_spark.operators.eventpipe import ab_test
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_ab_test, run_available_now, streaming_ab_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    ).select(
+        "event_type",
+        F.when(F.get_json_object("props", "$.k").cast("long") % 2 == 0, "A")
+        .otherwise("B").alias("variant"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("flag"),
+    )
+    src = str(tmp_path / "ab_stream")
+    ev.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_ab_counts(sdf, variant_col="variant", flag_col="flag",
+                            by="event_type"),
+        output_mode="update",
+    )
+    got = {tuple(r) for r in final_ab_test(
+        drained, variant_col="variant", control="A", treatment="B",
+        by="event_type").collect()}
+    want = {tuple(r) for r in ab_test(
+        ev, variant_col="variant", control="A", treatment="B",
+        flag_col="flag", by="event_type").collect()}
+    assert got == want and got
