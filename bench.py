@@ -256,7 +256,7 @@ def main() -> None:
         "merge_1nn_lev", "merge_hash_broadcast", "merge_blocking",
         "merge_k_judge_mock", "merge_k_judge_batched",
         "docs_curation_pipeline", "semdedup_embeddings",
-        "docs_dsir_weights",
+        "docs_dsir_weights", "ann_mmr_rerank", "graph_pagerank",
     }
 
     queries = bench_queries(spark)
