@@ -75,6 +75,8 @@ from .operators.entity import (
     sorted_neighborhood_pairs,
 )
 from .operators.search import (
+    append_to_bm25_index,
+    bm25_delta_postings,
     bm25_topk,
     rrf_fuse,
     bm25_topk_indexed,
@@ -205,7 +207,9 @@ __all__ = [
     "mmr_rerank",
     "ann_topk_ivf_indexed",
     "save_ivf_index",
+    "append_to_bm25_index",
     "append_to_ivf_index",
+    "bm25_delta_postings",
     "quantize_embeddings",
     "knn_classify",
     "knn_label_eval",

@@ -802,6 +802,12 @@ def mmr_rerank(
     marginal objective at pick time (``lam*score`` for rank 1; ties
     break on candidate id).
 
+    Duplicate (query, candidate) rows are collapsed up front to the
+    max-relevance row (ties by the unnormalized stored vector order are
+    impossible after the collapse: one row survives per pair), so the
+    greedy picks stay deterministic even when an upstream union feeds
+    the same candidate twice (e.g. hybrid-retrieval arms).
+
     Fully relational greedy loop — NO driver-side collect: iteration j
     joins the remaining candidates against the j-1 picked rows per
     query (at most ``|cand_q| * (j-1)`` pairs per query), takes the
@@ -818,12 +824,22 @@ def mmr_rerank(
         raise ValueError("k must be >= 1")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    cand = candidates.select(
-        F.col(query_id).cast("long").alias("_q"),
-        F.col(id_col).cast("long").alias("_d"),
-        F.col(score_col).cast("double").alias("_rel"),
-        S.l2_normalize(F.col(vector_col)).alias("_v"),
-    ).localCheckpoint(eager=False)
+    dup_w = Window.partitionBy("_q", "_d").orderBy(F.col("_rel").desc())
+    cand = (
+        candidates.select(
+            F.col(query_id).cast("long").alias("_q"),
+            F.col(id_col).cast("long").alias("_d"),
+            F.col(score_col).cast("double").alias("_rel"),
+            S.l2_normalize(F.col(vector_col)).alias("_v"),
+        )
+        # collapse duplicate (query, candidate) rows to the max-relevance
+        # one — F.first over an un-deduped group would be order-dependent
+        # and iteration 1 could pick the same id twice
+        .withColumn("_dup_rn", F.row_number().over(dup_w))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+        .localCheckpoint(eager=False)
+    )
 
     def _rank1(df: DataFrame, order: Column, rank_val: int, mmr: Column) -> DataFrame:
         w = Window.partitionBy("_q").orderBy(order.desc(), F.col("_d").asc())

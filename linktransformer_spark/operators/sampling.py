@@ -199,7 +199,9 @@ def temperature_mixture(
     but only ~target_g rows per group, not exactly).
 
     ``alpha=0.5`` routes through sqrt (IEEE-correctly-rounded in every
-    engine — bit-exact oracle parity); other alphas use pow.
+    engine — bit-exact oracle parity); other alphas use pow. Rows with
+    a NULL group value form a group of their own (the target join is
+    null-safe), so they draw from the budget like any other group.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -237,8 +239,12 @@ def temperature_mixture(
     key = _key_expr(keys)
     h = S.poly_hash(key, salt=salt)
     w = Window.partitionBy(group_col).orderBy(h.asc(), key.asc())
+    # eqNullSafe: groupBy counts NULL group values as a group of their
+    # own, so the target join must match them too — an equality join
+    # would silently drop every NULL-group row (budget allocated to the
+    # NULL group, then lost)
     return (
-        df.join(F.broadcast(targets), F.col(group_col) == F.col("_g"))
+        df.join(F.broadcast(targets), F.col(group_col).eqNullSafe(F.col("_g")))
         .withColumn("_smp_rank", F.row_number().over(w))
         .filter(F.col("_smp_rank") <= F.col("_target"))
         .drop("_g", "_target", "_smp_rank")

@@ -47,13 +47,16 @@ def _impact_postings(
     id_col: str,
     k1: float,
     b: float,
+    frozen_stats: tuple[int, float] | None = None,
+    frozen_dfreq: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the impact-scored posting relation.
 
     Returns ``(postings, dfreq)`` where ``postings`` is
     ``(_tok, _d, _c)`` with ``_c`` the fully precomputed BM25
     contribution of that (term, doc) pair, and ``dfreq`` is
-    ``(_tok, _df, _N)`` for stopword-impact pruning.
+    ``(_tok, _df, _N, _avgdl)`` for stopword-impact pruning and for
+    persisting the corpus stats.
 
     Plan: one doc-side explode -> (doc, dl, term) groupBy (map-side
     combine; the shuffle carries distinct (doc, term) rows, not token
@@ -63,6 +66,11 @@ def _impact_postings(
     vocab-sized df relation against it; the final postings join
     reshuffles the posting relation on term ONCE — exactly the
     exchange the retrieval join needs anyway.
+
+    ``frozen_stats=(N, avgdl)`` (the append path) skips the corpus
+    aggregate and bakes impacts against the GIVEN stats instead of the
+    input's own — how a delta segment scores consistently with the
+    base index it joins.
     """
     base = docs.select(
         F.col(id_col).alias("_d"),
@@ -78,15 +86,35 @@ def _impact_postings(
         .agg(F.count("*").alias("_tf"))
         .localCheckpoint(eager=False)
     )
-    stats = dtc.agg(
-        F.countDistinct("_d").alias("_N"),
-        (F.sum("_tf").cast("double") / F.countDistinct("_d")).alias("_avgdl"),
-    )
-    dfreq = (
-        dtc.groupBy("_tok")
-        .agg(F.count("*").alias("_df"))
-        .crossJoin(F.broadcast(stats))
-    )
+    spark = docs.sparkSession
+    if frozen_stats is not None:
+        n_docs, avgdl = frozen_stats
+        stats = spark.createDataFrame(
+            [(int(n_docs), float(avgdl))], "_N bigint, _avgdl double"
+        )
+    else:
+        stats = dtc.agg(
+            F.countDistinct("_d").alias("_N"),
+            (F.sum("_tf").cast("double") / F.countDistinct("_d")).alias("_avgdl"),
+        )
+    if frozen_dfreq is not None:
+        # delta segment: per-term df comes from the BASE index's frozen
+        # vocab (terms unseen there keep df=0 — maximally rare under
+        # the Lucene-style idf, which is defined at df=0)
+        delta_terms = dtc.select("_tok").distinct()
+        dfreq = (
+            delta_terms.join(
+                frozen_dfreq.select("_tok", "_df"), "_tok", "left"
+            )
+            .select("_tok", F.coalesce(F.col("_df"), F.lit(0)).alias("_df"))
+            .crossJoin(F.broadcast(stats))
+        )
+    else:
+        dfreq = (
+            dtc.groupBy("_tok")
+            .agg(F.count("*").alias("_df"))
+            .crossJoin(F.broadcast(stats))
+        )
     idf = dfreq.select(
         "_tok",
         F.log(
@@ -112,7 +140,7 @@ def _impact_postings(
             )
         ).alias("_c"),
     )
-    return postings, dfreq.select("_tok", "_df", "_N")
+    return postings, dfreq.select("_tok", "_df", "_N", "_avgdl")
 
 
 def _query_terms(
@@ -132,8 +160,9 @@ def _query_terms(
     if max_df_ratio is not None:
         if dfreq is None:
             raise ValueError(
-                "max_df_ratio pruning needs the index's df relation; "
-                "pass store_df=True at build time"
+                "max_df_ratio pruning needs the index's df relation "
+                "(the dfreq/ directory save_bm25_index always writes); "
+                "rebuild the index with save_bm25_index"
             )
         keep = dfreq.filter(
             F.col("_df").cast("double")
@@ -236,6 +265,7 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 N_BUCKETS_DEFAULT = 64
+_BM25_INDEX_VERSION = 2
 
 
 def build_bm25_index(
@@ -245,12 +275,16 @@ def build_bm25_index(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = N_BUCKETS_DEFAULT,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Materializable impact index: returns
-    ``(postings, dfreq)`` with postings =
-    ``(bucket, term, doc id (original name), impact)`` and dfreq =
-    ``(term, df, n_docs)``. ``bucket = pmod(xxhash64(term), n_buckets)``
-    is the partition key :func:`save_bm25_index` writes under."""
+    ``(postings, dfreq, stats)`` with postings =
+    ``(bucket, term, doc id (original name), impact)``, dfreq =
+    ``(term, df, n_docs)``, and stats a ONE-ROW ``(n_docs, avgdl)``
+    relation (the corpus-global quantities every stored impact bakes
+    in — persisted so :func:`append_to_bm25_index` can score delta
+    segments against the same reference frame).
+    ``bucket = pmod(xxhash64(term), n_buckets)`` is the partition key
+    :func:`save_bm25_index` writes under."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     postings, dfreq = _impact_postings(docs, text_col, id_col, k1, b)
@@ -265,7 +299,10 @@ def build_bm25_index(
         F.col("_df").alias("df"),
         F.col("_N").alias("n_docs"),
     )
-    return out, df_out
+    stats = dfreq.select("_N", "_avgdl").limit(1).select(
+        F.col("_N").alias("n_docs"), F.col("_avgdl").alias("avgdl")
+    )
+    return out, df_out, stats
 
 
 def save_bm25_index(
@@ -278,23 +315,27 @@ def save_bm25_index(
     n_buckets: int = N_BUCKETS_DEFAULT,
 ) -> None:
     """Write the impact index under ``path``: ``postings/`` parquet
-    PARTITIONED BY bucket (term-hash), plus ``dfreq/`` (vocab-sized,
-    for max_df_ratio pruning at retrieval). Partitioning by the term
-    hash is what makes the on-disk form an index rather than a dump:
-    a retrieval touching t distinct terms reads <= min(t, n_buckets)
-    partitions, so few-term lookups scan a sliver of the corpus
-    regardless of its size. Size n_buckets so one bucket
-    (~|postings|/n_buckets rows) is a few HDFS blocks at your scale.
+    PARTITIONED BY bucket (term-hash), ``dfreq/`` (vocab-sized, for
+    max_df_ratio pruning at retrieval and for scoring delta segments),
+    and a one-row ``meta/`` json (version, n_buckets, k1, b, id_col,
+    and the frozen corpus stats n_docs/avgdl) that
+    :func:`bm25_topk_indexed` validates at load — retrieval against an
+    index built with different parameters must fail loudly, never
+    prune the wrong partitions (same meta contract as the IVF index).
+    Partitioning by the term hash is what makes the on-disk form an
+    index rather than a dump: a retrieval touching t distinct terms
+    reads <= min(t, n_buckets) partitions, so few-term lookups scan a
+    sliver of the corpus regardless of its size. Size n_buckets so one
+    bucket (~|postings|/n_buckets rows) is a few HDFS blocks at your
+    scale.
 
-    REBUILD-ONLY by design: appending documents would silently stale
-    the whole index — idf and avgdl are corpus-global and baked into
-    every stored impact, so one new document changes the correct score
-    of every existing posting. (Contrast the IVF index, whose per-row
-    state makes :func:`~linktransformer_spark.operators.ann.append_to_ivf_index`
-    sound.) The standard production shape is periodic rebuild plus a
-    small fresh-tail segment searched with the live :func:`bm25_topk`
-    and merged at the application layer."""
-    postings, dfreq = build_bm25_index(
+    Growing corpora: :func:`append_to_bm25_index` adds a delta segment
+    scored against the FROZEN stats recorded here (the Lucene segment
+    model — per-segment reference frames, periodic compaction =
+    rebuild). Impacts of existing postings never change on append; the
+    documented staleness is that appended documents are scored as if
+    the corpus still had the build-time N/avgdl/df."""
+    postings, dfreq, stats = build_bm25_index(
         docs, text_col=text_col, id_col=id_col, k1=k1, b=b, n_buckets=n_buckets
     )
     # one file per (shuffle partition, bucket) would explode the file
@@ -306,20 +347,48 @@ def save_bm25_index(
         "bucket"
     ).parquet(f"{path}/postings")
     dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+    st = stats.collect()[0]
+    docs.sparkSession.createDataFrame(
+        [(
+            _BM25_INDEX_VERSION, int(n_buckets), float(k1), float(b),
+            id_col, int(st["n_docs"]), float(st["avgdl"]),
+        )],
+        "version int, n_buckets int, k1 double, b double, "
+        "id_col string, n_docs bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def _read_bm25_meta(spark: SparkSession, index_path: str) -> dict:
+    try:
+        meta = spark.read.json(f"{index_path}/meta").collect()[0].asDict()
+    except Exception as e:  # noqa: BLE001 — any unreadable meta is fatal
+        raise ValueError(
+            f"bm25 index at {index_path} has no readable meta/ "
+            f"(pre-meta index layout?); rebuild with save_bm25_index: {e}"
+        ) from e
+    if int(meta["version"]) != _BM25_INDEX_VERSION:
+        raise ValueError(
+            f"bm25 index at {index_path} has version {meta['version']}, "
+            f"this build reads version {_BM25_INDEX_VERSION}"
+        )
+    return meta
 
 
 def bm25_topk_indexed(
     spark: SparkSession,
     index_path: str,
     queries: DataFrame,
-    id_col: str = "doc_id",
     query_id: str = "q_id",
     query_col: str = "q_text",
     k: int = 10,
     max_df_ratio: float | None = None,
-    n_buckets: int = N_BUCKETS_DEFAULT,
 ) -> DataFrame:
     """Top-``k`` retrieval against a :func:`save_bm25_index` directory.
+
+    ``n_buckets`` and the document id column come from the index's
+    ``meta/`` — NEVER from the caller: a mismatched bucket count would
+    silently prune the wrong partitions and return incomplete results,
+    so the build-time parameters are the only source of truth.
 
     The scoring work left at query time is only the posting join, the
     order-pinned fold, and the rank window — IDF, doc length, and the
@@ -331,6 +400,9 @@ def bm25_topk_indexed(
     the batch actually touches."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    meta = _read_bm25_meta(spark, index_path)
+    id_col = str(meta["id_col"])
+    n_buckets = int(meta["n_buckets"])
     postings = spark.read.parquet(f"{index_path}/postings")
     dfreq = (
         spark.read.parquet(f"{index_path}/dfreq")
@@ -357,6 +429,72 @@ def bm25_topk_indexed(
         F.col("impact").alias("_c"),
     )
     return _retrieve(pruned, F.broadcast(qterms), id_col, query_id, k)
+
+
+def bm25_delta_postings(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Impact postings for a delta batch, scored against the FROZEN
+    stats of the index at ``index_path`` (n_docs, avgdl from ``meta/``,
+    per-term df from the stored ``dfreq/``; terms the base corpus
+    never saw keep df=0). Returns the same (bucket, term, id, impact)
+    shape :func:`save_bm25_index` writes — the compute half of
+    :func:`append_to_bm25_index`, exposed separately so the append
+    cost is benchmarkable without the parquet write."""
+    meta = _read_bm25_meta(spark, index_path)
+    id_col = str(meta["id_col"])
+    frozen_dfreq = spark.read.parquet(f"{index_path}/dfreq").select(
+        F.col("term").alias("_tok"), F.col("df").alias("_df")
+    )
+    postings, _ = _impact_postings(
+        new_docs, text_col, id_col, float(meta["k1"]), float(meta["b"]),
+        frozen_stats=(int(meta["n_docs"]), float(meta["avgdl"])),
+        frozen_dfreq=frozen_dfreq,
+    )
+    return postings.select(
+        F.pmod(F.xxhash64("_tok"), F.lit(int(meta["n_buckets"])))
+        .cast("int").alias("bucket"),
+        F.col("_tok").alias("term"),
+        F.col("_d").alias(id_col),
+        F.col("_c").alias("impact"),
+    )
+
+
+def append_to_bm25_index(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+) -> None:
+    """Append a document batch to a :func:`save_bm25_index` directory —
+    the Lucene segment model adapted to the impact layout.
+
+    Impacts depend on corpus-global stats (idf needs df and N, length
+    normalization needs avgdl), so a naive recompute would change the
+    correct score of EVERY existing posting. Instead the delta batch is
+    scored against the index's FROZEN reference frame: the build-time
+    ``n_docs``/``avgdl`` from ``meta/`` and the stored per-term df —
+    existing postings stay untouched (previously-correct retrievals
+    stay correct), and the new documents merge into the same
+    bucket-partitioned relation, immediately retrievable by
+    :func:`bm25_topk_indexed` with scores exactly comparable to the
+    base segment's (same reference frame on both sides).
+
+    DOCUMENTED STALENESS: relative to a full rebuild, every impact
+    (old and new) differs by the drift the appended batch causes in
+    N, avgdl, and df — proportional to the append fraction. The
+    production contract is periodic compaction (rebuild) once the
+    appended tail is a material fraction of the corpus; ``dfreq/`` and
+    ``meta/`` deliberately stay frozen between compactions so that ALL
+    segments share one reference frame.
+    """
+    spark = new_docs.sparkSession
+    delta = bm25_delta_postings(spark, index_path, new_docs, text_col=text_col)
+    delta.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{index_path}/postings")
 
 
 def rrf_fuse(

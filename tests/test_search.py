@@ -140,7 +140,7 @@ def test_bm25_index_round_trip_equals_direct(spark, corpus, tmp_path):
     }
     indexed = {
         (r["q_id"], r["doc_id"]): (r["rank"], r["score"], r["n_terms"])
-        for r in lt.bm25_topk_indexed(spark, path, q, k=5, n_buckets=4).collect()
+        for r in lt.bm25_topk_indexed(spark, path, q, k=5).collect()
     }
     assert direct == indexed and direct
 
@@ -152,7 +152,7 @@ def test_bm25_index_bucket_pruning_reads_subset(spark, corpus, tmp_path):
     path = str(tmp_path / "idx")
     lt.save_bm25_index(corpus, path, n_buckets=16)
     q = _q(spark, (1, "apple"))
-    out = lt.bm25_topk_indexed(spark, path, q, k=5, n_buckets=16)
+    out = lt.bm25_topk_indexed(spark, path, q, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan  # partition filter visible in the scan
     rows = out.collect()
@@ -167,9 +167,114 @@ def test_bm25_indexed_max_df_ratio_uses_stored_dfreq(spark, tmp_path):
     lt.save_bm25_index(corpus, path, n_buckets=4)
     q = _q(spark, (1, "the rare"))
     pruned = lt.bm25_topk_indexed(
-        spark, path, q, k=10, max_df_ratio=0.5, n_buckets=4).collect()
+        spark, path, q, k=10, max_df_ratio=0.5).collect()
     # 'the' (df=10/10) pruned; only the 'rare' doc matches, n_terms=1
     assert [(r["doc_id"], r["n_terms"]) for r in pruned] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Index meta validation + append (round 7)
+# ---------------------------------------------------------------------------
+def test_bm25_index_meta_written_and_validated(spark, corpus, tmp_path):
+    """save_bm25_index persists its build parameters; retrieval reads
+    n_buckets/id_col from meta (never caller-supplied), and a missing
+    or version-mismatched meta fails loudly."""
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=7, k1=1.5, b=0.6)
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    assert meta["n_buckets"] == 7 and meta["id_col"] == "doc_id"
+    assert meta["k1"] == 1.5 and meta["b"] == 0.6
+    assert meta["n_docs"] == 5 and meta["avgdl"] > 0
+    # retrieval works without the caller knowing the bucket count
+    q = _q(spark, (1, "apple"))
+    assert lt.bm25_topk_indexed(spark, path, q, k=5).count() == 2
+    with pytest.raises(ValueError, match="no readable meta"):
+        lt.bm25_topk_indexed(spark, str(tmp_path / "nothere"), q)
+
+
+def test_bm25_append_preserves_base_and_scores_in_frozen_frame(
+    spark, corpus, tmp_path
+):
+    """append_to_bm25_index: base postings byte-stable, appended docs
+    scored against the FROZEN stats (n_docs/avgdl/df from build time),
+    verified against a from-first-principles Python recompute."""
+    import math
+
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=4)
+    q_base = _q(spark, (1, "apple banana"), (2, "egg"))
+    before = {
+        (r["q_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in lt.bm25_topk_indexed(spark, path, q_base, k=5).collect()
+    }
+    new = spark.createDataFrame(
+        [(100, "apple kiwi kiwi"), (101, "zebra yak")], ["doc_id", "text"]
+    )
+    lt.append_to_bm25_index(new, path)
+    # base-corpus-only retrieval unchanged for docs that still win:
+    after = {
+        (r["q_id"], r["doc_id"]): r["score"]
+        for r in lt.bm25_topk_indexed(spark, path, q_base, k=10).collect()
+    }
+    for key, (_, score) in before.items():
+        assert abs(after[key] - score) < 1e-12
+    # appended doc retrievable; score equals the frozen-frame formula
+    got = {
+        r["doc_id"]: r["score"]
+        for r in lt.bm25_topk_indexed(
+            spark, path, _q(spark, (9, "kiwi")), k=5
+        ).collect()
+    }
+    assert set(got) == {100}
+    # frozen frame: N=5 base docs, avgdl = 17 tokens / 5 docs, kiwi df=0
+    n_docs, avgdl, k1, b = 5, 17 / 5, 1.2, 0.75
+    idf = math.log(1.0 + (n_docs - 0 + 0.5) / (0 + 0.5))
+    tf, dl = 2, 3
+    expected = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(got[100] - expected) < 1e-12
+
+
+def test_bm25_append_tracks_full_rebuild_within_staleness(spark, tmp_path):
+    """Documented staleness contract: build(A)+append(B) retrieval
+    stays close to a full rebuild on A+B when |B| << |A| — the drift
+    is bounded by the append fraction's effect on N/avgdl/df."""
+    base_rows = [
+        (i, f"alpha beta gamma doc{i} token{i % 7} filler text here")
+        for i in range(40)
+    ]
+    delta_rows = [(100, "alpha beta gamma delta fresh document"),
+                  (101, "token1 token2 fresh appended text")]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    lt.save_bm25_index(base, inc_path, n_buckets=4)
+    lt.append_to_bm25_index(delta, inc_path)
+    lt.save_bm25_index(base.unionByName(delta), full_path, n_buckets=4)
+    # base-vocabulary terms: drift comes only from the 5% shift in
+    # N/avgdl/df, so every score tracks the rebuild tightly
+    q = _q(spark, (1, "alpha token1"), (2, "gamma token2"))
+    inc = {(r["q_id"], r["doc_id"]): r["score"]
+           for r in lt.bm25_topk_indexed(spark, inc_path, q, k=60).collect()}
+    full = {(r["q_id"], r["doc_id"]): r["score"]
+            for r in lt.bm25_topk_indexed(spark, full_path, q, k=60).collect()}
+    assert set(inc) == set(full) and inc
+    for key, s_full in full.items():
+        diff = abs(inc[key] - s_full)
+        rel = diff / max(abs(s_full), 1e-9)
+        # relative bound for normal terms; near-zero-idf terms (df≈N,
+        # e.g. "alpha" in every doc) have idf hypersensitive to N but
+        # absolutely negligible — bound those absolutely instead
+        assert rel < 0.15 or diff < 0.05, (key, inc[key], s_full)
+    # NEW-vocabulary terms ("fresh": df=0 in the frozen frame) are the
+    # documented exception: over-weighted until compaction, never lost
+    qf = _q(spark, (3, "fresh"))
+    inc_f = {r["doc_id"]: r["score"]
+             for r in lt.bm25_topk_indexed(spark, inc_path, qf, k=10).collect()}
+    full_f = {r["doc_id"]: r["score"]
+              for r in lt.bm25_topk_indexed(spark, full_path, qf, k=10).collect()}
+    assert set(inc_f) == set(full_f) == {100, 101}
+    for d in inc_f:
+        assert inc_f[d] > full_f[d]  # frozen df=0 -> idf overshoot
 
 
 # ---------------------------------------------------------------------------
