@@ -26,10 +26,18 @@ step-(i-1) time iff one exists at ts' <= ts — ties at identical ts
 resolve lower-step-first, which is exactly the at-or-after (>=)
 join semantics the oracle uses.
 
-Skew note (100 TB): per-user state is the filtered event list; a
-pathological user with millions of funnel events makes one big array.
-Cap upstream with a per-(user, step) time-bucket pre-dedup if your
-event stream has such keys; the fold itself is O(list) per user.
+Skew cap (100 TB): per-user state is the filtered event list; a
+pathological user (a bot, a stuck producer) with millions of funnel
+events would build one giant array in one task and OOM it. The
+ENFORCED ``max_events_per_user`` cap (default 100k, ``None`` to opt
+out loudly) pre-caps each user to their EARLIEST N funnel-step events
+via a ``row_number() <= N`` window BEFORE the collect: the window
+sort is spillable (external sort, bounded memory), so the collected
+array — the actual OOM hazard — is bounded by the cap. Because the
+fold consumes events in (ts, step) order and is prefix-monotone,
+capping to the earliest N is exactly "run the funnel on the user's
+first N events" — well-defined truncation semantics, and a no-op for
+every user under the cap.
 
 retention — classic day-N cohort retention
 ------------------------------------------
@@ -70,6 +78,7 @@ def funnel_user_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within: float | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Per-user strict-order funnel fire times.
 
@@ -77,9 +86,19 @@ def funnel_user_steps(
     ``user_col, t_1, ..., t_k`` (timestamps; ``t_i`` null when the
     user never reached step i). ``within`` (seconds) bounds every
     later step to at most ``within`` seconds after the step-1 time.
+
+    ``max_events_per_user`` (ENFORCED, default 100k) bounds per-user
+    state: each user's funnel is computed over their EARLIEST N
+    funnel-step events (by (ts, step) — the fold's own order, so
+    this is exact prefix truncation, not sampling). Users under the
+    cap are unaffected. Pass ``None`` to opt out — only safe when you
+    KNOW no key is pathological; an uncapped hot user builds one
+    unbounded in-memory array in a single task.
     """
     steps = _validate_steps(steps)
     k = len(steps)
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1 (or None)")
 
     # step name -> 0-based index, as a tiny CASE chain (IN-filter first
     # so the scan prunes to funnel event types only)
@@ -94,6 +113,20 @@ def funnel_user_steps(
             idx.alias("step"),
         ).alias("_e"),
     )
+    if max_events_per_user is not None:
+        from pyspark.sql import Window
+
+        # spillable window sort bounds the collected array (the OOM
+        # hazard); same (user) partitioning as the groupBy below, so
+        # AQE/Catalyst reuse one exchange
+        cap_w = Window.partitionBy("_u").orderBy(
+            F.col("_e.ts").asc(), F.col("_e.step").asc()
+        )
+        ev = (
+            ev.withColumn("_cap_rn", F.row_number().over(cap_w))
+            .filter(F.col("_cap_rn") <= max_events_per_user)
+            .drop("_cap_rn")
+        )
 
     init = F.array([F.lit(None).cast("long") for _ in range(k)])
     within_us = None if within is None else int(round(within * _US))
@@ -146,16 +179,19 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within: float | None = None,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Funnel summary: one row per step with the user count that
     reached it and conversion fractions (vs step 1 and vs the previous
     step), rounded to 6 decimals. Column names: ``step`` (1-based),
-    ``step_name``, ``n_users``, ``frac_first``, ``frac_prev``."""
+    ``step_name``, ``n_users``, ``frac_first``, ``frac_prev``.
+    ``max_events_per_user``: see :func:`funnel_user_steps`."""
     steps = _validate_steps(steps)
     k = len(steps)
     per_user = funnel_user_steps(
         events, steps, user_col=user_col, ts_col=ts_col,
         type_col=type_col, within=within,
+        max_events_per_user=max_events_per_user,
     )
     counts = per_user.agg(
         *[
@@ -390,6 +426,7 @@ def session_paths(
     gap_seconds: int = 1800,
     n: int = 3,
     k: int = 20,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Top-``k`` most frequent length-``n`` event-type paths within
     sessions — the sequence-mining generalization of
@@ -408,8 +445,15 @@ def session_paths(
     in-group by (ts, tiebreak) — the same sorted-collect fold shape as
     the funnel); path n-grams slice out map-side (the shingle
     position-explode — no further shuffle); the count is a hash agg on
-    the path and top-k is TakeOrdered. Per-session state is its event
-    list — cap pathological sessions upstream, the funnel's skew rule.
+    the path and top-k is TakeOrdered.
+
+    ``max_events_per_user`` (ENFORCED, default 100k, ``None`` to opt
+    out) bounds the per-(user, session) collected array — the OOM
+    hazard a bot user poses: each user keeps their EARLIEST N events
+    (by (ts, tiebreak) — the sessionize order itself), so sessions of
+    capped users are exactly the sessions of their first N events; the
+    cap's row_number shares the sessionize window's partitioning and
+    sort, so it costs no extra exchange.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -417,6 +461,8 @@ def session_paths(
         raise ValueError("k must be >= 1")
     if gap_seconds < 1:
         raise ValueError("gap_seconds must be >= 1")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1 (or None)")
     from pyspark.sql import Window
 
     tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
@@ -427,6 +473,12 @@ def session_paths(
         tb.alias("_tb"),
     )
     w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+    if max_events_per_user is not None:
+        ev = (
+            ev.withColumn("_cap_rn", F.row_number().over(w))
+            .filter(F.col("_cap_rn") <= max_events_per_user)
+            .drop("_cap_rn")
+        )
     gap_us = gap_seconds * 1_000_000
     sess = (
         ev.withColumn("_prev", F.lag("_ts").over(w))
@@ -567,6 +619,7 @@ def decayed_engagement(
     value_col: str = "value",
     tiebreak_col: str | None = None,
     half_life_seconds: float = 604800.0,
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Per-user exponentially time-decayed engagement score:
     ``sum(value * 2^(-(as_of - t) / half_life))`` — the standard
@@ -582,9 +635,18 @@ def decayed_engagement(
     pass the event id as ``tiebreak_col`` to pin simultaneous events).
     The decay term's pow/division chain is mirrored operation-for-
     operation in the SQL twin.
+
+    ``max_events_per_user`` (ENFORCED, default 100k, ``None`` to opt
+    out) bounds the per-user pinned-fold array: each user keeps their
+    MOST RECENT N events before ``as_of`` (by (ts DESC, tiebreak)) —
+    the largest decay weights; what truncation drops is the
+    smallest-weight tail, i.e. the contributions decay was already
+    suppressing. ``n_events`` counts the retained events.
     """
     if half_life_seconds <= 0:
         raise ValueError("half_life_seconds must be > 0")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1 (or None)")
     tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(value_col)
     ref = F.lit(as_of).cast("timestamp")
     ev = events.filter(F.col(ts_col).cast("timestamp") <= ref).select(
@@ -605,6 +667,17 @@ def decayed_engagement(
             ).alias("w"),
         ).alias("_e"),
     )
+    if max_events_per_user is not None:
+        from pyspark.sql import Window
+
+        cap_w = Window.partitionBy(user_col).orderBy(
+            F.col("_e.t").desc(), F.col("_e.tb").asc()
+        )
+        ev = (
+            ev.withColumn("_cap_rn", F.row_number().over(cap_w))
+            .filter(F.col("_cap_rn") <= max_events_per_user)
+            .drop("_cap_rn")
+        )
     return ev.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.aggregate(

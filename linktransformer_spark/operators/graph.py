@@ -16,15 +16,23 @@ lazy ``localCheckpoint`` per iteration (same trick as mmr_rerank).
 Float determinism (the DuckDB-oracle contract): every float sum in
 the operator is order-pinned — the per-node message sum folds the
 in-neighbor contributions in src order, and per-src out-weights fold
-in dst order. Arrays are bounded by node degree; a pathological hub
-(in-degree in the millions) makes one big array — cap upstream by
-pruning super-hubs, the standard web-graph hygiene step.
+in dst order. Arrays are bounded by node degree; the ENFORCED
+``max_in_degree`` / ``max_out_degree`` caps (default 1M each) prune
+super-hub edges ONCE at build time (keep each node's strongest
+``max_*_degree`` edges by (weight DESC, neighbor ASC) — the standard
+web-graph hygiene step), so no per-iteration fold array can exceed
+the cap. The prune is a spillable row_number window; the collected
+arrays — the OOM hazard — are what the cap bounds.
 
-Dangling nodes (no out-edges): their rank mass LEAKS (teleport-only
-variant) rather than being redistributed — redistribution needs a
-global order-pinned sum over all dangling nodes per iteration, which
-cannot be bounded at 100 TB; ranks still order correctly for the
-curation use case. Document ranks therefore sum to < 1.
+Dangling nodes (no out-edges): by default their rank mass LEAKS
+(teleport-only variant) — ranks still order correctly for the
+curation use case, but sum to < 1. ``redistribute_dangling=True``
+adds the standard correction (each iteration's dangling mass is
+spread uniformly over all nodes), making ranks a probability
+distribution; the per-iteration dangling sum is a ONE-ROW
+order-pinned fold over the |dangling| rank rows, broadcast back —
+bounded output, but the collect_list behind it scales with the
+dangling-node count, so the default stays the leaky variant.
 """
 
 from __future__ import annotations
@@ -48,6 +56,21 @@ def _pinned_fold(key: str, val: str) -> F.Column:
     )
 
 
+def _cap_degree(e: DataFrame, key: str, other: str, cap: int) -> DataFrame:
+    """Keep each ``key`` node's strongest ``cap`` edges by
+    (weight DESC, other-endpoint ASC) — deterministic hub prune."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.col("_w").desc(), F.col(other).asc()
+    )
+    return (
+        e.withColumn("_deg_rn", F.row_number().over(w))
+        .filter(F.col("_deg_rn") <= cap)
+        .drop("_deg_rn")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",
@@ -56,6 +79,9 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    max_in_degree: int | None = 1_000_000,
+    max_out_degree: int | None = 1_000_000,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-``iterations`` PageRank over directed weighted edges.
 
@@ -66,6 +92,22 @@ def pagerank(
     integer-valued weights (exact in double); arbitrary float weights
     are correct but their pre-sum is the one unpinned accumulation.
 
+    ``max_in_degree`` / ``max_out_degree`` (ENFORCED, default 1M each,
+    ``None`` to opt out) prune the deduplicated edge relation ONCE
+    before iteration: each node keeps its ``max_in_degree`` strongest
+    in-edges and ``max_out_degree`` strongest out-edges (by weight
+    DESC, endpoint ASC — deterministic). A web-scale super-hub
+    (in-degree in the tens of millions) would otherwise build one
+    giant per-node message array every iteration; graphs whose degrees
+    are all under the caps are returned bit-identically. In-prune runs
+    first, out-prune second (the order is part of the contract).
+
+    ``redistribute_dangling=True`` spreads each iteration's dangling
+    rank mass (nodes with no out-edges) uniformly over all nodes —
+    ranks then form a probability distribution (sum to 1 up to float
+    error) instead of leaking that mass; the default ``False`` is the
+    cheaper teleport-only variant whose ranks still order correctly.
+
     The iteration count is a build-time constant (the plan unrolls),
     which is what makes the operator fully SQL-oracle-checkable as a
     chain of CTEs — convergence-threshold looping would need a
@@ -75,6 +117,10 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    for nm, cap in (("max_in_degree", max_in_degree),
+                    ("max_out_degree", max_out_degree)):
+        if cap is not None and cap < 1:
+            raise ValueError(f"{nm} must be >= 1 (or None)")
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -85,11 +131,12 @@ def pagerank(
         F.col(dst_col).cast("long").alias("_dst"),
         w.alias("_w"),
     )
-    e = (
-        e0.groupBy("_src", "_dst")
-        .agg(F.sum("_w").alias("_w"))
-        .localCheckpoint(eager=False)
-    )
+    e = e0.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    if max_in_degree is not None:
+        e = _cap_degree(e, "_dst", "_src", max_in_degree)
+    if max_out_degree is not None:
+        e = _cap_degree(e, "_src", "_dst", max_out_degree)
+    e = e.localCheckpoint(eager=False)
     outw = e.groupBy("_src").agg(_pinned_fold("_dst", "_w").alias("_ow"))
     e2 = e.join(outw, "_src").localCheckpoint(eager=False)
     nodes = (
@@ -100,6 +147,12 @@ def pagerank(
     )
     n = nodes.count()  # bounded 1-row action; shared by every iteration
     teleport = (1.0 - damping) / n
+    if redistribute_dangling:
+        # dangling = nodes with no out-edge; fixed set, computed once
+        dangling = nodes.join(
+            e.select(F.col("_src").alias("node")).distinct(), "node",
+            "left_anti",
+        ).localCheckpoint(eager=False)
     r = nodes.withColumn("_r", F.lit(1.0 / n))
     for _ in range(iterations):
         msgs = r.join(e2, F.col("node") == F.col("_src")).select(
@@ -108,15 +161,21 @@ def pagerank(
             ((F.col("_r") * F.col("_w")) / F.col("_ow")).alias("_c"),
         )
         agg = msgs.groupBy("_dst").agg(_pinned_fold("_src", "_c").alias("_m"))
-        r = (
-            nodes.join(agg, F.col("node") == F.col("_dst"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("_m"), F.lit(0.0))
-                ).alias("_r"),
+        base = F.lit(teleport) + F.lit(damping) * F.coalesce(
+            F.col("_m"), F.lit(0.0)
+        )
+        joined = nodes.join(agg, F.col("node") == F.col("_dst"), "left")
+        if redistribute_dangling:
+            # one-row order-pinned dangling-mass sum, broadcast back —
+            # the totals pattern (bounded OUTPUT; the fold array scales
+            # with |dangling|, which is why this is opt-in)
+            dmass = (
+                r.join(dangling, "node")
+                .agg(_pinned_fold("node", "_r").alias("_dm"))
             )
-            .localCheckpoint(eager=False)
+            joined = joined.crossJoin(F.broadcast(dmass))
+            base = base + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+        r = joined.select("node", base.alias("_r")).localCheckpoint(
+            eager=False
         )
     return r.select("node", F.col("_r").alias("rank"))

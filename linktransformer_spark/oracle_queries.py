@@ -4389,6 +4389,86 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _pagerank_redistribute_sql(iterations: int = 2, damping: float = 0.85) -> str:
+    d = repr(float(damping))
+    body = [f"""
+    WITH e AS (
+      SELECT o_custkey * 2 AS _src, l_suppkey * 2 + 1 AS _dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    ow AS (
+      SELECT _src,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w ORDER BY _dst)),
+                         (a, x) -> a + x) AS _ow
+      FROM e GROUP BY _src
+    ),
+    e2 AS (SELECT e._src, e._dst, e.w, ow._ow FROM e JOIN ow USING (_src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT _src AS node FROM e UNION ALL SELECT _dst AS node FROM e)
+    ),
+    dang AS (
+      SELECT node FROM nodes
+      WHERE node NOT IN (SELECT DISTINCT _src FROM e)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)"""]
+    for j in range(1, iterations + 1):
+        body.append(f""",
+    dm{j - 1} AS (
+      SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(p.r ORDER BY p.node)),
+                         (a, x) -> a + x) AS s
+      FROM r{j - 1} p JOIN dang USING (node)
+    ),
+    r{j} AS (
+      SELECT n.node,
+             (1.0 - {d}) / nn.n
+             + {d} * coalesce(s.m, CAST(0.0 AS DOUBLE))
+             + ({d} * dm{j - 1}.s) / nn.n AS r
+      FROM nodes n CROSS JOIN nn CROSS JOIN dm{j - 1} LEFT JOIN (
+        SELECT e2._dst AS node,
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list((p.r * e2.w) / e2._ow ORDER BY e2._src)),
+                 (a, x) -> a + x) AS m
+        FROM e2 JOIN r{j - 1} p ON e2._src = p.node
+        GROUP BY e2._dst
+      ) s ON n.node = s.node
+    )""")
+    body.append(f"""
+    SELECT node, round(r, 9) AS rank FROM r{iterations}""")
+    return "".join(body)
+
+
+@_q("graph_pagerank_redistribute", _pagerank_redistribute_sql())
+def graph_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration PageRank with dangling-mass redistribution over the
+    DIRECTED customer->supplier purchase graph — suppliers have no
+    out-edges, so every iteration redistributes their rank mass
+    uniformly (ranks sum to 1). The per-iteration dangling sum is the
+    one-row order-pinned fold broadcast back; the oracle unrolls the
+    same rounds with a dm CTE per iteration."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = pagerank(e, "src", "dst", weight_col="w", iterations=2,
+                   redistribute_dangling=True)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Session path mining + volume anomaly (operators/eventpipe.py
 # session_paths / volume_anomaly) — round-6 event analytics.

@@ -361,3 +361,77 @@ def test_ab_test_null_z_cases(spark):
     r2 = ab_test(df2, variant_col="variant", control="A", treatment="B",
                  flag_col="flag").first()
     assert r2["n_t"] == 0 and r2["z"] is None and not r2["significant"]
+
+
+# ---------------------------------------------------------------------------
+# Enforced per-user skew caps (round 7): the hot-user/bot hazard
+# ---------------------------------------------------------------------------
+def test_funnel_cap_equals_truncated_input(spark):
+    """A hot user's funnel under the cap == running the funnel over
+    only their earliest N funnel-step events (exact prefix
+    truncation), and every under-cap user is untouched."""
+    hot = [(1, s, "a" if s % 3 == 0 else "b") for s in range(30)]
+    cold = [(2, 0, "a"), (2, 5, "b")]
+    ev = _ev(spark, hot + cold)
+    capped = {r["user_id"]: (r["t_1"], r["t_2"]) for r in
+              funnel_user_steps(ev, ["a", "b"], max_events_per_user=4)
+              .collect()}
+    trunc = {r["user_id"]: (r["t_1"], r["t_2"]) for r in
+             funnel_user_steps(
+                 _ev(spark, hot[:4] + cold), ["a", "b"],
+                 max_events_per_user=None).collect()}
+    assert capped == trunc
+    # under-cap user identical to the uncapped run
+    full = {r["user_id"]: (r["t_1"], r["t_2"]) for r in
+            funnel_user_steps(ev, ["a", "b"], max_events_per_user=None)
+            .collect()}
+    assert capped[2] == full[2]
+
+
+def test_funnel_cap_bounds_collected_array(spark):
+    """Structural check: with the cap on, the collect_list input per
+    user is at most N rows (the row_number filter precedes the agg)."""
+    ev = _ev(spark, [(1, s, "a") for s in range(50)])
+    plan = funnel_user_steps(
+        ev, ["a", "b"], max_events_per_user=10
+    )._jdf.queryExecution().executedPlan().toString()
+    # the cap's filter sits in the plan between window and aggregate
+    assert "_cap_rn" in plan
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        funnel_user_steps(ev, ["a", "b"], max_events_per_user=0)
+
+
+def test_session_paths_cap_equals_truncated_input(spark):
+    from linktransformer_spark.operators.eventpipe import session_paths
+
+    hot = [(1, s, f"t{s % 5}") for s in range(40)]
+    ev = _ev(spark, hot)
+    capped = sorted(
+        (r["path"], r["n_occurrences"]) for r in
+        session_paths(ev, n=2, k=50, max_events_per_user=6).collect())
+    trunc = sorted(
+        (r["path"], r["n_occurrences"]) for r in
+        session_paths(_ev(spark, hot[:6]), n=2, k=50,
+                      max_events_per_user=None).collect())
+    assert capped == trunc and capped
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        session_paths(ev, max_events_per_user=-1)
+
+
+def test_decayed_engagement_cap_keeps_most_recent(spark):
+    from linktransformer_spark.operators.eventpipe import decayed_engagement
+
+    rows = [Row(user_id=1, ts=dt.datetime(2024, 1, d), value=1.0,
+                event_id=d) for d in range(1, 11)]
+    ev = spark.createDataFrame(rows)
+    out = decayed_engagement(
+        ev, as_of="2024-01-15 00:00:00", tiebreak_col="event_id",
+        max_events_per_user=3).collect()[0]
+    assert out["n_events"] == 3
+    # equals the fold over only the 3 MOST RECENT events (days 8,9,10)
+    recent = decayed_engagement(
+        spark.createDataFrame(rows[-3:]), as_of="2024-01-15 00:00:00",
+        tiebreak_col="event_id", max_events_per_user=None).collect()[0]
+    assert abs(out["score"] - recent["score"]) < 1e-12
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        decayed_engagement(ev, as_of="2024-01-15", max_events_per_user=0)

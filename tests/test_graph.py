@@ -70,3 +70,70 @@ def test_pagerank_validates(spark):
         lt.pagerank(e, iterations=0)
     with pytest.raises(ValueError):
         lt.pagerank(e, damping=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Degree caps + dangling redistribution (round 7)
+# ---------------------------------------------------------------------------
+def test_pagerank_caps_noop_when_under_cap(spark):
+    e = _e(spark, [(1, 2), (2, 3), (3, 1), (2, 1)])
+    loose = {r["node"]: r["rank"] for r in lt.pagerank(e, iterations=4).collect()}
+    off = {r["node"]: r["rank"] for r in lt.pagerank(
+        e, iterations=4, max_in_degree=None, max_out_degree=None).collect()}
+    assert loose == off  # bit-identical when no degree exceeds the cap
+
+
+def test_pagerank_in_degree_cap_prunes_hub_edges(spark):
+    # hub 0 has in-degree 5; cap 2 keeps the strongest two in-edges
+    # (equal weights -> smallest src ids 1,2) == pruned-graph pagerank
+    e = _e(spark, [(i, 0) for i in range(1, 6)] + [(0, 1)])
+    capped = {r["node"]: r["rank"] for r in lt.pagerank(
+        e, iterations=4, max_in_degree=2).collect()}
+    pruned = {r["node"]: r["rank"] for r in lt.pagerank(
+        _e(spark, [(1, 0), (2, 0), (0, 1)]), iterations=4).collect()}
+    # nodes 3..5 become isolated-but-present in the capped graph? No:
+    # their OUT edge was pruned, so they vanish from the edge relation
+    # entirely -- the capped graph is exactly the pruned graph plus
+    # nothing else
+    assert set(capped) == set(pruned) == {0, 1, 2}
+    for k, v in pruned.items():
+        assert abs(capped[k] - v) < 1e-12
+
+
+def test_pagerank_out_degree_cap_keeps_strongest(spark):
+    ew = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    capped = {r["node"]: r["rank"] for r in lt.pagerank(
+        ew, weight_col="w", iterations=4, max_out_degree=1).collect()}
+    pruned = {r["node"]: r["rank"] for r in lt.pagerank(
+        spark.createDataFrame([(1, 2, 9.0), (2, 1, 1.0), (3, 1, 1.0)],
+                              ["src", "dst", "w"]),
+        weight_col="w", iterations=4).collect()}
+    for k, v in pruned.items():
+        assert abs(capped[k] - v) < 1e-12
+
+
+def test_pagerank_redistribute_dangling_sums_to_one(spark):
+    # node 3 dangles; with redistribution ranks form a distribution
+    e = _e(spark, [(1, 3), (2, 3), (3, 3)][:2])
+    rows = lt.pagerank(e, iterations=5, redistribute_dangling=True).collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+    # and the leaky default still leaks
+    leaky = sum(r["rank"] for r in lt.pagerank(e, iterations=5).collect())
+    assert leaky < 1.0
+    # no-dangling graph: both modes identical
+    ring = _e(spark, [(1, 2), (2, 3), (3, 1)])
+    a = {r["node"]: r["rank"] for r in lt.pagerank(ring, iterations=3).collect()}
+    b = {r["node"]: r["rank"] for r in lt.pagerank(
+        ring, iterations=3, redistribute_dangling=True).collect()}
+    assert a == b
+
+
+def test_pagerank_cap_validation(spark):
+    e = _e(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="max_in_degree"):
+        lt.pagerank(e, max_in_degree=0)
+    with pytest.raises(ValueError, match="max_out_degree"):
+        lt.pagerank(e, max_out_degree=-3)
