@@ -238,6 +238,7 @@ def bench_queries(spark):
         "ann_int8_topk": from_oracle("ann_topk_int8"),
         "dedup_exact_against": from_oracle("docs_dedup_exact_against"),
         "er_resolve": from_oracle("er_resolve_entities"),
+        "er_resolve_lsh": from_oracle("er_resolve_lsh"),
         "events_transitions": from_oracle("events_transitions"),
         "docs_tfidf_terms": from_oracle("docs_tfidf_terms"),
         "ann_mmr_rerank": from_oracle("ann_mmr_rerank"),

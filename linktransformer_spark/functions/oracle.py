@@ -82,6 +82,26 @@ def sql_l2_normalize(a: str, clip: float = 1e-12) -> str:
 # mins, set intersections).
 # ---------------------------------------------------------------------------
 
+def sql_hash_ngram_counts(s: str, dim: int = 64, n: int = 3, salt: int = 0) -> str:
+    """DuckDB mirror of encoders.hash_ngram.HashNgramEncoder BEFORE
+    normalization: the ``dim``-bucket char-``n``-gram count vector of
+    expr ``s`` (exact small integers in double). Compose with
+    ``sql_l2_normalize`` over a COLUMN REFERENCE in a second CTE stage
+    — the count tree is wide, and normalizing inline would re-evaluate
+    it three times per row. Bucket counts, the integer-square norm,
+    and the final divisions are all exact/same-IEEE as the Spark
+    relational encode and its numpy batch twin — bit-identical
+    embeddings across engines."""
+    buckets = (
+        f"list_transform({sql_char_ngrams(s, n)}, "
+        f"g -> {sql_poly_hash('g', salt)} % {dim})"
+    )
+    return (
+        f"list_transform(range(0, {dim}), "
+        f"j -> CAST(len(list_filter({buckets}, b -> b = j)) AS DOUBLE))"
+    )
+
+
 def sql_char_codes(s: str) -> str:
     return (
         f"list_transform(list_filter(string_split({s}, ''), ch -> ch <> ''), "

@@ -76,20 +76,51 @@ def match_pairs(
     sim_threshold: float,
     blocking_vars: list[str] | None = None,
     model: str = "levenshtein",
+    blocking: str = "exact",
+    n_planes: int = 8,
+    lsh_dim: int = 64,
 ) -> DataFrame:
     """Scored candidate pairs above ``sim_threshold``:
     ``(left_id, right_id, score)``.
 
-    ``blocking_vars`` entries are either a column name present in BOTH
-    frames or a ``(left_col, right_col)`` pair; candidates are
-    generated only within equal blocking values (an equi-join —
-    the 100 TB path). Without blocking the candidate stage is the
-    exact cross product: correct, and only sane when one side is
-    small. ``model`` picks the scorer: ``levenshtein`` (normalized
-    edit similarity) or ``hash-ngram`` (deterministic n-gram embedding
+    ``blocking`` picks the candidate generator:
+
+    - ``'exact'`` (default): ``blocking_vars`` entries are either a
+      column name present in BOTH frames or a ``(left_col, right_col)``
+      pair; candidates are generated only within equal blocking values
+      (an equi-join — the hand-keyed scale path). Without blocking the
+      candidate stage is the exact cross product: correct, and only
+      sane when one side is small.
+    - ``'lsh'``: SIMILARITY blocking — both sides' match keys embed
+      with the deterministic hash-n-gram encoder and candidates are
+      pairs landing in the SAME random-hyperplane sign bucket
+      (``n_planes`` planes over the ``lsh_dim``-dim embedding; the
+      ann_topk ``lsh_hyperplane`` machinery). This is the 100 TB
+      generalization of the reference's merge_blocking
+      (infer.py:169-274): blocks on LEARNED similarity instead of a
+      hand-picked key, so near-matches that differ in every discrete
+      attribute still meet. An equi-join on the bucket id —
+      approximate recall (a pair split by a hyperplane is missed;
+      lower ``n_planes`` for recall, raise it for precision/balance),
+      exact re-score inside buckets. A hot bucket (many near-identical
+      keys) concentrates one join partition — raise ``n_planes``, the
+      operator's skew knob.
+
+    ``model`` picks the scorer: ``levenshtein`` (normalized edit
+    similarity) or ``hash-ngram`` (deterministic n-gram embedding
     cosine) — both exact JVM expressions with DuckDB twins."""
     if not -1.0 <= sim_threshold <= 1.0:
         raise ValueError("sim_threshold must be within [-1, 1]")
+    if blocking not in ("exact", "lsh"):
+        raise ValueError(f"unknown blocking {blocking!r}; use exact|lsh")
+    if blocking == "lsh":
+        if blocking_vars:
+            raise ValueError(
+                "blocking='lsh' and blocking_vars are mutually exclusive — "
+                "LSH candidates come from the embedding buckets"
+            )
+        if n_planes < 1:
+            raise ValueError("n_planes must be >= 1")
     # _sides casts ids to long and the CC stage encodes nodes as
     # 2*id/2*id+1 — a string/UUID id would cast to null (non-ANSI) and
     # collapse every record into one null entity, so fail loudly first.
@@ -103,25 +134,39 @@ def match_pairs(
     left, right = _sides(
         df1, df2, left_on, right_on, left_id_col, right_id_col, blocking_vars)
 
+    need_emb = model == "hash-ngram" or blocking == "lsh"
+    if need_emb:
+        # relational encode (embed-once CSE; see encoders/hash_ngram.py
+        # for why the inline expression form is off the table); vectors
+        # ride the join for both the bucket id and the dot scorer
+        from ..encoders.hash_ngram import HashNgramEncoder
+
+        enc = HashNgramEncoder(dim=lsh_dim)
+        left = enc.encode(left, "_lkey", "_lemb")
+        right = enc.encode(right, "_rkey", "_remb")
+
     if model == "levenshtein":
         from ..functions.similarity import lev_sim
 
         score = lev_sim(F.col("_lkey"), F.col("_rkey"))
     elif model == "hash-ngram":
-        # relational encode (embed-once CSE; see encoders/hash_ngram.py
-        # for why the inline expression form is off the table), then a
-        # plain normalized dot — both sides' vectors ride the join
-        from ..encoders.hash_ngram import HashNgramEncoder
         from ..functions.similarity import dot
 
-        enc = HashNgramEncoder()
-        left = enc.encode(left, "_lkey", "_lemb")
-        right = enc.encode(right, "_rkey", "_remb")
         score = dot(F.col("_lemb"), F.col("_remb"))
     else:
         raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
 
-    if blocking_vars:
+    if blocking == "lsh":
+        from .ann import hyperplane_bucket
+
+        left = left.withColumn(
+            "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
+        )
+        right = right.withColumn(
+            "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
+        )
+        cand = left.join(right, "_bkt")
+    elif blocking_vars:
         on = [f"_b{i}" for i in range(len(blocking_vars))]
         cand = left.join(right, on)
     else:
@@ -148,6 +193,9 @@ def resolve_entities(
     sim_threshold: float,
     blocking_vars: list[str] | None = None,
     model: str = "levenshtein",
+    blocking: str = "exact",
+    n_planes: int = 8,
+    lsh_dim: int = 64,
 ) -> DataFrame:
     """Full ER pipeline: match, group, label.
 
@@ -156,6 +204,9 @@ def resolve_entities(
     ``record_id`` (the side's id), ``key`` (the serialized match key),
     ``canonical`` (lexicographically smallest key in the entity),
     ``n_members`` (records in the entity; 1 for unmatched singletons).
+    ``blocking``/``n_planes``/``lsh_dim``: see :func:`match_pairs` —
+    ``blocking='lsh'`` resolves on similarity blocks with no hand-
+    picked key.
     """
     pairs = match_pairs(
         df1, df2,
@@ -163,6 +214,7 @@ def resolve_entities(
         left_id_col=left_id_col, right_id_col=right_id_col,
         sim_threshold=sim_threshold,
         blocking_vars=blocking_vars, model=model,
+        blocking=blocking, n_planes=n_planes, lsh_dim=lsh_dim,
     )
     edges = pairs.select(
         (F.col("left_id") * 2).alias("src"),

@@ -3919,6 +3919,95 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_lsh_sql(threshold: float = 0.8, dim: int = 64, n_planes: int = 8) -> str:
+    from .functions.oracle import (
+        sql_dot,
+        sql_hash_ngram_counts,
+        sql_hyperplane_bucket,
+        sql_l2_normalize,
+    )
+
+    return f"""
+    WITH RECURSIVE
+    l AS (SELECT c_custkey AS id,
+                 coalesce(CAST(c_name AS VARCHAR), '') AS key FROM customer),
+    r AS (SELECT s_suppkey AS id,
+                 coalesce(CAST(s_name AS VARCHAR), '') AS key FROM supplier),
+    lv0 AS MATERIALIZED (
+      SELECT id, key, {sql_hash_ngram_counts('key', dim)} AS cv FROM l),
+    rv0 AS MATERIALIZED (
+      SELECT id, key, {sql_hash_ngram_counts('key', dim)} AS cv FROM r),
+    lv AS MATERIALIZED (
+      SELECT id, key, {sql_l2_normalize('cv')} AS v FROM lv0),
+    rv AS MATERIALIZED (
+      SELECT id, key, {sql_l2_normalize('cv')} AS v FROM rv0),
+    lb AS MATERIALIZED (
+      SELECT id, key, v,
+             {sql_hyperplane_bucket('v', dim, n_planes)} AS b FROM lv),
+    rb AS MATERIALIZED (
+      SELECT id, key, v,
+             {sql_hyperplane_bucket('v', dim, n_planes)} AS b FROM rv),
+    e0 AS (
+      SELECT lid, rid FROM (
+        SELECT lb.id AS lid, rb.id AS rid,
+               {sql_dot('lb.v', 'rb.v')} AS score
+        FROM lb JOIN rb ON lb.b = rb.b
+      ) WHERE score >= {threshold!r}
+    ),
+    nodes AS (
+      SELECT 2 * id AS node, 'L' AS side, id AS record_id, key FROM l
+      UNION ALL
+      SELECT 2 * id + 1, 'R', id, key FROM r
+    ),
+    ed AS (
+      SELECT 2 * lid AS a, 2 * rid + 1 AS b FROM e0
+      UNION
+      SELECT 2 * rid + 1, 2 * lid FROM e0
+    ),
+    reach(x, y) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.x, ed.b FROM reach JOIN ed ON reach.y = ed.a
+    ),
+    comp AS (SELECT x AS node, min(y) AS entity_id FROM reach GROUP BY x),
+    lab AS (
+      SELECT c.entity_id, n.side, n.record_id, n.key
+      FROM nodes n JOIN comp c ON n.node = c.node
+    ),
+    agg AS (
+      SELECT entity_id, min(key) AS canonical,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM lab GROUP BY entity_id
+    )
+    SELECT lab.entity_id, lab.side, lab.record_id, lab.key,
+           agg.canonical, agg.n_members
+    FROM lab JOIN agg USING (entity_id)
+"""
+
+
+@_q("er_resolve_lsh", _er_lsh_sql())
+def er_resolve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ER on SIMILARITY blocking: candidates are pairs in
+    the same random-hyperplane sign bucket of the deterministic
+    hash-n-gram embedding (no hand-picked blocking key — the 100 TB
+    generalization of the reference's merge_blocking,
+    /root/reference/src/linktransformer/infer.py:169-274), scored by
+    embedding cosine, grouped by connected components. The oracle
+    mirrors the embedding, buckets, and dot bit-for-bit (exact-integer
+    count vectors; order-pinned folds) and closes the same match graph
+    with a recursive CTE."""
+    from .operators.entity import resolve_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return resolve_entities(
+        cust, supp, left_on="c_name", right_on="s_name",
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+        sim_threshold=0.8, blocking="lsh", model="hash-ngram",
+        n_planes=8, lsh_dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event path analysis (operators/eventpipe.py transition_matrix /
 # trending) — round-6 additions: first-order Markov transitions and

@@ -242,3 +242,88 @@ def test_phonetic_key_pads_short_names(spark):
     out = [r["pk"] for r in df.select(phonetic_key(F.col("name")).alias("pk")).collect()]
     assert all(len(k) == 4 for k in out)
     assert out[0] == "L000"
+
+
+# ---------------------------------------------------------------------------
+# LSH similarity blocking (round 7): blocking="lsh"
+# ---------------------------------------------------------------------------
+def test_lsh_blocking_finds_cross_block_matches(spark):
+    """Identical keys land in the same hyperplane bucket regardless of
+    any discrete attribute — the case equality blocking structurally
+    misses (left 4 is 'eu', right 7 is 'us', same name)."""
+    left, right = _frames(spark)
+    out = match_pairs(
+        left, right, left_on="name", right_on="rname",
+        left_id_col="lid", right_id_col="rid",
+        sim_threshold=0.99, blocking="lsh", model="hash-ngram",
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert (1, 7) in pairs and (4, 7) in pairs  # cross-block match found
+
+
+def test_lsh_blocking_is_subset_of_cross(spark):
+    """LSH candidates with exact re-score are a SUBSET of the exact
+    cross product at the same threshold (approximate recall, no false
+    positives), with identical scores on shared pairs."""
+    left, right = _frames(spark)
+    kw = dict(left_on="name", right_on="rname", left_id_col="lid",
+              right_id_col="rid", sim_threshold=0.3, model="hash-ngram")
+    lsh = {(r["left_id"], r["right_id"]): round(r["score"], 9)
+           for r in match_pairs(left, right, blocking="lsh", **kw).collect()}
+    full = {(r["left_id"], r["right_id"]): round(r["score"], 9)
+            for r in match_pairs(left, right, **kw).collect()}
+    assert set(lsh) <= set(full)
+    for k, v in lsh.items():
+        assert full[k] == v
+
+
+def test_lsh_blocking_scorer_can_be_levenshtein(spark):
+    left, right = _frames(spark)
+    out = match_pairs(
+        left, right, left_on="name", right_on="rname",
+        left_id_col="lid", right_id_col="rid",
+        sim_threshold=0.95, blocking="lsh", model="levenshtein",
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert (1, 7) in pairs  # exact name, lev_sim = 1.0
+
+
+def test_lsh_blocking_validates(spark):
+    left, right = _frames(spark)
+    kw = dict(left_on="name", right_on="rname", left_id_col="lid",
+              right_id_col="rid", sim_threshold=0.5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        match_pairs(left, right, blocking="lsh", blocking_vars=["blk"], **kw)
+    with pytest.raises(ValueError, match="n_planes"):
+        match_pairs(left, right, blocking="lsh", n_planes=0, **kw)
+    with pytest.raises(ValueError, match="unknown blocking"):
+        match_pairs(left, right, blocking="nope", **kw)
+
+
+def test_lsh_blocking_plan_is_equi_join(spark):
+    """The LSH candidate stage must be a bucket equi-join — never a
+    cartesian product."""
+    left, right = _frames(spark)
+    out = match_pairs(
+        left, right, left_on="name", right_on="rname",
+        left_id_col="lid", right_id_col="rid",
+        sim_threshold=0.5, blocking="lsh", model="hash-ngram",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_resolve_entities_lsh_end_to_end(spark):
+    left, right = _frames(spark)
+    out = resolve_entities(
+        left, right, left_on="name", right_on="rname",
+        left_id_col="lid", right_id_col="rid",
+        sim_threshold=0.99, blocking="lsh", model="hash-ngram",
+    )
+    rows = {(r["side"], r["record_id"]): r for r in out.collect()}
+    assert len(rows) == 6  # every input record labeled
+    # 1, 4 (both "acme corp") and 7 share one entity
+    e = rows[("L", 1)]["entity_id"]
+    assert rows[("L", 4)]["entity_id"] == e == rows[("R", 7)]["entity_id"]
+    assert rows[("L", 1)]["n_members"] == 3
+    assert rows[("L", 3)]["n_members"] == 1  # singleton stays alone
