@@ -54,7 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_user_steps", "funnel", "retention", "transition_matrix",
+__all__ = ["funnel_user_steps", "funnel", "summarize_funnel_users",
+           "retention", "transition_matrix",
            "trending", "session_paths", "volume_anomaly",
            "decayed_engagement", "ab_test"]
 
@@ -187,12 +188,20 @@ def funnel(
     ``step_name``, ``n_users``, ``frac_first``, ``frac_prev``.
     ``max_events_per_user``: see :func:`funnel_user_steps`."""
     steps = _validate_steps(steps)
-    k = len(steps)
     per_user = funnel_user_steps(
         events, steps, user_col=user_col, ts_col=ts_col,
         type_col=type_col, within=within,
         max_events_per_user=max_events_per_user,
     )
+    return summarize_funnel_users(per_user, steps)
+
+
+def summarize_funnel_users(per_user: DataFrame, steps) -> DataFrame:
+    """Funnel summary over a ``funnel_user_steps``-shaped relation
+    (``t_1..t_k`` fire-time columns) — shared by the batch ``funnel``
+    and the drained streaming funnel (streaming/ops.py)."""
+    steps = _validate_steps(steps)
+    k = len(steps)
     counts = per_user.agg(
         *[
             F.count(F.col(f"t_{i + 1}")).alias(f"n_{i + 1}")

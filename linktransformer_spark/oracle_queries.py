@@ -3651,6 +3651,54 @@ def events_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(ev, period="day", max_offset=14)
 
 
+@_q("stream_funnel_users", _funnel_users_sql())
+def stream_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel (applyInPandasWithState: O(k) fire-time state
+    per user, Python fold mirroring the batch JVM fold on integer
+    micros) drained and finalized — same oracle as the batch
+    events_funnel_users."""
+    from .streaming import (
+        final_funnel_users, read_stream_table, run_available_now,
+        streaming_funnel_steps,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    sdf = streaming_funnel_steps(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)
+    drained = run_available_now(sdf, output_mode="update")
+    return final_funnel_users(drained, _FUNNEL_STEPS)
+
+
+@_q("stream_funnel_summary", _funnel_summary_sql())
+def stream_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-count/conversion summary over the drained streaming funnel
+    — the batch summarize tail, same oracle as events_funnel_summary."""
+    from .streaming import (
+        final_funnel_summary, read_stream_table, run_available_now,
+        streaming_funnel_steps,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    sdf = streaming_funnel_steps(ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)
+    drained = run_available_now(sdf, output_mode="update")
+    return final_funnel_summary(drained, _FUNNEL_STEPS)
+
+
+@_q("stream_retention", _RETENTION_SQL)
+def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort retention: first-seen (user, period) upsert in
+    the state store (append-mode dedup), rolled into the cohort table
+    at drain — same oracle as the batch events_retention_daily."""
+    from .streaming import (
+        final_retention, read_stream_table, run_available_now,
+        streaming_retention_activity,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    sdf = streaming_retention_activity(ev, period="day")
+    drained = run_available_now(sdf, output_mode="append")
+    return final_retention(drained, period="day", max_offset=14)
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary statistics (operators/vocab.py): tokenizer-prep frequency/
 # coverage table + PMI collocations. Tokenizer = the engine-wide

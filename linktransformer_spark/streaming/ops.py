@@ -773,6 +773,201 @@ def final_ann_topk(drained: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+# "step not yet fired" sentinel for the streaming funnel's fire-time
+# arrays: Spark's state/output row decoder rejects NULL array elements
+# (EXPRESSION_DECODING_FAILED), so unreached steps carry this value
+# inside the stream and convert to real NULLs at finalization. Far
+# below any representable epoch-micros timestamp.
+_FUNNEL_UNSET = -(1 << 62)
+
+
+def streaming_funnel_steps(
+    events: DataFrame,
+    steps,
+    *,
+    within: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming strict-order funnel: per-user fire-time state via
+    ``applyInPandasWithState`` — the real-time twin of the batch
+    ``eventpipe.funnel_user_steps`` (same recursive-min-join
+    semantics; the Python fold mirrors the JVM expression fold
+    comparison-for-comparison on integer epoch-micros, so results are
+    engine-exact, no floats anywhere).
+
+    Each micro-batch updates (events-seen counter, array of k fire
+    times) per user and emits the user's current row; fire times never
+    change once set. ``final_funnel_users`` extracts the last emission
+    per user from a drained sink.
+
+    Ordering contract: events are folded in (ts, step) order WITHIN a
+    batch (sorted here), and the incremental fold is exact when
+    batches arrive in event-time order per user — the log-stream norm;
+    a drain with ``availableNow`` over one file is a single batch and
+    therefore always exact. An out-of-order event older than an
+    already-folded one can fire a step later than the batch
+    re-computation would — the same contract as every incremental
+    funnel; replay/backfill through the batch operator when ingestion
+    is not time-ordered.
+
+    Scale: state is O(k) longs per user (no event buffering — the
+    streaming state replaces the batch operator's capped collect); the
+    shuffle is the standard state-store hash on the user key. Filter
+    the stream to funnel step types upstream so the state store only
+    sees funnel users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    from ..operators.eventpipe import _validate_steps
+
+    steps = _validate_steps(steps)
+    k = len(steps)
+    idx_map = {s: i for i, s in enumerate(steps)}
+    within_us = None if within is None else int(round(within * 1_000_000))
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("fires", ArrayType(LongType())),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("fires", ArrayType(LongType())),
+    ])
+    tc, uc = type_col, ts_col
+    unset = _FUNNEL_UNSET  # null array elements fail state-row decoding
+
+    def fn(key, pdfs, state: "GroupState"):
+        if state.exists:
+            n, fires = state.get
+            fires = list(fires)
+        else:
+            n, fires = 0, [unset] * k
+        rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf[uc].astype("int64") // 1000
+            for t, et in zip(ts_us, pdf[tc]):
+                si = idx_map.get(et)
+                if si is not None:
+                    rows.append((int(t), si))
+        rows.sort()  # (ts, step) ascending — the batch fold's order
+        for t, si in rows:
+            if fires[si] != unset:
+                continue
+            if si > 0 and fires[si - 1] == unset:
+                continue
+            if within_us is not None and si > 0 and (
+                fires[0] == unset or t > fires[0] + within_us
+            ):
+                continue
+            fires[si] = t
+        n += len(rows)
+        state.update((n, fires))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n], "fires": [fires]}
+        )
+
+    filtered = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"), F.col(ts_col), F.col(type_col)
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_funnel_users(drained: DataFrame, steps) -> DataFrame:
+    """Batch ``funnel_user_steps`` shape from a drained
+    :func:`streaming_funnel_steps` sink: last emission per user
+    (``n_seen`` is strictly monotone), step-1 completers only,
+    ``t_1..t_k`` timestamps."""
+    k = len(list(steps))
+    last = drained.groupBy("user_id").agg(
+        F.max_by("fires", "n_seen").alias("_f")
+    )
+    fire = lambda i: F.when(  # noqa: E731 — sentinel -> NULL
+        F.col("_f")[i] != F.lit(_FUNNEL_UNSET),
+        F.timestamp_micros(F.col("_f")[i]),
+    )
+    return last.filter(F.col("_f")[0] != F.lit(_FUNNEL_UNSET)).select(
+        "user_id",
+        *[fire(i).alias(f"t_{i + 1}") for i in range(k)],
+    )
+
+
+def final_funnel_summary(drained: DataFrame, steps) -> DataFrame:
+    """Batch ``funnel`` summary from a drained streaming funnel sink —
+    the same summarize tail the batch operator uses."""
+    from ..operators.eventpipe import summarize_funnel_users
+
+    return summarize_funnel_users(final_funnel_users(drained, steps), steps)
+
+
+def streaming_retention_activity(
+    events: DataFrame,
+    *,
+    period: str = "day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming half of cohort retention: first-seen (user, period)
+    activity rows via streaming dedup — the incremental upsert that
+    makes retention maintainable on a live stream (the batch
+    operator's DISTINCT, kept in the state store; every downstream
+    retention quantity derives from this relation by a bounded
+    rollup).
+
+    Emits one append-mode row per NEW (user, period) pair. State is
+    bounded by |users| x |periods| with exact dedup; pass
+    ``watermark`` + ``within_watermark=True`` for watermark-bounded
+    state in production (periods older than the delay age out — exact
+    as long as events for a period arrive within it).
+    ``final_retention`` rolls a drained sink into the cohort table.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp")).cast("date")
+    out = events.select(F.col(user_col).alias("user_id"), p.alias("p"))
+    if watermark is not None:
+        # watermark attaches to the pre-projection ts; re-project after
+        out = (
+            events.withWatermark(ts_col, watermark)
+            .select(F.col(user_col).alias("user_id"), p.alias("p"))
+        )
+    if within_watermark:
+        if watermark is None:
+            raise ValueError("within_watermark=True needs a watermark")
+        return out.dropDuplicatesWithinWatermark(["user_id", "p"])
+    return out.dropDuplicates(["user_id", "p"])
+
+
+def final_retention(
+    drained: DataFrame,
+    *,
+    period: str = "day",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention table from a drained
+    :func:`streaming_retention_activity` sink — the batch
+    ``eventpipe.retention`` tail over the (already-distinct) activity
+    relation, column-for-column equal to the batch operator."""
+    from ..operators.eventpipe import retention
+
+    return retention(
+        drained.select("user_id", F.col("p").cast("timestamp").alias("ts")),
+        period=period, max_offset=max_offset,
+    )
+
+
 def streaming_ab_counts(
     events: DataFrame,
     *,

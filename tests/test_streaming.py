@@ -452,3 +452,93 @@ def test_streaming_ab_counts_multibatch_equals_batch(spark, sf_dir, tmp_path):
         ev, variant_col="variant", control="A", treatment="B",
         flag_col="flag", by="event_type").collect()}
     assert got == want and got
+
+
+def test_streaming_funnel_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    """The O(k)-state streaming funnel over time-ordered micro-batches
+    must equal the batch funnel exactly: fire times accumulate across
+    batches and never change once set."""
+    from linktransformer_spark.operators.eventpipe import funnel_user_steps
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_funnel_users, run_available_now, streaming_funnel_steps,
+    )
+    from pyspark.sql import Window
+
+    steps = ["signup", "view", "click", "purchase"]
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    # the ordering contract: micro-batches arrive in event-time order —
+    # write ts-quartile files sequentially (ascending mtime); files
+    # that land in one batch sort in-batch anyway
+    q = ev.withColumn("_q", F.ntile(4).over(Window.orderBy("ts")))
+    src = str(tmp_path / "ev_funnel")
+    for i in range(1, 5):
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "append").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_funnel_steps(sdf, steps, within=259200.0),
+        output_mode="update",
+    )
+    # more emissions than users proves multi-batch state updates
+    assert drained.count() > drained.select("user_id").distinct().count()
+    key = lambda r: tuple(r[f"t_{i}"] for i in range(1, 5))  # noqa: E731
+    got = {r["user_id"]: key(r)
+           for r in final_funnel_users(drained, steps).collect()}
+    want = {r["user_id"]: key(r)
+            for r in funnel_user_steps(ev, steps, within=259200.0).collect()}
+    assert got == want and got
+
+
+def test_streaming_retention_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """First-seen (user, period) streaming dedup + drain-time rollup
+    must equal the batch retention table, regardless of arrival order
+    (the dedup is order-free)."""
+    from linktransformer_spark.operators.eventpipe import retention
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_retention, run_available_now, streaming_retention_activity,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "ev_ret")
+    ev.repartition(3).write.parquet(src)  # random order across files
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_retention_activity(sdf, period="day"), output_mode="append")
+    key = lambda r: (r["cohort"], r["period_offset"])  # noqa: E731
+    val = lambda r: (r["n_active"], r["n_cohort"], r["retention"])  # noqa: E731
+    got = {key(r): val(r)
+           for r in final_retention(drained, max_offset=14).collect()}
+    want = {key(r): val(r)
+            for r in retention(ev, period="day", max_offset=14).collect()}
+    assert got == want and got
+
+
+def test_streaming_funnel_validates_and_prefilters(spark, sf_dir):
+    """Bad steps fail like the batch operator; the stream plan filters
+    to funnel event types before the state shuffle."""
+    import pytest
+    from linktransformer_spark.streaming import (
+        read_stream_table, streaming_funnel_steps,
+        streaming_retention_activity,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="at least 2"):
+        streaming_funnel_steps(ev, ["signup"])
+    with pytest.raises(ValueError, match="distinct"):
+        streaming_funnel_steps(ev, ["a", "a"])
+    with pytest.raises(ValueError, match="period"):
+        streaming_retention_activity(ev, period="hour")
+    with pytest.raises(ValueError, match="watermark"):
+        streaming_retention_activity(ev, within_watermark=True)
