@@ -777,6 +777,100 @@ def knn_label_eval(
     )
 
 
+def _mmr_rerank_grouped(
+    candidates: DataFrame,
+    *,
+    query_id: str,
+    id_col: str,
+    score_col: str,
+    vector_col: str,
+    k: int,
+    lam: float,
+) -> DataFrame:
+    """One-shuffle MMR: the greedy loop in numpy per query group, with
+    the relational chain's float ops replayed in the same order —
+    per-dimension left-assoc dots seeded at 0.0 (S.dot's fold),
+    max-abs-free l2 normalization (S.l2_normalize), order-free MAX
+    penalty, and (mmr DESC, id ASC) tie-breaks. See :func:`mmr_rerank`
+    mode='grouped'."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(query_id, LongType()),
+        StructField(id_col, LongType()),
+        StructField("rank", IntegerType()),
+        StructField(score_col, DoubleType()),
+        StructField("mmr", DoubleType()),
+    ])
+    one_minus = 1.0 - lam  # same Python-literal subtraction as F.lit(1.0 - lam)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        q = int(pdf["_q"].iloc[0])
+        # max-relevance dedupe per candidate id (the relational pinned
+        # window): stable sort by (id, -rel), keep first per id
+        pdf = (
+            pdf.sort_values(["_d", "_rel"], ascending=[True, False],
+                            kind="stable")
+            .drop_duplicates("_d", keep="first")
+        )
+        ids = pdf["_d"].to_numpy(dtype=np.int64)
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        n, dim = v.shape
+        # S.l2_normalize: sequential per-dim square accumulation, no BLAS
+        acc = np.zeros(n)
+        for i in range(dim):
+            acc = acc + v[:, i] * v[:, i]
+        nrm = np.maximum(np.sqrt(acc), 1e-12)
+        vn = v / nrm[:, None]
+
+        remaining = list(range(n))
+        pen = np.full(n, -np.inf)  # max dot vs picked so far
+        out = {query_id: [], id_col: [], "rank": [], score_col: [], "mmr": []}
+
+        def emit(idx: int, rank: int, mmr_val: float) -> None:
+            out[query_id].append(q)
+            out[id_col].append(int(ids[idx]))
+            out["rank"].append(rank)
+            out[score_col].append(float(rel[idx]))
+            out["mmr"].append(float(mmr_val))
+
+        # rank 1: argmax relevance, tie on id ASC
+        best = min(remaining, key=lambda i: (-rel[i], ids[i]))
+        emit(best, 1, lam * rel[best])
+        remaining.remove(best)
+        last_pick = best
+        for j in range(2, k + 1):
+            if not remaining:
+                break
+            # fold the newest pick into the running MAX penalty:
+            # dot(candidate, pick) with S.dot's left-assoc dim order
+            d_acc = np.zeros(n)
+            for i in range(dim):
+                d_acc = d_acc + vn[:, i] * vn[last_pick, i]
+            pen = np.maximum(pen, d_acc)
+            best = min(
+                remaining,
+                key=lambda i: (-(lam * rel[i] - one_minus * pen[i]), ids[i]),
+            )
+            emit(best, j, lam * rel[best] - one_minus * pen[best])
+            remaining.remove(best)
+            last_pick = best
+        return pd.DataFrame(out)
+
+    prepped = candidates.select(
+        F.col(query_id).cast("long").alias("_q"),
+        F.col(id_col).cast("long").alias("_d"),
+        F.col(score_col).cast("double").alias("_rel"),
+        F.col(vector_col).alias("_v"),
+    )
+    return prepped.groupBy("_q").applyInPandas(fn, schema=out_schema)
+
+
 def mmr_rerank(
     candidates: DataFrame,
     *,
@@ -786,12 +880,30 @@ def mmr_rerank(
     vector_col: str = "embedding",
     k: int = 5,
     lam: float = 0.7,
+    mode: str = "grouped",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily pick ``k`` results per query maximizing
     ``lam * relevance - (1 - lam) * max_sim_to_already_picked`` —
     the standard diversity pass over an ANN/BM25 candidate list
     (dedup near-identical hits, cover multiple facets).
+
+    ``mode`` picks the execution strategy — results are BIT-IDENTICAL
+    (pytest-pinned), because every float op runs in the same order:
+
+    - ``'grouped'`` (default): ONE ``applyInPandas`` stage partitioned
+      by query — the greedy loop runs in numpy per Arrow group with
+      the declarative plan's exact fold orders (per-dimension
+      left-assoc dots, order-free MAX penalty, (mmr DESC, id ASC)
+      ties). One shuffle total; the k-iteration relational chain's
+      per-round scheduling overhead (the wall-clock at bench scale)
+      disappears. The per-group memory is the query's candidate list —
+      bounded by the operator's contract (candidates come from an
+      upstream top-N).
+    - ``'relational'``: the fully declarative k-round chain below —
+      the SQL-oracle-shaped plan, kept both as the semantics
+      definition and for engines/settings where Python workers are
+      unavailable.
 
     ``candidates`` is a per-(query, candidate) relation carrying the
     relevance score and the CANDIDATE's embedding (the usual shape:
@@ -824,6 +936,13 @@ def mmr_rerank(
         raise ValueError("k must be >= 1")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if mode not in ("grouped", "relational"):
+        raise ValueError(f"unknown mode {mode!r}; use grouped|relational")
+    if mode == "grouped":
+        return _mmr_rerank_grouped(
+            candidates, query_id=query_id, id_col=id_col,
+            score_col=score_col, vector_col=vector_col, k=k, lam=lam,
+        )
     dup_w = Window.partitionBy("_q", "_d").orderBy(F.col("_rel").desc())
     cand = (
         candidates.select(

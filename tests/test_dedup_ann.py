@@ -820,6 +820,30 @@ def test_mmr_validates(spark):
         lt.mmr_rerank(cand, k=0)
     with pytest.raises(ValueError):
         lt.mmr_rerank(cand, lam=1.5)
+    with pytest.raises(ValueError):
+        lt.mmr_rerank(cand, mode="nope")
+
+
+def test_mmr_grouped_bit_identical_to_relational(spark, sf_dir):
+    """mode='grouped' (one applyInPandas shuffle) must return
+    EXACTLY the relational k-round chain's rows — same picks, same
+    unrounded doubles (the numpy loop replays the declarative fold
+    orders). Checked on real embeddings with contested ties."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    cand = (
+        lt.ann_topk(q, emb, k=15, mode="exact_cross")
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         "embedding"), "neighbor_id")
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    val = lambda r: (r["neighbor_id"], r["score"], r["mmr"])  # noqa: E731
+    grouped = {key(r): val(r) for r in
+               lt.mmr_rerank(cand, k=6, lam=0.6, mode="grouped").collect()}
+    relational = {key(r): val(r) for r in
+                  lt.mmr_rerank(cand, k=6, lam=0.6,
+                                mode="relational").collect()}
+    assert grouped == relational and len(grouped) == 20 * 6
 
 
 # ---------------------------------------------------------------------------
