@@ -4096,6 +4096,25 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("stream_transitions", _TRANSITIONS_SQL)
+def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transitions: O(1) last-event state per user,
+    one (from, to) pair row per consecutive event — drained sink +
+    finalizer equals the batch lead-window table; same oracle as
+    events_transitions."""
+    from .streaming import (
+        final_transitions, read_stream_table, run_available_now,
+        streaming_transitions,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    drained = run_available_now(
+        streaming_transitions(ev, tiebreak_col="event_id"),
+        output_mode="append",
+    )
+    return final_transitions(drained, min_count=2)
+
+
 _TRENDING_SQL = """
     WITH c AS (
       SELECT CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS w,

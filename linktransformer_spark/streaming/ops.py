@@ -910,6 +910,100 @@ def final_funnel_summary(drained: DataFrame, steps) -> DataFrame:
     return summarize_funnel_users(final_funnel_users(drained, steps), steps)
 
 
+def streaming_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-order Markov transitions: per-user O(1) state
+    (the LAST event only) via ``applyInPandasWithState`` — the live
+    "what do users do next" feed behind `transition_matrix`.
+
+    Each micro-batch sorts the user's new events by (ts, tiebreak),
+    prepends the stored last event, and emits one (from_type, to_type)
+    row per consecutive pair — exactly the batch lead-window pairs
+    when batches arrive in event-time order per user (the funnel's
+    ordering contract; a single-batch drain is always exact).
+    ``final_transitions`` aggregates a drained sink into the batch
+    operator's (from_type, to_type, n, p) table.
+
+    ``tiebreak_col`` must be an integral column (e.g. the event id):
+    it rides the state row as a long and pins simultaneous events with
+    the same numeric order the batch window uses.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StringType, StructField, StructType, LongType
+
+    out_schema = StructType([
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("last_ts", LongType()),
+        StructField("last_tb", LongType()),
+        StructField("last_type", StringType()),
+    ])
+    tc, uc, bc = type_col, ts_col, tiebreak_col
+
+    def fn(key, pdfs, state: "GroupState"):
+        prev = state.get if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf[uc].astype("int64") // 1000
+            for t, tb, et in zip(ts_us, pdf[bc], pdf[tc]):
+                rows.append((int(t), int(tb), str(et)))
+        rows.sort()
+        if prev is not None:
+            rows.insert(0, (int(prev[0]), int(prev[1]), str(prev[2])))
+        if len(rows) >= 2:
+            yield pd.DataFrame({
+                "from_type": [a[2] for a in rows[:-1]],
+                "to_type": [b[2] for b in rows[1:]],
+            })
+        last = rows[-1]
+        state.update((last[0], last[1], last[2]))
+
+    filtered = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col),
+        F.col(tiebreak_col).cast("long").alias(tiebreak_col),
+        F.col(type_col).cast("string").alias(type_col),
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_transitions(drained: DataFrame, min_count: int = 1) -> DataFrame:
+    """Batch ``transition_matrix`` table from a drained
+    :func:`streaming_transitions` pair sink: pair hash agg +
+    conditional probability over the bounded |types|^2 relation."""
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    counts = drained.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("_t", F.sum("n").over(tot))
+        .filter(F.col("n") >= min_count)
+        .select(
+            "from_type", "to_type", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("p"),
+        )
+    )
+
+
 def streaming_retention_activity(
     events: DataFrame,
     *,

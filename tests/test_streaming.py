@@ -542,3 +542,38 @@ def test_streaming_funnel_validates_and_prefilters(spark, sf_dir):
         streaming_retention_activity(ev, period="hour")
     with pytest.raises(ValueError, match="watermark"):
         streaming_retention_activity(ev, within_watermark=True)
+
+
+def test_streaming_transitions_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """O(1) last-event state across time-ordered micro-batches: the
+    drained pair sink + finalizer must equal the batch lead-window
+    transition table exactly."""
+    from linktransformer_spark.operators.eventpipe import transition_matrix
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_transitions, run_available_now, streaming_transitions,
+    )
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id")
+    q = ev.withColumn("_q", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    src = str(tmp_path / "ev_trans")
+    for i in range(1, 4):
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "append").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_transitions(sdf, tiebreak_col="event_id"),
+        output_mode="append",
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in final_transitions(drained, min_count=2).collect()}
+    want = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in transition_matrix(
+                ev, tiebreak_col="event_id", min_count=2).collect()}
+    assert got == want and got
