@@ -280,7 +280,7 @@ def main() -> None:
     # min-of-2/3 cannot reliably reject a spike that hits most samples.
     five_runs = {
         "ann_lsh_topk", "text_analyze", "profile_orders",
-        "ann_broadcast_topk", "ann_ivf_topk",
+        "ann_broadcast_topk", "ann_ivf_topk", "events_props_rollup",
     }
 
     queries = bench_queries(spark)

@@ -155,7 +155,14 @@ def word_tokens(s: Column) -> Column:
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric arrays, accumulated in double,
     sequential left-to-right (parity with DuckDB list_dot_product on
-    doubles)."""
+    doubles).
+
+    Measured dead end (round 7): unrolling the fold into a fixed-dim
+    ``0.0 + a[1]*b[1] + ...`` element_at chain is bit-identical and
+    LOOKS codegen-friendly, but in a per-pair join context it measured
+    ~3x SLOWER than this fold (14.5s vs 5.4s on 661k 64-dim pairs) —
+    the 64-term chain blows up the generated method past JIT limits.
+    Keep the fold."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

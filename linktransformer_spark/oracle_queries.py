@@ -3967,7 +3967,7 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _er_lsh_sql(threshold: float = 0.8, dim: int = 64, n_planes: int = 8) -> str:
+def _er_lsh_sql(threshold: float = 0.8, dim: int = 64, n_planes: int = 9) -> str:
     from .functions.oracle import (
         sql_dot,
         sql_hash_ngram_counts,
@@ -4052,7 +4052,7 @@ def er_resolve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, supp, left_on="c_name", right_on="s_name",
         left_id_col="c_custkey", right_id_col="s_suppkey",
         sim_threshold=0.8, blocking="lsh", model="hash-ngram",
-        n_planes=8, lsh_dim=64,
+        n_planes=9, lsh_dim=64,
     )
 
 
