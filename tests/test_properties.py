@@ -344,3 +344,58 @@ def test_containment_bounds_and_dominates_jaccard(spark, texts):
     for (a, b), j in jac.items():
         m = max(cont.get((a, b), 0.0), cont.get((b, a), 0.0))
         assert m >= j - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round 7: the enforced funnel cap is EXACT prefix truncation
+# ---------------------------------------------------------------------------
+_FUNNEL_EV = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # user
+        st.integers(0, 50),           # ts seconds
+        st.sampled_from(["a", "b", "c", "x"]),  # event type (x = noise)
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@SLOW
+@given(_FUNNEL_EV, st.integers(1, 6))
+def test_funnel_cap_is_exact_prefix_truncation(spark, events, cap):
+    """For ANY event set and ANY cap: funnel(cap=N) == funnel(None) on
+    each user's earliest-N funnel-step events (ties (ts, step) — the
+    fold's own order)."""
+    import datetime as dt
+
+    from linktransformer_spark.operators.eventpipe import funnel_user_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(seconds=s), t) for (u, s, t) in events]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["a", "b", "c"]
+    capped = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel_user_steps(
+            df, steps, max_events_per_user=cap).collect()
+    }
+    # python-side truncation: per user keep earliest `cap` step events
+    # ordered by (ts, step index)
+    idx = {s: i for i, s in enumerate(steps)}
+    per_user: dict = {}
+    for (u, ts, t) in rows:
+        if t in idx:
+            per_user.setdefault(u, []).append((ts, idx[t], t))
+    trunc_rows = []
+    for u, evs in per_user.items():
+        evs.sort()
+        trunc_rows += [(u, ts, t) for (ts, _i, t) in evs[:cap]]
+    if trunc_rows:
+        tdf = spark.createDataFrame(trunc_rows, ["user_id", "ts", "event_type"])
+        want = {
+            r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+            for r in funnel_user_steps(
+                tdf, steps, max_events_per_user=None).collect()
+        }
+    else:
+        want = {}
+    assert capped == want
