@@ -25,6 +25,7 @@ from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import (
+    key_skew_topk,
     profile_table,
     quantile_buckets,
     table_diff,
@@ -96,6 +97,9 @@ from .operators.corpus import (
 )
 from .operators.ir_eval import (
     binary_eval,
+    calibration_bins,
+    calibration_summary,
+    cohen_kappa,
     ir_metrics,
     log_binary_eval,
     log_ir_metrics,
@@ -212,6 +216,7 @@ __all__ = [
     "bm25_delta_postings",
     "quantize_embeddings",
     "knn_classify",
+    "key_skew_topk",
     "knn_label_eval",
     "merge_asof",
     "DATA_DIR_PATH",
@@ -280,6 +285,9 @@ __all__ = [
     "redact_pii",
     "ir_metrics",
     "binary_eval",
+    "calibration_bins",
+    "calibration_summary",
+    "cohen_kappa",
     "log_ir_metrics",
     "log_binary_eval",
     "rank_results",

@@ -363,3 +363,160 @@ def log_binary_eval(
             f"Classification Average precision {score_name}": r["ap"],
         })
     return csv_path
+
+
+# ---------------------------------------------------------------------------
+# Label-quality / score-quality diagnostics (round 7): judge agreement
+# and classifier calibration — the QA tier over LLM-judge and
+# classifier outputs (SURVEY §2.7 evaluation surface, extended).
+# ---------------------------------------------------------------------------
+
+def cohen_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns (Cohen 1960) —
+    chance-corrected agreement between two raters: two LLM-judge runs,
+    a judge vs a heuristic, declared vs detected language. The
+    standard QA gate before trusting a labeling pass.
+
+    Returns ONE row: ``n`` (pairs compared; rows with a null on either
+    side are dropped), ``p_observed`` (raw agreement), ``p_expected``
+    (chance agreement from the marginals), ``kappa`` — all rounded to
+    6 decimals. kappa is null when ``p_expected = 1`` (both raters
+    constant — undefined, not 0).
+
+    100 TB shape: TWO hash aggregates (the pair agg and the per-label
+    marginals, both map-side combined; the marginal relation is
+    bounded by the label vocabulary) and a full-outer join of the two
+    tiny marginal relations. EVERY quantity is exact-integer until one
+    final double division each — sum(na_l * nb_l) is an integer, so
+    there is no float accumulation to pin and the result is engine-
+    exact by construction.
+    """
+    a, b = F.col(col_a).cast("string"), F.col(col_b).cast("string")
+    base = df.select(a.alias("_a"), b.alias("_b")).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0)).alias("_agree"),
+    )
+    ma = base.groupBy(F.col("_a").alias("_lbl")).agg(
+        F.count(F.lit(1)).alias("_na"))
+    mb = base.groupBy(F.col("_b").alias("_lbl")).agg(
+        F.count(F.lit(1)).alias("_nb"))
+    prod = (
+        ma.join(mb, "_lbl", "full_outer")
+        .select(
+            (F.coalesce(F.col("_na"), F.lit(0))
+             * F.coalesce(F.col("_nb"), F.lit(0))).alias("_p")
+        )
+        .agg(F.sum("_p").alias("_sum_prod"))
+    )
+    j = tot.crossJoin(F.broadcast(prod))
+    n = F.col("_n").cast("double")
+    po = F.col("_agree").cast("double") / n
+    pe = F.col("_sum_prod").cast("double") / (n * n)
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic classifier: bucket scores
+    into ``n_bins`` equal-width bins over [0, 1] and compare each
+    bin's mean score (confidence) with its positive fraction
+    (accuracy) — the table behind every calibration curve and the
+    input to ECE (:func:`calibration_summary`).
+
+    Returns (``bin`` 0-based, ``bin_lo``, ``bin_hi``, ``n``,
+    ``mean_score``, ``frac_positive``), one row per NON-EMPTY bin.
+    Scores outside [0, 1] clamp into the end bins; null scores/labels
+    are dropped. ``label_col`` is a 0/1 indicator.
+
+    ONE map-side-combined hash aggregate on the bin id. The per-bin
+    mean uses the profiler's exact-decimal trick — scores sum as
+    DECIMAL(27,6) (exact, order-free) with ONE double division — so
+    the output is engine-exact without any order pinning. Note the
+    score is quantized to 6 decimals by that sum; calibration analysis
+    never needs more.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("long")
+    base = df.select(s.alias("_s"), lab.alias("_y")).filter(
+        F.col("_s").isNotNull() & F.col("_y").isNotNull()
+    )
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("_s") * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    agg = base.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_s").cast("decimal(27,6)")).alias("_ssum"),
+        F.sum("_y").alias("_pos"),
+    )
+    return agg.select(
+        "bin",
+        F.round(F.col("bin").cast("double") / n_bins, 6).alias("bin_lo"),
+        F.round((F.col("bin") + 1).cast("double") / n_bins, 6).alias("bin_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("_ssum").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_score"),
+        F.round(
+            F.col("_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("frac_positive"),
+    )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One-row Expected Calibration Error over
+    :func:`calibration_bins`: ``ECE = sum_b (n_b / n) *
+    |frac_positive_b - mean_score_b|`` (Naeini et al. 2015), plus the
+    max-bin gap (MCE) and totals. The fold runs over the bounded
+    (<= n_bins) bin relation in bin order — order-pinned floats on a
+    bounded relation, the engine's totals pattern."""
+    bins = calibration_bins(df, score_col, label_col, n_bins=n_bins)
+    gap = F.abs(F.col("frac_positive") - F.col("mean_score"))
+    w = bins.select(
+        "bin", F.col("n"), (gap * F.col("n").cast("double")).alias("_wgap"),
+        gap.alias("_gap"),
+    )
+    out = w.agg(
+        F.sum("n").alias("_n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bin").alias("k"),
+                                        F.col("_wgap").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("_sum_wgap"),
+        F.max("_gap").alias("_mce"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_nb").cast("int").alias("n_nonempty_bins"),
+        F.round(
+            F.col("_sum_wgap") / F.col("_n").cast("double"), 6
+        ).alias("ece"),
+        F.round(F.col("_mce"), 6).alias("mce"),
+    )

@@ -298,3 +298,69 @@ def table_diff(
             .alias("changed_cols"),
         )
     )
+
+
+def key_skew_topk(
+    df: DataFrame,
+    keys: list[str] | str,
+    k: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top-``k`` heaviest key
+    values with their share of the table — run this BEFORE shuffling
+    100 TB on a key; it tells you whether you need salting, an AQE
+    skew join, or one of the engine's enforced per-key caps (the
+    funnel/session family), and which literal keys are the offenders.
+
+    Returns (``rank`` 1-based by (n DESC, key ASC), ``key`` — the
+    '</s>'-serialized key value, ``n``, ``frac``, ``cum_frac``,
+    ``n_keys``, ``n_rows``) — the totals ride every row so one
+    relation carries the whole diagnostic. frac/cum_frac are single
+    double divisions of exact integer counts (cum over the <= k
+    TakeOrdered survivors — the top_vocab window-over-survivors
+    shape); no float accumulation anywhere.
+
+    Plan: ONE map-side-combined hash agg on the serialized key, a
+    one-row totals broadcast, TakeOrdered(k) for the head, and a
+    window over the <= k survivors only.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..functions.serialize import serialize_columns
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for c in keys:
+        if c not in df.columns:
+            raise ValueError(f"key_skew_topk: unknown column {c!r}")
+    key = serialize_columns(keys)
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    cum = Window.orderBy(F.col("n").desc(), F.col("key").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("_cum_n", F.sum("n").over(cum))
+        .select(
+            "rank",
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("frac"),
+            F.round(
+                F.col("_cum_n").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("cum_frac"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

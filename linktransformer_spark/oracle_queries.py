@@ -5622,3 +5622,134 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained, variant_col="variant", control="A", treatment="B",
         by="event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: label-quality / score-quality diagnostics + key-skew profiler.
+# ---------------------------------------------------------------------------
+
+def _kappa_sql() -> str:
+    from .functions.oracle import sql_lang_id
+
+    det = sql_lang_id("text")
+    return f"""
+    WITH base AS (
+      SELECT CAST(lang AS VARCHAR) AS a, {det} AS b FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM base
+    ),
+    ma AS (SELECT a AS lbl, count(*) AS na FROM base GROUP BY a),
+    mb AS (SELECT b AS lbl, count(*) AS nb FROM base GROUP BY b),
+    prod AS (
+      SELECT CAST(sum(coalesce(na, 0) * coalesce(nb, 0)) AS BIGINT) AS sp
+      FROM ma FULL OUTER JOIN mb USING (lbl)
+    )
+    SELECT n,
+           round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+           round(CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS p_expected,
+           round(CASE WHEN CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                 THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                      / (1.0 - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 END, 6) AS kappa
+    FROM tot, prod
+    """
+
+
+@_q("docs_lang_kappa", _kappa_sql())
+def docs_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED language column and the
+    n-gram language detector — the labeling-QA primitive (two raters:
+    metadata vs heuristic). Exact-integer marginals, one division."""
+    from .operators.ir_eval import cohen_kappa
+    from .operators.textpipe import lang_id_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = docs.withColumn("_det", lang_id_expr(F.col("text")))
+    return cohen_kappa(scored, "lang", "_det")
+
+
+def _calibration_sql(n_bins: int = 10) -> str:
+    from .functions.oracle import sql_quality_score
+
+    q = sql_quality_score("text")
+    return f"""
+    WITH base AS (
+      SELECT {q} AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    binned AS (
+      SELECT least(greatest(CAST(floor(s * {n_bins}) AS INTEGER), 0),
+                   {n_bins - 1}) AS bin, s, y
+      FROM base
+    )
+    SELECT bin,
+           round(CAST(bin AS DOUBLE) / {n_bins}, 6) AS bin_lo,
+           round(CAST(bin + 1 AS DOUBLE) / {n_bins}, 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(s AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS frac_positive
+    FROM binned GROUP BY bin
+    """
+
+
+@_q("docs_calibration", _calibration_sql())
+def docs_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: quality score as the 'classifier confidence'
+    for the is-English label — one hash agg on the bin id, per-bin
+    means via the exact-decimal sum (order-free)."""
+    from .operators.ir_eval import calibration_bins
+    from .operators.textpipe import quality_score_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    scored = docs.select(
+        quality_score_expr(F.col("text")).alias("_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+    )
+    return calibration_bins(scored, "_s", "_y", n_bins=10)
+
+
+_KEY_SKEW_SQL = """
+    WITH counts AS (
+      SELECT coalesce(CAST(user_id AS VARCHAR), '') AS key,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM counts
+    ),
+    top AS (
+      SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT 20
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS INTEGER) AS rank,
+           key, n,
+           round(CAST(n AS DOUBLE) / n_rows, 6) AS frac,
+           round(CAST(sum(n) OVER (ORDER BY n DESC, key ASC
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / n_rows, 6) AS cum_frac,
+           n_keys, n_rows
+    FROM top, tot
+"""
+
+
+@_q("events_key_skew", _KEY_SKEW_SQL)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event users with their table share — the
+    pre-shuffle skew diagnostic (one hash agg + totals broadcast +
+    TakeOrdered + window over <= k survivors)."""
+    from .operators.profile import key_skew_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_topk(ev, "user_id", k=20)

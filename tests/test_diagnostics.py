@@ -1,0 +1,89 @@
+"""Label-quality / score-quality diagnostics (round 7):
+cohen_kappa, calibration_bins/summary, key_skew_topk. Hand-computed
+micro-cases; the registered queries (docs_lang_kappa,
+docs_calibration, events_key_skew) are oracle-checked separately."""
+
+import pytest
+
+import linktransformer_spark as lt
+
+
+def test_cohen_kappa_textbook_value(spark):
+    # classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = lt.cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50
+    assert abs(r["p_observed"] - 0.7) < 1e-9
+    # pe = (25*30 + 25*20)/2500 = 0.5 -> kappa = 0.2/0.5 = 0.4
+    assert abs(r["p_expected"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+
+def test_cohen_kappa_constant_raters_null(spark):
+    df = spark.createDataFrame([("x", "x")] * 5, ["a", "b"])
+    r = lt.cohen_kappa(df, "a", "b").collect()[0]
+    assert r["p_observed"] == 1.0 and r["p_expected"] == 1.0
+    assert r["kappa"] is None  # undefined, not 0
+
+
+def test_cohen_kappa_drops_nulls_and_casts(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (None, 1), (1, None)], ["a", "b"]
+    )
+    r = lt.cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["p_observed"] == 1.0
+
+
+def test_calibration_bins_hand_case(spark):
+    rows = [(0.05, 0), (0.08, 0), (0.95, 1), (0.92, 1), (0.55, 1), (0.58, 0)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    bins = {r["bin"]: r for r in
+            lt.calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert set(bins) == {0, 5, 9}
+    assert bins[0]["n"] == 2 and bins[0]["frac_positive"] == 0.0
+    assert abs(bins[0]["mean_score"] - 0.065) < 1e-9
+    assert bins[5]["frac_positive"] == 0.5
+    assert bins[9]["frac_positive"] == 1.0
+    assert bins[9]["bin_lo"] == 0.9 and bins[9]["bin_hi"] == 1.0
+
+
+def test_calibration_clamps_and_validates(spark):
+    df = spark.createDataFrame([(-0.2, 0), (1.3, 1)], ["s", "y"])
+    bins = {r["bin"]: r["n"] for r in
+            lt.calibration_bins(df, "s", "y", n_bins=4).collect()}
+    assert bins == {0: 1, 3: 1}  # out-of-range clamps into end bins
+    with pytest.raises(ValueError):
+        lt.calibration_bins(df, "s", "y", n_bins=1)
+
+
+def test_calibration_summary_ece(spark):
+    # bin0: conf .1 acc 0 (gap .1, n=2); bin9: conf .9 acc 1 (gap .1, n=2)
+    rows = [(0.1, 0), (0.1, 0), (0.9, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    r = lt.calibration_summary(df, "s", "y", n_bins=10).collect()[0]
+    assert r["n"] == 4 and r["n_nonempty_bins"] == 2
+    assert abs(r["ece"] - 0.1) < 1e-9
+    assert abs(r["mce"] - 0.1) < 1e-9
+
+
+def test_key_skew_topk_hand_case(spark):
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = sorted(lt.key_skew_topk(df, "k", k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert [(r["key"], r["n"]) for r in out] == [("hot", 6), ("warm", 3)]
+    assert out[0]["frac"] == 0.6 and out[0]["cum_frac"] == 0.6
+    assert out[1]["cum_frac"] == 0.9
+    assert all(r["n_keys"] == 3 and r["n_rows"] == 10 for r in out)
+
+
+def test_key_skew_multi_key_and_validation(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["x", "y"])
+    out = lt.key_skew_topk(df, ["x", "y"], k=5).collect()
+    assert {r["key"] for r in out} == {"1</s>a", "2</s>b"}
+    with pytest.raises(ValueError, match="unknown column"):
+        lt.key_skew_topk(df, "nope")
+    with pytest.raises(ValueError):
+        lt.key_skew_topk(df, "x", k=0)

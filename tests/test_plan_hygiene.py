@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "docs_temperature_mixture": "1-row order-pinned normalizer broadcast",
     "docs_tfidf_terms": "1-row doc-count (N) broadcast",
     "docs_collocations_pmi": "1-row totals (n_tok, n_bi) broadcast",
+    "docs_lang_kappa": "1-row totals x 1-row marginal-product broadcast",
+    "events_key_skew": "1-row (n_keys, n_rows) totals broadcast",
 }
 
 
