@@ -25,6 +25,7 @@ from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
 from .operators.profile import (
+    histogram,
     key_skew_topk,
     profile_table,
     quantile_buckets,
@@ -216,6 +217,7 @@ __all__ = [
     "bm25_delta_postings",
     "quantize_embeddings",
     "knn_classify",
+    "histogram",
     "key_skew_topk",
     "knn_label_eval",
     "merge_asof",

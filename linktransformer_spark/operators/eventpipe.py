@@ -55,9 +55,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_user_steps", "funnel", "summarize_funnel_users",
-           "retention", "transition_matrix",
+           "funnel_conversion_stats", "retention", "transition_matrix",
            "trending", "session_paths", "volume_anomaly",
-           "decayed_engagement", "ab_test"]
+           "decayed_engagement", "ab_test", "user_lifecycle"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -763,4 +763,104 @@ def ab_test(
         F.coalesce(
             F.abs(F.round(z, 6)) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("significant"),
+    )
+
+
+def user_lifecycle(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-user lifecycle dimension — the user table every event
+    warehouse materializes: (``user_col``, ``first_seen``,
+    ``last_seen``, ``lifetime_days`` (date diff, 0 for one-day users),
+    ``n_events``, ``n_active_days`` (distinct calendar days),
+    ``total_value`` — exact-decimal sum, null column -> omitted).
+
+    ONE map-side-combined hash aggregate on the user key; the value
+    total uses the profiler's DECIMAL(27,6) exact-sum trick, so every
+    output is engine-exact with no float-order pinning.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    aggs = [
+        F.min(ts).alias("first_seen"),
+        F.max(ts).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(ts.cast("date")).alias("n_active_days"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    out = events.groupBy(F.col(user_col)).agg(*aggs)
+    return out.select(
+        user_col,
+        "first_seen",
+        "last_seen",
+        F.datediff(
+            F.col("last_seen").cast("date"), F.col("first_seen").cast("date")
+        ).cast("int").alias("lifetime_days"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        *([F.round("total_value", 6).alias("total_value")]
+          if value_col is not None else []),
+    )
+
+
+def funnel_conversion_stats(
+    events: DataFrame,
+    steps,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+    max_events_per_user: int | None = 100_000,
+) -> DataFrame:
+    """Time-to-convert statistics per funnel step: for each step i >= 2,
+    over users who reached it, the distribution of ``t_i - t_1``
+    seconds — (``step``, ``step_name``, ``n_users``, ``p50_seconds``,
+    ``p90_seconds``, ``mean_seconds``). The question a funnel summary
+    can't answer: not just HOW MANY convert, but HOW FAST.
+
+    Composes :func:`funnel_user_steps` (one shuffle) with a map-side
+    step unpivot and one aggregate per step. Percentiles are exact
+    ``percentile`` (linear interpolation — DuckDB quantile_cont
+    parity); deltas are exact integer micros divided by 1e6 once, and
+    the mean uses the exact-decimal sum. Engine-exact throughout.
+    """
+    steps = _validate_steps(steps)
+    k = len(steps)
+    per_user = funnel_user_steps(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col,
+        within=within, max_events_per_user=max_events_per_user,
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            (
+                (F.unix_micros(F.col(f"t_{i + 1}"))
+                 - F.unix_micros(F.col("t_1"))).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("dt"),
+        )
+        for i in range(1, k)
+    ])
+    long = per_user.select(F.explode(pairs).alias("p")).select("p.*").filter(
+        F.col("dt").isNotNull()
+    )
+    return long.groupBy("step", "step_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.percentile(F.col("dt"), F.lit(0.5)), 6).alias("p50_seconds"),
+        F.round(F.percentile(F.col("dt"), F.lit(0.9)), 6).alias("p90_seconds"),
+        F.round(
+            F.sum(F.col("dt").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_seconds"),
     )

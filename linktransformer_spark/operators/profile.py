@@ -364,3 +364,65 @@ def key_skew_topk(
             F.col("n_rows").cast("long").alias("n_rows"),
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width value histogram of a numeric column — the
+    distribution primitive behind length/quality/value dashboards.
+
+    Returns one row per NON-EMPTY bin: (``bin`` 0-based, ``bin_lo``,
+    ``bin_hi``, ``n``, ``frac``). Bounds default to the column's exact
+    min/max (one 1-row aggregate, broadcast back); values outside
+    explicit bounds clamp into the end bins; nulls are dropped. A
+    degenerate range (min = max) puts everything in bin 0.
+
+    ONE map-side-combined hash aggregate on the bin id over a map-only
+    bin assignment; ``frac`` is a single double division of exact
+    integer counts. The |bins|-row output is constant-size at any
+    corpus scale.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(col).cast("double")
+    base = df.select(x.alias("_x")).filter(F.col("_x").isNotNull())
+    if lo is None or hi is None:
+        bounds = base.agg(
+            F.min("_x").alias("_lo"), F.max("_x").alias("_hi")
+        )
+        base = base.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+        if lo is not None:
+            lo_c = F.lit(float(lo))
+        if hi is not None:
+            hi_c = F.lit(float(hi))
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    w = (hi_c - lo_c) / F.lit(float(n_bins))
+    bin_ = F.when(w > 0, F.least(
+        F.greatest(
+            F.floor((F.col("_x") - lo_c) / w).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0))
+    agg = base.select(
+        bin_.alias("bin"), lo_c.alias("_l"), w.alias("_w")
+    ).groupBy("bin", "_l", "_w").agg(F.count(F.lit(1)).alias("n"))
+    totals = agg.agg(F.sum("n").cast("long").alias("_tot"))
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.round(F.col("_l") + F.col("bin") * F.col("_w"), 6).alias("bin_lo"),
+            F.round(F.col("_l") + (F.col("bin") + 1) * F.col("_w"), 6).alias("bin_hi"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("frac"),
+        )
+    )

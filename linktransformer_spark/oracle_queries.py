@@ -5753,3 +5753,98 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return key_skew_topk(ev, "user_id", k=20)
+
+
+_VALUE_HIST_SQL = """
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT min(x) AS l, max(x) AS h FROM base),
+    binned AS (
+      SELECT CASE WHEN (h - l) / 20.0 > 0
+                  THEN least(greatest(CAST(floor((x - l) / ((h - l) / 20.0))
+                                           AS INTEGER), 0), 19)
+                  ELSE 0 END AS bin,
+             l, (h - l) / 20.0 AS w
+      FROM base, bounds
+    ),
+    agg AS (
+      SELECT bin, l, w, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY bin, l, w
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM agg)
+    SELECT bin,
+           round(l + bin * w, 6) AS bin_lo,
+           round(l + (bin + 1) * w, 6) AS bin_hi,
+           n,
+           round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
+    FROM agg, tot
+"""
+
+
+@_q("events_value_histogram", _VALUE_HIST_SQL)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over events.value (bounds = exact
+    min/max, one hash agg on the bin id)."""
+    from .operators.profile import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev, "value", n_bins=20)
+
+
+_USER_LIFECYCLE_SQL = """
+    SELECT user_id,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           CAST(datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                AS INTEGER) AS lifetime_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events GROUP BY user_id
+"""
+
+
+@_q("events_user_lifecycle", _USER_LIFECYCLE_SQL)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle dimension — one hash agg; exact-decimal
+    value total, engine-exact."""
+    from .operators.eventpipe import user_lifecycle
+
+    ev = _t(spark, sf_dir, "events")
+    return user_lifecycle(ev)
+
+
+def _funnel_times_sql() -> str:
+    arms = []
+    for i, step in enumerate(_FUNNEL_STEPS[1:], start=2):
+        arms.append(f"""
+      SELECT {i} AS step, '{step}' AS step_name,
+             CAST(epoch_us(s{i}.t{i}) - epoch_us(s1.t1) AS DOUBLE) / 1000000.0
+               AS dt
+      FROM s{i} JOIN s1 USING (user_id)""")
+    body = "\n      UNION ALL".join(arms)
+    return f"""
+    WITH {_funnel_ctes()},
+    dts AS ({body})
+    SELECT step, step_name,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(dt, 0.5), 6) AS p50_seconds,
+           round(quantile_cont(dt, 0.9), 6) AS p90_seconds,
+           round(CAST(sum(CAST(dt AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_seconds
+    FROM dts GROUP BY step, step_name
+"""
+
+
+@_q("events_funnel_times", _funnel_times_sql())
+def events_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel step (p50/p90 exact
+    interpolated percentiles + exact-decimal mean) — how FAST users
+    convert, not just how many."""
+    from .operators.eventpipe import funnel_conversion_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_conversion_stats(
+        ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)

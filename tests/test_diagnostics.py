@@ -87,3 +87,74 @@ def test_key_skew_multi_key_and_validation(spark):
         lt.key_skew_topk(df, "nope")
     with pytest.raises(ValueError):
         lt.key_skew_topk(df, "x", k=0)
+
+
+# ---------------------------------------------------------------------------
+# histogram / user_lifecycle / funnel_conversion_stats (round 7)
+# ---------------------------------------------------------------------------
+def test_histogram_hand_case(spark):
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 2, 3, 4, 5, 5, 9, 10]], ["x"])
+    bins = {r["bin"]: r for r in lt.histogram(df, "x", n_bins=5).collect()}
+    # width 2: [0,2) [2,4) [4,6) [6,8) [8,10]
+    assert {b: bins[b]["n"] for b in bins} == {0: 2, 1: 2, 2: 3, 4: 2}
+    assert bins[0]["bin_lo"] == 0.0 and bins[0]["bin_hi"] == 2.0
+    assert abs(sum(r["frac"] for r in bins.values()) - 1.0) < 1e-5
+
+
+def test_histogram_explicit_bounds_clamp(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,)], ["x"])
+    bins = {r["bin"]: r["n"] for r in
+            lt.histogram(df, "x", n_bins=4, lo=0.0, hi=1.0).collect()}
+    assert bins == {0: 1, 2: 1, 3: 1}
+
+
+def test_histogram_degenerate_range(spark):
+    df = spark.createDataFrame([(7.0,), (7.0,)], ["x"])
+    out = lt.histogram(df, "x", n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0 and out[0]["n"] == 2
+    with pytest.raises(ValueError):
+        lt.histogram(df, "x", n_bins=0)
+
+
+def test_user_lifecycle_hand_case(spark):
+    import datetime as dt
+    from linktransformer_spark.operators.eventpipe import user_lifecycle
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 8), 1.5),
+        (1, dt.datetime(2024, 1, 1, 9), 2.5),
+        (1, dt.datetime(2024, 1, 5, 9), 1.0),
+        (2, dt.datetime(2024, 2, 1, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in user_lifecycle(df).collect()}
+    assert out[1]["n_events"] == 3 and out[1]["n_active_days"] == 2
+    assert out[1]["lifetime_days"] == 4
+    assert abs(out[1]["total_value"] - 5.0) < 1e-9
+    assert out[2]["lifetime_days"] == 0 and out[2]["n_events"] == 1
+    # value_col=None drops the total column
+    assert "total_value" not in user_lifecycle(
+        df, value_col=None).columns
+
+
+def test_funnel_conversion_stats_hand_case(spark):
+    import datetime as dt
+    from linktransformer_spark.operators.eventpipe import (
+        funnel_conversion_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a->b in 10s; user 2: a->b in 30s; user 3: a only
+    for u, delays in ((1, {"a": 0, "b": 10}), (2, {"a": 0, "b": 30}),
+                      (3, {"a": 0})):
+        for t, s in delays.items():
+            rows.append((u, t0 + dt.timedelta(seconds=s), t))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = funnel_conversion_stats(df, ["a", "b"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["step"] == 2 and r["n_users"] == 2
+    assert abs(r["p50_seconds"] - 20.0) < 1e-9  # interpolated median
+    assert abs(r["mean_seconds"] - 20.0) < 1e-9

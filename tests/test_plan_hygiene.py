@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "docs_collocations_pmi": "1-row totals (n_tok, n_bi) broadcast",
     "docs_lang_kappa": "1-row totals x 1-row marginal-product broadcast",
     "events_key_skew": "1-row (n_keys, n_rows) totals broadcast",
+    "events_value_histogram": "1-row (min, max) bounds + 1-row total broadcast",
 }
 
 
