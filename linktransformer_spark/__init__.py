@@ -24,6 +24,7 @@ from .operators.ann import (
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
+from .operators.cdc import scd2_apply
 from .operators.profile import (
     histogram,
     key_skew_topk,
@@ -228,6 +229,7 @@ __all__ = [
     "quantile_buckets",
     "winsorize",
     "table_diff",
+    "scd2_apply",
     "hash_sample",
     "hash_split",
     "sample_mixture",

@@ -5848,3 +5848,92 @@ def events_funnel_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return funnel_conversion_stats(
         ev, _FUNNEL_STEPS, within=_FUNNEL_WITHIN_S)
+
+
+_SCD2_SQL = """
+    WITH hist AS (
+      SELECT c_custkey AS k, c_name AS name,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS bal,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS k, c_name AS name,
+             round(CAST(c_acctbal AS DOUBLE), 2) + 100.0 AS bal,
+             TIMESTAMP '2024-01-01' AS uts
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, round(CAST(c_acctbal AS DOUBLE), 2),
+             TIMESTAMP '2024-02-01'
+      FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, round(CAST(c_acctbal AS DOUBLE), 2),
+             TIMESTAMP '2024-06-01'
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    j AS (
+      SELECT h.*, u.name AS un, u.bal AS ub, u.uts,
+             (h.name IS NOT DISTINCT FROM u.name
+              AND h.bal IS NOT DISTINCT FROM u.bal) AS same
+      FROM hist h LEFT JOIN upd u ON h.k = u.k
+    )
+    SELECT k, name, bal, valid_from, valid_to
+    FROM j WHERE uts IS NULL OR same
+    UNION ALL
+    SELECT k, name, bal, valid_from, uts
+    FROM j WHERE uts IS NOT NULL AND NOT same
+    UNION ALL
+    SELECT k, un, ub, uts, CAST(NULL AS TIMESTAMP)
+    FROM j WHERE uts IS NOT NULL AND NOT same
+    UNION ALL
+    SELECT u.k, u.name, u.bal, u.uts, CAST(NULL AS TIMESTAMP)
+    FROM upd u LEFT JOIN hist h ON u.k = h.k
+    WHERE h.k IS NULL
+"""
+
+
+@_q("dim_scd2_apply", _SCD2_SQL)
+def dim_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history upsert over a synthesized customer dimension:
+    changed balances close-and-reopen at the update ts, identical
+    updates pass through versionless, unseen keys insert as open
+    versions. Oracle = the same four-arm union written directly."""
+    from .operators.cdc import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal").cast("double"), 2)
+    hist = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        bal.alias("bal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
+            (bal + 100.0).alias("bal"),
+            F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        )
+        .unionByName(
+            cust.filter((F.col("c_custkey") % 11 == 0)
+                        & (F.col("c_custkey") % 7 != 0))
+            .select(
+                F.col("c_custkey").alias("k"), F.col("c_name").alias("name"),
+                bal.alias("bal"),
+                F.lit("2024-02-01").cast("timestamp").alias("ts"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0)
+            .select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.col("c_name").alias("name"),
+                bal.alias("bal"),
+                F.lit("2024-06-01").cast("timestamp").alias("ts"),
+            )
+        )
+    )
+    return scd2_apply(hist, upd, "k")

@@ -158,3 +158,73 @@ def test_funnel_conversion_stats_hand_case(spark):
     assert r["step"] == 2 and r["n_users"] == 2
     assert abs(r["p50_seconds"] - 20.0) < 1e-9  # interpolated median
     assert abs(r["mean_seconds"] - 20.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply (round 7)
+# ---------------------------------------------------------------------------
+def _scd2_frames(spark):
+    import datetime as dt
+    hist = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2020, 1, 1), dt.datetime(2021, 1, 1)),
+            (1, "b", dt.datetime(2021, 1, 1), None),
+            (2, "x", dt.datetime(2020, 1, 1), None),
+            (3, "z", dt.datetime(2020, 1, 1), None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "c", dt.datetime(2024, 1, 1)),   # changes 1
+            (2, "x", dt.datetime(2024, 1, 1)),   # identical -> no-op
+            (9, "new", dt.datetime(2024, 1, 1)), # unseen key
+        ],
+        "k long, attr string, ts timestamp",
+    )
+    return hist, upd
+
+
+def test_scd2_close_reopen_noop_insert(spark):
+    import datetime as dt
+
+    hist, upd = _scd2_frames(spark)
+    out = sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in lt.scd2_apply(hist, upd, "k").collect()
+    )
+    t24 = dt.datetime(2024, 1, 1)
+    assert out == sorted([
+        (1, "a", dt.datetime(2020, 1, 1), dt.datetime(2021, 1, 1)),  # closed
+        (1, "b", dt.datetime(2021, 1, 1), t24),                      # closed now
+        (1, "c", t24, None),                                         # reopened
+        (2, "x", dt.datetime(2020, 1, 1), None),                     # no-op
+        (3, "z", dt.datetime(2020, 1, 1), None),                     # untouched
+        (9, "new", t24, None),                                       # inserted
+    ])
+
+
+def test_scd2_latest_update_per_key_wins(spark):
+    import datetime as dt
+
+    hist, _ = _scd2_frames(spark)
+    upd = spark.createDataFrame(
+        [
+            (2, "mid", dt.datetime(2024, 1, 1)),
+            (2, "late", dt.datetime(2024, 6, 1)),
+        ],
+        "k long, attr string, ts timestamp",
+    )
+    rows = {(r["k"], r["attr"]): r for r in
+            lt.scd2_apply(hist, upd, "k").collect()}
+    assert (2, "late") in rows and (2, "mid") not in rows
+    assert rows[(2, "late")]["valid_to"] is None
+    assert rows[(2, "x")]["valid_to"] == dt.datetime(2024, 6, 1)
+
+
+def test_scd2_validates_columns(spark):
+    hist, upd = _scd2_frames(spark)
+    with pytest.raises(ValueError, match="not in history"):
+        lt.scd2_apply(hist.drop("valid_to"), upd, "k")
+    with pytest.raises(ValueError, match="not in updates"):
+        lt.scd2_apply(hist, upd.drop("ts"), "k")
