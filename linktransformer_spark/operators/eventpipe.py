@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 __all__ = ["funnel_user_steps", "funnel", "summarize_funnel_users",
            "funnel_conversion_stats", "retention", "transition_matrix",
            "trending", "session_paths", "volume_anomaly",
-           "decayed_engagement", "ab_test", "user_lifecycle"]
+           "decayed_engagement", "ab_test", "user_lifecycle", "attribution"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -863,4 +863,95 @@ def funnel_conversion_stats(
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("mean_seconds"),
+    )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types,
+    model: str = "last_touch",
+    lookback_seconds: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Conversion attribution: credit each ``conversion_type`` event
+    to the user's ``model`` touch event — ``'last_touch'`` (the most
+    recent touch strictly before the conversion, optionally within
+    ``lookback_seconds``) or ``'first_touch'`` (the user's earliest
+    touch before the conversion — the "original source" model, no
+    lookback by definition).
+
+    Returns the attribution report: one row per credited
+    ``touch_type`` plus a NULL-type row for unattributed conversions —
+    (``touch_type``, ``n_conversions``, ``frac``), frac over ALL
+    conversions (single division of exact counts).
+
+    Plan: ONE window pass on the user key — the carried
+    last/first-touch columns use an IGNORE NULLS window over the
+    (ts, tiebreak)-ordered preceding frame, so no self-join and no
+    second shuffle; the rollup is a hash agg on the bounded touch-type
+    domain with a 1-row totals broadcast. Ties at identical ts order
+    by ``tiebreak_col`` (pass the event id; defaults to the type
+    string — deterministic but arbitrary).
+    """
+    touches = list(touch_types)
+    if not touches:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touches:
+        raise ValueError("conversion_type cannot also be a touch type")
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown model {model!r}; use last_touch|first_touch")
+    if model == "first_touch" and lookback_seconds is not None:
+        raise ValueError("first_touch has no lookback (original-source model)")
+    if lookback_seconds is not None and lookback_seconds <= 0:
+        raise ValueError("lookback_seconds must be > 0")
+    from pyspark.sql import Window
+
+    tb = F.col(tiebreak_col) if tiebreak_col is not None else F.col(type_col)
+    ev = events.filter(
+        F.col(type_col).isin(touches + [conversion_type])
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts"),
+        F.col(type_col).alias("_t"),
+        tb.alias("_tb"),
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy(F.col("_ts").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("_t").isin(touches)
+    pick = F.last if model == "last_touch" else F.first
+    carried = (
+        ev.withColumn(
+            "_tt", pick(F.when(is_touch, F.col("_t")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "_tts", pick(F.when(is_touch, F.col("_ts")), ignorenulls=True).over(w)
+        )
+    )
+    conv = carried.filter(F.col("_t") == conversion_type)
+    credited = F.col("_tt")
+    if lookback_seconds is not None:
+        within = (
+            F.col("_ts") - F.col("_tts")
+            <= F.lit(int(round(lookback_seconds * _US)))
+        )
+        credited = F.when(within, F.col("_tt"))
+    rolled = conv.select(credited.alias("touch_type")).groupBy(
+        "touch_type"
+    ).agg(F.count(F.lit(1)).alias("n_conversions"))
+    totals = rolled.agg(F.sum("n_conversions").cast("long").alias("_tot"))
+    return rolled.crossJoin(F.broadcast(totals)).select(
+        "touch_type",
+        F.col("n_conversions").cast("long").alias("n_conversions"),
+        F.round(
+            F.col("n_conversions").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("frac"),
     )

@@ -5937,3 +5937,69 @@ def dim_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(hist, upd, "k")
+
+
+def _attribution_sql(model: str, lookback_s: int | None) -> str:
+    pick = "last_value" if model == "last_touch" else "first_value"
+    inner = f"""
+      SELECT user_id, ts, event_type, event_id,
+             {pick}(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+               OVER w AS tt,
+             {pick}(CASE WHEN event_type IN ('view', 'click')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS tts
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+    credit = "tt"
+    if lookback_s is not None:
+        credit = (
+            f"CASE WHEN epoch_us(ts) - tts <= {lookback_s * 1_000_000} "
+            f"THEN tt END"
+        )
+    return f"""
+    WITH carried AS ({inner}),
+    conv AS (
+      SELECT {credit} AS touch_type FROM carried
+      WHERE event_type = 'purchase'
+    ),
+    rolled AS (
+      SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions
+      FROM conv GROUP BY touch_type
+    ),
+    tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM rolled)
+    SELECT touch_type, n_conversions,
+           round(CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE), 6) AS frac
+    FROM rolled, tot
+"""
+
+
+@_q("events_attribution_last_touch", _attribution_sql("last_touch", 86400))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 24h lookback: purchases credit
+    the most recent view/click strictly before them — one IGNORE NULLS
+    window pass on the user key, bounded rollup."""
+    from .operators.eventpipe import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev, conversion_type="purchase", touch_types=["view", "click"],
+        model="last_touch", lookback_seconds=86400.0,
+        tiebreak_col="event_id",
+    )
+
+
+@_q("events_attribution_first_touch", _attribution_sql("first_touch", None))
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch (original-source) attribution: purchases credit the
+    user's earliest view/click."""
+    from .operators.eventpipe import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev, conversion_type="purchase", touch_types=["view", "click"],
+        model="first_touch", tiebreak_col="event_id",
+    )

@@ -435,3 +435,53 @@ def test_decayed_engagement_cap_keeps_most_recent(spark):
     assert abs(out["score"] - recent["score"]) < 1e-12
     with pytest.raises(ValueError, match="max_events_per_user"):
         decayed_engagement(ev, as_of="2024-01-15", max_events_per_user=0)
+
+
+# ---------------------------------------------------------------------------
+# attribution (round 7)
+# ---------------------------------------------------------------------------
+def test_attribution_last_vs_first_touch(spark):
+    from linktransformer_spark.operators.eventpipe import attribution
+
+    ev = _ev(spark, [
+        (1, 0, "ad"), (1, 10, "email"), (1, 20, "buy"),     # last=email, first=ad
+        (2, 0, "email"), (2, 5, "ad"), (2, 30, "buy"),      # last=ad, first=email
+        (3, 0, "buy"),                                       # unattributed
+    ])
+    last = {r["touch_type"]: r["n_conversions"] for r in attribution(
+        ev, conversion_type="buy", touch_types=["ad", "email"],
+        model="last_touch").collect()}
+    first = {r["touch_type"]: r["n_conversions"] for r in attribution(
+        ev, conversion_type="buy", touch_types=["ad", "email"],
+        model="first_touch").collect()}
+    assert last == {"email": 1, "ad": 1, None: 1}
+    assert first == {"ad": 1, "email": 1, None: 1}
+
+
+def test_attribution_lookback_expires_touches(spark):
+    from linktransformer_spark.operators.eventpipe import attribution
+
+    ev = _ev(spark, [(1, 0, "ad"), (1, 500, "buy")])
+    out = {r["touch_type"]: (r["n_conversions"], r["frac"]) for r in attribution(
+        ev, conversion_type="buy", touch_types=["ad"],
+        model="last_touch", lookback_seconds=100).collect()}
+    assert out == {None: (1, 1.0)}  # touch too old -> unattributed
+    ok = {r["touch_type"]: r["n_conversions"] for r in attribution(
+        ev, conversion_type="buy", touch_types=["ad"],
+        model="last_touch", lookback_seconds=1000).collect()}
+    assert ok == {"ad": 1}
+
+
+def test_attribution_validates(spark):
+    from linktransformer_spark.operators.eventpipe import attribution
+
+    ev = _ev(spark, [(1, 0, "a")])
+    with pytest.raises(ValueError, match="non-empty"):
+        attribution(ev, conversion_type="buy", touch_types=[])
+    with pytest.raises(ValueError, match="cannot also"):
+        attribution(ev, conversion_type="a", touch_types=["a"])
+    with pytest.raises(ValueError, match="no lookback"):
+        attribution(ev, conversion_type="buy", touch_types=["a"],
+                    model="first_touch", lookback_seconds=10)
+    with pytest.raises(ValueError, match="unknown model"):
+        attribution(ev, conversion_type="buy", touch_types=["a"], model="x")

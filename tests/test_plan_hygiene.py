@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "docs_lang_kappa": "1-row totals x 1-row marginal-product broadcast",
     "events_key_skew": "1-row (n_keys, n_rows) totals broadcast",
     "events_value_histogram": "1-row (min, max) bounds + 1-row total broadcast",
+    "events_attribution_last_touch": "1-row conversions-total broadcast",
+    "events_attribution_first_touch": "1-row conversions-total broadcast",
 }
 
 
