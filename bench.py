@@ -239,6 +239,9 @@ def bench_queries(spark):
         "dedup_exact_against": from_oracle("docs_dedup_exact_against"),
         "er_resolve": from_oracle("er_resolve_entities"),
         "er_resolve_lsh": from_oracle("er_resolve_lsh"),
+        "events_user_lifecycle": from_oracle("events_user_lifecycle"),
+        "dim_scd2_apply": from_oracle("dim_scd2_apply"),
+        "events_attribution": from_oracle("events_attribution_last_touch"),
         "events_transitions": from_oracle("events_transitions"),
         "docs_tfidf_terms": from_oracle("docs_tfidf_terms"),
         "ann_mmr_rerank": from_oracle("ann_mmr_rerank"),
