@@ -39,6 +39,7 @@ from .operators.sampling import (
     sample_mixture,
     sample_per_group,
     temperature_mixture,
+    weighted_sample_per_group,
 )
 from .operators.multimodal import (
     attach_fake_media, decode_image, extract_features, frame_sample, resize_image,
@@ -235,6 +236,7 @@ __all__ = [
     "sample_mixture",
     "temperature_mixture",
     "sample_per_group",
+    "weighted_sample_per_group",
     "ivf_topk",
     "ivf_pq_topk",
     "ivf_pq_rerank_topk",

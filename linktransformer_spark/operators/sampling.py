@@ -249,3 +249,55 @@ def temperature_mixture(
         .filter(F.col("_smp_rank") <= F.col("_target"))
         .drop("_g", "_target", "_smp_rank")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    key_cols: list[str] | str | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    per group with inclusion probability proportional to
+    ``weight_col`` — the Efraimidis-Spirakis (2006) A-ES scheme with
+    the engine's content hash in place of an RNG. The data-mixing
+    staple "sample by quality weight, reproducibly": re-runs, engines,
+    partitionings, and retries all draw the SAME sample, and adding
+    new rows never changes which old rows were drawn (same stability
+    contract as :func:`hash_sample`).
+
+    A-ES: draw u_i in (0, 1], rank by u_i^(1/w_i) descending, keep the
+    top k. Here ``u_i = (poly_hash(key) + 1) / (HASH_MOD + 1)`` —
+    content-derived, so the "randomness" is a fixed function of the
+    row. Ranking uses the monotone-equivalent ``ln(u_i) / w_i``
+    (numerically safer than the tiny root for small weights); ties
+    break on the serialized key ASC. Rows with null or non-positive
+    weight are EXCLUDED (they have zero inclusion probability; a
+    negative weight is a contract violation worth surfacing upstream).
+
+    One shuffle on the group key; the WindowGroupLimit rank pushdown
+    bounds each partition's sort at k. ``ln``/division are IEEE ops
+    both engines share — fully oracle-checkable.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = (
+        [key_cols] if isinstance(key_cols, str)
+        else list(key_cols) if key_cols is not None
+        else [c for c in df.columns if c not in (group_col, weight_col)]
+    )
+    key = _key_expr(keys)
+    u = (S.poly_hash(key, salt=salt) + F.lit(1)).cast("double") / F.lit(
+        float(S.HASH_MOD + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(score.desc(), key.asc())
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_ws_rank", F.row_number().over(win))
+        .filter(F.col("_ws_rank") <= k)
+        .drop("_ws_rank")
+    )

@@ -6003,3 +6003,56 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         ev, conversion_type="purchase", touch_types=["view", "click"],
         model="first_touch", tiebreak_col="event_id",
     )
+
+
+def _weighted_sample_sql(k: int = 50) -> str:
+    from .functions.oracle import sql_poly_hash
+    from .functions.similarity import HASH_MOD
+
+    key = "coalesce(CAST(doc_id AS VARCHAR), '')"
+    u = f"(CAST({sql_poly_hash(key)} + 1 AS DOUBLE) / {float(HASH_MOD + 1)!r})"
+    return f"""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC,
+                 {key} ASC
+      ) AS rn
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+    ) WHERE rn <= {k}
+"""
+
+
+@_q("docs_weighted_sample", _weighted_sample_sql())
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling: 50 docs
+    per language with inclusion probability proportional to length —
+    content-hash u, ln(u)/w ranking, one group window."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "lang", "n_chars", k=50, key_cols="doc_id"
+    )
+
+
+@_q("stream_attribution", _attribution_sql("last_touch", 86400))
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution: O(1) (last, first) touch
+    state per user; drained credited rows + rollup equal the batch
+    report — same oracle as events_attribution_last_touch."""
+    from .streaming import (
+        final_attribution, read_stream_table, run_available_now,
+        streaming_attribution,
+    )
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    drained = run_available_now(
+        streaming_attribution(
+            ev, conversion_type="purchase", touch_types=["view", "click"],
+            model="last_touch", lookback_seconds=86400.0,
+        ),
+        output_mode="append",
+    )
+    return final_attribution(drained)

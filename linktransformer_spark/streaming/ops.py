@@ -1004,6 +1004,113 @@ def final_transitions(drained: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
+def streaming_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types,
+    model: str = "last_touch",
+    lookback_seconds: float | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming conversion attribution: O(1) per-user state (the
+    last touch and the first touch) via ``applyInPandasWithState`` —
+    each conversion emits one credited ``touch_type`` row (null when
+    unattributed under the model/lookback). Same models and semantics
+    as the batch ``eventpipe.attribution`` (touches strictly before
+    the conversion in (ts, tiebreak) order); exact batch parity under
+    event-time-ordered arrival, always exact for a single-batch drain.
+    ``final_attribution`` rolls a drained sink into the report."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    touches = list(touch_types)
+    if not touches:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touches:
+        raise ValueError("conversion_type cannot also be a touch type")
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown model {model!r}; use last_touch|first_touch")
+    if model == "first_touch" and lookback_seconds is not None:
+        raise ValueError("first_touch has no lookback (original-source model)")
+    lookback_us = (
+        None if lookback_seconds is None
+        else int(round(lookback_seconds * 1_000_000))
+    )
+    unset = _FUNNEL_UNSET
+
+    out_schema = StructType([StructField("touch_type", StringType())])
+    state_schema = StructType([
+        StructField("tt", StringType()), StructField("tts", LongType()),
+        StructField("ft", StringType()), StructField("fts", LongType()),
+    ])
+    tc, uc, bc = type_col, ts_col, tiebreak_col
+    conv, touch_set = conversion_type, set(touches)
+
+    def fn(key, pdfs, state: "GroupState"):
+        if state.exists:
+            tt, tts, ft, fts = state.get
+        else:
+            tt, tts, ft, fts = "", unset, "", unset
+        rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf[uc].astype("int64") // 1000
+            for t, tb, et in zip(ts_us, pdf[bc], pdf[tc]):
+                rows.append((int(t), int(tb), str(et)))
+        rows.sort()
+        credited = []
+        for t, _tb, et in rows:
+            if et == conv:
+                c_t, c_ts = (tt, tts) if model == "last_touch" else (ft, fts)
+                ok = c_ts != unset and (
+                    lookback_us is None or t - c_ts <= lookback_us
+                )
+                credited.append(c_t if ok else None)
+            elif et in touch_set:
+                tt, tts = et, t
+                if fts == unset:
+                    ft, fts = et, t
+        state.update((tt, tts, ft, fts))
+        if credited:
+            yield pd.DataFrame({"touch_type": credited})
+
+    filtered = events.filter(
+        F.col(type_col).isin(touches + [conversion_type])
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col),
+        F.col(tiebreak_col).cast("long").alias(tiebreak_col),
+        F.col(type_col).cast("string").alias(type_col),
+    )
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def final_attribution(drained: DataFrame) -> DataFrame:
+    """Attribution report from a drained :func:`streaming_attribution`
+    sink — the batch operator's rollup tail (bounded touch-type
+    domain, 1-row totals broadcast)."""
+    rolled = drained.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    totals = rolled.agg(F.sum("n_conversions").cast("long").alias("_tot"))
+    return rolled.crossJoin(F.broadcast(totals)).select(
+        "touch_type",
+        F.col("n_conversions").cast("long").alias("n_conversions"),
+        F.round(
+            F.col("n_conversions").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("frac"),
+    )
+
+
 def streaming_retention_activity(
     events: DataFrame,
     *,

@@ -206,3 +206,57 @@ def test_temperature_mixture_validates(spark):
         lt.temperature_mixture(df, "src", budget=10, alpha=0.0)
     with pytest.raises(ValueError):
         lt.temperature_mixture(df, "src", budget=10, alpha=1.5)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_per_group (round 7)
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_bounded(spark):
+    rows = [(f"g{i % 2}", f"d{i}", float(1 + i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "k", "w"])
+    a = sorted((r["g"], r["k"]) for r in
+               lt.weighted_sample_per_group(df, "g", "w", k=5,
+                                            key_cols="k").collect())
+    b = sorted((r["g"], r["k"]) for r in
+               lt.weighted_sample_per_group(df.repartition(7), "g", "w", k=5,
+                                            key_cols="k").collect())
+    assert a == b and len(a) == 10  # 5 per group, layout-independent
+
+
+def test_weighted_sample_stable_under_appends(spark):
+    rows = [("g", f"d{i}", 2.0) for i in range(30)]
+    df = spark.createDataFrame(rows, ["g", "k", "w"])
+    before = {r["k"] for r in lt.weighted_sample_per_group(
+        df, "g", "w", k=30, key_cols="k").collect()}
+    # k >= group size keeps everything; scores of old rows are
+    # content-only, so an appended row never changes an old row's score
+    more = df.unionByName(
+        spark.createDataFrame([("g", "zz", 2.0)], ["g", "k", "w"]))
+    after_scores = {r["k"] for r in lt.weighted_sample_per_group(
+        more, "g", "w", k=31, key_cols="k").collect()}
+    assert before <= after_scores
+
+
+def test_weighted_sample_weight_bias(spark):
+    # one group, half the rows carry 50x the weight -> heavy rows must
+    # dominate a small sample (deterministic, so assert the exact pull)
+    rows = [("g", f"h{i}", 50.0) for i in range(50)] + \
+           [("g", f"l{i}", 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "k", "w"])
+    got = [r["k"] for r in lt.weighted_sample_per_group(
+        df, "g", "w", k=10, key_cols="k").collect()]
+    heavy = sum(1 for k in got if k.startswith("h"))
+    assert heavy >= 8  # ~Pr[heavy] = 50/51 per draw
+
+
+def test_weighted_sample_excludes_bad_weights_and_validates(spark):
+    df = spark.createDataFrame(
+        [("g", "a", 1.0), ("g", "b", 0.0), ("g", "c", -1.0),
+         ("g", "d", None)],
+        "g string, k string, w double",
+    )
+    out = {r["k"] for r in lt.weighted_sample_per_group(
+        df, "g", "w", k=10, key_cols="k").collect()}
+    assert out == {"a"}
+    with pytest.raises(ValueError):
+        lt.weighted_sample_per_group(df, "g", "w", k=0)

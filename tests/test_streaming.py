@@ -577,3 +577,45 @@ def test_streaming_transitions_multibatch_equals_batch(spark, sf_dir, tmp_path):
             for r in transition_matrix(
                 ev, tiebreak_col="event_id", min_count=2).collect()}
     assert got == want and got
+
+
+def test_streaming_attribution_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """O(1) (last, first)-touch state across time-ordered micro-batches
+    must reproduce the batch attribution report exactly — both models."""
+    from linktransformer_spark.operators.eventpipe import attribution
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import (
+        final_attribution, run_available_now, streaming_attribution,
+    )
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id")
+    q = ev.withColumn("_q", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    src = str(tmp_path / "ev_attr")
+    for i in range(1, 4):
+        q.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "append").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    for model, lb in (("last_touch", 86400.0), ("first_touch", None)):
+        drained = run_available_now(
+            streaming_attribution(
+                sdf, conversion_type="purchase",
+                touch_types=["view", "click"], model=model,
+                lookback_seconds=lb,
+            ),
+            output_mode="append",
+        )
+        got = {r["touch_type"]: (r["n_conversions"], r["frac"])
+               for r in final_attribution(drained).collect()}
+        want = {r["touch_type"]: (r["n_conversions"], r["frac"])
+                for r in attribution(
+                    ev, conversion_type="purchase",
+                    touch_types=["view", "click"], model=model,
+                    lookback_seconds=lb, tiebreak_col="event_id",
+                ).collect()}
+        assert got == want and got, model
