@@ -255,22 +255,127 @@ def dedup_exact_against(new: DataFrame, seen: DataFrame, on,
     return nk.join(sk, ["_h1", "_h2"], "left_anti").select(*new.columns)
 
 
-def _cap_buckets(banded: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
-    """Skew guard: drop LSH buckets with more than ``cap`` members.
+# salt-cell encoding base: cell id = i * _SALT_BASE + j for sub-group
+# pair (i, j), i <= j. Requires k = ceil(bucket/cap) < 2^20 — i.e. a
+# single hot bucket up to cap * 1M rows, far past any sane corpus.
+_SALT_BASE = 1 << 20
+
+
+def _cap_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    hot_bucket: str = "drop",
+    id_col: str = "_id",
+) -> DataFrame:
+    """Skew guard for LSH buckets with more than ``cap`` members.
 
     A bucket of size m contributes m^2/2 candidate pairs — one
     pathological bucket (boilerplate text, empty docs, a hot band
-    signature) can dominate the whole join at scale. Capping bounds
+    signature) can dominate the whole join at scale. No-op when cap is
+    None. Two enforcement modes:
+
+    ``hot_bucket='drop'`` — drop hot buckets entirely. Bounds
     per-bucket work at cap^2/2; rows lose only the candidates they
     would have found through the dropped bucket (their other bands
-    still match), the standard recall trade in web-scale dedup. No-op
-    when cap is None.
+    still match), the standard recall trade in web-scale dedup. The
+    loss is observable via :func:`bucket_cap_stats` (same sizes frame
+    this cap builds).
+
+    ``hot_bucket='salt'`` — recall-preserving two-phase join: split a
+    hot bucket of m rows into k = ceil(m/cap) deterministic sub-groups
+    (g = pmod(id*40503 + 12289, k)) and replicate each row into the k
+    triangle cells {(g, j): j >= g} ∪ {(i, g): i < g}, encoded in two
+    extra columns the caller must fold into its self-join condition
+    via :func:`_salt_pair_cond`: ``_salt`` (cell id i*2^20 + j) and
+    ``_sg`` (the row's own sub-group). A pair (a, b) with groups
+    ga < gb shares exactly one cell (ga, gb); co-group pairs
+    (ga == gb) share ALL of their k cells, so :func:`_salt_pair_cond`
+    additionally requires cross-group endpoints in off-diagonal cells
+    — with it, every pair is emitted exactly once and the salted
+    self-join equals the uncapped candidate set: no duplicates, no
+    losses, while each cell holds at most ~2*cap rows (two
+    sub-groups), bounding per-task join work at ~2*cap^2. Cost:
+    hot-bucket rows replicate k-fold (total m*ceil(m/cap) band rows
+    per hot bucket); cold buckets get the single cell (0, 0).
+    Self-join variants only — a two-sided (new-vs-seen) join would
+    need a shared group space across frames.
     """
     if cap is None:
         return banded
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-    ok = sizes.filter(F.col("_bn") <= cap).drop("_bn")
-    return banded.join(ok, keys)
+    if hot_bucket == "drop":
+        ok = sizes.filter(F.col("_bn") <= cap).drop("_bn")
+        return banded.join(ok, keys)
+    if hot_bucket != "salt":
+        raise ValueError(
+            f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
+        )
+    joined = banded.join(sizes, keys)
+    k = F.expr(f"CAST((_bn + {cap} - 1) DIV {cap} AS BIGINT)")
+    g = F.pmod(
+        F.col(id_col) * F.lit(40503) + F.lit(12289), k
+    ).cast("long")
+    lo = F.when(
+        g > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), g - 1),
+            lambda i: i * _SALT_BASE + g,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hi = F.transform(
+        F.sequence(g, k - 1), lambda j: g * _SALT_BASE + j
+    )
+    return joined.select(
+        *banded.columns,
+        g.alias("_sg"),
+        F.explode(F.concat(lo, hi)).alias("_salt"),
+    )
+
+
+def _salt_pair_cond(l: str = "l", r: str = "r") -> F.Column:
+    """Join-condition fragment pairing :func:`_cap_buckets`'s salt
+    mode: same cell, and — in off-diagonal cells — endpoints from the
+    two DIFFERENT sub-groups (co-group pairs are counted once, in
+    their diagonal cell, where group equality always holds)."""
+    s = F.col(f"{l}._salt")
+    diag = F.shiftright(s, 20) == s.bitwiseAND(F.lit(_SALT_BASE - 1))
+    return (s == F.col(f"{r}._salt")) & (
+        diag | (F.col(f"{l}._sg") != F.col(f"{r}._sg"))
+    )
+
+
+def bucket_cap_stats(
+    banded: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Observable for the ``hot_bucket='drop'`` recall trade: one
+    summary row quantifying exactly what :func:`_cap_buckets` would
+    drop at this ``cap`` — ``buckets_total``, ``buckets_dropped``
+    (size > cap), ``rows_dropped`` (band-row memberships lost; a doc
+    keeps its other bands), and ``pairs_dropped`` (sum of m*(m-1)/2
+    over dropped buckets = candidate pairs never generated through
+    those buckets; an upper bound on lost matches since other bands
+    can still pair them). All exact integers — order-free, oracle-
+    stable. Cost: the same groupBy sizes frame the cap itself builds,
+    plus a 1-row global aggregate.
+    """
+    hot = F.col("_bn") > cap
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .agg(
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(F.when(hot, 1).otherwise(0)).alias("buckets_dropped"),
+            F.sum(F.when(hot, F.col("_bn")).otherwise(0)).alias(
+                "rows_dropped"
+            ),
+            F.sum(
+                F.when(
+                    hot, F.expr("(_bn * (_bn - 1)) DIV 2")
+                ).otherwise(0)
+            ).alias("pairs_dropped"),
+        )
+    )
 
 
 def _minhash_base_banded(
@@ -282,6 +387,7 @@ def _minhash_base_banded(
     shingle: int,
     word: bool,
     max_bucket_size: int | None,
+    hot_bucket: str = "drop",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash build: returns (``base`` = (_id, _key, _sig),
     lineage-cut, and ``banded`` = (_id, band, bsig)). The hash family
@@ -348,7 +454,7 @@ def _minhash_base_banded(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
-    banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size)
+    banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size, hot_bucket)
     return base, banded
 
 
@@ -402,6 +508,7 @@ def near_dup_pairs_minhash(
     shingle: int = 3,
     word: bool = True,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """Candidate pairs via MinHash-LSH banding, verified with EXACT
     Jaccard on the distinct shingle sets. Returns (src, dst, jaccard)
@@ -412,21 +519,29 @@ def near_dup_pairs_minhash(
     (band, band_signature) — a hash shuffle whose size tracks the
     number of colliding rows. Verification is array_intersect /
     array_union on the (deduplicated) shingle arrays.
-    ``max_bucket_size`` bounds per-bucket join fan-out (see
-    ``_cap_buckets``) — the skew guard for 100 TB corpora.
+    ``max_bucket_size`` bounds per-bucket join fan-out — the skew
+    guard for 100 TB corpora. ``hot_bucket`` picks the enforcement:
+    ``'drop'`` (cheaper, loses the dropped buckets' candidates —
+    quantify with :func:`minhash_cap_stats`) or ``'salt'``
+    (recall-preserving triangle-salted join, identical output to the
+    uncapped plan with per-task work still bounded at ~2*cap^2 — see
+    ``_cap_buckets``).
     """
     base, banded = _minhash_base_banded(
-        df, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+        df, on, id_col, num_hashes, bands, shingle, word,
+        max_bucket_size, hot_bucket,
     )
     l = banded.alias("l")
     r = banded.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bsig") == F.col("r.bsig"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if "_salt" in banded.columns:
+        cond = cond & _salt_pair_cond()
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        l.join(r, cond)
         .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
@@ -598,15 +713,17 @@ def dedup_minhash(
     word: bool = True,
     max_bucket_size: int | None = None,
     keep_by: Column | str | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """MinHash-LSH near-dedup: connected components of the verified
     near-dup pair graph, keep one row per component — min id by
     default, or the ``keep_by`` argmax (see :func:`dedup_by_pairs`).
-    ``max_bucket_size`` = the hot-bucket skew guard (see
-    near_dup_pairs_minhash)."""
+    ``max_bucket_size`` = the hot-bucket skew guard and ``hot_bucket``
+    its mode ('drop' | recall-preserving 'salt') — see
+    near_dup_pairs_minhash."""
     pairs = near_dup_pairs_minhash(
         df, on, id_col, threshold, num_hashes, bands, shingle, word,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, hot_bucket=hot_bucket,
     )
     return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 
@@ -618,13 +735,52 @@ def near_dup_pairs_simhash(
     hamming_threshold: int = 3,
     word: bool = True,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """Candidate pairs with simhash hamming distance <= threshold.
 
     Pigeonhole: split the 64-bit fingerprint into (threshold+1) blocks;
     any pair within distance k agrees on >= 1 block -> equi-join per
     block, then verify with bit_count(xor). Returns (src, dst, hamming).
-    ``max_bucket_size`` bounds per-block join fan-out (``_cap_buckets``).
+    ``max_bucket_size`` bounds per-block join fan-out and
+    ``hot_bucket`` its mode ('drop' | recall-preserving 'salt') — see
+    ``_cap_buckets``; quantify drop-mode losses with
+    :func:`simhash_cap_stats`.
+    """
+    banded = _simhash_banded(df, on, id_col, hamming_threshold, word)
+    banded = _cap_buckets(banded, ["blk", "bval"], max_bucket_size, hot_bucket)
+
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cond = (
+        (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.bval") == F.col("r.bval"))
+        & (F.col("l._id") < F.col("r._id"))
+    )
+    if "_salt" in banded.columns:
+        cond = cond & _salt_pair_cond()
+    cand = (
+        l.join(r, cond)
+        .select(
+            F.col("l._id").alias("src"),
+            F.col("r._id").alias("dst"),
+            F.col("l._sim").alias("sim_l"),
+            F.col("r._sim").alias("sim_r"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ham = F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= hamming_threshold
+    ).select("src", "dst", "hamming")
+
+
+def _simhash_banded(
+    df: DataFrame, on, id_col: str, hamming_threshold: int, word: bool
+) -> DataFrame:
+    """Shared simhash build: (_id, _sim, blk, bval) pigeonhole block
+    rows, UNCAPPED — consumed by the pair self-join (which applies the
+    skew cap) and by :func:`simhash_cap_stats` (which quantifies it).
     """
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
@@ -685,32 +841,48 @@ def near_dup_pairs_simhash(
             for bi in range(nblocks)
         ]
     )
-    banded = base.select(
+    return base.select(
         "_id", "_sim", F.explode(blocks).alias("bb")
     ).select("_id", "_sim", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
-    banded = _cap_buckets(banded, ["blk", "bval"], max_bucket_size)
 
-    l = banded.alias("l")
-    r = banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
-        .select(
-            F.col("l._id").alias("src"),
-            F.col("r._id").alias("dst"),
-            F.col("l._sim").alias("sim_l"),
-            F.col("r._sim").alias("sim_r"),
-        )
-        .dropDuplicates(["src", "dst"])
+
+def minhash_cap_stats(
+    df: DataFrame,
+    on,
+    id_col: str,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Observable for :func:`near_dup_pairs_minhash`'s
+    ``hot_bucket='drop'`` skew cap ("no silent caps"): one summary row
+    of exactly what the cap drops at this corpus — see
+    :func:`bucket_cap_stats` for the column contract. Run it before
+    (or alongside) a capped dedup to decide between 'drop', 'salt',
+    and a larger cap; ``pairs_dropped == 0`` means the cap is a
+    no-op on this corpus."""
+    _, banded = _minhash_base_banded(
+        df, on, id_col, num_hashes, bands, shingle, word, None
     )
-    ham = F.bit_count(F.col("sim_l").bitwiseXOR(F.col("sim_r")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= hamming_threshold
-    ).select("src", "dst", "hamming")
+    return bucket_cap_stats(banded, ["band", "bsig"], max_bucket_size)
+
+
+def simhash_cap_stats(
+    df: DataFrame,
+    on,
+    id_col: str,
+    hamming_threshold: int = 3,
+    word: bool = True,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Observable for :func:`near_dup_pairs_simhash`'s
+    ``hot_bucket='drop'`` skew cap — one summary row (see
+    :func:`bucket_cap_stats`) quantifying the pigeonhole blocks the
+    cap would drop."""
+    banded = _simhash_banded(df, on, id_col, hamming_threshold, word)
+    return bucket_cap_stats(banded, ["blk", "bval"], max_bucket_size)
 
 
 def near_dup_pairs_jaccard(
@@ -831,6 +1003,7 @@ def near_dup_pairs_semdedup(
     threshold: float = 0.95,
     n_cells: int | str = "auto",
     max_cell_size: int | None = None,
+    hot_cell: str = "drop",
 ) -> DataFrame:
     """SemDeDup-style candidate pairs (Abbas et al. 2023,
     arXiv:2303.09540): partition rows into IVF cells around
@@ -848,7 +1021,9 @@ def near_dup_pairs_semdedup(
     than scale. ``max_cell_size`` is the hot-cell skew guard (same
     recall trade as the minhash family's ``max_bucket_size``): a cell
     the seeded centroids fail to split contributes |cell|^2/2 pairs, so
-    at scale cap it — members of a dropped cell are simply not deduped.
+    at scale cap it — members of a dropped cell are simply not deduped
+    (``hot_cell='drop'``), or pass ``hot_cell='salt'`` for the
+    recall-preserving triangle-salted join (see ``_cap_buckets``).
 
     **Sizing n_cells**: per-cell work is quadratic, so ``n_cells`` must
     GROW with the corpus — target a few hundred rows per cell
@@ -878,16 +1053,22 @@ def near_dup_pairs_semdedup(
         _assign_cells_declarative(base, "_id", "_v", cent, 1),
         ["cell"],
         max_cell_size,
+        hot_cell,
     ).localCheckpoint(eager=False)
-    l = assigned.select("cell", F.col("_id").alias("_lid"), F.col("_v").alias("_lv"))
-    r = assigned.select("cell", F.col("_id").alias("_rid"), F.col("_v").alias("_rv"))
+    salted = "_salt" in assigned.columns
+    l = assigned.alias("l")
+    r = assigned.alias("r")
+    cond = (F.col("l.cell") == F.col("r.cell")) & (
+        F.col("l._id") < F.col("r._id")
+    )
+    if salted:
+        cond = cond & _salt_pair_cond()
     return (
-        l.join(r, "cell")
-        .filter(F.col("_lid") < F.col("_rid"))
-        .withColumn("cosine", S.dot(F.col("_lv"), F.col("_rv")))
+        l.join(r, cond)
+        .withColumn("cosine", S.dot(F.col("l._v"), F.col("r._v")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("_lid").alias("src"), F.col("_rid").alias("dst"),
-                "cell", "cosine")
+        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"),
+                F.col("l.cell").alias("cell"), "cosine")
     )
 
 
@@ -899,6 +1080,7 @@ def semantic_dedup(
     n_cells: int | str = "auto",
     keep_by: Column | str | None = None,
     max_cell_size: int | None = None,
+    hot_cell: str = "drop",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop all but one member of every
     within-cell cosine>=threshold duplicate group (min id by default,
@@ -909,7 +1091,7 @@ def semantic_dedup(
     exactly to :func:`dedup_embedding` (global threshold dedup) —
     pinned in tests/test_dedup_ann.py."""
     pairs = near_dup_pairs_semdedup(
-        df, vector_col, id_col, threshold, n_cells, max_cell_size
+        df, vector_col, id_col, threshold, n_cells, max_cell_size, hot_cell
     )
     return dedup_by_pairs(df, pairs, id_col, keep_by=keep_by)
 

@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 __all__ = ["funnel_user_steps", "funnel", "summarize_funnel_users",
            "funnel_conversion_stats", "retention", "transition_matrix",
            "trending", "session_paths", "volume_anomaly",
-           "decayed_engagement", "ab_test", "user_lifecycle", "attribution"]
+           "decayed_engagement", "ab_test", "user_lifecycle", "attribution",
+           "event_cap_stats"]
 
 _US = 1_000_000  # microseconds per second (fold state is epoch micros)
 
@@ -954,4 +955,42 @@ def attribution(
             F.col("n_conversions").cast("double") / F.col("_tot").cast("double"),
             6,
         ).alias("frac"),
+    )
+
+
+def event_cap_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    max_events_per_user: int = 100_000,
+    type_col: str | None = None,
+    types: list[str] | None = None,
+) -> DataFrame:
+    """Observable for the ``max_events_per_user`` skew caps ("no
+    silent caps"): one summary row quantifying exactly what the cap
+    truncates on this corpus — ``users_total``, ``users_capped``
+    (event count > cap), ``events_dropped`` (sum of count - cap over
+    capped users), and ``max_user_events`` (the hottest key, for
+    sizing the cap). Pass ``type_col``/``types`` to pre-filter the
+    same way the capped operator does (e.g. funnel step types), so the
+    numbers match what :func:`funnel_user_steps` /
+    :func:`session_paths` / :func:`decayed_engagement` actually see.
+    All exact integers — order-free, oracle-stable. Cost: one
+    groupBy(user) count + a 1-row aggregate.
+    """
+    if max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
+    ev = events
+    if type_col is not None and types is not None:
+        ev = ev.filter(F.col(type_col).isin(list(types)))
+    per = ev.groupBy(F.col(user_col).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hot = F.col("_n") > max_events_per_user
+    return per.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("users_capped"),
+        F.sum(
+            F.when(hot, F.col("_n") - max_events_per_user).otherwise(0)
+        ).alias("events_dropped"),
+        F.max("_n").alias("max_user_events"),
     )

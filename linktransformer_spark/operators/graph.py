@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "degree_prune_stats"]
 
 
 def _pinned_fold(key: str, val: str) -> F.Column:
@@ -179,3 +179,92 @@ def pagerank(
             eager=False
         )
     return r.select("node", F.col("_r").alias("rank"))
+
+
+def degree_prune_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    weight_col: str | None = None,
+    max_in_degree: int | None = 1_000_000,
+    max_out_degree: int | None = 1_000_000,
+) -> DataFrame:
+    """Observable for :func:`pagerank`'s degree caps ("no silent
+    caps"): one summary row quantifying exactly what the prune removes
+    from THIS graph at these caps, computed with the same
+    deterministic (weight DESC, endpoint ASC) ranking and the same
+    in-then-out order as :func:`pagerank` itself. Columns:
+    ``edges_total`` (after parallel-duplicate pre-sum — the relation
+    the prune sees), ``edges_after_in_prune``, ``edges_after_out_prune``
+    (what iteration runs on), ``in_nodes_pruned`` / ``out_nodes_pruned``
+    (nodes that lost at least one edge in each phase), and
+    ``max_in_degree_seen`` / ``max_out_degree_seen`` (hottest hubs on
+    the pre-sum relation, for sizing the caps). All exact integers.
+    Cost: the prune's own two windows plus count aggregates — run it
+    when ``pagerank`` matters enough to audit, not per-query.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("_src"),
+            F.col(dst_col).cast("long").alias("_dst"),
+            w.alias("_w"),
+        )
+        .groupBy("_src", "_dst")
+        .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    total = e.count()
+    deg = e.groupBy("_dst").agg(F.count(F.lit(1)).alias("_n")).agg(
+        F.max("_n").alias("mx")
+    ).crossJoin(
+        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_n")).agg(
+            F.max("_n").alias("mxo")
+        )
+    ).first()
+    e1 = e if max_in_degree is None else _cap_degree(
+        e, "_dst", "_src", max_in_degree
+    )
+    e1 = e1.localCheckpoint(eager=False)
+    after_in = e1.count()
+    in_pruned = (
+        0
+        if max_in_degree is None
+        else e.groupBy("_dst").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_in_degree)
+        .count()
+    )
+    e2 = e1 if max_out_degree is None else _cap_degree(
+        e1, "_src", "_dst", max_out_degree
+    )
+    after_out = e2.count()
+    out_pruned = (
+        0
+        if max_out_degree is None
+        else e1.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_out_degree)
+        .count()
+    )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                after_in,
+                after_out,
+                in_pruned,
+                out_pruned,
+                int(deg["mx"]),
+                int(deg["mxo"]),
+            )
+        ],
+        "edges_total bigint, edges_after_in_prune bigint, "
+        "edges_after_out_prune bigint, in_nodes_pruned bigint, "
+        "out_nodes_pruned bigint, max_in_degree_seen bigint, "
+        "max_out_degree_seen bigint",
+    )

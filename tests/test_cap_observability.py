@@ -1,0 +1,224 @@
+"""Skew-cap observability + recall-preserving salted joins.
+
+The "no silent caps" contract: every candidate-dropping skew guard
+(minhash/simhash hot buckets, semdedup hot cells, event-per-user caps,
+pagerank degree prune) has (a) an exact drop-count observable and
+(b) where the op is a self-join, a recall-preserving ``'salt'`` mode
+whose output is bit-identical to the uncapped plan while per-task join
+work stays bounded (triangle-salted sub-buckets — see
+operators/dedup._cap_buckets).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linktransformer_spark.operators.dedup import (
+    bucket_cap_stats,
+    minhash_cap_stats,
+    near_dup_pairs_minhash,
+    near_dup_pairs_semdedup,
+    near_dup_pairs_simhash,
+    simhash_cap_stats,
+)
+from linktransformer_spark.operators.eventpipe import event_cap_stats
+from linktransformer_spark.operators.graph import degree_prune_stats
+
+
+HOT = 40  # identical copies -> one size-40 bucket in EVERY band/block
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again")
+            for i in range(HOT)]
+    rows += [(100 + i,
+              f"unique document number {i} with content about topic {i % 7} "
+              f"and extra words {i * 13}")
+             for i in range(60)]
+    rows += [(200 + i,
+              f"unique document number {i} with content about topic {i % 7} "
+              f"and extra words {i * 13} suffix")
+             for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_key(rows):
+    return sorted((r.src, r.dst) for r in rows)
+
+
+class TestSaltedMinhash:
+    def test_salt_equals_uncapped_drop_loses(self, skewed_docs):
+        unc = near_dup_pairs_minhash(
+            skewed_docs, "text", "doc_id", threshold=0.5
+        ).collect()
+        drop = near_dup_pairs_minhash(
+            skewed_docs, "text", "doc_id", threshold=0.5, max_bucket_size=8
+        ).collect()
+        salt = near_dup_pairs_minhash(
+            skewed_docs, "text", "doc_id", threshold=0.5, max_bucket_size=8,
+            hot_bucket="salt",
+        ).collect()
+        assert _pairs_key(salt) == _pairs_key(unc)
+        # jaccard values identical too (same verify stage)
+        ju = sorted((r.src, r.dst, r.jaccard) for r in unc)
+        js = sorted((r.src, r.dst, r.jaccard) for r in salt)
+        assert js == ju
+        assert len(drop) < len(unc)  # the silent trade salt avoids
+
+    def test_salt_noop_when_under_cap(self, skewed_docs):
+        unc = near_dup_pairs_minhash(
+            skewed_docs, "text", "doc_id", threshold=0.5
+        ).collect()
+        salt = near_dup_pairs_minhash(
+            skewed_docs, "text", "doc_id", threshold=0.5,
+            max_bucket_size=10_000, hot_bucket="salt",
+        ).collect()
+        assert _pairs_key(salt) == _pairs_key(unc)
+
+    def test_bad_mode_raises(self, skewed_docs):
+        with pytest.raises(ValueError, match="hot_bucket"):
+            near_dup_pairs_minhash(
+                skewed_docs, "text", "doc_id", max_bucket_size=8,
+                hot_bucket="oops",
+            ).collect()
+
+
+class TestSaltedSimhash:
+    def test_salt_equals_uncapped(self, skewed_docs):
+        unc = near_dup_pairs_simhash(
+            skewed_docs, "text", "doc_id", hamming_threshold=3
+        ).collect()
+        salt = near_dup_pairs_simhash(
+            skewed_docs, "text", "doc_id", hamming_threshold=3,
+            max_bucket_size=8, hot_bucket="salt",
+        ).collect()
+        ku = sorted((r.src, r.dst, r.hamming) for r in unc)
+        ks = sorted((r.src, r.dst, r.hamming) for r in salt)
+        assert ks == ku
+
+
+class TestSaltedSemdedup:
+    def test_hot_cell_salt_equals_uncapped(self, spark):
+        import math
+
+        # 3 clusters of 30 near-identical unit vectors in 8-d
+        rows = []
+        for c in range(3):
+            for i in range(30):
+                v = [0.0] * 8
+                v[c] = 1.0
+                v[(c + 3) % 8] = 0.01 * i  # slight spread
+                n = math.sqrt(sum(x * x for x in v))
+                rows.append((c * 100 + i, [x / n for x in v]))
+        df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+        unc = near_dup_pairs_semdedup(
+            df, "emb", "doc_id", threshold=0.9, n_cells=3
+        ).collect()
+        salt = near_dup_pairs_semdedup(
+            df, "emb", "doc_id", threshold=0.9, n_cells=3,
+            max_cell_size=7, hot_cell="salt",
+        ).collect()
+        ku = sorted((r.src, r.dst, round(r.cosine, 9)) for r in unc)
+        ks = sorted((r.src, r.dst, round(r.cosine, 9)) for r in salt)
+        assert len(unc) > 0
+        assert ks == ku
+        # drop mode on the same cap removes whole cells
+        drop = near_dup_pairs_semdedup(
+            df, "emb", "doc_id", threshold=0.9, n_cells=3, max_cell_size=7
+        ).collect()
+        assert len(drop) < len(unc)
+
+
+class TestCapStats:
+    def test_minhash_stats_exact(self, skewed_docs):
+        # 40 identical docs -> every one of the 8 bands has exactly one
+        # hot bucket of size 40; cap=8 drops all 8.
+        st = minhash_cap_stats(
+            skewed_docs, "text", "doc_id", max_bucket_size=8
+        ).collect()[0]
+        assert st.buckets_dropped == 8
+        assert st.rows_dropped == 8 * HOT
+        assert st.pairs_dropped == 8 * (HOT * (HOT - 1) // 2)
+
+    def test_minhash_stats_noop_corpus(self, spark):
+        # no shared shingles at all -> every band bucket has size 1
+        df = spark.createDataFrame(
+            [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(30)],
+            "doc_id long, text string",
+        )
+        st = minhash_cap_stats(
+            df, "text", "doc_id", max_bucket_size=5
+        ).collect()[0]
+        assert st.pairs_dropped == 0 and st.buckets_dropped == 0
+
+    def test_simhash_stats_nonzero(self, skewed_docs):
+        st = simhash_cap_stats(
+            skewed_docs, "text", "doc_id", max_bucket_size=8
+        ).collect()[0]
+        # 4 pigeonhole blocks, each with a size-40 hot bucket at least
+        assert st.buckets_dropped >= 4
+        assert st.pairs_dropped >= 4 * (HOT * (HOT - 1) // 2)
+
+    def test_generic_bucket_cap_stats(self, spark):
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(10)], "id long, b long"
+        )
+        st = bucket_cap_stats(df, ["b"], cap=3).collect()[0]
+        # sizes: b=0 -> 4 rows (hot), b=1 -> 3, b=2 -> 3
+        assert st.buckets_total == 3
+        assert st.buckets_dropped == 1
+        assert st.rows_dropped == 4
+        assert st.pairs_dropped == 6
+
+
+class TestEventCapStats:
+    def test_exact_counts(self, spark):
+        rows = [(f"u{u}", "click") for u in range(5) for _ in range((u + 1) * 2)]
+        df = spark.createDataFrame(rows, "user_id string, event_type string")
+        st = event_cap_stats(df, "user_id", max_events_per_user=5).collect()[0]
+        # counts per user: 2,4,6,8,10 -> capped users: 3 (6,8,10)
+        assert st.users_total == 5
+        assert st.users_capped == 3
+        assert st.events_dropped == (6 - 5) + (8 - 5) + (10 - 5)
+        assert st.max_user_events == 10
+
+    def test_type_filter_matches_funnel_view(self, spark):
+        rows = [("u1", "view")] * 10 + [("u1", "buy")] * 2 + [("u2", "view")] * 3
+        df = spark.createDataFrame(rows, "user_id string, event_type string")
+        st = event_cap_stats(
+            df, "user_id", max_events_per_user=4,
+            type_col="event_type", types=["view"],
+        ).collect()[0]
+        assert st.users_total == 2
+        assert st.users_capped == 1
+        assert st.events_dropped == 6
+
+    def test_validates_cap(self, spark):
+        df = spark.createDataFrame([("u", "x")], "user_id string, event_type string")
+        with pytest.raises(ValueError):
+            event_cap_stats(df, "user_id", max_events_per_user=0)
+
+
+class TestDegreePruneStats:
+    def test_exact_counts(self, spark):
+        # hub node 0 has in-degree 6; every other node in-degree <= 1
+        edges = [(s, 0) for s in range(1, 7)] + [(1, 2), (2, 3), (7, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        st = degree_prune_stats(
+            df, "src", "dst", max_in_degree=4, max_out_degree=100
+        ).collect()[0]
+        assert st.edges_total == 9
+        assert st.edges_after_in_prune == 7  # hub keeps 4 of 6
+        assert st.edges_after_out_prune == 7
+        assert st.in_nodes_pruned == 1
+        assert st.out_nodes_pruned == 0
+        assert st.max_in_degree_seen == 6
+        assert st.max_out_degree_seen == 2  # nodes 1 and 2 emit two edges
+
+    def test_parallel_edges_presummed(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+        )
+        st = degree_prune_stats(df).collect()[0]
+        assert st.edges_total == 2  # (1,2) pre-summed
+        assert st.max_out_degree_seen == 2
