@@ -6056,3 +6056,196 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return final_attribution(drained)
+
+
+# ---------------------------------------------------------------------------
+# round 8: skew-cap observability ("no silent caps") + recall-preserving
+# salted hot-bucket joins. The hot corpus replicates each of the first
+# 60 documents 10x verbatim, so EVERY minhash band / simhash block has
+# size-10 hot buckets — caps engage deterministically at every SF.
+# ---------------------------------------------------------------------------
+
+_HOT_COPIES = 10
+_HOT_DOCS = 60
+
+_HOT_SQL = f"""
+    hot AS (
+      SELECT doc_id + 1000000 * k AS doc_id, text
+      FROM documents CROSS JOIN range(0, {_HOT_COPIES}) AS t(k)
+      WHERE doc_id < {_HOT_DOCS}
+    )
+"""
+
+
+def _hot_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _HOT_DOCS)
+    ks = spark.range(_HOT_COPIES).select(F.col("id").alias("_k"))
+    return d.crossJoin(ks).select(
+        (F.col("doc_id") + F.col("_k") * 1000000).alias("doc_id"), "text"
+    )
+
+
+from .functions.oracle import sql_word_shingles as _sql_ws  # noqa: E402
+from .functions.oracle import sql_poly_hash as _sql_ph  # noqa: E402
+from .functions.oracle import (  # noqa: E402
+    sql_minhash_signature_from_hashes as _sql_mh,
+)
+
+_MINHASH_CAP_STATS_SQL = (
+    "WITH " + _HOT_SQL + f""",
+    sh AS (SELECT doc_id AS id, {_sql_ws('text', 3)} AS sh FROM hot),
+    hs AS (SELECT id, list_transform(sh, g -> {_sql_ph('g')}) AS hs FROM sh),
+    sig AS (SELECT id, {_sql_mh('hs', 24)} AS sig FROM hs),
+    bands AS (
+      SELECT id, b, (sig)[b*3+1:b*3+3] AS bsig
+      FROM sig CROSS JOIN range(0, 8) AS t(b)
+    ),
+    sizes AS (SELECT b, bsig, count(*) AS bn FROM bands GROUP BY b, bsig)
+    SELECT count(*) AS buckets_total,
+           CAST(sum(CASE WHEN bn > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_dropped,
+           CAST(sum(CASE WHEN bn > 4 THEN bn ELSE 0 END) AS BIGINT)
+             AS rows_dropped,
+           CAST(sum(CASE WHEN bn > 4 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_dropped
+    FROM sizes
+"""
+)
+
+
+@_q("dedup_minhash_cap_stats", _MINHASH_CAP_STATS_SQL)
+def dedup_minhash_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact drop observable for the minhash hot-bucket cap: one
+    summary row of what max_bucket_size=4 would silently drop on the
+    hot corpus (every band has 60 size-10 buckets). Same sizes frame
+    the cap itself builds + a 1-row aggregate — the 'no silent caps'
+    companion a 100 TB dedup run logs next to its output."""
+    from .operators.dedup import minhash_cap_stats
+
+    return minhash_cap_stats(
+        _hot_docs(spark, sf_dir), "text", "doc_id", max_bucket_size=4
+    )
+
+
+_MINHASH_SALTED_SQL = (
+    "WITH " + _HOT_SQL + f""",
+    sh AS (SELECT doc_id AS id, {_sql_ws('text', 3)} AS sh FROM hot),
+    hs AS (SELECT id, list_transform(sh, g -> {_sql_ph('g')}) AS hs FROM sh),
+    sig AS (SELECT id, {_sql_mh('hs', 24)} AS sig FROM hs),
+    bands AS (
+      SELECT id, b, (sig)[b*3+1:b*3+3] AS bsig
+      FROM sig CROSS JOIN range(0, 8) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS src, r.id AS dst
+      FROM bands l JOIN bands r ON l.b = r.b AND l.bsig = r.bsig AND l.id < r.id
+    )
+    SELECT c.src, c.dst,
+           round(CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+                 / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1), 6)
+             AS jaccard
+    FROM cand c JOIN sh a ON a.id = c.src JOIN sh b2 ON b2.id = c.dst
+    WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+          / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1) >= 0.9
+"""
+)
+
+
+@_q("dedup_minhash_salted", _MINHASH_SALTED_SQL)
+def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-preserving salted hot-bucket join: max_bucket_size=3
+    forces EVERY bucket of the hot corpus through the triangle-salt
+    path (k=4 sub-groups), yet the oracle is the plain UNCAPPED pairs
+    SQL — the salted plan must reproduce it exactly. Per-task join
+    work stays bounded at ~2*cap^2 per salt cell (the 100 TB answer
+    to hot boilerplate buckets that 'drop' mode would silently
+    sacrifice)."""
+    from .operators.dedup import near_dup_pairs_minhash
+
+    out = near_dup_pairs_minhash(
+        _hot_docs(spark, sf_dir), on="text", id_col="doc_id",
+        threshold=0.9, num_hashes=24, bands=8, shingle=3, word=True,
+        max_bucket_size=3, hot_bucket="salt",
+    )
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+_EVENT_CAP_STATS_SQL = """
+    WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT count(*) AS users_total,
+           CAST(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS users_capped,
+           CAST(sum(CASE WHEN n > 50 THEN n - 50 ELSE 0 END) AS BIGINT)
+             AS events_dropped,
+           max(n) AS max_user_events
+    FROM per
+"""
+
+
+@_q("events_cap_stats", _EVENT_CAP_STATS_SQL)
+def events_cap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact observable for the event-family max_events_per_user caps:
+    at cap=50 the synthetic events table has genuinely capped users at
+    every SF, so the drop counts are non-trivial."""
+    from .operators.eventpipe import event_cap_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return event_cap_stats(ev, "user_id", max_events_per_user=50)
+
+
+_DEGREE_PRUNE_STATS_SQL = """
+    WITH ce AS (
+      SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    e0 AS (SELECT s, d, w FROM ce UNION ALL SELECT d, s, w FROM ce),
+    e AS (SELECT s, d, sum(w) AS w FROM e0 GROUP BY 1, 2),
+    r1 AS (SELECT s, d, w,
+                  row_number() OVER (PARTITION BY d ORDER BY w DESC, s ASC) AS rn
+           FROM e),
+    e1 AS (SELECT s, d, w FROM r1 WHERE rn <= 100),
+    r2 AS (SELECT s, d, w,
+                  row_number() OVER (PARTITION BY s ORDER BY w DESC, d ASC) AS rn
+           FROM e1),
+    e2 AS (SELECT s, d, w FROM r2 WHERE rn <= 120)
+    SELECT (SELECT count(*) FROM e) AS edges_total,
+           (SELECT count(*) FROM e1) AS edges_after_in_prune,
+           (SELECT count(*) FROM e2) AS edges_after_out_prune,
+           (SELECT count(*) FROM (SELECT d FROM e GROUP BY d HAVING count(*) > 100))
+             AS in_nodes_pruned,
+           (SELECT count(*) FROM (SELECT s FROM e1 GROUP BY s HAVING count(*) > 120))
+             AS out_nodes_pruned,
+           (SELECT max(n) FROM (SELECT count(*) AS n FROM e GROUP BY d))
+             AS max_in_degree_seen,
+           (SELECT max(n) FROM (SELECT count(*) AS n FROM e GROUP BY s))
+             AS max_out_degree_seen
+"""
+
+
+@_q("graph_degree_prune_stats", _DEGREE_PRUNE_STATS_SQL)
+def graph_degree_prune_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact observable for pagerank's degree prune on the co-purchase
+    graph: caps (in=100, out=120) sit below the graph's hottest hubs
+    at every SF, so the prune counts are non-trivial. Same ranking and
+    in-then-out order as pagerank itself."""
+    from .operators.graph import degree_prune_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ce = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    e = ce.select("src", "dst", "w").unionByName(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return degree_prune_stats(
+        e, "src", "dst", weight_col="w",
+        max_in_degree=100, max_out_degree=120,
+    )
