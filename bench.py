@@ -165,6 +165,25 @@ def bench_queries(spark):
         return lt.bm25_delta_postings(
             spark, _bm25_idx_path[sf_dir], batch)
 
+    _bm25_seg_path = {}
+
+    def search_bm25_compact(sf_dir):
+        # the maintenance shape closing the segment model's staleness
+        # loop: re-derive N/avgdl/df from the stored base+delta
+        # postings and re-bake every impact — I/O scales with the
+        # INDEX, never the corpus text. Setup (once): build on 90% of
+        # docs + append the other 10% as a frozen-frame segment.
+        import tempfile
+
+        if sf_dir not in _bm25_seg_path:
+            docs = read_table(spark, sf_dir, "documents")
+            path = tempfile.mkdtemp(prefix="lt_bench_bm25_seg_")
+            lt.save_bm25_index(docs.filter(F.col("doc_id") % 10 != 7), path)
+            lt.append_to_bm25_index(
+                docs.filter(F.col("doc_id") % 10 == 7), path)
+            _bm25_seg_path[sf_dir] = path
+        return lt.bm25_compacted_postings(spark, _bm25_seg_path[sf_dir])
+
     _ivf_idx_path = {}
 
     def ann_ivf_indexed(sf_dir):
@@ -230,6 +249,7 @@ def bench_queries(spark):
         "search_bm25": from_oracle("search_bm25_documents"),
         "search_bm25_indexed": search_bm25_indexed,
         "search_bm25_append": search_bm25_append,
+        "search_bm25_compact": search_bm25_compact,
         "docs_gopher_rules": from_oracle("docs_gopher_rules"),
         "events_funnel": from_oracle("events_funnel_summary"),
         "events_retention": from_oracle("events_retention_daily"),
@@ -306,6 +326,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # quality tracking (untimed): recall@10 of the approximate ANN
+    # entries vs the exact broadcast baseline — a centroid-quality or
+    # bucket-tuning regression shows up here round-over-round even
+    # when the wall-clock looks fine.
+    recall: dict[str, float] = {}
+    try:
+        emb = read_table(spark, SF_DIR, "embeddings")
+        exact = (
+            lt.ann_topk(emb, emb, k=10, mode="broadcast_knn")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        n_exact = exact.count()
+        for nm, approx in (
+            ("ann_ivf_topk", lt.ivf_topk(emb, emb, k=10, n_probe=4)),
+            ("ann_lsh_topk", lt.ann_topk(emb, emb, k=10,
+                                         mode="lsh_hyperplane",
+                                         n_planes=6, dim=64)),
+        ):
+            hit = exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            ).count()
+            recall[nm] = round(hit / max(n_exact, 1), 4)
+            print(f"# recall@10 {nm}: {recall[nm]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — recall is telemetry, not a gate
+        print(f"# recall tracking failed: {e}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -315,6 +363,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_10": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "methodology": (
                     "per query: 1 warm + N timed runs, min reported "

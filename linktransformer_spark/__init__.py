@@ -80,7 +80,9 @@ from .operators.entity import (
 )
 from .operators.search import (
     append_to_bm25_index,
+    bm25_compacted_postings,
     bm25_delta_postings,
+    compact_bm25_index,
     bm25_topk,
     rrf_fuse,
     bm25_topk_indexed,
@@ -216,6 +218,7 @@ __all__ = [
     "save_ivf_index",
     "append_to_bm25_index",
     "append_to_ivf_index",
+    "bm25_compacted_postings",
     "bm25_delta_postings",
     "quantize_embeddings",
     "knn_classify",
@@ -275,6 +278,7 @@ __all__ = [
     "bm25_topk_indexed",
     "rrf_fuse",
     "build_bm25_index",
+    "compact_bm25_index",
     "save_bm25_index",
     "match_pairs",
     "match_pairs_weighted",

@@ -115,32 +115,43 @@ def _impact_postings(
             .agg(F.count("*").alias("_df"))
             .crossJoin(F.broadcast(stats))
         )
-    idf = dfreq.select(
-        "_tok",
-        F.log(
-            F.lit(1.0)
-            + (F.col("_N").cast("double") - F.col("_df") + F.lit(0.5))
-            / (F.col("_df") + F.lit(0.5))
-        ).alias("_idf"),
-        "_avgdl",
-    )
+    idf = dfreq.select("_tok", _idf_expr().alias("_idf"), "_avgdl")
     postings = dtc.join(idf, "_tok").select(
         "_tok",
         "_d",
-        (
-            F.col("_idf")
-            * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
-            / (
-                F.col("_tf").cast("double")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl"))
-                )
-            )
-        ).alias("_c"),
+        _impact_expr(k1, b).alias("_c"),
+        "_tf",
+        "_dl",
     )
     return postings, dfreq.select("_tok", "_df", "_N", "_avgdl")
+
+
+def _idf_expr() -> F.Column:
+    """Lucene-style non-negative IDF over (_df, _N) — ONE expression
+    shape shared by the build and compaction paths so recomputed
+    impacts are bit-identical doubles."""
+    return F.log(
+        F.lit(1.0)
+        + (F.col("_N").cast("double") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+
+
+def _impact_expr(k1: float, b: float) -> F.Column:
+    """Full per-posting BM25 contribution over (_idf, _tf, _dl,
+    _avgdl) — shared by build and compaction for bit-exact parity."""
+    return (
+        F.col("_idf")
+        * (F.col("_tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("_dl").cast("double") / F.col("_avgdl"))
+            )
+        )
+    )
 
 
 def _query_terms(
@@ -265,7 +276,7 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 N_BUCKETS_DEFAULT = 64
-_BM25_INDEX_VERSION = 2
+_BM25_INDEX_VERSION = 3  # v3: postings carry raw tf/dl for compaction
 
 
 def build_bm25_index(
@@ -278,11 +289,16 @@ def build_bm25_index(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Materializable impact index: returns
     ``(postings, dfreq, stats)`` with postings =
-    ``(bucket, term, doc id (original name), impact)``, dfreq =
+    ``(bucket, term, doc id (original name), impact, tf, dl)``, dfreq =
     ``(term, df, n_docs)``, and stats a ONE-ROW ``(n_docs, avgdl)``
     relation (the corpus-global quantities every stored impact bakes
     in — persisted so :func:`append_to_bm25_index` can score delta
-    segments against the same reference frame).
+    segments against the same reference frame). The raw ``tf``/``dl``
+    ride along (two ints per posting) so
+    :func:`compact_bm25_index` can re-derive every corpus stat and
+    re-bake every impact from the postings ALONE — compaction I/O
+    scales with the index, never the corpus text (the Lucene
+    segment-merge economics).
     ``bucket = pmod(xxhash64(term), n_buckets)`` is the partition key
     :func:`save_bm25_index` writes under."""
     if n_buckets < 1:
@@ -293,6 +309,8 @@ def build_bm25_index(
         F.col("_tok").alias("term"),
         F.col("_d").alias(id_col),
         F.col("_c").alias("impact"),
+        F.col("_tf").cast("int").alias("tf"),
+        F.col("_dl").cast("int").alias("dl"),
     )
     df_out = dfreq.select(
         F.col("_tok").alias("term"),
@@ -460,6 +478,8 @@ def bm25_delta_postings(
         F.col("_tok").alias("term"),
         F.col("_d").alias(id_col),
         F.col("_c").alias("impact"),
+        F.col("_tf").cast("int").alias("tf"),
+        F.col("_dl").cast("int").alias("dl"),
     )
 
 
@@ -495,6 +515,117 @@ def append_to_bm25_index(
     delta.repartition("bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{index_path}/postings")
+
+
+def compact_bm25_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Compact a base+delta index into a fresh index at ``out_path``
+    whose postings are BIT-IDENTICAL to a full
+    :func:`save_bm25_index` rebuild over the union corpus — without
+    touching the corpus text.
+
+    This is what closes the append path's documented staleness loop:
+    every stored posting carries its raw ``tf``/``dl`` (two ints), so
+    N (distinct doc count), avgdl (exact-integer token total / N), and
+    per-term df are all re-derivable from the postings relation alone,
+    and every impact re-bakes through the same ``_idf_expr`` /
+    ``_impact_expr`` shapes the build path uses — identical doubles,
+    not approximately-equal ones (pinned in
+    tests/test_search.py::test_bm25_compaction_equals_rebuild).
+    Compaction I/O therefore scales with the INDEX (postings rows),
+    never the corpus text volume — the Lucene segment-merge economics,
+    and at 100 TB the difference between an overnight re-tokenize of
+    the corpus and a bucket-local shuffle of the index.
+
+    Writes a complete fresh index (postings/, dfreq/, meta/) at
+    ``out_path``; swapping it over the old directory is the caller's
+    (atomic, filesystem-level) rename — the same commit-point
+    discipline Lucene uses, and why this function does not overwrite
+    ``index_path`` in place while reading from it. ``n_buckets``
+    defaults to the source index's; pass a larger value to re-bucket a
+    grown index in the same pass. Contract (same as append): document
+    ids must be unique across all segments — a doc ingested twice
+    double-counts df exactly as it would in a rebuild of the
+    duplicated corpus.
+    """
+    meta = _read_bm25_meta(spark, index_path)
+    nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
+    id_col = str(meta["id_col"])
+    out, dfreq, stats = _compacted_parts(spark, index_path, meta, nb)
+    out.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{out_path}/postings")
+    dfreq.select(
+        F.col("_tok").alias("term"),
+        F.col("_df").alias("df"),
+        F.col("_N").alias("n_docs"),
+    ).write.mode("overwrite").parquet(f"{out_path}/dfreq")
+    st = stats.collect()[0]
+    spark.createDataFrame(
+        [(
+            _BM25_INDEX_VERSION, nb, float(meta["k1"]), float(meta["b"]),
+            id_col, int(st["_N"]), float(st["_avgdl"]),
+        )],
+        "version int, n_buckets int, k1 double, b double, "
+        "id_col string, n_docs bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").json(f"{out_path}/meta")
+
+
+def _compacted_parts(
+    spark: SparkSession, index_path: str, meta: dict, nb: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The compute half of :func:`compact_bm25_index`: re-derive
+    (N, avgdl, df) from the stored postings and re-bake every impact —
+    returns ``(postings, dfreq, stats)`` in the stored column shapes.
+    Exposed via :func:`bm25_compacted_postings` so the compaction cost
+    is benchmarkable without the parquet write (same stance as
+    :func:`bm25_delta_postings`)."""
+    if nb < 1:
+        raise ValueError("n_buckets must be >= 1")
+    k1, b = float(meta["k1"]), float(meta["b"])
+    id_col = str(meta["id_col"])
+    p = spark.read.parquet(f"{index_path}/postings").select(
+        F.col("term").alias("_tok"),
+        F.col(id_col).alias("_d"),
+        F.col("tf").alias("_tf"),
+        F.col("dl").alias("_dl"),
+    )
+    # stats re-derivation: postings are exactly the build path's
+    # distinct (doc, term) relation, so the SAME aggregate expression
+    # reproduces the SAME (N, avgdl) doubles a rebuild would compute
+    stats = p.agg(
+        F.countDistinct("_d").alias("_N"),
+        (F.sum("_tf").cast("double") / F.countDistinct("_d")).alias("_avgdl"),
+    )
+    dfreq = (
+        p.groupBy("_tok")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = dfreq.select("_tok", _idf_expr().alias("_idf"), "_avgdl")
+    out = p.join(idf, "_tok").select(
+        F.pmod(F.xxhash64("_tok"), F.lit(nb)).cast("int").alias("bucket"),
+        F.col("_tok").alias("term"),
+        F.col("_d").alias(id_col),
+        _impact_expr(k1, b).alias("impact"),
+        F.col("_tf").cast("int").alias("tf"),
+        F.col("_dl").cast("int").alias("dl"),
+    )
+    return out, dfreq, stats
+
+
+def bm25_compacted_postings(
+    spark: SparkSession, index_path: str, n_buckets: int | None = None
+) -> DataFrame:
+    """The re-baked posting relation :func:`compact_bm25_index` would
+    write — the compaction compute without the I/O."""
+    meta = _read_bm25_meta(spark, index_path)
+    nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
+    return _compacted_parts(spark, index_path, meta, nb)[0]
 
 
 def rrf_fuse(

@@ -6249,3 +6249,42 @@ def graph_degree_prune_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "src", "dst", weight_col="w",
         max_in_degree=100, max_out_degree=120,
     )
+
+
+@_q("search_bm25_compacted", _bm25_sql())
+def search_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment-model round trip: build the index on 90% of the
+    corpus, append the other 10% as a frozen-frame delta segment, then
+    COMPACT — re-deriving N/avgdl/df and re-baking every impact from
+    the stored postings alone (no corpus text touched). The oracle is
+    the plain full-corpus BM25 SQL: compaction must erase the append
+    drift bit-exactly (operators/search.compact_bm25_index)."""
+    import hashlib
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import (
+        append_to_bm25_index, bm25_topk_indexed, compact_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    inc = f"{tmp}/lt_bm25_seg_{tag}"
+    comp = f"{tmp}/lt_bm25_cmp_{tag}"
+    save_bm25_index(base, inc)
+    append_to_bm25_index(delta, inc)
+    compact_bm25_index(spark, inc, comp)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    out = bm25_topk_indexed(spark, comp, queries, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
+    )

@@ -308,3 +308,84 @@ def test_rrf_validates(spark):
     a = _ranked(spark, [(1, 10, 1)])
     with pytest.raises(ValueError):
         lt.rrf_fuse([a], k=0)
+
+
+# ---------------------------------------------------------------------------
+# Compaction: base+delta -> fresh index, bit-exact vs full rebuild
+# ---------------------------------------------------------------------------
+
+
+def _postings_key(spark, path):
+    rows = spark.read.parquet(f"{path}/postings").collect()
+    return sorted(
+        (r["term"], r["doc_id"], r["impact"], r["tf"], r["dl"], r["bucket"])
+        for r in rows
+    )
+
+
+def test_bm25_compaction_equals_rebuild(spark, tmp_path):
+    """compact(build(A)+append(B)) == build(A+B) BIT-exactly: postings
+    (term, id, impact, tf, dl, bucket), dfreq, meta stats, and
+    retrieval scores — the append path's documented drift disappears
+    at compaction."""
+    base_rows = [
+        (i, f"alpha beta gamma doc{i} token{i % 7} filler text here")
+        for i in range(40)
+    ]
+    delta_rows = [(100, "alpha beta gamma delta fresh document"),
+                  (101, "token1 token2 fresh appended text")]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    delta = spark.createDataFrame(delta_rows, ["doc_id", "text"])
+    inc, full, comp = (str(tmp_path / d) for d in ("inc", "full", "comp"))
+    lt.save_bm25_index(base, inc, n_buckets=4)
+    lt.append_to_bm25_index(delta, inc)
+    lt.save_bm25_index(base.unionByName(delta), full, n_buckets=4)
+
+    # pre-compaction: the drift the segment model documents is REAL
+    q = _q(spark, (1, "alpha token1"), (2, "gamma token2"))
+    inc_scores = {(r["q_id"], r["doc_id"]): r["score"]
+                  for r in lt.bm25_topk_indexed(spark, inc, q, k=60).collect()}
+    full_scores = {(r["q_id"], r["doc_id"]): r["score"]
+                   for r in lt.bm25_topk_indexed(spark, full, q, k=60).collect()}
+    assert any(inc_scores[k] != full_scores[k] for k in full_scores)
+
+    lt.compact_bm25_index(spark, inc, comp)
+    # postings bit-identical to the rebuild
+    assert _postings_key(spark, comp) == _postings_key(spark, full)
+    # dfreq identical
+    dc = sorted(map(tuple, spark.read.parquet(f"{comp}/dfreq").collect()))
+    df_ = sorted(map(tuple, spark.read.parquet(f"{full}/dfreq").collect()))
+    assert dc == df_
+    # meta stats identical
+    mc = spark.read.json(f"{comp}/meta").collect()[0]
+    mf = spark.read.json(f"{full}/meta").collect()[0]
+    assert (mc["n_docs"], mc["avgdl"]) == (mf["n_docs"], mf["avgdl"])
+    # retrieval scores bit-identical (drift gone)
+    comp_scores = {(r["q_id"], r["doc_id"]): r["score"]
+                   for r in lt.bm25_topk_indexed(spark, comp, q, k=60).collect()}
+    assert comp_scores == full_scores
+
+
+def test_bm25_compaction_rebucket(spark, corpus, tmp_path):
+    """n_buckets override re-buckets in the same pass; retrieval from
+    the re-bucketed index matches the source exactly."""
+    src, comp = str(tmp_path / "src"), str(tmp_path / "re")
+    lt.save_bm25_index(corpus, src, n_buckets=2)
+    lt.compact_bm25_index(spark, src, comp, n_buckets=8)
+    meta = spark.read.json(f"{comp}/meta").collect()[0]
+    assert meta["n_buckets"] == 8
+    q = _q(spark, (1, "apple banana"), (2, "egg"))
+    a = {(r["q_id"], r["doc_id"]): r["score"]
+         for r in lt.bm25_topk_indexed(spark, src, q, k=5).collect()}
+    b = {(r["q_id"], r["doc_id"]): r["score"]
+         for r in lt.bm25_topk_indexed(spark, comp, q, k=5).collect()}
+    assert a == b
+
+
+def test_bm25_compaction_validates(spark, corpus, tmp_path):
+    src = str(tmp_path / "v")
+    lt.save_bm25_index(corpus, src, n_buckets=2)
+    with pytest.raises(ValueError):
+        lt.compact_bm25_index(spark, src, str(tmp_path / "o"), n_buckets=0)
+    with pytest.raises(ValueError, match="no readable meta"):
+        lt.compact_bm25_index(spark, str(tmp_path / "none"), str(tmp_path / "o2"))
