@@ -92,6 +92,32 @@ def char_budget_batches(strings: list[str], budget: int = CHAR_BUDGET) -> list[l
     ]
 
 
+def parse_openai_embeddings_response(resp) -> list[list[float]]:
+    """Extract vectors from an OpenAI ``POST /v1/embeddings`` response
+    — the SDK's pydantic object or the raw JSON dict (shape per the
+    public API reference: ``{"object": "list", "data": [{"object":
+    "embedding", "index": i, "embedding": [...]}], "model", "usage"}``).
+    Vectors return in ``index`` order: the API documents input-order
+    responses, but ``index`` is the authoritative alignment, so a
+    reordered ``data`` array still maps each vector to its input row.
+    Exercised against recorded response fixtures in
+    tests/test_provider_replay.py (no keys, no network)."""
+    data = resp["data"] if isinstance(resp, dict) else resp.data
+    def _idx(d):
+        return d["index"] if isinstance(d, dict) else d.index
+    def _vec(d):
+        return d["embedding"] if isinstance(d, dict) else d.embedding
+    return [_vec(d) for d in sorted(data, key=_idx)]
+
+
+def parse_gemini_embed_content_response(r) -> list[float]:
+    """Extract the vector from a Gemini ``embed_content`` response —
+    the SDK returns ``{"embedding": [...]}`` (dict) in the
+    google-generativeai package; object-shaped responses expose
+    ``.embedding``. Replay-tested in tests/test_provider_replay.py."""
+    return r["embedding"] if isinstance(r, dict) else r.embedding
+
+
 class ApiEncoder(Encoder):
     """``client_factory() -> client`` where client has
     ``embed(batch: list[str], model: str) -> list[list[float]]``.
@@ -135,7 +161,7 @@ class ApiEncoder(Encoder):
                 class W:
                     def embed(self, batch, model):
                         resp = cli.embeddings.create(input=batch, model=model)
-                        return [d.embedding for d in resp.data]
+                        return parse_openai_embeddings_response(resp)
 
                 return W()
 
@@ -159,7 +185,7 @@ class ApiEncoder(Encoder):
                             model=normalize_gemini_model_name(model),
                             content=text, task_type="retrieval_document",
                         )
-                        out.append(r["embedding"] if isinstance(r, dict) else r.embedding)
+                        out.append(parse_gemini_embed_content_response(r))
                     return out
 
             return W()

@@ -230,7 +230,7 @@ class OpenAIChatSpec(LLMClientSpec):
                     frequency_penalty=p.get("frequency_penalty", 0),
                     presence_penalty=p.get("presence_penalty", 0),
                 )
-                return r.choices[0].message.content or ""
+                return extract_openai_chat_text(r)
 
         return _C()
 
@@ -262,9 +262,43 @@ class GeminiSpec(LLMClientSpec):
                     f"and return JSON only.\n{user_content}"
                 )
                 r = gm.generate_content(prompt)
-                return getattr(r, "text", None) or ""
+                return extract_gemini_text(r)
 
         return _C()
+
+
+def extract_openai_chat_text(resp) -> str:
+    """Assistant text from an OpenAI ``POST /v1/chat/completions``
+    response — the SDK object or the raw JSON dict (public-API shape:
+    ``{"object": "chat.completion", "choices": [{"index": 0,
+    "message": {"role": "assistant", "content": "..."},
+    "finish_reason": "stop"}], "usage": ...}``). A null ``content``
+    (tool-call / filtered responses) coerces to "" so the downstream
+    JSON parse degrades to the no-match row instead of raising.
+    Replay-tested against recorded fixtures in
+    tests/test_provider_replay.py."""
+    if isinstance(resp, dict):
+        choices = resp.get("choices") or []
+        if not choices:
+            return ""
+        msg = choices[0].get("message") or {}
+        return msg.get("content") or ""
+    return resp.choices[0].message.content or ""
+
+
+def extract_gemini_text(resp) -> str:
+    """Text from a Gemini ``generate_content`` response — the SDK's
+    ``.text`` accessor, or the raw REST dict
+    (``{"candidates": [{"content": {"parts": [{"text": "..."}]}}]}``).
+    Blocked/empty candidates coerce to "". Replay-tested in
+    tests/test_provider_replay.py."""
+    if isinstance(resp, dict):
+        cands = resp.get("candidates") or []
+        if not cands:
+            return ""
+        parts = ((cands[0].get("content") or {}).get("parts")) or []
+        return "".join(p.get("text") or "" for p in parts)
+    return getattr(resp, "text", None) or ""
 
 
 def _call_with_backoff(client, system_prompt, user_content,
