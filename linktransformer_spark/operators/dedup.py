@@ -333,6 +333,63 @@ def _cap_buckets(
     )
 
 
+def _salt_two_sided(
+    lbanded: DataFrame,
+    rbanded: DataFrame,
+    keys: list[str],
+    cap: int,
+    id_col: str = "_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Recall-preserving skew salt for a BIPARTITE bucket join (the
+    new-vs-seen ingest shape): per bucket, split the left side into
+    kL = ceil(nL/cap) sub-groups and the right into kR = ceil(nR/cap);
+    a left row of group gL replicates into cells {(gL, j): j < kR},
+    a right row of group gR into {(i, gR): i < kL}. Any cross pair
+    (a, b) shares exactly ONE cell (gA, gB) — the equi-join on
+    (keys..., _salt) emits exactly the uncapped candidate set while
+    each cell holds at most ~cap rows per side (per-task join work
+    <= cap^2). Replication: left rows x kR, right rows x kL — the
+    grid-partitioned skew join, bounded by the HOT side's k only where
+    buckets are actually hot (cold buckets get the single cell (0,0)).
+    Buckets present on one side only still emit their rows (with
+    k=1 for the absent side) and simply find no partner."""
+    ls = lbanded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_lbn"))
+    rs = rbanded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_rbn"))
+    sizes = ls.join(rs, keys, "full").select(
+        *keys,
+        F.expr(f"CAST((coalesce(_lbn, 1) + {cap} - 1) DIV {cap} AS BIGINT)")
+        .alias("_kl"),
+        F.expr(f"CAST((coalesce(_rbn, 1) + {cap} - 1) DIV {cap} AS BIGINT)")
+        .alias("_kr"),
+    )
+    g = lambda k: F.pmod(  # noqa: E731 — shared group hash, both sides
+        F.col(id_col) * F.lit(40503) + F.lit(12289), k
+    ).cast("long")
+    lj = lbanded.join(sizes, keys)
+    gl = g(F.col("_kl"))
+    lout = lj.select(
+        *lbanded.columns,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_kr") - 1),
+                lambda j: gl * _SALT_BASE + j,
+            )
+        ).alias("_salt"),
+    )
+    rj = rbanded.join(sizes, keys)
+    gr = g(F.col("_kr"))
+    rout = rj.select(
+        *rbanded.columns,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_kl") - 1),
+                lambda i: i * _SALT_BASE + gr,
+            )
+        ).alias("_salt"),
+    )
+    return lout, rout
+
+
 def _salt_pair_cond(l: str = "l", r: str = "r") -> F.Column:
     """Join-condition fragment pairing :func:`_cap_buckets`'s salt
     mode: same cell, and — in off-diagonal cells — endpoints from the
@@ -559,12 +616,21 @@ def near_dup_pairs_minhash_against(
     shingle: int = 3,
     word: bool = True,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """Incremental near-dup check: MinHash-LSH pairs between a NEW
     batch and an already-ingested corpus (``seen``). Returns
     (src=new id, dst=seen id, jaccard) — no new-vs-new or
     seen-vs-seen pairs (use :func:`near_dup_pairs_minhash` within a
     batch).
+
+    ``max_bucket_size`` is the hot-bucket skew guard; ``hot_bucket``
+    picks per-side bucket DROPS ('drop' — quantify with
+    :func:`minhash_cap_stats` per side) or the recall-preserving
+    bipartite grid salt ('salt' — :func:`_salt_two_sided`: output
+    identical to the uncapped join, per-task work bounded at ~cap^2).
+    Boilerplate buckets are exactly where ingest dedup matters most,
+    which is why the salted mode exists here too.
 
     The batch-ingest shape at 100 TB: the seen side's signatures and
     band rows are recomputed here from text, but in a production
@@ -574,20 +640,31 @@ def near_dup_pairs_minhash_against(
     shuffle tracks collisions only, independent of |seen|'s text
     volume). Id spaces of the two tables are independent — pairs are
     keyed by side, not by id ordering."""
+    salted = max_bucket_size is not None and hot_bucket == "salt"
+    side_cap = None if salted else max_bucket_size
     nbase, nbanded = _minhash_base_banded(
-        new, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+        new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     sbase, sbanded = _minhash_base_banded(
-        seen, on, id_col, num_hashes, bands, shingle, word, max_bucket_size
+        seen, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
+    if salted:
+        nbanded, sbanded = _salt_two_sided(
+            nbanded, sbanded, ["band", "bsig"], max_bucket_size
+        )
+    elif max_bucket_size is not None and hot_bucket != "drop":
+        raise ValueError(
+            f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
+        )
     l = nbanded.alias("l")
     r = sbanded.alias("r")
+    cond = (F.col("l.band") == F.col("r.band")) & (
+        F.col("l.bsig") == F.col("r.bsig")
+    )
+    if salted:
+        cond = cond & (F.col("l._salt") == F.col("r._salt"))
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig")),
-        )
+        l.join(r, cond)
         .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
@@ -626,14 +703,16 @@ def dedup_against(
     shingle: int = 3,
     word: bool = True,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """New-batch rows that are NOT near-dups of the seen corpus (the
     ingest filter): anti-join of ``new`` against the matched src ids.
     Within-batch duplicates are intentionally untouched — chain
-    :func:`dedup_minhash` on the survivors for that."""
+    :func:`dedup_minhash` on the survivors for that. ``hot_bucket``
+    as in :func:`near_dup_pairs_minhash_against` ('drop' | 'salt')."""
     pairs = near_dup_pairs_minhash_against(
         new, seen, on, id_col, threshold, num_hashes, bands, shingle, word,
-        max_bucket_size,
+        max_bucket_size, hot_bucket,
     )
     matched = pairs.select(F.col("src").alias(id_col)).distinct()
     return new.join(matched, id_col, "left_anti")

@@ -222,3 +222,72 @@ class TestDegreePruneStats:
         st = degree_prune_stats(df).collect()[0]
         assert st.edges_total == 2  # (1,2) pre-summed
         assert st.max_out_degree_seen == 2
+
+
+class TestSaltedAgainstJoin:
+    def test_two_sided_salt_equals_uncapped(self, spark):
+        from linktransformer_spark.operators.dedup import (
+            near_dup_pairs_minhash_against,
+        )
+
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        seen = spark.createDataFrame(
+            [(i, boiler) for i in range(25)]
+            + [(100 + i, f"seen doc {i} about topic {i % 5} words {i * 7}")
+               for i in range(30)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1000 + i, boiler + (" tail" if i % 2 else ""))
+             for i in range(20)]
+            + [(2000 + i, f"seen doc {i} about topic {i % 5} words {i * 7}")
+               for i in range(10)],
+            "doc_id long, text string",
+        )
+        kw = dict(on="text", id_col="doc_id", threshold=0.5)
+        unc = near_dup_pairs_minhash_against(new, seen, **kw).collect()
+        drop = near_dup_pairs_minhash_against(
+            new, seen, max_bucket_size=6, **kw
+        ).collect()
+        salt = near_dup_pairs_minhash_against(
+            new, seen, max_bucket_size=6, hot_bucket="salt", **kw
+        ).collect()
+        key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+        assert len(unc) > 0
+        assert key(salt) == key(unc)
+        assert len(drop) < len(unc)
+
+    def test_two_sided_bad_mode(self, spark):
+        from linktransformer_spark.operators.dedup import (
+            near_dup_pairs_minhash_against,
+        )
+
+        df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="hot_bucket"):
+            near_dup_pairs_minhash_against(
+                df, df, on="text", id_col="doc_id",
+                max_bucket_size=2, hot_bucket="nope",
+            ).collect()
+
+    def test_dedup_against_salted_filters_same_rows(self, spark):
+        from linktransformer_spark.operators.dedup import dedup_against
+
+        boiler = "spam spam spam lovely spam wonderful spam spam spam"
+        seen = spark.createDataFrame(
+            [(i, boiler) for i in range(20)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(100, boiler), (101, "a genuinely fresh document here")],
+            "doc_id long, text string",
+        )
+        kw = dict(on="text", id_col="doc_id", threshold=0.8)
+        unc = {r.doc_id for r in dedup_against(new, seen, **kw).collect()}
+        slt = {r.doc_id for r in dedup_against(
+            new, seen, max_bucket_size=4, hot_bucket="salt", **kw
+        ).collect()}
+        drp = {r.doc_id for r in dedup_against(
+            new, seen, max_bucket_size=4, **kw
+        ).collect()}
+        assert unc == {101} and slt == {101}
+        # drop mode loses the hot bucket -> the boilerplate dup SURVIVES
+        assert drp == {100, 101}
