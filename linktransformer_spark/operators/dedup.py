@@ -964,6 +964,58 @@ def simhash_cap_stats(
     return bucket_cap_stats(banded, ["blk", "bval"], max_bucket_size)
 
 
+def jaccard_cap_stats(
+    df: DataFrame,
+    on,
+    id_col: str,
+    shingle: int = 3,
+    word: bool = True,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Observable for :func:`near_dup_pairs_jaccard`'s
+    ``max_shingle_freq`` stopword cap: one summary row over the
+    DISTINCT shingle df distribution — ``buckets_total`` (distinct
+    shingles), ``buckets_dropped`` (df > cap), ``rows_dropped``
+    (doc-shingle memberships excluded from the join), and
+    ``pairs_dropped`` (sum df*(df-1)/2 over dropped shingles — the
+    intersection contributions lost; reported jaccard stays an exact
+    lower bound). Same column contract as :func:`bucket_cap_stats`."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
+    tok = _distinct_shingle_rows(base, shingle, word)
+    return bucket_cap_stats(tok, ["_g"], max_shingle_freq)
+
+
+def semdedup_cap_stats(
+    df: DataFrame,
+    vector_col: str,
+    id_col: str,
+    n_cells: int | str = "auto",
+    max_cell_size: int = 100_000,
+) -> DataFrame:
+    """Observable for :func:`near_dup_pairs_semdedup`'s hot-cell cap:
+    one summary row (:func:`bucket_cap_stats` contract) over the SAME
+    deterministic seeded-centroid cell assignment the operator uses —
+    ``pairs_dropped`` counts the within-cell comparisons a
+    ``hot_cell='drop'`` run would skip. A large value means the
+    centroids failed to split the corpus: raise ``n_cells`` (the
+    quadratic-work knob) before reaching for the cap."""
+    from .ann import _assign_cells_declarative, ivf_seed_centroids, resolve_n_cells
+
+    require_integral_id(df, id_col, "semdedup_cap_stats")
+    n_cells = resolve_n_cells(n_cells, df.count)
+    base = KJ.ensure_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            S.l2_normalize(F.col(vector_col)).alias("_v"),
+        )
+    )
+    cent = ivf_seed_centroids(base, "_id", "_v", n_cells)
+    assigned = _assign_cells_declarative(base, "_id", "_v", cent, 1)
+    return bucket_cap_stats(assigned, ["cell"], max_cell_size)
+
+
 def near_dup_pairs_jaccard(
     df: DataFrame,
     on,

@@ -6288,3 +6288,33 @@ def search_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
     )
+
+
+_JACCARD_CAP_STATS_SQL = (
+    "WITH " + _HOT_SQL + f""",
+    sh AS (SELECT doc_id AS id, {_sql_ws('text', 3)} AS sh FROM hot),
+    tok AS (SELECT id, unnest(sh) AS g FROM sh),
+    sizes AS (SELECT g, count(*) AS bn FROM tok GROUP BY g)
+    SELECT count(*) AS buckets_total,
+           CAST(sum(CASE WHEN bn > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN bn ELSE 0 END) AS BIGINT)
+             AS rows_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_dropped
+    FROM sizes
+"""
+)
+
+
+@_q("dedup_jaccard_cap_stats", _JACCARD_CAP_STATS_SQL)
+def dedup_jaccard_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact observable for the jaccard join's max_shingle_freq
+    stopword cap on the hot corpus (every shingle of a replicated doc
+    has df >= 10, so cap=8 engages on all of them)."""
+    from .operators.dedup import jaccard_cap_stats
+
+    return jaccard_cap_stats(
+        _hot_docs(spark, sf_dir), "text", "doc_id",
+        shingle=3, word=True, max_shingle_freq=8,
+    )

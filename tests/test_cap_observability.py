@@ -291,3 +291,46 @@ class TestSaltedAgainstJoin:
         assert unc == {101} and slt == {101}
         # drop mode loses the hot bucket -> the boilerplate dup SURVIVES
         assert drp == {100, 101}
+
+
+class TestJaccardSemdedupStats:
+    def test_jaccard_stats_exact(self, spark):
+        from linktransformer_spark.operators.dedup import jaccard_cap_stats
+
+        # shingle "a b c" appears in all 12 docs (df=12, hot at cap=10);
+        # every doc also has one private shingle (df=1)
+        rows = [(i, f"a b c priv{i} x{i} y{i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        st = jaccard_cap_stats(
+            df, "text", "doc_id", shingle=3, max_shingle_freq=10
+        ).collect()[0]
+        # 3-gram shingles per doc: "a b c", "b c privI", "c privI xI",
+        # "privI xI yI" -> only "a b c" is shared
+        assert st.buckets_dropped == 1
+        assert st.rows_dropped == 12
+        assert st.pairs_dropped == 12 * 11 // 2
+
+    def test_semdedup_stats_match_cap_behavior(self, spark):
+        import math
+
+        from linktransformer_spark.operators.dedup import semdedup_cap_stats
+
+        # interleaved ids so the 3 smallest-id seed centroids land one
+        # per cluster (ids 0,1,2 = clusters 0,1,2)
+        rows = []
+        for c in range(3):
+            for i in range(30):
+                v = [0.0] * 8
+                v[c] = 1.0
+                v[(c + 3) % 8] = 0.01 * i
+                n = math.sqrt(sum(x * x for x in v))
+                rows.append((i * 3 + c, [x / n for x in v]))
+        df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+        st = semdedup_cap_stats(
+            df, "emb", "doc_id", n_cells=3, max_cell_size=7
+        ).collect()[0]
+        # 3 cells of 30 rows each, all hot at cap=7
+        assert st.buckets_total == 3
+        assert st.buckets_dropped == 3
+        assert st.rows_dropped == 90
+        assert st.pairs_dropped == 3 * (30 * 29 // 2)

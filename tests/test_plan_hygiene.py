@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "events_value_histogram": "1-row (min, max) bounds + 1-row total broadcast",
     "events_attribution_last_touch": "1-row conversions-total broadcast",
     "events_attribution_first_touch": "1-row conversions-total broadcast",
+    "dedup_jaccard_cap_stats": "10-row literal replication range broadcast (hot-corpus builder)",
 }
 
 
