@@ -127,7 +127,7 @@ def ann_topk(
     corpus_id: str = "vec_id",
     k: int = 10,
     mode: str = "exact_cross",
-    n_planes: int = 12,
+    n_planes: int | str = 12,
     dim: int | None = None,
     multi_probe: int = 0,
 ) -> DataFrame:
@@ -139,6 +139,14 @@ def ann_topk(
     many flipped-least-confident-bit buckets per query — recall
     recovery at (1 + multi_probe)x probe cost, corpus side untouched
     (see :func:`hyperplane_probe_buckets`).
+
+    ``n_planes`` (lsh_hyperplane only) accepts ``"auto"`` —
+    ceil(log2(n_corpus/256)) via :func:`resolve_n_planes`. The plane
+    count must GROW with the corpus (one plane per doubling): at a
+    FIXED n_planes the candidate join volume is quadratic in corpus
+    size (bucket count is pinned at 2^n_planes), the super-linear
+    cliff the sf1 scale sweep measures. Pin an int when you need a
+    byte-stable SQL mirror of the bucketing.
     """
     # fan the query side out up front: single-file inputs otherwise run
     # the scoring stage (mapInPandas matmul / NLJ / bucket join probe)
@@ -160,6 +168,7 @@ def ann_topk(
     elif mode == "lsh_hyperplane":
         if dim is None:
             raise ValueError("lsh_hyperplane mode needs dim=")
+        n_planes = resolve_n_planes(n_planes, c.count)
         if multi_probe:
             qb = hyperplane_probe_buckets(
                 q, KJ.LEFT_EMB, dim, n_planes, multi_probe
@@ -323,6 +332,37 @@ def resolve_n_cells(n_cells, count_fn, rows_per_cell: int = AUTO_ROWS_PER_CELL,
     if isinstance(n_cells, str):
         raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
     return int(n_cells)
+
+
+def resolve_n_planes(n_planes, count_fn, rows_per_bucket: int = 32,
+                     floor: int = 4, ceiling: int = 24) -> int:
+    """Resolve an ``n_planes`` argument: ``"auto"`` ->
+    ceil(log2(n / rows_per_bucket)), clamped to [floor, ceiling].
+
+    The scale rule the sf1 sweep measured the hard way: hyperplane-LSH
+    bucket COUNT is fixed at 2^n_planes, so at fixed ``n_planes`` the
+    expected bucket size grows linearly with the corpus and the
+    candidate join volume QUADRATICALLY (sum of bucket^2) — a 10x
+    corpus at the same planes is ~100x candidate pairs (er_resolve_lsh
+    measured 38x wall at 10x data with pinned planes). Targeting a
+    constant ~``rows_per_bucket`` rows per bucket keeps candidate
+    volume linear in the corpus: n_planes must GROW one plane per
+    corpus doubling, exactly like ``n_cells`` tracks n/256 for IVF.
+    The 32-row default reproduces both round-7 hand-tuned values
+    (6 planes at 2k vectors, 9 planes at 15k ER keys — PLANS.md).
+    Explicit ints stay count-free (and byte-stable for SQL mirrors).
+    """
+    if n_planes == "auto":
+        import math
+
+        n = max(int(count_fn()), 1)
+        want = math.ceil(math.log2(max(n / rows_per_bucket, 2.0)))
+        return max(floor, min(ceiling, want))
+    if isinstance(n_planes, str):
+        raise ValueError(
+            f"n_planes must be an int or 'auto', got {n_planes!r}"
+        )
+    return int(n_planes)
 
 
 def ivf_seed_centroids(corpus_norm: DataFrame, id_col: str, vec_col: str,
@@ -687,7 +727,7 @@ def knn_classify(
     label_col: str = "label",
     k: int = 5,
     mode: str = "exact_cross",
-    n_planes: int = 12,
+    n_planes: int | str = 12,
     dim: int | None = None,
 ) -> DataFrame:
     """Leave-one-out kNN label prediction over an embedding column:
@@ -723,6 +763,7 @@ def knn_classify(
     if mode == "lsh_hyperplane":
         if dim is None:
             raise ValueError("lsh_hyperplane mode needs dim=")
+        n_planes = resolve_n_planes(n_planes, base.count)
         qb = q.withColumn("_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes))
         cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
         cand = qb.join(cb, "_bkt").filter(

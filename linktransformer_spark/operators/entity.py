@@ -77,7 +77,7 @@ def match_pairs(
     blocking_vars: list[str] | None = None,
     model: str = "levenshtein",
     blocking: str = "exact",
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     lsh_dim: int = 64,
 ) -> DataFrame:
     """Scored candidate pairs above ``sim_threshold``:
@@ -104,7 +104,12 @@ def match_pairs(
       lower ``n_planes`` for recall, raise it for precision/balance),
       exact re-score inside buckets. A hot bucket (many near-identical
       keys) concentrates one join partition — raise ``n_planes``, the
-      operator's skew knob.
+      operator's skew knob. ``n_planes="auto"`` targets ~256 rows per
+      bucket (ceil(log2(n/256)) over the larger side — see
+      ann.resolve_n_planes): the plane count must GROW with the
+      corpus (one per doubling) or candidate volume goes quadratic,
+      the super-linear cliff the sf1 scale sweep measures. Pin an int
+      for a byte-stable SQL mirror.
 
     ``model`` picks the scorer: ``levenshtein`` (normalized edit
     similarity) or ``hash-ngram`` (deterministic n-gram embedding
@@ -119,8 +124,8 @@ def match_pairs(
                 "blocking='lsh' and blocking_vars are mutually exclusive — "
                 "LSH candidates come from the embedding buckets"
             )
-        if n_planes < 1:
-            raise ValueError("n_planes must be >= 1")
+        if n_planes != "auto" and n_planes < 1:
+            raise ValueError("n_planes must be >= 1 (or 'auto')")
     # _sides casts ids to long and the CC stage encodes nodes as
     # 2*id/2*id+1 — a string/UUID id would cast to null (non-ANSI) and
     # collapse every record into one null entity, so fail loudly first.
@@ -157,8 +162,11 @@ def match_pairs(
         raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
 
     if blocking == "lsh":
-        from .ann import hyperplane_bucket
+        from .ann import hyperplane_bucket, resolve_n_planes
 
+        n_planes = resolve_n_planes(
+            n_planes, lambda: max(left.count(), right.count())
+        )
         left = left.withColumn(
             "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
         )
@@ -194,7 +202,7 @@ def resolve_entities(
     blocking_vars: list[str] | None = None,
     model: str = "levenshtein",
     blocking: str = "exact",
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     lsh_dim: int = 64,
 ) -> DataFrame:
     """Full ER pipeline: match, group, label.

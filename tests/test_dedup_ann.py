@@ -1078,3 +1078,32 @@ def test_ivf_index_append_version_gate(spark, sf_dir, tmp_path):
     bad.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
     with pytest.raises(ValueError, match="version"):
         lt.append_to_ivf_index(emb.filter(F.col("vec_id") >= 100), path)
+
+
+def test_resolve_n_planes_auto_scaling(spark):
+    from linktransformer_spark.operators.ann import resolve_n_planes
+
+    # explicit ints never invoke the count
+    assert resolve_n_planes(9, lambda: 1 / 0) == 9
+    # auto: one plane per corpus doubling around 32 rows/bucket —
+    # reproduces the round-7 hand-tuned values (2k -> 6, 15k -> 9)
+    assert resolve_n_planes("auto", lambda: 2_000) == 6
+    assert resolve_n_planes("auto", lambda: 15_000) == 9
+    assert resolve_n_planes("auto", lambda: 150_000) == 13
+    assert resolve_n_planes("auto", lambda: 50) == 4      # floor
+    assert resolve_n_planes("auto", lambda: 10 ** 12) == 24  # ceiling
+    with pytest.raises(ValueError):
+        resolve_n_planes("many", lambda: 10)
+
+
+def test_ann_topk_lsh_auto_planes_matches_pinned(spark, sf_dir):
+    import linktransformer_spark as lt
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 500 corpus rows -> auto resolves to the floor (4 planes)
+    auto = lt.ann_topk(emb, emb, k=5, mode="lsh_hyperplane",
+                       dim=64, n_planes="auto").collect()
+    pinned = lt.ann_topk(emb, emb, k=5, mode="lsh_hyperplane",
+                         dim=64, n_planes=4).collect()
+    key = lambda rs: sorted((r.query_id, r.neighbor_id, r.rank) for r in rs)
+    assert key(auto) == key(pinned)
