@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Knob counterparts for the super-linear scale-sweep entries.
+
+Each super-linear entry in tools/scale_sweep.py has a documented scale
+knob; this harness measures the SAME operator with the knob engaged at
+both SFs, so PLANS.md can pair every super-linear measurement with its
+measured fix:
+
+- merge_knn exact-cross (O(L*R) by definition) -> mode='broadcast_knn'
+- er_resolve_lsh pinned n_planes=9 -> n_planes='auto' (13 at 150k keys)
+- semdedup pinned n_cells=16 -> n_cells='auto' (ceil(n/256))
+- bm25_indexed with a corpus-proportional query batch -> FIXED 100-query
+  batch (the serving contract: retrieval cost tracks the query batch)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import linktransformer_spark as lt  # noqa: E402
+from linktransformer_spark.sources.tables import read_table  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("LT_SCALE_DIR", "/tmp/lt_scale/sf1")
+
+
+def counterparts(spark):
+    def merge_knn_broadcast(sf_dir):
+        cust = read_table(spark, sf_dir, "customer")
+        supp = read_table(spark, sf_dir, "supplier")
+        return lt.merge_knn(
+            cust, supp, left_on="c_name", right_on="s_name",
+            model="hash-ngram", mode="broadcast_knn", k=3,
+            left_id_col="c_custkey", right_id_col="s_suppkey",
+        )
+
+    def er_resolve_lsh_auto(sf_dir):
+        cust = read_table(spark, sf_dir, "customer")
+        supp = read_table(spark, sf_dir, "supplier")
+        return lt.resolve_entities(
+            cust, supp, left_on="c_name", right_on="s_name",
+            left_id_col="c_custkey", right_id_col="s_suppkey",
+            sim_threshold=0.8, blocking="lsh", model="hash-ngram",
+            n_planes="auto", lsh_dim=64,
+        )
+
+    def semdedup_auto(sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        return lt.semantic_dedup(
+            emb, "embedding", "vec_id", threshold=0.3, n_cells="auto"
+        ).select("vec_id")
+
+    _idx = {}
+
+    def bm25_fixed_queries(sf_dir):
+        import tempfile
+
+        from linktransformer_spark.functions import similarity as S
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _idx:
+            path = tempfile.mkdtemp(prefix="lt_cp_bm25_")
+            lt.save_bm25_index(docs, path)
+            _idx[sf_dir] = path
+        queries = docs.filter(F.col("doc_id") < 100).select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(
+                F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+            ).alias("q_text"),
+        )
+        return lt.bm25_topk_indexed(spark, _idx[sf_dir], queries, k=5)
+
+    return {
+        "merge_knn_broadcast": merge_knn_broadcast,
+        "er_resolve_lsh_auto": er_resolve_lsh_auto,
+        "semdedup_auto": semdedup_auto,
+        "bm25_fixed_queries": bm25_fixed_queries,
+    }
+
+
+def main() -> None:
+    spark = lt.get_spark(
+        "lt-scale-cp", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = counterparts(spark)
+    names = sys.argv[1:] or list(fns)
+    results = {}
+    for name in names:
+        fn = fns[name]
+        results[name] = {}
+        for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
+            fn(sf_dir).count()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                n = fn(sf_dir).count()
+                best = min(best, time.time() - t0)
+            results[name][tag] = round(best, 2)
+            print(f"# {name} @ {tag}: {results[name][tag]}s ({n} rows)",
+                  file=sys.stderr)
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']} | {r['sf1']} | "
+              f"{r['sf1'] / max(r['sf0.1'], 1e-9):.1f}x |")
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
