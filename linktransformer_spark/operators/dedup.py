@@ -1314,30 +1314,52 @@ def near_dup_pairs_minhash_against_index(
     on,
     id_col: str,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    hot_bucket: str = "drop",
 ) -> DataFrame:
     """:func:`near_dup_pairs_minhash_against` with the seen side read
     from a :func:`save_minhash_index` directory instead of rebuilt from
     text — row-for-row identical output (the family parameters come
     from the index metadata). Returns (src=new id, dst=indexed id,
-    jaccard)."""
+    jaccard).
+
+    ``max_bucket_size``/``hot_bucket`` are the same ingest-time skew
+    guard as :func:`near_dup_pairs_minhash_against` — 'drop' caps each
+    side by its own bucket sizes, 'salt' grid-partitions hot buckets
+    (:func:`_salt_two_sided`) with output identical to uncapped. The
+    per-batch sizes pass over the stored band relation is metadata-
+    cheap next to the join it bounds."""
     spark = new.sparkSession
     meta = _load_index_meta(spark, path)
     num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
     shingle, word = int(meta["shingle"]), bool(meta["word"])
 
+    salted = max_bucket_size is not None and hot_bucket == "salt"
+    side_cap = None if salted else max_bucket_size
+    if max_bucket_size is not None and hot_bucket not in ("drop", "salt"):
+        raise ValueError(
+            f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
+        )
     nbase, nbanded = _minhash_base_banded(
-        new, on, id_col, num_hashes, bands, shingle, word, None
+        new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     sbanded = spark.read.parquet(f"{path}/bands")
     ssh = spark.read.parquet(f"{path}/shingles")
+    if salted:
+        nbanded, sbanded = _salt_two_sided(
+            nbanded, sbanded, ["band", "bsig"], max_bucket_size
+        )
+    elif side_cap is not None:
+        sbanded = _cap_buckets(sbanded, ["band", "bsig"], side_cap)
     l = nbanded.alias("l")
     r = sbanded.alias("r")
+    cond = (F.col("l.band") == F.col("r.band")) & (
+        F.col("l.bsig") == F.col("r.bsig")
+    )
+    if salted:
+        cond = cond & (F.col("l._salt") == F.col("r._salt"))
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig")),
-        )
+        l.join(r, cond)
         .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"))
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)

@@ -334,3 +334,39 @@ class TestJaccardSemdedupStats:
         assert st.buckets_dropped == 3
         assert st.rows_dropped == 90
         assert st.pairs_dropped == 3 * (30 * 29 // 2)
+
+
+class TestSaltedIndexIngest:
+    def test_index_salt_equals_uncapped(self, spark, tmp_path):
+        from linktransformer_spark.operators.dedup import (
+            near_dup_pairs_minhash_against_index,
+            save_minhash_index,
+        )
+
+        boiler = "spam spam spam lovely spam wonderful spam spam spam"
+        seen = spark.createDataFrame(
+            [(i, boiler) for i in range(20)]
+            + [(50 + i, f"indexed doc {i} topic {i % 4} words {i * 11}")
+               for i in range(15)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "mh_idx")
+        save_minhash_index(seen, path, on="text", id_col="doc_id",
+                           num_hashes=24, bands=8, shingle=3)
+        new = spark.createDataFrame(
+            [(100 + i, boiler + (" tail" if i % 2 else ""))
+             for i in range(10)],
+            "doc_id long, text string",
+        )
+        kw = dict(on="text", id_col="doc_id", threshold=0.5)
+        unc = near_dup_pairs_minhash_against_index(new, path, **kw).collect()
+        salt = near_dup_pairs_minhash_against_index(
+            new, path, max_bucket_size=4, hot_bucket="salt", **kw
+        ).collect()
+        drop = near_dup_pairs_minhash_against_index(
+            new, path, max_bucket_size=4, **kw
+        ).collect()
+        key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+        assert len(unc) > 0
+        assert key(salt) == key(unc)
+        assert len(drop) < len(unc)
