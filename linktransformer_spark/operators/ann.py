@@ -130,6 +130,8 @@ def ann_topk(
     n_planes: int | str = 12,
     dim: int | None = None,
     multi_probe: int = 0,
+    max_bucket_size: int | None = None,
+    hot_bucket: str = "salt",
 ) -> DataFrame:
     """Top-k nearest corpus rows per query row by cosine.
 
@@ -147,6 +149,17 @@ def ann_topk(
     size (bucket count is pinned at 2^n_planes), the super-linear
     cliff the sf1 scale sweep measures. Pin an int when you need a
     byte-stable SQL mirror of the bucketing.
+
+    ``max_bucket_size`` (lsh_hyperplane only) is the hot-bucket skew
+    guard — a sign-bucket that concentrates near-identical vectors
+    (duplicate embeddings, a dense cluster) concentrates one join
+    partition. ``hot_bucket='salt'`` (the default HERE, unlike the
+    dedup family: dropping an ANN bucket silently empties those
+    queries' result lists, a worse failure than extra latency)
+    grid-partitions hot buckets two-sidedly with output identical to
+    the uncapped join and per-task work bounded at ~cap^2;
+    ``'drop'`` removes hot buckets from BOTH sides (queries in them
+    return no candidates — only for telemetry-guarded pipelines).
     """
     # fan the query side out up front: single-file inputs otherwise run
     # the scoring stage (mapInPandas matmul / NLJ / bucket join probe)
@@ -178,7 +191,36 @@ def ann_topk(
                 "_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes)
             )
         cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
-        cand = qb.join(cb, "_bkt").withColumn(
+        if max_bucket_size is not None:
+            from .dedup import _cap_buckets, _salt_two_sided
+
+            if hot_bucket == "salt":
+                qb, cb = _salt_two_sided(
+                    qb, cb, ["_bkt"], max_bucket_size,
+                    id_col=KJ.LEFT_ID, rid_col=KJ.RIGHT_ID,
+                )
+                l, r = qb.alias("l"), cb.alias("r")
+                cand = l.join(
+                    r,
+                    (F.col("l._bkt") == F.col("r._bkt"))
+                    & (F.col("l._salt") == F.col("r._salt")),
+                ).select(
+                    F.col(f"l.{KJ.LEFT_ID}").alias(KJ.LEFT_ID),
+                    F.col(f"l.{KJ.LEFT_EMB}").alias(KJ.LEFT_EMB),
+                    F.col(f"r.{KJ.RIGHT_ID}").alias(KJ.RIGHT_ID),
+                    F.col(f"r.{KJ.RIGHT_EMB}").alias(KJ.RIGHT_EMB),
+                )
+            elif hot_bucket == "drop":
+                qb = _cap_buckets(qb, ["_bkt"], max_bucket_size)
+                cb = _cap_buckets(cb, ["_bkt"], max_bucket_size)
+                cand = qb.join(cb, "_bkt")
+            else:
+                raise ValueError(
+                    f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
+                )
+        else:
+            cand = qb.join(cb, "_bkt")
+        cand = cand.withColumn(
             "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
         )
         ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")

@@ -339,6 +339,7 @@ def _salt_two_sided(
     keys: list[str],
     cap: int,
     id_col: str = "_id",
+    rid_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Recall-preserving skew salt for a BIPARTITE bucket join (the
     new-vs-seen ingest shape): per bucket, split the left side into
@@ -362,11 +363,13 @@ def _salt_two_sided(
         F.expr(f"CAST((coalesce(_rbn, 1) + {cap} - 1) DIV {cap} AS BIGINT)")
         .alias("_kr"),
     )
-    g = lambda k: F.pmod(  # noqa: E731 — shared group hash, both sides
-        F.col(id_col) * F.lit(40503) + F.lit(12289), k
-    ).cast("long")
+    def g(idc, k):  # shared group hash, parameterized per side
+        return F.pmod(
+            F.col(idc) * F.lit(40503) + F.lit(12289), k
+        ).cast("long")
+
     lj = lbanded.join(sizes, keys)
-    gl = g(F.col("_kl"))
+    gl = g(id_col, F.col("_kl"))
     lout = lj.select(
         *lbanded.columns,
         F.explode(
@@ -377,7 +380,7 @@ def _salt_two_sided(
         ).alias("_salt"),
     )
     rj = rbanded.join(sizes, keys)
-    gr = g(F.col("_kr"))
+    gr = g(rid_col or id_col, F.col("_kr"))
     rout = rj.select(
         *rbanded.columns,
         F.explode(

@@ -370,3 +370,49 @@ class TestSaltedIndexIngest:
         assert len(unc) > 0
         assert key(salt) == key(unc)
         assert len(drop) < len(unc)
+
+
+class TestSaltedAnnLsh:
+    def test_ann_lsh_salt_equals_uncapped(self, spark):
+        import linktransformer_spark as lt
+
+        # 60 near-identical vectors (one hot sign-bucket) + 40 spread
+        rows = []
+        for i in range(60):
+            v = [1.0, 0.5, 0.25, 0.125] + [0.001 * i] * 4
+            rows.append((i, v))
+        for i in range(40):
+            v = [(-1.0) ** j * (0.1 + 0.01 * ((i * 7 + j) % 13))
+                 for j in range(8)]
+            rows.append((100 + i, v))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kw = dict(k=5, mode="lsh_hyperplane", dim=8, n_planes=5)
+        unc = lt.ann_topk(df, df, **kw).collect()
+        salt = lt.ann_topk(df, df, max_bucket_size=8, **kw).collect()
+        key = lambda rs: sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.score, 9)) for r in rs
+        )
+        assert key(salt) == key(unc)
+        # drop mode empties the hot bucket's queries
+        drop = lt.ann_topk(df, df, max_bucket_size=8, hot_bucket="drop",
+                           **kw).collect()
+        assert len(drop) < len(unc)
+        with pytest.raises(ValueError, match="hot_bucket"):
+            lt.ann_topk(df, df, max_bucket_size=8, hot_bucket="x",
+                        **kw).collect()
+
+    def test_ann_lsh_salt_with_multiprobe(self, spark):
+        import linktransformer_spark as lt
+
+        rows = [(i, [1.0, 0.5, 0.25, 0.125, 0.0, 0.0, 0.0, 0.001 * i])
+                for i in range(40)]
+        rows += [(100 + i, [(-1.0) ** j * (0.1 + 0.01 * ((i * 5 + j) % 11))
+                            for j in range(8)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kw = dict(k=3, mode="lsh_hyperplane", dim=8, n_planes=5, multi_probe=2)
+        unc = lt.ann_topk(df, df, **kw).collect()
+        salt = lt.ann_topk(df, df, max_bucket_size=6, **kw).collect()
+        key = lambda rs: sorted(
+            (r.query_id, r.neighbor_id, r.rank, round(r.score, 9)) for r in rs
+        )
+        assert key(salt) == key(unc)
