@@ -344,6 +344,12 @@ def main() -> None:
             ("ann_lsh_topk", lt.ann_topk(emb, emb, k=10,
                                          mode="lsh_hyperplane",
                                          n_planes=6, dim=64)),
+            # the recovery knobs, so a low base number is actionable:
+            ("ann_lsh_multiprobe3", lt.ann_topk(emb, emb, k=10,
+                                                mode="lsh_hyperplane",
+                                                n_planes=6, dim=64,
+                                                multi_probe=3)),
+            ("ann_ivf_probe8", lt.ivf_topk(emb, emb, k=10, n_probe=8)),
         ):
             hit = exact.join(
                 approx.select("query_id", "neighbor_id"),
