@@ -6318,3 +6318,41 @@ def dedup_jaccard_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hot_docs(spark, sf_dir), "text", "doc_id",
         shingle=3, word=True, max_shingle_freq=8,
     )
+
+
+from .functions.oracle import sql_shingle_hashes64 as _sql_sh64  # noqa: E402
+from .functions.oracle import sql_simhash_from_hashes as _sql_simh  # noqa: E402
+
+_SIMHASH_CAP_STATS_SQL = (
+    "WITH " + _HOT_SQL + f""",
+    sh AS (SELECT doc_id AS id, {_sql_ws('text', 1)} AS sh FROM hot),
+    hs AS (SELECT id, {_sql_sh64('sh')} AS hs FROM sh),
+    sim AS (SELECT id, {_sql_simh('hs')} AS sim FROM hs),
+    blocks AS (
+      SELECT id, b, (sim >> (b * 16)) & 65535 AS bval
+      FROM sim CROSS JOIN range(0, 4) AS t(b)
+    ),
+    sizes AS (SELECT b, bval, count(*) AS bn FROM blocks GROUP BY b, bval)
+    SELECT count(*) AS buckets_total,
+           CAST(sum(CASE WHEN bn > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN bn ELSE 0 END) AS BIGINT)
+             AS rows_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
+                AS BIGINT) AS pairs_dropped
+    FROM sizes
+"""
+)
+
+
+@_q("dedup_simhash_cap_stats", _SIMHASH_CAP_STATS_SQL)
+def dedup_simhash_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact observable for the simhash pigeonhole-block cap on the
+    hot corpus: every replicated doc shares all four 16-bit blocks
+    with its 9 copies, so cap=8 engages deterministically."""
+    from .operators.dedup import simhash_cap_stats
+
+    return simhash_cap_stats(
+        _hot_docs(spark, sf_dir), "text", "doc_id",
+        hamming_threshold=3, word=True, max_bucket_size=8,
+    )
