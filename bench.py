@@ -165,6 +165,26 @@ def bench_queries(spark):
         return lt.bm25_delta_postings(
             spark, _bm25_idx_path[sf_dir], batch)
 
+    def dedup_minhash_salted_skew(sf_dir):
+        # the hot-bucket worst case: the corpus plus 1500 verbatim
+        # copies of one boilerplate doc — one size-1500 bucket in EVERY
+        # band. hot_bucket='salt' keeps the full candidate set (the
+        # 1500-copy clique included) while bounding per-cell join work
+        # at ~2*cap^2; 'drop' mode would silently skip the one group a
+        # dedup run exists to catch.
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        boiler = docs.filter(F.col("doc_id") == 0).select("text")
+        copies = (
+            spark.range(1500)
+            .select((F.col("id") + 5_000_000).alias("doc_id"))
+            .crossJoin(F.broadcast(boiler))
+        )
+        return lt.near_dup_pairs_minhash(
+            docs.unionByName(copies), on="text", id_col="doc_id",
+            threshold=0.6, num_hashes=24, bands=8, shingle=3,
+            max_bucket_size=128, hot_bucket="salt",
+        )
+
     _bm25_seg_path = {}
 
     def search_bm25_compact(sf_dir):
@@ -222,6 +242,7 @@ def bench_queries(spark):
         "merge_knn_k3": from_oracle("merge_knn_k3"),
         "merge_hash_broadcast": merge_hash_broadcast,
         "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_minhash_salted_skew": dedup_minhash_salted_skew,
         "dedup_simhash_pairs": from_oracle("dedup_simhash_pairs"),
         "ann_broadcast_topk": ann_broadcast,
         "ann_ivf_topk": ann_ivf,
