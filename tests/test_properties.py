@@ -399,3 +399,32 @@ def test_funnel_cap_is_exact_prefix_truncation(spark, events, cap):
     else:
         want = {}
     assert capped == want
+
+
+# word-ish corpora with deliberate duplication pressure: a small word
+# pool guarantees shared shingles and hot-ish buckets at tiny caps
+_WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "spam", "ham", "eggs", "x", "y"]
+)
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_DOC, min_size=2, max_size=40), st.integers(2, 5))
+def test_salted_minhash_equals_uncapped_property(spark, docs, cap):
+    """The round-8 invariant behind every salted skew join: for ANY
+    corpus and ANY cap, hot_bucket='salt' emits exactly the uncapped
+    pair set (triangle cells + diagonal-or-cross-group condition) —
+    duplication-heavy corpora force multi-sub-group buckets."""
+    from linktransformer_spark.operators.dedup import near_dup_pairs_minhash
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    kw = dict(on="text", id_col="doc_id", threshold=0.4,
+              num_hashes=8, bands=4, shingle=2)
+    unc = near_dup_pairs_minhash(df, **kw).collect()
+    salt = near_dup_pairs_minhash(
+        df, max_bucket_size=cap, hot_bucket="salt", **kw
+    ).collect()
+    key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+    assert key(salt) == key(unc)
