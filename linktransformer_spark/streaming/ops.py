@@ -270,6 +270,7 @@ def streaming_dedup_against(
     bands: int = 8,
     shingle: int = 3,
     word: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Real-time ingest near-dup alerts: a STREAM of new documents
     MinHash-checked against a static already-ingested corpus. Emits
@@ -315,6 +316,16 @@ def streaming_dedup_against(
         # paths row for row (short/empty docs included)
         _shingles_nonempty(F.col("_key"), shingle, word).alias("_sh_s"),
     )
+    if max_bucket_size is not None:
+        # static-side hot-bucket guard (drop mode): bounds the join
+        # FAN-OUT of every stream row at max_bucket_size candidates per
+        # band. Drop-only here — the recall-preserving salt needs both
+        # sides' bucket sizes, and a micro-batch's are unknowable at
+        # plan time; quantify the static side's loss with
+        # dedup.minhash_cap_stats(static_seen, ...) before opting in.
+        from ..operators.dedup import _cap_buckets
+
+        sbanded = _cap_buckets(sbanded, ["band", "bsig"], max_bucket_size)
     s_index = sbanded.select(
         F.col("_id").alias("_dst"), "band", "bsig"
     ).join(s_sh, "_dst")

@@ -619,3 +619,64 @@ def test_streaming_attribution_multibatch_equals_batch(spark, sf_dir, tmp_path):
                     lookback_seconds=lb, tiebreak_col="event_id",
                 ).collect()}
         assert got == want and got, model
+
+
+def test_streaming_dedup_against_static_cap_matches_batch_drop(spark, sf_dir):
+    """The static-side hot-bucket guard (drop mode) emits exactly the
+    batch drop-mode pairs on a boilerplate-heavy static corpus.
+
+    Stream-side buckets are kept UNDER the cap by construction (5
+    boilerplate copies vs cap=8): batch mode caps both sides, the
+    streaming guard only the static one (a micro-batch's bucket sizes
+    are unknowable at plan time), so equality holds exactly when the
+    stream side is under cap — which the operator docstring documents
+    as the contract."""
+    from pyspark.sql import functions as F
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+    from linktransformer_spark.streaming import read_stream_table, run_available_now
+    from linktransformer_spark.streaming.ops import streaming_dedup_against
+
+    d = read_table(spark, sf_dir, "documents")
+    boiler = d.filter(F.col("doc_id") == 0).select("text")
+    hot = (
+        spark.range(30).select((F.col("id") + 900000).alias("doc_id"))
+        .crossJoin(F.broadcast(boiler))
+    )
+    seen = d.filter(F.col("doc_id") < 50).select("doc_id", "text").unionByName(hot)
+
+    def new_batch(df):
+        return df.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail words")).alias("text"),
+        ).unionByName(
+            spark.range(5).select((F.col("id") + 2000000).alias("doc_id"))
+            .crossJoin(F.broadcast(boiler)).select("doc_id", "text")
+        )
+
+    kw = dict(on="text", id_col="doc_id", threshold=0.6,
+              num_hashes=24, bands=8, shingle=3)
+    batch_drop = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against(
+            new_batch(d), seen, max_bucket_size=8, **kw).collect()
+    }
+    uncapped = {
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against(
+            new_batch(d), seen, **kw).collect()
+    }
+    assert len(batch_drop) < len(uncapped)  # the hot corpus engages the cap
+
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="lt_stream_cap_")
+    new_batch(d).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    )
+    out = streaming_dedup_against(stream, seen, max_bucket_size=8, word=True, **kw)
+    drained = run_available_now(out, output_mode="append")
+    got = {(r.src, r.dst, round(r.jaccard, 9)) for r in drained.collect()}
+    assert got == batch_drop
