@@ -426,3 +426,117 @@ def histogram(
             ).alias("frac"),
         )
     )
+
+
+def corpus_datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    source_col: str | None = None,
+    top_sources: int = 10,
+) -> DataFrame:
+    """One-call corpus datacard — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"), as a long relation
+    ``(metric, key, value)``:
+
+    - ``n_docs`` / ``n_chars_total`` / ``n_tokens_total``
+    - ``chars_p50`` / ``chars_p90`` (exact interpolated percentile) /
+      ``chars_mean`` (exact integer sum, one double division)
+    - ``quality_mean`` (textpipe composite score per doc, rounded to
+      6 dp and summed in DECIMAL(27,6) — order-free exact)
+    - ``exact_dup_frac`` — fraction of docs whose text equals an
+      earlier doc's: (n - n_distinct_texts) / n
+    - ``lang_frac`` per ``lang_col`` value (when given)
+    - ``source_frac`` for the ``top_sources`` largest ``source_col``
+      values (count DESC, name ASC — deterministic)
+
+    Every piece is a hash aggregate with map-side combine over one
+    corpus scan's projections (the text relation is lineage-cut and
+    re-consumed); output is a few dozen rows regardless of corpus
+    size. All values double, rounded to 6 dp — fully SQL-mirrorable
+    (`docs_datacard` oracle). For near-dup rate at scale chain
+    ``near_dup_pairs_minhash`` stats separately — the datacard's dup
+    metric is the EXACT-duplicate floor, one groupBy, no LSH.
+    """
+    from .textpipe import quality_score_expr, token_count_expr
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [
+        t.alias("_t"),
+        F.length(t).alias("_nc"),
+        token_count_expr(t).cast("long").alias("_nt"),
+        F.round(quality_score_expr(t), 6).cast("decimal(27,6)").alias("_q"),
+    ]
+    if lang_col is not None:
+        cols.append(F.coalesce(F.col(lang_col), F.lit("")).alias("_lang"))
+    if source_col is not None:
+        cols.append(F.coalesce(F.col(source_col), F.lit("")).alias("_src"))
+    base = docs.select(*cols).localCheckpoint(eager=False)
+
+    def row(metric, key, value):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            key.alias("key") if isinstance(key, F.Column) else F.lit(key).alias("key"),
+            F.round(value, 6).cast("double").alias("value"),
+        )
+
+    n = F.count(F.lit(1)).cast("double")
+    main = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_nc").cast("long").alias("_ncs"),
+        F.sum("_nt").cast("long").alias("_nts"),
+        F.sum("_q").alias("_qs"),
+        F.percentile("_nc", F.array(F.lit(0.5), F.lit(0.9))).alias("_pct"),
+        F.count_distinct("_t").cast("long").alias("_ndist"),
+    ).select(
+        F.explode(
+            F.array(
+                row("n_docs", "", F.col("_n").cast("double")),
+                row("n_chars_total", "", F.col("_ncs").cast("double")),
+                row("n_tokens_total", "", F.col("_nts").cast("double")),
+                row("chars_p50", "", F.col("_pct")[0]),
+                row("chars_p90", "", F.col("_pct")[1]),
+                row("chars_mean", "",
+                    F.col("_ncs").cast("double") / F.col("_n").cast("double")),
+                row("quality_mean", "",
+                    F.col("_qs").cast("double") / F.col("_n").cast("double")),
+                row("exact_dup_frac", "",
+                    (F.col("_n") - F.col("_ndist")).cast("double")
+                    / F.col("_n").cast("double")),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.key", "r.value")
+
+    out = main
+    if lang_col is not None:
+        totals = base.agg(n.alias("_tot"))
+        langs = (
+            base.groupBy("_lang").agg(F.count(F.lit(1)).alias("_ln"))
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit("lang_frac").alias("metric"),
+                F.col("_lang").alias("key"),
+                F.round(F.col("_ln").cast("double") / F.col("_tot"), 6)
+                .alias("value"),
+            )
+        )
+        out = out.unionByName(langs)
+    if source_col is not None:
+        from pyspark.sql import Window
+
+        totals = base.agg(n.alias("_tot"))
+        srcs = base.groupBy("_src").agg(F.count(F.lit(1)).alias("_sn"))
+        w = Window.orderBy(F.col("_sn").desc(), F.col("_src").asc())
+        srcs = (
+            srcs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top_sources)
+            .crossJoin(F.broadcast(totals))
+            .select(
+                F.lit("source_frac").alias("metric"),
+                F.col("_src").alias("key"),
+                F.round(F.col("_sn").cast("double") / F.col("_tot"), 6)
+                .alias("value"),
+            )
+        )
+        out = out.unionByName(srcs)
+    return out

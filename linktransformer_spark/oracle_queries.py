@@ -6356,3 +6356,65 @@ def dedup_simhash_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hot_docs(spark, sf_dir), "text", "doc_id",
         hamming_threshold=3, word=True, max_bucket_size=8,
     )
+
+
+from .functions.oracle import sql_quality_score as _sql_qs  # noqa: E402
+from .functions.oracle import sql_token_count as _sql_tc  # noqa: E402
+
+_T = "coalesce(text, '')"
+_DATACARD_SQL = f"""
+    WITH b AS (
+      SELECT {_T} AS t,
+             length({_T}) AS nc,
+             CAST({_sql_tc(_T)} AS BIGINT) AS nt,
+             CAST(round({_sql_qs(_T)}, 6) AS DECIMAL(27,6)) AS q,
+             coalesce(lang, '') AS lang,
+             coalesce(source, '') AS src
+      FROM documents
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(nc) AS ncs, sum(nt) AS nts, sum(q) AS qs,
+             quantile_cont(nc, 0.5) AS p50, quantile_cont(nc, 0.9) AS p90,
+             count(DISTINCT t) AS ndist
+      FROM b
+    )
+    SELECT 'n_docs' AS metric, '' AS key,
+           round(CAST(n AS DOUBLE), 6) AS value FROM m
+    UNION ALL SELECT 'n_chars_total', '', round(CAST(ncs AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'n_tokens_total', '', round(CAST(nts AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'chars_p50', '', round(CAST(p50 AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'chars_p90', '', round(CAST(p90 AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'chars_mean', '',
+              round(CAST(ncs AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'quality_mean', '',
+              round(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+    UNION ALL SELECT 'exact_dup_frac', '',
+              round(CAST(n - ndist AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+    UNION ALL
+    SELECT 'lang_frac', lang,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM b), 6)
+    FROM b GROUP BY lang
+    UNION ALL
+    SELECT 'source_frac', src, round(CAST(sn AS DOUBLE) / tot, 6)
+    FROM (
+      SELECT src, count(*) AS sn,
+             row_number() OVER (ORDER BY count(*) DESC, src ASC) AS r,
+             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS tot
+      FROM b GROUP BY src
+    ) WHERE r <= 10
+"""
+
+
+@_q("docs_datacard", _DATACARD_SQL)
+def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus datacard (datasheet summary block): counts,
+    exact length percentiles, DECIMAL-exact mean quality, exact-dup
+    floor, lang mix, top-10 source mix — a few dozen rows from hash
+    aggregates over one corpus scan's projections, any corpus size."""
+    from .operators.profile import corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_datacard(
+        docs, "text", lang_col="lang", source_col="source", top_sources=10
+    )

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "events_attribution_last_touch": "1-row conversions-total broadcast",
     "events_attribution_first_touch": "1-row conversions-total broadcast",
     "dedup_jaccard_cap_stats": "10-row literal replication range broadcast (hot-corpus builder)",
+    "docs_datacard": "1-row corpus-total broadcast (lang/source fraction denominators)",
 }
 
 

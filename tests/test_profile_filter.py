@@ -282,3 +282,47 @@ def test_table_diff_null_safe_and_validates(spark):
     assert lt.table_diff(old, new, keys="id").count() == 0  # null == null
     with _pytest.raises(ValueError, match="not in"):
         lt.table_diff(old, new, keys="id", compare_cols=["zz"])
+
+
+def test_corpus_datacard_semantics(spark):
+    from linktransformer_spark.operators.profile import corpus_datacard
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "en", "a"),
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "a"),
+        (2, "completely different text with many more tokens here", "en", "b"),
+        (3, "der schnelle braune fuchs springt heute", "de", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.metric, r.key): r.value for r in corpus_datacard(
+        df, "text", lang_col="lang", source_col="source").collect()}
+    assert out[("n_docs", "")] == 4.0
+    # one exact duplicate of doc 0 -> (4 - 3) / 4
+    assert abs(out[("exact_dup_frac", "")] - 0.25) < 1e-9
+    assert abs(out[("lang_frac", "en")] - 0.75) < 1e-9
+    assert abs(out[("lang_frac", "de")] - 0.25) < 1e-9
+    assert abs(out[("source_frac", "a")] - 0.5) < 1e-9
+    assert abs(out[("source_frac", "b")] - 0.5) < 1e-9
+    assert out[("n_chars_total", "")] == float(sum(len(r[1]) for r in rows))
+    assert out[("n_tokens_total", "")] == float(sum(len(r[1].split()) for r in rows))
+    assert 0.0 <= out[("quality_mean", "")] <= 1.0
+
+    # no lang/source columns -> only the core metrics
+    core = corpus_datacard(df, "text").collect()
+    assert {r.metric for r in core} == {
+        "n_docs", "n_chars_total", "n_tokens_total", "chars_p50",
+        "chars_p90", "chars_mean", "quality_mean", "exact_dup_frac",
+    }
+
+
+def test_corpus_datacard_null_and_empty_text(spark):
+    from linktransformer_spark.operators.profile import corpus_datacard
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real text content here")],
+        "doc_id long, text string",
+    )
+    out = {(r.metric, r.key): r.value for r in corpus_datacard(df, "text").collect()}
+    assert out[("n_docs", "")] == 3.0
+    # null coalesces to '' -> equals the empty doc -> one dup
+    assert abs(out[("exact_dup_frac", "")] - 1 / 3) < 1e-6  # rounded to 6dp
