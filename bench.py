@@ -272,6 +272,7 @@ def bench_queries(spark):
         "search_bm25_append": search_bm25_append,
         "search_bm25_compact": search_bm25_compact,
         "docs_gopher_rules": from_oracle("docs_gopher_rules"),
+        "docs_datacard": from_oracle("docs_datacard"),
         "events_funnel": from_oracle("events_funnel_summary"),
         "events_retention": from_oracle("events_retention_daily"),
         "docs_top_vocab": from_oracle("docs_top_vocab"),
