@@ -479,6 +479,23 @@ def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
     """
     import numpy as np
 
+    if not block_on:
+        # the documented small-data cliff, made LOUD: one global block
+        # = one O(n^2) Arrow task. The count is one cheap job next to
+        # the quadratic work it warns about.
+        n = work.count()
+        if n > 20_000:
+            import warnings
+
+            warnings.warn(
+                f"cluster_rows(block_on=None) runs {cluster_type} as a "
+                f"SINGLE O(n^2) task over {n} rows (reference-exact "
+                "whole-table semantics). Pass block_on=[...] for the "
+                "per-block scale path.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     if cluster_type == "HDBScan" and not block_on:
         try:
             import hdbscan

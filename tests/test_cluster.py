@@ -297,3 +297,22 @@ def test_block_on_validation(spark):
     with __import__("pytest").raises(ValueError, match="not in DataFrame"):
         lt.cluster_rows(df, model="hash-ngram", on="name", id_col="id",
                         block_on=["nope"])
+
+
+def test_single_block_quadratic_warning_gated_by_size(spark):
+    """The documented single-task O(n^2) cliff warns at runtime above
+    20k rows and stays quiet below (keep-loud contract)."""
+    import warnings as w
+
+    import linktransformer_spark as lt
+
+    small = spark.createDataFrame(
+        [(i, f"doc {i % 5} text") for i in range(50)], "id long, text string"
+    )
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)  # would raise if warned
+        lt.cluster_rows(
+            small, on="text", model="hash-ngram",
+            cluster_type="agglomerative", cluster_params={"threshold": 0.3},
+            id_col="id",
+        ).count()
