@@ -434,6 +434,19 @@ def bucket_cap_stats(
                     hot, F.expr("(_bn * (_bn - 1)) DIV 2")
                 ).otherwise(0)
             ).alias("pairs_dropped"),
+            # the OTHER side of the decision: what 'salt' would cost
+            # instead — extra band rows from k-fold replication of hot
+            # buckets (sum of m*ceil(m/cap) - m); 'drop' loses
+            # pairs_dropped, 'salt' pays salt_extra_rows. Cold buckets
+            # replicate 1x and contribute 0.
+            F.sum(
+                F.when(
+                    hot,
+                    F.col("_bn")
+                    * F.expr(f"(_bn + {cap} - 1) DIV {cap}")
+                    - F.col("_bn"),
+                ).otherwise(0)
+            ).alias("salt_extra_rows"),
         )
     )
 

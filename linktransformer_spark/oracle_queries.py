@@ -6107,7 +6107,9 @@ _MINHASH_CAP_STATS_SQL = (
            CAST(sum(CASE WHEN bn > 4 THEN bn ELSE 0 END) AS BIGINT)
              AS rows_dropped,
            CAST(sum(CASE WHEN bn > 4 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
-                AS BIGINT) AS pairs_dropped
+                AS BIGINT) AS pairs_dropped,
+           CAST(sum(CASE WHEN bn > 4 THEN bn * ((bn + 4 - 1) // 4) - bn
+                    ELSE 0 END) AS BIGINT) AS salt_extra_rows
     FROM sizes
 """
 )
@@ -6301,7 +6303,9 @@ _JACCARD_CAP_STATS_SQL = (
            CAST(sum(CASE WHEN bn > 8 THEN bn ELSE 0 END) AS BIGINT)
              AS rows_dropped,
            CAST(sum(CASE WHEN bn > 8 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
-                AS BIGINT) AS pairs_dropped
+                AS BIGINT) AS pairs_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN bn * ((bn + 8 - 1) // 8) - bn
+                    ELSE 0 END) AS BIGINT) AS salt_extra_rows
     FROM sizes
 """
 )
@@ -6339,7 +6343,9 @@ _SIMHASH_CAP_STATS_SQL = (
            CAST(sum(CASE WHEN bn > 8 THEN bn ELSE 0 END) AS BIGINT)
              AS rows_dropped,
            CAST(sum(CASE WHEN bn > 8 THEN (bn * (bn - 1)) // 2 ELSE 0 END)
-                AS BIGINT) AS pairs_dropped
+                AS BIGINT) AS pairs_dropped,
+           CAST(sum(CASE WHEN bn > 8 THEN bn * ((bn + 8 - 1) // 8) - bn
+                    ELSE 0 END) AS BIGINT) AS salt_extra_rows
     FROM sizes
 """
 )

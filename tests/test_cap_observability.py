@@ -139,6 +139,8 @@ class TestCapStats:
         assert st.buckets_dropped == 8
         assert st.rows_dropped == 8 * HOT
         assert st.pairs_dropped == 8 * (HOT * (HOT - 1) // 2)
+        # salt cost: k = ceil(40/8) = 5 -> 40*5 - 40 = 160 extra per band
+        assert st.salt_extra_rows == 8 * (HOT * 5 - HOT)
 
     def test_minhash_stats_noop_corpus(self, spark):
         # no shared shingles at all -> every band bucket has size 1
@@ -169,6 +171,7 @@ class TestCapStats:
         assert st.buckets_dropped == 1
         assert st.rows_dropped == 4
         assert st.pairs_dropped == 6
+        assert st.salt_extra_rows == 4  # k=2 -> 4*2 - 4
 
 
 class TestEventCapStats:
