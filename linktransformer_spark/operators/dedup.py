@@ -995,7 +995,11 @@ def jaccard_cap_stats(
     (doc-shingle memberships excluded from the join), and
     ``pairs_dropped`` (sum df*(df-1)/2 over dropped shingles — the
     intersection contributions lost; reported jaccard stays an exact
-    lower bound). Same column contract as :func:`bucket_cap_stats`."""
+    lower bound). Same column contract as :func:`bucket_cap_stats`;
+    note the jaccard join deliberately has NO salt mode — an
+    ultra-common shingle is a stopword, and excluding it is the
+    POINT of the cap, not a memory compromise — so
+    ``salt_extra_rows`` here is informational only."""
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
     base = df.select(F.col(id_col).cast("long").alias("_id"), key.alias("_key"))
