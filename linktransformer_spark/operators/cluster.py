@@ -121,6 +121,24 @@ def cluster_rows(
     params.update(cluster_params or {})
     check_reserved(df)
 
+    if cluster_type in ("agglomerative", "HDBScan") and not block_on:
+        # the documented small-data cliff, made LOUD: one global block
+        # = one O(n^2) Arrow task. Counted on the INPUT df (same row
+        # count as the post-encode frame) so join-based encoders don't
+        # run their embed stage — including paid API calls — twice.
+        n = df.count()
+        if n > 20_000:
+            import warnings
+
+            warnings.warn(
+                f"cluster_rows(block_on=None) runs {cluster_type} as a "
+                f"SINGLE O(n^2) task over {n} rows (reference-exact "
+                "whole-table semantics). Pass block_on=[...] for the "
+                "per-block scale path.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
     from .knn_join import ensure_parallelism
 
     work = with_row_id(ensure_parallelism(df), id_col=id_col, deterministic=deterministic_ids)
@@ -479,22 +497,9 @@ def _sklearn_cluster(work, orig_cols, cluster_type, params, cluster_col,
     """
     import numpy as np
 
-    if not block_on:
-        # the documented small-data cliff, made LOUD: one global block
-        # = one O(n^2) Arrow task. The count is one cheap job next to
-        # the quadratic work it warns about.
-        n = work.count()
-        if n > 20_000:
-            import warnings
-
-            warnings.warn(
-                f"cluster_rows(block_on=None) runs {cluster_type} as a "
-                f"SINGLE O(n^2) task over {n} rows (reference-exact "
-                "whole-table semantics). Pass block_on=[...] for the "
-                "per-block scale path.",
-                RuntimeWarning,
-                stacklevel=3,
-            )
+    # NOTE: the O(n^2) single-block warning is emitted by cluster_rows
+    # BEFORE the encode step (counting the input df there avoids
+    # re-executing join-based encoders — e.g. paid API calls — twice).
 
     if cluster_type == "HDBScan" and not block_on:
         try:

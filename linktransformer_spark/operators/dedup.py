@@ -303,6 +303,10 @@ def _cap_buckets(
     """
     if cap is None:
         return banded
+    if cap < 1:
+        # cap=0 would make ceil-div null (non-ANSI x DIV 0) -> null
+        # salts -> explode(null) silently drops every banded row.
+        raise ValueError(f"bucket cap must be >= 1, got {cap}")
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
     if hot_bucket == "drop":
         ok = sizes.filter(F.col("_bn") <= cap).drop("_bn")
@@ -354,6 +358,8 @@ def _salt_two_sided(
     buckets are actually hot (cold buckets get the single cell (0,0)).
     Buckets present on one side only still emit their rows (with
     k=1 for the absent side) and simply find no partner."""
+    if cap < 1:
+        raise ValueError(f"bucket cap must be >= 1, got {cap}")
     ls = lbanded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_lbn"))
     rs = rbanded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_rbn"))
     sizes = ls.join(rs, keys, "full").select(

@@ -979,6 +979,13 @@ def event_cap_stats(
     """
     if max_events_per_user < 1:
         raise ValueError("max_events_per_user must be >= 1")
+    if (type_col is None) != (types is None):
+        # silently ignoring a lone type_col/types would produce stats
+        # that do NOT match the capped operator's filtered view.
+        raise ValueError(
+            "pass type_col and types together (or neither); got "
+            f"type_col={type_col!r}, types={types!r}"
+        )
     ev = events
     if type_col is not None and types is not None:
         ev = ev.filter(F.col(type_col).isin(list(types)))

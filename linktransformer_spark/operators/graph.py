@@ -220,11 +220,13 @@ def degree_prune_stats(
         .localCheckpoint(eager=False)
     )
     total = e.count()
+    # coalesce: max over an EMPTY edge set is null — return a zero-row
+    # summary rather than crash on int(null).
     deg = e.groupBy("_dst").agg(F.count(F.lit(1)).alias("_n")).agg(
-        F.max("_n").alias("mx")
+        F.coalesce(F.max("_n"), F.lit(0)).alias("mx")
     ).crossJoin(
         e.groupBy("_src").agg(F.count(F.lit(1)).alias("_n")).agg(
-            F.max("_n").alias("mxo")
+            F.coalesce(F.max("_n"), F.lit(0)).alias("mxo")
         )
     ).first()
     e1 = e if max_in_degree is None else _cap_degree(

@@ -376,7 +376,14 @@ def save_bm25_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
-def _read_bm25_meta(spark: SparkSession, index_path: str) -> dict:
+def _read_bm25_meta(
+    spark: SparkSession, index_path: str, min_version: int = 2
+) -> dict:
+    """``min_version=2`` (default) — read-only serving never touches
+    the v3 tf/dl columns, so v2 indexes stay servable; append and
+    compaction pass ``min_version=3`` (they need every segment to
+    carry raw tf/dl, and appending tf/dl-less rows to a v3 directory
+    would poison later compactions)."""
     try:
         meta = spark.read.json(f"{index_path}/meta").collect()[0].asDict()
     except Exception as e:  # noqa: BLE001 — any unreadable meta is fatal
@@ -384,10 +391,17 @@ def _read_bm25_meta(spark: SparkSession, index_path: str) -> dict:
             f"bm25 index at {index_path} has no readable meta/ "
             f"(pre-meta index layout?); rebuild with save_bm25_index: {e}"
         ) from e
-    if int(meta["version"]) != _BM25_INDEX_VERSION:
+    v = int(meta["version"])
+    if v > _BM25_INDEX_VERSION or v < min_version:
+        need = (
+            f"versions {min_version}..{_BM25_INDEX_VERSION}"
+            if min_version < _BM25_INDEX_VERSION
+            else f"version {_BM25_INDEX_VERSION} (postings with raw "
+            "tf/dl); rebuild with save_bm25_index"
+        )
         raise ValueError(
-            f"bm25 index at {index_path} has version {meta['version']}, "
-            f"this build reads version {_BM25_INDEX_VERSION}"
+            f"bm25 index at {index_path} has version {v}, "
+            f"this operation reads {need}"
         )
     return meta
 
@@ -462,7 +476,7 @@ def bm25_delta_postings(
     shape :func:`save_bm25_index` writes — the compute half of
     :func:`append_to_bm25_index`, exposed separately so the append
     cost is benchmarkable without the parquet write."""
-    meta = _read_bm25_meta(spark, index_path)
+    meta = _read_bm25_meta(spark, index_path, min_version=3)
     id_col = str(meta["id_col"])
     frozen_dfreq = spark.read.parquet(f"{index_path}/dfreq").select(
         F.col("term").alias("_tok"), F.col("df").alias("_df")
@@ -552,7 +566,7 @@ def compact_bm25_index(
     double-counts df exactly as it would in a rebuild of the
     duplicated corpus.
     """
-    meta = _read_bm25_meta(spark, index_path)
+    meta = _read_bm25_meta(spark, index_path, min_version=3)
     nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
     id_col = str(meta["id_col"])
     out, dfreq, stats = _compacted_parts(spark, index_path, meta, nb)
@@ -623,7 +637,7 @@ def bm25_compacted_postings(
 ) -> DataFrame:
     """The re-baked posting relation :func:`compact_bm25_index` would
     write — the compaction compute without the I/O."""
-    meta = _read_bm25_meta(spark, index_path)
+    meta = _read_bm25_meta(spark, index_path, min_version=3)
     nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
     return _compacted_parts(spark, index_path, meta, nb)[0]
 

@@ -419,3 +419,59 @@ class TestSaltedAnnLsh:
             (r.query_id, r.neighbor_id, r.rank, round(r.score, 9)) for r in rs
         )
         assert key(salt) == key(unc)
+
+
+class TestCapValidation:
+    """cap < 1 must raise, not silently drop every banded row (cap=0
+    makes the ceil-div null under non-ANSI x DIV 0 -> null salts ->
+    explode(null) emits nothing)."""
+
+    def test_salt_cap_zero_raises(self, skewed_docs):
+        with pytest.raises(ValueError, match=">= 1"):
+            near_dup_pairs_minhash(
+                skewed_docs, "text", "doc_id", threshold=0.5,
+                max_bucket_size=0, hot_bucket="salt",
+            )
+
+    def test_drop_cap_zero_raises(self, skewed_docs):
+        with pytest.raises(ValueError, match=">= 1"):
+            near_dup_pairs_minhash(
+                skewed_docs, "text", "doc_id", threshold=0.5,
+                max_bucket_size=0, hot_bucket="drop",
+            )
+
+    def test_two_sided_salt_cap_zero_raises(self, spark):
+        from linktransformer_spark.operators.dedup import (
+            near_dup_pairs_minhash_against,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "some document text here")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match=">= 1"):
+            near_dup_pairs_minhash_against(
+                df, df, "text", "doc_id",
+                max_bucket_size=0, hot_bucket="salt",
+            )
+
+
+class TestStatsEdgeCases:
+    def test_degree_prune_stats_empty_edges(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        st = degree_prune_stats(df).collect()[0]
+        assert st.edges_total == 0
+        assert st.edges_after_in_prune == 0
+        assert st.edges_after_out_prune == 0
+        assert st.in_nodes_pruned == 0
+        assert st.out_nodes_pruned == 0
+        assert st.max_in_degree_seen == 0
+        assert st.max_out_degree_seen == 0
+
+    def test_event_cap_stats_lone_type_arg_raises(self, spark):
+        df = spark.createDataFrame(
+            [("u", "x")], "user_id string, event_type string"
+        )
+        with pytest.raises(ValueError, match="together"):
+            event_cap_stats(df, "user_id", type_col="event_type")
+        with pytest.raises(ValueError, match="together"):
+            event_cap_stats(df, "user_id", types=["x"])

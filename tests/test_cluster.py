@@ -316,3 +316,39 @@ def test_single_block_quadratic_warning_gated_by_size(spark):
             cluster_type="agglomerative", cluster_params={"threshold": 0.3},
             id_col="id",
         ).count()
+
+
+def test_single_block_warning_does_not_reencode(spark, tmp_path):
+    """The O(n^2) single-block warning counts the INPUT df, not the
+    post-encode frame — a join-based encoder (e.g. paid API calls)
+    must run its embed stage exactly once per cluster_rows call."""
+    import os
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.encoders.api import ApiEncoder
+    from linktransformer_spark.operators.knn_join import CosineScorer
+
+    marker = str(tmp_path / "embed_calls")
+    os.makedirs(marker)
+
+    class _CountingClient:
+        def embed(self, batch, model):
+            # one marker file per embedded text; works across the
+            # separate Python-worker processes of local mode
+            for s in batch:
+                open(os.path.join(marker, f"{abs(hash(s))}_{len(os.listdir(marker))}"), "w").close()
+            return [[float(len(s)), 1.0, 0.5, 0.25] for s in batch]
+
+    df = spark.createDataFrame(
+        [(i, f"document text number {i}") for i in range(12)],
+        "id long, text string",
+    )
+    enc = ApiEncoder("text-embedding-3-small", client_factory=_CountingClient)
+    out = lt.cluster_rows(
+        df, model=CosineScorer(enc), on="text",
+        cluster_type="agglomerative", cluster_params={"threshold": 0.3},
+        id_col="id",
+    )
+    assert out.count() == 12
+    # 12 distinct keys -> exactly 12 embed row-encodings (not 24)
+    assert len(os.listdir(marker)) == 12

@@ -389,3 +389,41 @@ def test_bm25_compaction_validates(spark, corpus, tmp_path):
         lt.compact_bm25_index(spark, src, str(tmp_path / "o"), n_buckets=0)
     with pytest.raises(ValueError, match="no readable meta"):
         lt.compact_bm25_index(spark, str(tmp_path / "none"), str(tmp_path / "o2"))
+
+
+def test_bm25_v2_index_serves_but_rejects_append_compact(
+    spark, corpus, tmp_path
+):
+    """Read-only serving never touches the v3 tf/dl columns, so a v2
+    index (pre-compaction format) must stay servable; append and
+    compaction genuinely need raw tf/dl in every segment and must
+    reject v2 loudly instead of poisoning the directory."""
+    import glob
+    import json
+    import os
+
+    path = str(tmp_path / "idx")
+    lt.save_bm25_index(corpus, path, n_buckets=4)
+    v3 = lt.bm25_topk_indexed(spark, path, _q(spark, (1, "apple banana")), k=5)
+    v3_rows = sorted(
+        (r.q_id, r.doc_id, r.rank, round(r.score, 9)) for r in v3.collect()
+    )
+    # rewrite meta as version 2 (the v2 layout minus tf/dl, which
+    # serving never reads)
+    [meta_file] = glob.glob(f"{path}/meta/part-*.json")
+    meta = json.loads(open(meta_file).read())
+    meta["version"] = 2
+    with open(meta_file, "w") as f:
+        f.write(json.dumps(meta))
+    for crc in glob.glob(f"{path}/meta/.*.crc"):
+        os.remove(crc)
+    v2 = lt.bm25_topk_indexed(spark, path, _q(spark, (1, "apple banana")), k=5)
+    v2_rows = sorted(
+        (r.q_id, r.doc_id, r.rank, round(r.score, 9)) for r in v2.collect()
+    )
+    assert v2_rows == v3_rows
+    delta = spark.createDataFrame([(10, "apple date")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="version 2"):
+        lt.append_to_bm25_index(delta, path)
+    with pytest.raises(ValueError, match="version 2"):
+        lt.compact_bm25_index(spark, path, str(tmp_path / "out"))
