@@ -21,6 +21,10 @@ from .operators.ann import (
     save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
+from .operators.serving import (
+    ann_serving_topk, ann_topk_pq_indexed, resolve_serving_params,
+    save_pq_index,
+)
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
 from .operators.asof import merge_asof
@@ -243,6 +247,10 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_topk",
     "ivf_pq_rerank_topk",
+    "ann_serving_topk",
+    "ann_topk_pq_indexed",
+    "resolve_serving_params",
+    "save_pq_index",
     "ivf_topk_seeded",
     "ivf_train_centroids",
     "attach_fake_media",

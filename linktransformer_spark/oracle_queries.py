@@ -2093,10 +2093,11 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # retrieve-wide + exact re-rank: ADC picks 40 candidates, the true
 # vectors re-score only those, final rank on exact cosine.
-def _ann_ivfpq_rerank_sql(k: int = 5, retrieve_k: int = 40) -> str:
+def _ann_ivfpq_rerank_sql(k: int = 5, retrieve_k: int = 40,
+                          **ivfpq_kw) -> str:
     from .functions.oracle import sql_dot, sql_l2_normalize
 
-    inner = _ann_ivfpq_sql(k=retrieve_k)
+    inner = _ann_ivfpq_sql(k=retrieve_k, **ivfpq_kw)
     return f"""
     WITH cand AS ({inner}),
     cn2 AS (
@@ -2127,6 +2128,38 @@ def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_pq_rerank_topk(
         q, emb, vector_col="embedding", k=5, retrieve_k=40,
         n_cells=16, n_probe=4, m=8, n_codes=16, dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@_q(
+    "ann_serve_r90",
+    _ann_ivfpq_rerank_sql(
+        k=5, retrieve_k=40, n_cells=4, n_probe=3, m=16, n_codes=64
+    ),
+)
+def ann_serve_r90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE serving default (operators/serving.py module doc): the r90
+    IVF-PQ scan-wide + exact-re-rank recipe, here with every knob
+    PINNED so the SQL mirror is byte-stable — production callers use
+    the 'auto' resolution (resolve_serving_params), whose measured
+    operating points are recall@10 0.99 at sf0.1 / 0.91 at sf1.
+
+    The oracle is the SAME SQL as ann_topk_ivfpq_rerank with these
+    parameters: the fast Arrow-batched serving path is bit-equal to
+    the declarative ivf_pq_rerank_topk plan by construction (the
+    left-assoc numpy fold contract), and this query is the standing
+    proof."""
+    from .operators.serving import ann_serving_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = ann_serving_topk(
+        q, emb, vector_col="embedding", k=5, n_cells=4, n_probe=3,
+        m=16, n_codes=64, retrieve_k=40,
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),

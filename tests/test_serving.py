@@ -1,0 +1,148 @@
+"""Serving-grade ANN (operators/serving.py): the r90 IVF-PQ
+scan-wide + exact-re-rank recipe. Oracle parity runs in
+test_oracle_queries (ann_serve_r90); these pin the semantic contracts:
+bit-parity with the declarative ivf_pq_rerank_topk plan, indexed ==
+inline, parameter resolution, and the bounded-batch / empty edges.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+from linktransformer_spark.operators.serving import (
+    SERVE_MAX_CELLS,
+    resolve_serving_params,
+)
+
+
+def _key(rows):
+    return sorted((r.query_id, r.neighbor_id, r.rank, r.score) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestResolveServingParams:
+    def test_auto_rules(self):
+        p = resolve_serving_params(2000, 64, 10)
+        assert p == {
+            "n_cells": 8, "n_probe": 8, "m": 16, "n_codes": 256,
+            "retrieve_k": 400,
+        }
+        p = resolve_serving_params(20000, 64, 10)
+        assert p["n_cells"] == 79 and p["n_probe"] == 60
+
+    def test_cells_clamped(self):
+        assert resolve_serving_params(10**9, 64, 10)["n_cells"] == SERVE_MAX_CELLS
+        assert resolve_serving_params(1, 64, 10)["n_cells"] == 1
+
+    def test_m_divides_dim(self):
+        assert resolve_serving_params(100, 48, 10)["m"] == 16
+        assert resolve_serving_params(100, 12, 10)["m"] == 4
+        with pytest.raises(ValueError, match="divide"):
+            resolve_serving_params(100, 64, 10, m=5)
+
+    def test_retrieve_k_validated(self):
+        with pytest.raises(ValueError, match="retrieve_k"):
+            resolve_serving_params(100, 64, 10, retrieve_k=5)
+
+    def test_probe_capped_at_cells(self):
+        assert resolve_serving_params(2000, 64, 10, n_probe=99)["n_probe"] == 8
+
+
+class TestServingParity:
+    def test_bit_equal_to_declarative_plan(self, spark, emb):
+        """The Arrow-batched serving path must equal ivf_pq_rerank_topk
+        bit-for-bit on the same pinned parameters — the left-assoc
+        numpy fold contract that makes the SQL oracle valid."""
+        q = emb.filter(F.col("vec_id") < 40)
+        kw = dict(n_cells=4, n_probe=3, m=16, n_codes=32, retrieve_k=30)
+        fast = lt.ann_serving_topk(q, emb, k=5, **kw).collect()
+        slow = lt.ivf_pq_rerank_topk(q, emb, k=5, **kw).collect()
+        assert _key(fast) == _key(slow)
+        assert len(fast) > 0
+
+    def test_indexed_equals_inline(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq")
+        lt.save_pq_index(emb, path, n_cells=4, m=16, n_codes=32)
+        q = emb.filter(F.col("vec_id") < 40)
+        inline = lt.ann_serving_topk(
+            q, emb, k=5, n_cells=4, n_probe=3, m=16, n_codes=32,
+            retrieve_k=30,
+        ).collect()
+        idx = lt.ann_topk_pq_indexed(
+            spark, path, q, k=5, n_probe=3, retrieve_k=30
+        ).collect()
+        assert _key(idx) == _key(inline)
+
+    def test_auto_params_end_to_end(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 20)
+        out = lt.ann_serving_topk(q, emb, k=10).collect()
+        # retrieve-wide at this corpus size shortlists everything ->
+        # the rerank output IS the exact top-10
+        exact = lt.ann_topk(q, emb, k=10, mode="exact_cross").collect()
+        assert _key(out) == _key(exact)
+
+    def test_rank_and_score_contract(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 10)
+        out = lt.ann_serving_topk(
+            q, emb, k=3, n_cells=4, n_probe=4, m=16, n_codes=32,
+            retrieve_k=50,
+        )
+        rows = out.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+        for qid, rs in per_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r.score for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            # self is its own nearest neighbor under full probing of
+            # its own cell
+            assert rs[0].neighbor_id == qid and rs[0].score > 0.999999
+
+
+class TestServingEdges:
+    def test_empty_query_batch(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 0)
+        assert lt.ann_serving_topk(q, emb, k=5).count() == 0
+
+    def test_empty_corpus(self, spark, emb):
+        empty = emb.filter(F.col("vec_id") < 0)
+        q = emb.filter(F.col("vec_id") < 5)
+        assert lt.ann_serving_topk(q, empty, k=5).count() == 0
+
+    def test_query_batch_bound_enforced(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 30)
+        with pytest.raises(ValueError, match="bounded"):
+            lt.ann_serving_topk(q, emb, k=5, max_query_batch=10)
+
+    def test_k_validated(self, spark, emb):
+        with pytest.raises(ValueError, match="k must be"):
+            lt.ann_serving_topk(emb, emb, k=0)
+
+    def test_empty_corpus_index_build_rejected(self, spark, emb, tmp_path):
+        empty = emb.filter(F.col("vec_id") < 0)
+        with pytest.raises(ValueError, match="empty"):
+            lt.save_pq_index(empty, str(tmp_path / "nope"))
+
+    def test_index_version_validated(self, spark, emb, tmp_path):
+        import glob
+        import json
+        import os
+
+        path = str(tmp_path / "pq")
+        lt.save_pq_index(emb, path, n_cells=2, m=8, n_codes=16)
+        [meta_file] = glob.glob(f"{path}/meta/part-*.json")
+        meta = json.loads(open(meta_file).read())
+        meta["version"] = 99
+        with open(meta_file, "w") as f:
+            f.write(json.dumps(meta))
+        for crc in glob.glob(f"{path}/meta/.*.crc"):
+            os.remove(crc)
+        q = emb.filter(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="version"):
+            lt.ann_topk_pq_indexed(spark, path, q)

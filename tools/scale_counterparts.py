@@ -77,11 +77,31 @@ def counterparts(spark):
         )
         return lt.bm25_topk_indexed(spark, _idx[sf_dir], queries, k=5)
 
+    _pq = {}
+
+    def ann_serve_r90_indexed(sf_dir):
+        # THE serving default (operators/serving.py): PQ index built
+        # once per sf (auto knobs resolve against the actual corpus
+        # count), then a FIXED 2000-query batch served against it —
+        # the serving contract under which wall must track the query
+        # batch, not the corpus. Counterpart of the r8 sweep's
+        # ann_ivf_indexed 7.1x entry (pinned n_cells=16 at build).
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        if sf_dir not in _pq:
+            path = tempfile.mkdtemp(prefix="lt_cp_pq_")
+            lt.save_pq_index(emb, path)
+            _pq[sf_dir] = path
+        q = emb.filter(F.col("vec_id") < 2000)
+        return lt.ann_topk_pq_indexed(spark, _pq[sf_dir], q, k=10)
+
     return {
         "merge_knn_broadcast": merge_knn_broadcast,
         "er_resolve_lsh_auto": er_resolve_lsh_auto,
         "semdedup_auto": semdedup_auto,
         "bm25_fixed_queries": bm25_fixed_queries,
+        "ann_serve_r90_indexed": ann_serve_r90_indexed,
     }
 
 
