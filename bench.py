@@ -220,6 +220,27 @@ def bench_queries(spark):
         return lt.ann_topk_ivf_indexed(
             spark, _ivf_idx_path[sf_dir], q, k=10, n_probe=4)
 
+    def merge_knn_auto(sf_dir):
+        # the PRODUCTION merge plan: mode='auto' with an expression-
+        # embedding scorer, size-routed to LSH candidates + exact
+        # re-rank (threshold lowered so bench scale exercises the same
+        # route a 100 TB right side takes). Tracks the auto-routing
+        # and the LSH candidate volume round-over-round; the bench's
+        # merge_knn_k3 entry remains the exact-cross oracle baseline.
+        from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+
+        cust = read_table(spark, sf_dir, "customer")
+        supp = read_table(spark, sf_dir, "supplier")
+        spark.conf.set(AUTO_LSH_CONF, "1")
+        try:  # routing resolves at plan-build time, so restore is safe
+            return lt.merge_knn(
+                cust, supp, left_on="c_name", right_on="s_name",
+                model="hash-ngram", mode="auto", k=3,
+                left_id_col="c_custkey", right_id_col="s_suppkey",
+            )
+        finally:
+            spark.conf.unset(AUTO_LSH_CONF)
+
     def ann_serve_r90(sf_dir):
         # THE serving default (operators/serving.py): IVF-PQ scan-wide
         # + exact re-rank at auto-resolved knobs — the measured
@@ -315,6 +336,7 @@ def bench_queries(spark):
         "events_volume_anomaly": from_oracle("events_volume_anomaly"),
         "docs_temperature_mixture": from_oracle("docs_temperature_mixture"),
         "ann_ivf_indexed": ann_ivf_indexed,
+        "merge_knn_auto": merge_knn_auto,
         "ann_serve_r90": ann_serve_r90,
         "ann_serve_r90_indexed": ann_serve_r90_indexed,
         "docs_bigram_lm": from_oracle("docs_bigram_lm"),

@@ -153,3 +153,86 @@ def test_llm_ops_reject_zero_retries(spark, sf_dir):
         lt.merge_k_judge(cust, supp, left_on="c_name", right_on="s_name",
                          model="levenshtein", judge=lt.MockJudgeSpec(),
                          max_retries=0)
+
+
+def test_merge_k_judge_executor_path_replays_both_provider_shapes(
+    spark, sf_dir
+):
+    """End-to-end executor-side pin: merge_k_judge's mapInPandas stage
+    driven by spec clients whose responses are the RECORDED
+    OpenAI chat.completion and Gemini generateContent fixtures (not the
+    mock grammar), extracted through the production parse functions —
+    per-row AND batched protocols, no keys, no network."""
+    import json as _json
+
+    from linktransformer_spark.operators.llm import (
+        LLMClientSpec,
+        extract_gemini_text,
+        extract_openai_chat_text,
+    )
+    from tests.test_provider_replay import (
+        GEMINI_CHAT_RESPONSE,
+        OPENAI_CHAT_RESPONSE,
+    )
+
+    class _OpenAIReplay(LLMClientSpec):
+        def make(self):
+            class _C:
+                @staticmethod
+                def complete(system_prompt, user_content):
+                    payload = _json.loads(user_content)
+                    verdict = (
+                        [{"is_match": 1, "confidence": 0.9}] * len(payload)
+                        if isinstance(payload, list)
+                        else {"is_match": 1, "confidence": 0.9}
+                    )
+                    resp = _json.loads(_json.dumps(OPENAI_CHAT_RESPONSE))
+                    resp["choices"][0]["message"]["content"] = _json.dumps(
+                        verdict
+                    )
+                    return extract_openai_chat_text(resp)
+
+            return _C()
+
+    class _GeminiReplay(LLMClientSpec):
+        def make(self):
+            class _C:
+                @staticmethod
+                def complete(system_prompt, user_content):
+                    payload = _json.loads(user_content)
+                    verdict = (
+                        [{"is_match": 0, "confidence": 0.2}] * len(payload)
+                        if isinstance(payload, list)
+                        else {"is_match": 0, "confidence": 0.2}
+                    )
+                    resp = _json.loads(_json.dumps(GEMINI_CHAT_RESPONSE))
+                    # the fixture splits its text across two parts —
+                    # keep that shape so concatenation stays exercised
+                    txt = _json.dumps(verdict)
+                    resp["candidates"][0]["content"]["parts"] = [
+                        {"text": txt[: len(txt) // 2]},
+                        {"text": txt[len(txt) // 2 :]},
+                    ]
+                    return extract_gemini_text(resp)
+
+            return _C()
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(12)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    kw = dict(
+        left_on="c_name", right_on="s_name", model="levenshtein", k=1,
+        left_id_col="c_custkey", right_id_col="s_suppkey",
+    )
+    oai = lt.merge_k_judge(cust, supp, judge=_OpenAIReplay(), **kw).collect()
+    assert len(oai) == 12
+    assert all(r["llm_is_match"] == 1 for r in oai)
+    assert all(abs(r["llm_confidence"] - 0.9) < 1e-12 for r in oai)
+    # the raw column carries exactly what the extractor returned
+    assert all(_json.loads(r["llm_raw_response"])["is_match"] == 1 for r in oai)
+
+    gem = lt.merge_k_judge(
+        cust, supp, judge=_GeminiReplay(), judge_batch_size=5, **kw
+    ).collect()
+    assert len(gem) == 12
+    assert all(r["llm_is_match"] == 0 for r in gem)
+    assert all(abs(r["llm_confidence"] - 0.2) < 1e-12 for r in gem)

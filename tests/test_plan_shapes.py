@@ -353,3 +353,36 @@ def test_q14_broadcasts_part_and_prunes_shipdate(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
         "PushedFilters", 1)[1][:400]
+
+
+def test_bench_merge_knn_auto_routes_non_cross(spark, sf_dir):
+    """The bench's production-merge entry (merge_knn_auto) must
+    actually exercise the size-routed LSH plan — a regression that
+    silently falls back to the O(|L|*|R|) nested loop would make the
+    tracked timing meaningless."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import bench_queries
+
+    df = bench_queries(spark)["merge_knn_auto"](sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() > 0
+
+
+def test_serving_rerank_joins_are_hash_joins(spark, sf_dir):
+    """ann_serving_topk's shortlist re-rank must be id equi-joins
+    (broadcast/hash), never a nested loop — full-precision work per
+    query is O(retrieve_k) only if the shortlist is the join key."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    df = lt.ann_serving_topk(q, emb, k=5, n_cells=4, n_probe=3, m=16,
+                             n_codes=32, retrieve_k=30)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

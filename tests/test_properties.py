@@ -428,3 +428,67 @@ def test_salted_minhash_equals_uncapped_property(spark, docs, cap):
     ).collect()
     key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
     assert key(salt) == key(unc)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_DOC, min_size=1, max_size=25),
+       st.lists(_DOC, min_size=1, max_size=25), st.integers(1, 5))
+def test_bipartite_salt_equals_uncapped_property(spark, new, seen, cap):
+    """Grid-salt (_salt_two_sided) counterpart of the self-join salt
+    property: for ANY (new, seen) pair of corpora and ANY cap, the
+    bipartite new-vs-seen salted band join emits exactly the uncapped
+    candidate pair set — each cross pair shares exactly ONE (gL, gR)
+    grid cell, so no pair is lost and none duplicates."""
+    from linktransformer_spark.operators.dedup import (
+        near_dup_pairs_minhash_against,
+    )
+
+    ndf = spark.createDataFrame(
+        list(enumerate(new)), "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(1000 + i, d) for i, d in enumerate(seen)],
+        "doc_id long, text string",
+    )
+    kw = dict(on="text", id_col="doc_id", threshold=0.4,
+              num_hashes=8, bands=4, shingle=2)
+    unc = near_dup_pairs_minhash_against(ndf, sdf, **kw).collect()
+    salt = near_dup_pairs_minhash_against(
+        ndf, sdf, max_bucket_size=cap, hot_bucket="salt", **kw
+    ).collect()
+    key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+    assert key(salt) == key(unc)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_DOC, min_size=1, max_size=20),
+       st.lists(_DOC, min_size=1, max_size=20), st.integers(1, 4))
+def test_index_salt_equals_uncapped_property(spark, tmp_path_factory, new, seen, cap):
+    """Stored-index ingest salt: same invariant as the bipartite salt,
+    but the seen side's bands come from a persisted minhash index —
+    the salting must hold against ARBITRARY stored band distributions,
+    not just the example fixture's."""
+    from linktransformer_spark.operators.dedup import (
+        near_dup_pairs_minhash_against_index,
+        save_minhash_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("mh_prop") / "idx")
+    sdf = spark.createDataFrame(
+        [(1000 + i, d) for i, d in enumerate(seen)],
+        "doc_id long, text string",
+    )
+    save_minhash_index(sdf, path, on="text", id_col="doc_id",
+                       num_hashes=8, bands=4, shingle=2)
+    ndf = spark.createDataFrame(
+        list(enumerate(new)), "doc_id long, text string"
+    )
+    kw = dict(on="text", id_col="doc_id", threshold=0.4)
+    unc = near_dup_pairs_minhash_against_index(ndf, path, **kw).collect()
+    salt = near_dup_pairs_minhash_against_index(
+        ndf, path, max_bucket_size=cap, hot_bucket="salt", **kw
+    ).collect()
+    key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+    assert key(salt) == key(unc)
