@@ -294,27 +294,68 @@ def streaming_dedup_against(
     static relation — persist it with save_bucketed on (band, bsig) for
     a long-running deployment.
     """
-    from ..operators.dedup import (
-        _minhash_base_banded, _shingles_nonempty, minhash_signature,
-    )
+    from ..operators.dedup import _minhash_base_banded, py_minhash_cols
     from ..functions.serialize import DEFAULT_SEP, serialize_columns
 
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    # static index: (band, bsig, dst id, dst signature, dst shingles)
+    def _sig_shingle_stage(df, id_in, id_out, sig_out, sh_out,
+                           with_sig=True):
+        """(id, JVM-lowercased key) -> (id, signature, shingles) via
+        the exact-integer Arrow-batch replica (dedup.py_minhash_cols).
+        The per-row Column forms are interpreted HOF trees — measured
+        79s of an 85s sf0.1 drain; this stage is the same values at
+        expression-free speed, and it works identically on streaming
+        and batch frames. Lowercasing stays JVM-side (the one
+        Unicode-sensitive step) so both join sides case-fold the same."""
+        import pandas as pd
+
+        key = serialize_columns([on] if isinstance(on, str) else list(on),
+                                DEFAULT_SEP)
+        src = df.select(
+            F.col(id_in).cast("long").alias(id_out),
+            F.lower(key).alias("_kl"),
+        )
+        cols = [id_out] + ([sig_out] if with_sig else []) + [sh_out]
+        schema = ", ".join(
+            f"{c} long" if c == id_out
+            else f"{c} array<bigint>" if c == sig_out
+            else f"{c} array<string>"
+            for c in cols
+        )
+
+        def gen(batches):
+            memo = {}
+            for pdf in batches:
+                sigs, shs = py_minhash_cols(
+                    pdf["_kl"].tolist(), num_hashes, shingle, word,
+                    memo=memo,
+                )
+                out = {id_out: pdf[id_out].to_numpy()}
+                if with_sig:
+                    out[sig_out] = [list(map(int, s)) for s in sigs]
+                out[sh_out] = shs
+                yield pd.DataFrame(out)
+
+        return src.mapInPandas(gen, schema=schema)
+
+    # static index: (band, bsig, dst id, dst signature, dst shingles).
+    # Signatures/bands come from the relational batch build (codegen,
+    # reused by the band join); the verify shingle arrays come from the
+    # Arrow-batch replica — char mode's empty shingle set becomes {''}
+    # on BOTH sides, matching the batch _shingle_rows/_verify_jaccard
+    # paths row for row (short/empty docs included).
     sbase, sbanded = _minhash_base_banded(
         static_seen, on, id_col, num_hashes, bands, shingle, word, None
     )
     s_sh = sbase.select(
-        F.col("_id").alias("_dst"),
-        F.col("_sig").alias("_sig_s"),
-        # _shingles_nonempty everywhere in this op: char mode's empty
-        # shingle set becomes {''} on BOTH the signature input and the
-        # verify arrays, matching the batch _shingle_rows/_verify_jaccard
-        # paths row for row (short/empty docs included)
-        _shingles_nonempty(F.col("_key"), shingle, word).alias("_sh_s"),
+        F.col("_id").alias("_dst"), F.col("_sig").alias("_sig_s")
+    ).join(
+        _sig_shingle_stage(static_seen, id_col, "_dst", None, "_sh_s",
+                           with_sig=False),
+        "_dst",
     )
     if max_bucket_size is not None:
         # static-side hot-bucket guard (drop mode): bounds the join
@@ -330,13 +371,8 @@ def streaming_dedup_against(
         F.col("_id").alias("_dst"), "band", "bsig"
     ).join(s_sh, "_dst")
 
-    # stream side: per-row signature + shingles (pure expressions)
-    key = serialize_columns([on], DEFAULT_SEP)
-    n = stream_new.select(
-        F.col(id_col).cast("long").alias("_src"),
-        minhash_signature(key, num_hashes, shingle, word).alias("_sig_n"),
-        _shingles_nonempty(key, shingle, word).alias("_sh_n"),
-    )
+    # stream side: per-row signature + shingles (Arrow-batch replica)
+    n = _sig_shingle_stage(stream_new, id_col, "_src", "_sig_n", "_sh_n")
     banded_n = n.select(
         "_src", "_sig_n", "_sh_n",
         F.explode(

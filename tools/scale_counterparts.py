@@ -77,6 +77,24 @@ def counterparts(spark):
         )
         return lt.bm25_topk_indexed(spark, _idx[sf_dir], queries, k=5)
 
+    _ivf_auto = {}
+
+    def ann_ivf_indexed_auto(sf_dir):
+        # direct counterpart of the r8 sweep's ann_ivf_indexed 7.1x
+        # entry: same FIXED 500-query batch, but the index is built
+        # with n_cells='auto' (ceil(n/256)) so per-cell rows — and
+        # per-probe scan work — stay ~constant as the corpus grows
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        if sf_dir not in _ivf_auto:
+            path = tempfile.mkdtemp(prefix="lt_cp_ivf_auto_")
+            lt.save_ivf_index(emb, path, n_cells="auto", mode="seeded")
+            _ivf_auto[sf_dir] = path
+        q = emb.filter(F.col("vec_id") < 500)
+        return lt.ann_topk_ivf_indexed(
+            spark, _ivf_auto[sf_dir], q, k=10, n_probe=4)
+
     _pq = {}
 
     def ann_serve_r90_indexed(sf_dir):
@@ -101,6 +119,7 @@ def counterparts(spark):
         "er_resolve_lsh_auto": er_resolve_lsh_auto,
         "semdedup_auto": semdedup_auto,
         "bm25_fixed_queries": bm25_fixed_queries,
+        "ann_ivf_indexed_auto": ann_ivf_indexed_auto,
         "ann_serve_r90_indexed": ann_serve_r90_indexed,
     }
 
