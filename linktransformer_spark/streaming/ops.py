@@ -433,65 +433,81 @@ def streaming_contamination(
     (train_id, bench_id, shared_ngrams) per contaminated pair —
     STATELESS end to end (append mode, no state store).
 
-    Stateless by the same construction as streaming_dedup_against:
-    the stream side builds its DISTINCT gram set as a per-row array
-    expression (the relational explode+dropDuplicates form would be a
-    stateful aggregation under streaming), explodes it map-only, and
-    candidates come from a stream-static equi-join on the gram. The
-    per-pair count + multi-gram dedup is row-local: both sides carry
-    their full distinct gram arrays through the join, every matched row
-    computes shared = array_intersect(new, bench), and only the row
-    whose join gram is the lexicographically first shared gram
-    survives, reporting size(shared).
+    Execution shape — broadcast-static, join-free: the benchmark side
+    is SMALL BY CONTRACT (a held-out eval suite vs a training firehose
+    — the same bounded-static contract as broadcast_knn's right side),
+    so its inverted gram index (gram -> bench ids) is collected once
+    at query definition and closure-shipped; the stream side is ONE
+    Arrow-batch Python stage per micro-batch that builds each doc's
+    distinct gram set (exact replica of the _ngram_rows rule —
+    lowercasing stays JVM-side, the regex classes are explicit ASCII
+    sets identical across engines), probes the dict, and emits one
+    (train_id, bench_id, shared_ngrams) row per contaminated pair. No
+    state store, no shuffle, no join.
+
+    Two earlier formulations were measured and rejected at sf1: a
+    per-row Column gram build (interpreted-HOF cliff, 15s of an sf0.1
+    drain) and a gram equi-join carrying both sides' full gram arrays
+    on every exploded row (~5 KB x ~93 grams per doc through the
+    shuffle — 138s at sf1 vs ~9s for the batch twin). This form
+    measures ~linear with the stream.
 
     Matches contamination_pairs row-for-row on the same inputs (the
     batch oracle). The batch op's max_gram_doc_freq cap needs a corpus
     -wide frequency count and so has no stateless streaming form —
     pre-filter the static index instead for a long-running deployment.
     """
+    import re as _re
+    from collections import defaultdict
+
     from ..operators.corpus import _ngram_rows
 
-    # static index: (gram, bench_id, bench's full distinct gram array)
-    bg = _ngram_rows(static_bench, on, bench_id, n)
-    b_arr = bg.groupBy("_lt_id").agg(
-        F.collect_list("_lt_gram").alias("_lt_bgrams")
-    )
-    index = (
-        bg.join(b_arr, "_lt_id")
-        .select(
-            F.col("_lt_id").alias("bench_id"),
-            F.col("_lt_gram").alias("_lt_g"),
-            "_lt_bgrams",
-        )
-    )
+    # bounded collect: (gram, bench_id) rows of the benchmark corpus
+    bidx: dict[str, list] = defaultdict(list)
+    for r in _ngram_rows(static_bench, on, bench_id, n).collect():
+        bidx[r["_lt_gram"]].append(r["_lt_id"])
+    bidx = dict(bidx)
 
-    # stream side: per-row distinct gram array (pure expressions)
-    cleaned = F.regexp_replace(
-        F.lower(F.col(on)), "^[^a-z0-9]+|[^a-z0-9]+$", ""
-    )
-    toks = F.split(cleaned, "[^a-z0-9]+")
-    grams = F.when(
-        (F.element_at(toks, 1) != F.lit("")) & (F.size(toks) >= n),
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    nw = stream_new.select(
-        F.col(new_id).alias("train_id"), grams.alias("_lt_ngrams")
-    ).select("train_id", "_lt_ngrams", F.explode("_lt_ngrams").alias("_lt_g"))
+    strip_re = _re.compile(r"^[^a-z0-9]+|[^a-z0-9]+$")
+    split_re = _re.compile(r"[^a-z0-9]+")
+    nn = n
 
-    hits = nw.join(index, "_lt_g")
-    shared = F.array_intersect(F.col("_lt_ngrams"), F.col("_lt_bgrams"))
-    return (
-        hits.withColumn("_lt_shared", shared)
-        .filter(F.col("_lt_g") == F.array_sort(F.col("_lt_shared"))[0])
-        .select(
-            "train_id", "bench_id",
-            F.size("_lt_shared").cast("long").alias("shared_ngrams"),
-        )
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bids, cnts = [], [], []
+            for tid, lowered in zip(pdf["train_id"], pdf["_kl"]):
+                cleaned = strip_re.sub("", lowered or "")
+                toks = split_re.split(cleaned)
+                if not (toks and toks[0] != "" and len(toks) >= nn):
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + nn])
+                    for i in range(len(toks) - nn + 1)
+                )
+                shared: dict = {}
+                for g in grams:
+                    for b in bidx.get(g, ()):
+                        shared[b] = shared.get(b, 0) + 1
+                for b, c in shared.items():
+                    ids.append(tid)
+                    bids.append(b)
+                    cnts.append(c)
+            if ids:  # empty frames infer float64 columns Arrow rejects
+                yield pd.DataFrame(
+                    {
+                        "train_id": ids,
+                        "bench_id": bids,
+                        "shared_ngrams": cnts,
+                    }
+                )
+
+    return stream_new.select(
+        F.col(new_id).cast("long").alias("train_id"),
+        F.lower(F.col(on)).alias("_kl"),
+    ).mapInPandas(
+        gen, schema="train_id long, bench_id long, shared_ngrams long"
     )
 
 
@@ -511,15 +527,23 @@ def streaming_semdedup_against(
 
     How it stays stateless: the corpus's seeded centroids are collected
     ONCE at query definition (bounded — n_cells rows) and the stream
-    side's cell assignment is a pure per-row expression (array of
-    centroid dots -> first-max argmax, the same `dot DESC, cell ASC`
-    tie-break as the batch window formulation; centroids are already
-    L2-normalized doubles, so the literal embedding is bit-identical to
-    the batch column). Candidates come from a stream-static equi-join
+    side's normalize + cell assignment run per Arrow batch in numpy
+    with the SAME sequential-fold float order as the declarative
+    S.l2_normalize/S.dot (dots accumulated dimension-by-dimension, no
+    BLAS; first-max argmax == the batch window's `dot DESC, cell ASC`
+    tie-break) — bit-identical cell choices and vector doubles. An
+    earlier per-row Column formulation (array of n_cells fold dots) was
+    an interpreted-HOF cliff: n_cells GROWS with the corpus under
+    'auto', so per-row cost was O(n_cells * dim) interpreted steps —
+    super-linear end to end (same cliff, same fix as the streaming
+    minhash signature). Candidates come from a stream-static equi-join
     on `cell` against the corpus's precomputed single-probe assignment;
-    the cosine filter is row-local. Shuffle volume scales with cell
-    collisions, never |stream| x |corpus|.
+    the cosine filter is the row-local JVM fold (oracle-exact).
+    Shuffle volume scales with cell collisions, never
+    |stream| x |corpus|.
     """
+    import numpy as np
+
     from ..functions import similarity as S
     from ..operators.ann import (
         _assign_cells_declarative, ivf_seed_centroids, resolve_n_cells,
@@ -535,21 +559,41 @@ def streaming_semdedup_against(
     cents = sorted(
         (r["cell"], list(r["_cent_emb"])) for r in cent_df.collect()
     )
-    n = stream_new.select(
-        F.col(id_col).cast("long").alias("_src"),
-        S.l2_normalize(F.col(vector_col)).alias("_nv"),
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    # seeded centroid ids are 0..n_cells-1 in order, so numpy's
+    # first-max argmax IS the (dot DESC, cell ASC) tie-break
+    assert [cid for cid, _ in cents] == list(range(len(cents)))
+    dim = cmat.shape[1]
+    vc, ic = vector_col, id_col
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vc].tolist(), dtype=np.float64)
+            acc = np.zeros(len(v))
+            for i in range(dim):
+                acc = acc + v[:, i] * v[:, i]
+            nrm = np.maximum(np.sqrt(acc), 1e-12)
+            vn = v / nrm[:, None]
+            dots = np.zeros((len(v), len(cents)))
+            for i in range(dim):
+                dots = dots + vn[:, i : i + 1] * cmat[:, i][None, :]
+            yield pd.DataFrame(
+                {
+                    "_src": pdf[ic].to_numpy(dtype=np.int64),
+                    "cell": dots.argmax(1).astype(np.int32),
+                    "_nv": list(vn),
+                }
+            )
+
+    n = stream_new.select(ic, vc).mapInPandas(
+        assign, schema="_src long, cell int, _nv array<double>"
     )
-    dots = F.array(
-        *[
-            S.dot(F.col("_nv"), F.array(*[F.lit(float(x)) for x in vec]))
-            for _, vec in cents
-        ]
-    )
-    # first max == (dot DESC, cell ASC) tie-break of the batch window
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     hits = (
-        n.withColumn("cell", cell)
-        .join(static_assigned, "cell")
+        n.join(static_assigned, "cell")
         .withColumn("cosine", S.dot(F.col("_nv"), F.col("_cv")))
         .filter(F.col("cosine") >= threshold)
     )

@@ -104,6 +104,21 @@ def drains(spark):
         )
         return run_available_now(out, output_mode="append")
 
+    def stream_contamination(sf_dir):
+        from linktransformer_spark.streaming.ops import (
+            streaming_contamination,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 10 == 7).select(
+            "doc_id", "text"
+        )
+        nw = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 7
+        ).select("doc_id", "text")
+        out = streaming_contamination(nw, bench, on="text", n=8)
+        return run_available_now(out, output_mode="append")
+
     def stream_retention(sf_dir):
         ev = read_stream_table(spark, sf_dir, "events")
         out = streaming_retention_activity(ev)
@@ -111,14 +126,15 @@ def drains(spark):
 
     def stream_transitions(sf_dir):
         ev = read_stream_table(spark, sf_dir, "events")
-        out = streaming_transitions(ev)
-        return run_available_now(out, output_mode="update")
+        out = streaming_transitions(ev, tiebreak_col="event_id")
+        return run_available_now(out, output_mode="append")
 
     return {
         "stream_dedup_against": stream_dedup_against,
         "stream_semdedup_against": stream_semdedup_against,
         "stream_funnel": stream_funnel,
         "stream_ann_ivf_indexed": stream_ann_ivf_indexed,
+        "stream_contamination": stream_contamination,
         "stream_retention": stream_retention,
         "stream_transitions": stream_transitions,
     }
