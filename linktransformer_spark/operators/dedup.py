@@ -170,28 +170,31 @@ def minhash_signature(text: Column, num_hashes: int, shingle: int = 3,
     return F.array(*sigs)
 
 
-def py_shingles(lowered: str, n: int, word: bool) -> list[str]:
-    """Python replica of ``_shingles_nonempty`` over an ALREADY
-    JVM-LOWERCASED string (lowercasing stays in the JVM — it is the
-    one Unicode-sensitive step, and both sides of a stream-static join
-    must case-fold identically). ``re.ASCII`` makes Python's ``\\s``
-    exactly Java's ``[ \\t\\n\\x0B\\f\\r]``; first-occurrence dedup
-    matches ``array_distinct``. Exact-integer path — no float
-    semantics anywhere."""
+def py_shingles(key: str, n: int, word: bool) -> list[str]:
+    """Python replica of ``_shingles_nonempty``. ``key`` must be the
+    ALREADY JVM-LOWERCASED string in word mode (word_tokens lowercases;
+    keeping that step in the JVM is what makes both sides of a
+    stream-static join case-fold identically — the one Unicode-
+    sensitive op) and the RAW string in char mode (``_shingles`` char
+    mode never case-folds — pinned by the replica-parity property
+    test). ``re.ASCII`` makes Python's ``\\s`` exactly Java's
+    ``[ \\t\\n\\x0B\\f\\r]``; first-occurrence dedup matches
+    ``array_distinct``. Exact-integer path — no float semantics
+    anywhere."""
     import re
 
     if not hasattr(py_shingles, "_ws"):
         py_shingles._ws = re.compile(r"\s+", re.ASCII)
     if word:
-        toks = [t for t in py_shingles._ws.split(lowered) if t]
+        toks = [t for t in py_shingles._ws.split(key) if t]
         if len(toks) >= n:
             grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         else:
             grams = [" ".join(toks)]
     else:
         grams = (
-            [lowered[i : i + n] for i in range(len(lowered) - n + 1)]
-            if len(lowered) >= n
+            [key[i : i + n] for i in range(len(key) - n + 1)]
+            if len(key) >= n
             else [""]
         )
         if not grams:
@@ -207,10 +210,11 @@ def _py_poly_hash(s: str, salt: int = 0) -> int:
     return acc
 
 
-def py_minhash_cols(lowered_texts, num_hashes: int, shingle: int,
+def py_minhash_cols(keys, num_hashes: int, shingle: int,
                     word: bool, memo: dict | None = None):
     """Arrow-batch replica of (minhash_signature, _shingles_nonempty)
-    over JVM-lowercased strings: returns (signatures, shingle_lists).
+    over key strings (JVM-lowercased in word mode, raw in char mode
+    — see py_shingles): returns (signatures, shingle_lists).
 
     Why this exists: the per-row Column forms are higher-order-function
     trees (CodegenFallback, interpreted ~us per element-step) — the
@@ -232,7 +236,7 @@ def py_minhash_cols(lowered_texts, num_hashes: int, shingle: int,
     )
     memo = {} if memo is None else memo
     sigs, shs = [], []
-    for s in lowered_texts:
+    for s in keys:
         grams = py_shingles(s if s is not None else "", shingle, word)
         hs = np.empty(len(grams), dtype=np.int64)
         for j, g in enumerate(grams):

@@ -308,15 +308,17 @@ def streaming_dedup_against(
         The per-row Column forms are interpreted HOF trees — measured
         79s of an 85s sf0.1 drain; this stage is the same values at
         expression-free speed, and it works identically on streaming
-        and batch frames. Lowercasing stays JVM-side (the one
-        Unicode-sensitive step) so both join sides case-fold the same."""
+        and batch frames. Word mode ships the JVM-lowercased key (the
+        one Unicode-sensitive step — both join sides case-fold the
+        same); char mode ships the RAW key, because _shingles char
+        mode never case-folds (pinned by the replica-parity property)."""
         import pandas as pd
 
         key = serialize_columns([on] if isinstance(on, str) else list(on),
                                 DEFAULT_SEP)
         src = df.select(
             F.col(id_in).cast("long").alias(id_out),
-            F.lower(key).alias("_kl"),
+            (F.lower(key) if word else key).alias("_kl"),
         )
         cols = [id_out] + ([sig_out] if with_sig else []) + [sh_out]
         schema = ", ".join(

@@ -492,3 +492,41 @@ def test_index_salt_equals_uncapped_property(spark, tmp_path_factory, new, seen,
     ).collect()
     key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
     assert key(salt) == key(unc)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT, min_size=1, max_size=15),
+       st.sampled_from([(8, 4, 2, True), (24, 8, 3, True), (12, 4, 3, False)]))
+def test_py_minhash_replica_equals_column_forms(spark, texts, cfg):
+    """The load-bearing parity behind the streaming-dedup fast path:
+    dedup.py_minhash_cols (exact-integer Arrow replica) must equal the
+    minhash_signature / _shingles_nonempty Column expressions for
+    ARBITRARY unicode text — whitespace classes, case folding input
+    (the replica receives JVM-lowercased text), empty and short docs,
+    CJK, accents."""
+    from linktransformer_spark.operators.dedup import (
+        _shingles_nonempty,
+        minhash_signature,
+        py_minhash_cols,
+    )
+
+    num_hashes, _bands, shingle, word = cfg
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    # word mode: the replica receives the JVM-lowercased key (the
+    # Unicode-sensitive step stays JVM-side); char mode: the RAW key
+    # (char shingles never case-fold — this property pinned that)
+    key = F.lower(F.col("t")) if word else F.col("t")
+    rows = df.select(
+        "id",
+        key.alias("k"),
+        minhash_signature(F.col("t"), num_hashes, shingle, word).alias("sig"),
+        _shingles_nonempty(F.col("t"), shingle, word).alias("sh"),
+    ).collect()
+    sigs, shs = py_minhash_cols([r["k"] for r in rows], num_hashes,
+                                shingle, word)
+    for r, sig, sh in zip(rows, sigs, shs):
+        assert list(map(int, sig)) == list(r["sig"]), (r["k"],)
+        assert sorted(sh) == sorted(r["sh"]), (r["k"],)
