@@ -1215,9 +1215,13 @@ def save_ivf_index(
     the Lloyd trainer for better recall per probe (deterministic given
     the seeding, but not SQL-expressible).
     """
+    from .tombstones import clear_tombstones, refresh_index_path
+
     if mode not in ("seeded", "kmeans"):
         raise ValueError("mode must be seeded|kmeans")
     spark = corpus.sparkSession
+    # a rebuild at the same path must not inherit tombstones
+    clear_tombstones(spark, path)
     c = KJ.ensure_parallelism(corpus).select(
         F.col(corpus_id).cast("long").alias(corpus_id),
         S.l2_normalize(F.col(vector_col)).alias(vector_col),
@@ -1242,6 +1246,72 @@ def save_ivf_index(
         [(_IVF_INDEX_VERSION, int(ncells), mode, corpus_id, vector_col)],
         "version int, n_cells int, mode string, id_col string, vector_col string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    refresh_index_path(spark, path)
+
+
+def delete_from_ivf_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str | None = None,
+) -> None:
+    """Tombstone corpus ids in a :func:`save_ivf_index` directory (see
+    :mod:`.tombstones`). Deleted vectors vanish from
+    :func:`ann_topk_ivf_indexed` results immediately — survivors take
+    the freed top-k slots, because the anti-join runs BEFORE scoring.
+    Unlike BM25 there is no staleness at all: the index's scoring
+    state is per-row only (frozen centroids + stored vectors), so a
+    tombstoned serve is EXACTLY the serve a filtered rebuild with the
+    same centroids would produce. :func:`purge_ivf_index` rewrites the
+    cells without the tombstoned rows when their scan cost matters."""
+    from .tombstones import refresh_index_path, write_tombstones
+
+    spark = ids.sparkSession
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    stored = str(meta["id_col"])
+    write_tombstones(ids, path, id_col or stored, stored)
+    refresh_index_path(spark, path)
+
+
+def purge_ivf_index(spark, path: str, out_path: str) -> None:
+    """Physically apply an IVF index's tombstones: rewrite ``cells/``
+    minus the deleted rows into a fresh index at ``out_path`` (frozen
+    centroids and meta copied over, tombstone set empty). Serving from
+    the purged index is bit-identical to the tombstoned serve — the
+    rewrite buys back the masked rows' scan+anti-join cost and makes
+    the deleted ids re-ingestable. I/O scales with the index, and the
+    per-cell partition layout is preserved (one directory per cell).
+    Same commit-point stance as :func:`~.search.compact_bm25_index`:
+    writes a complete new directory; swapping it over the old one is
+    the caller's atomic rename."""
+    from .tombstones import (
+        anti_tombstones, clear_tombstones, refresh_index_path,
+    )
+
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    stored = str(meta["id_col"])
+    cells = spark.read.parquet(f"{path}/cells")
+    kept = anti_tombstones(cells, spark, path, stored, stored)
+    clear_tombstones(spark, out_path)
+    kept.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{out_path}/cells")
+    spark.read.parquet(f"{path}/centroids").write.mode("overwrite").parquet(
+        f"{out_path}/centroids"
+    )
+    spark.read.json(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{out_path}/meta")
+    refresh_index_path(spark, out_path)
 
 
 def ann_topk_ivf_indexed(
@@ -1283,6 +1353,12 @@ def ann_topk_ivf_indexed(
     probed = [r["cell"] for r in cq.select("cell").distinct().collect()]
     stored = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed)
+    )
+    # tombstoned vectors drop out BEFORE scoring (no-op without deletes/)
+    from .tombstones import anti_tombstones
+
+    stored = anti_tombstones(
+        stored, spark, path, str(meta["id_col"]), str(meta["id_col"])
     )
     cand = cq.join(
         stored.select(
@@ -1412,3 +1488,6 @@ def append_to_ivf_index(
     assigned.repartition("cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
+    from .tombstones import refresh_index_path
+
+    refresh_index_path(spark, path)

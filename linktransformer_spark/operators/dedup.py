@@ -1400,8 +1400,15 @@ def save_minhash_index(
     sh = base.select(
         "_id", _shingles_nonempty(F.col("_key"), shingle, word).alias("_sh")
     )
+    from .tombstones import clear_tombstones, refresh_index_path
+
+    if mode == "overwrite":
+        # a rebuild must not inherit tombstones; an append keeps them
+        # (appending never resurrects a deleted id — see tombstones.py)
+        clear_tombstones(spark, path)
     banded.write.mode(mode).parquet(f"{path}/bands")
     sh.write.mode(mode).parquet(f"{path}/shingles")
+    refresh_index_path(spark, path)
     # meta is always a single authoritative row, even on append
     spark.createDataFrame(
         [tuple(meta[k] for k in sorted(meta))],
@@ -1417,6 +1424,54 @@ def _load_index_meta(spark, path: str) -> dict:
             f"this build reads version {_INDEX_VERSION}"
         )
     return row
+
+
+def delete_from_minhash_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str,
+) -> None:
+    """Tombstone document ids in a :func:`save_minhash_index` directory
+    (see :mod:`.tombstones`). Deleted documents stop generating
+    candidates in :func:`near_dup_pairs_minhash_against_index`
+    immediately — the anti-join masks their band rows BEFORE the
+    bucket-size/salt accounting, so skew caps see the surviving bucket
+    sizes, not the historical ones. No staleness: the index state is
+    per-row (band signatures + verify shingles), so a tombstoned run
+    equals one against a filtered rebuild. ``ids`` carries the
+    original id column (``id_col`` — the index stores it as ``_id``);
+    :func:`purge_minhash_index` rewrites the files when the masked
+    rows' scan cost matters."""
+    from .tombstones import refresh_index_path, write_tombstones
+
+    spark = ids.sparkSession
+    _load_index_meta(spark, path)  # version gate
+    write_tombstones(ids, path, id_col, "_id")
+    refresh_index_path(spark, path)
+
+
+def purge_minhash_index(spark, path: str, out_path: str) -> None:
+    """Physically apply a MinHash index's tombstones: rewrite
+    ``bands/`` and ``shingles/`` minus the deleted ids into a fresh
+    index at ``out_path`` (family meta copied, tombstone set empty).
+    Output-identical to the tombstoned view; I/O scales with the
+    index. Same write-then-rename commit discipline as the other
+    purge paths."""
+    from .tombstones import (
+        anti_tombstones, clear_tombstones, refresh_index_path,
+    )
+
+    _load_index_meta(spark, path)  # version gate
+    clear_tombstones(spark, out_path)
+    for part in ("bands", "shingles"):
+        rel = spark.read.parquet(f"{path}/{part}")
+        anti_tombstones(rel, spark, path, "_id", "_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/{part}")
+    spark.read.json(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{out_path}/meta")
+    refresh_index_path(spark, out_path)
 
 
 def near_dup_pairs_minhash_against_index(
@@ -1456,6 +1511,12 @@ def near_dup_pairs_minhash_against_index(
     )
     sbanded = spark.read.parquet(f"{path}/bands")
     ssh = spark.read.parquet(f"{path}/shingles")
+    # tombstones mask the seen side BEFORE the cap/salt accounting, so
+    # bucket sizes reflect survivors (no-op without deletes/)
+    from .tombstones import anti_tombstones
+
+    sbanded = anti_tombstones(sbanded, spark, path, "_id", "_id")
+    ssh = anti_tombstones(ssh, spark, path, "_id", "_id")
     if salted:
         nbanded, sbanded = _salt_two_sided(
             nbanded, sbanded, ["band", "bsig"], max_bucket_size

@@ -353,9 +353,14 @@ def save_bm25_index(
     rebuild). Impacts of existing postings never change on append; the
     documented staleness is that appended documents are scored as if
     the corpus still had the build-time N/avgdl/df."""
+    from .tombstones import clear_tombstones, refresh_index_path
+
     postings, dfreq, stats = build_bm25_index(
         docs, text_col=text_col, id_col=id_col, k1=k1, b=b, n_buckets=n_buckets
     )
+    # a rebuild must not inherit tombstones from a previous index at
+    # the same path — the postings it masks no longer exist
+    clear_tombstones(docs.sparkSession, path)
     # one file per (shuffle partition, bucket) would explode the file
     # count; cluster rows by bucket first so each bucket writes from
     # few tasks. repartition(bucket) hashes the low-cardinality bucket
@@ -374,6 +379,7 @@ def save_bm25_index(
         "version int, n_buckets int, k1 double, b double, "
         "id_col string, n_docs bigint, avgdl double",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    refresh_index_path(docs.sparkSession, path)
 
 
 def _read_bm25_meta(
@@ -404,6 +410,37 @@ def _read_bm25_meta(
             f"this operation reads {need}"
         )
     return meta
+
+
+def delete_from_bm25_index(
+    ids: DataFrame,
+    index_path: str,
+    id_col: str | None = None,
+) -> None:
+    """Tombstone a batch of document ids in a :func:`save_bm25_index`
+    directory (see :mod:`.tombstones` for the Lucene delete model).
+
+    The deleted documents vanish from :func:`bm25_topk_indexed`
+    results immediately — including the rank slots they occupied, so
+    survivors move UP, never a k-minus-deleted truncation. Stored
+    impacts are untouched: surviving documents keep the scores the
+    index's frozen reference frame (N, avgdl, df) gave them, exactly
+    as appended documents do. The drift this leaves relative to a
+    rebuild over the filtered corpus is removed by the next
+    :func:`compact_bm25_index`, which applies tombstones physically
+    and re-bakes every stat from the surviving postings — bit-identical
+    to that rebuild.
+
+    ``ids`` carries the document ids in ``id_col`` (defaults to the
+    id column recorded in the index meta). Tombstoning an id that was
+    never indexed is harmless; re-appending a tombstoned id stays
+    masked until a compaction clears the tombstone set."""
+    from .tombstones import refresh_index_path, write_tombstones
+
+    meta = _read_bm25_meta(ids.sparkSession, index_path)
+    stored = str(meta["id_col"])
+    write_tombstones(ids, index_path, id_col or stored, stored)
+    refresh_index_path(ids.sparkSession, index_path)
 
 
 def bm25_topk_indexed(
@@ -460,6 +497,12 @@ def bm25_topk_indexed(
         F.col(id_col).alias("_d"),
         F.col("impact").alias("_c"),
     )
+    # tombstoned docs drop out BEFORE ranking, so survivors take the
+    # freed rank slots (never a truncated top-k); no-op when the index
+    # has no deletes/ relation
+    from .tombstones import anti_tombstones
+
+    pruned = anti_tombstones(pruned, spark, index_path, "_d", id_col)
     return _retrieve(pruned, F.broadcast(qterms), id_col, query_id, k)
 
 
@@ -524,11 +567,14 @@ def append_to_bm25_index(
     ``meta/`` deliberately stay frozen between compactions so that ALL
     segments share one reference frame.
     """
+    from .tombstones import refresh_index_path
+
     spark = new_docs.sparkSession
     delta = bm25_delta_postings(spark, index_path, new_docs, text_col=text_col)
     delta.repartition("bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{index_path}/postings")
+    refresh_index_path(spark, index_path)
 
 
 def compact_bm25_index(
@@ -565,11 +611,23 @@ def compact_bm25_index(
     ids must be unique across all segments — a doc ingested twice
     double-counts df exactly as it would in a rebuild of the
     duplicated corpus.
+
+    Tombstones (:func:`delete_from_bm25_index`) are applied PHYSICALLY
+    here: deleted documents drop out of the postings before the stats
+    re-derive, so the compacted index equals a rebuild over the corpus
+    minus the deletions, and the fresh index at ``out_path`` starts
+    with an empty tombstone set (deleted ids become re-ingestable).
     """
+    from .tombstones import clear_tombstones, refresh_index_path
+
     meta = _read_bm25_meta(spark, index_path, min_version=3)
     nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
     id_col = str(meta["id_col"])
     out, dfreq, stats = _compacted_parts(spark, index_path, meta, nb)
+    # the compacted output has no masked rows, so it carries no
+    # tombstones — and must not inherit any from a previous index at
+    # out_path
+    clear_tombstones(spark, out_path)
     out.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{out_path}/postings")
@@ -587,6 +645,7 @@ def compact_bm25_index(
         "version int, n_buckets int, k1 double, b double, "
         "id_col string, n_docs bigint, avgdl double",
     ).coalesce(1).write.mode("overwrite").json(f"{out_path}/meta")
+    refresh_index_path(spark, out_path)
 
 
 def _compacted_parts(
@@ -608,6 +667,12 @@ def _compacted_parts(
         F.col("tf").alias("_tf"),
         F.col("dl").alias("_dl"),
     )
+    # compaction applies tombstones PHYSICALLY: drop deleted docs
+    # before re-deriving (N, avgdl, df), so the output is bit-identical
+    # to a rebuild over the corpus minus the deleted documents
+    from .tombstones import anti_tombstones
+
+    p = anti_tombstones(p, spark, index_path, "_d", id_col)
     # stats re-derivation: postings are exactly the build path's
     # distinct (doc, term) relation, so the SAME aggregate expression
     # reproduces the SAME (N, avgdl) doubles a rebuild would compute

@@ -431,6 +431,57 @@ def ann_serving_topk(
 # ---------------------------------------------------------------------------
 # the stored-index form: build once (one corpus pass), probe many.
 
+def _encode_cells(corpus, corpus_id: str, vector_col: str, C, book,
+                  parts: int):
+    """The PQ ingest stage shared by build and append: normalize,
+    assign each vector to its nearest (frozen) centroid, encode the m
+    sub-vectors against the (frozen) codebook — one Arrow-batched pass,
+    per-dimension left-associative accumulation (bit-equal to the
+    declarative SQL mirror)."""
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_normalize(
+                np.array(pdf["_v"].tolist(), dtype=np.float64)
+            )
+            cell = _np_assign_cell(V, C)
+            codes = _np_encode(V, book)
+            yield pd.DataFrame(
+                {
+                    "_cid": pdf["_cid"].to_numpy(dtype=np.int64),
+                    "_v": list(V),
+                    "codes": list(codes.astype(np.int16)),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    return (
+        corpus.select(
+            F.col(corpus_id).cast("long").alias("_cid"),
+            F.col(vector_col).alias("_v"),
+        )
+        .repartition(parts)
+        .mapInPandas(
+            gen,
+            schema=(
+                "_cid long, _v array<double>, codes array<smallint>, "
+                "cell int"
+            ),
+        )
+        .select(
+            F.col("_cid").alias(corpus_id),
+            F.col("_v").alias(vector_col),
+            "codes",
+            "cell",
+        )
+    )
+
+
 def save_pq_index(
     corpus: DataFrame,
     path: str,
@@ -482,47 +533,11 @@ def save_pq_index(
     book = SV[: p["n_codes"]].reshape(min(p["n_codes"], len(SV)),
                                       p["m"], ds)
 
-    def gen(batches):
-        import pandas as pd
+    enc = _encode_cells(corpus, corpus_id, vector_col, C, book,
+                        _resolve_parts(spark, n, rows_per_task))
+    from .tombstones import clear_tombstones
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = _np_normalize(
-                np.array(pdf["_v"].tolist(), dtype=np.float64)
-            )
-            cell = _np_assign_cell(V, C)
-            codes = _np_encode(V, book)
-            yield pd.DataFrame(
-                {
-                    "_cid": pdf["_cid"].to_numpy(dtype=np.int64),
-                    "_v": list(V),
-                    "codes": list(codes.astype(np.int16)),
-                    "cell": cell.astype(np.int32),
-                }
-            )
-
-    parts = _resolve_parts(spark, n, rows_per_task)
-    enc = (
-        corpus.select(
-            F.col(corpus_id).cast("long").alias("_cid"),
-            F.col(vector_col).alias("_v"),
-        )
-        .repartition(parts)
-        .mapInPandas(
-            gen,
-            schema=(
-                "_cid long, _v array<double>, codes array<smallint>, "
-                "cell int"
-            ),
-        )
-        .select(
-            F.col("_cid").alias(corpus_id),
-            F.col("_v").alias(vector_col),
-            "codes",
-            "cell",
-        )
-    )
+    clear_tombstones(spark, path)
     enc.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
@@ -546,6 +561,156 @@ def save_pq_index(
         "version int, n_cells int, m int, n_codes int, dim int, "
         "id_col string, vector_col string, n_rows bigint",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    from .tombstones import refresh_index_path
+
+    refresh_index_path(spark, path)
+
+
+def _read_pq_meta(spark: SparkSession, path: str) -> dict:
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _PQ_INDEX_VERSION:
+        raise ValueError(
+            f"pq index at {path} has version {meta['version']}, "
+            f"this build reads version {_PQ_INDEX_VERSION}"
+        )
+    return meta
+
+
+def _load_pq_model(spark: SparkSession, path: str, meta: dict):
+    """The frozen (centroids, codebook) numpy pair of a stored PQ
+    index — both bounded collects (n_cells and n_codes x m rows)."""
+    import numpy as np
+
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    brows = spark.read.parquet(f"{path}/book").collect()
+    m = int(meta["m"])
+    n_codes = int(meta["n_codes"])
+    book = np.empty((n_codes, m, int(meta["dim"]) // m), dtype=np.float64)
+    for r in brows:
+        book[r["code"], r["sub"], :] = r["codeword"]
+    return C, book
+
+
+def _write_pq_meta(spark: SparkSession, path: str, meta: dict,
+                   n_rows: int) -> None:
+    spark.createDataFrame(
+        [(
+            _PQ_INDEX_VERSION, int(meta["n_cells"]), int(meta["m"]),
+            int(meta["n_codes"]), int(meta["dim"]), str(meta["id_col"]),
+            str(meta["vector_col"]), int(n_rows),
+        )],
+        "version int, n_cells int, m int, n_codes int, dim int, "
+        "id_col string, vector_col string, n_rows bigint",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def append_to_pq_index(
+    new: DataFrame,
+    path: str,
+    vector_col: str | None = None,
+    corpus_id: str | None = None,
+    rows_per_task: int = 8192,
+) -> None:
+    """Append a corpus batch to a :func:`save_pq_index` directory.
+
+    Sound without a rebuild for the same reason as
+    :func:`~.ann.append_to_ivf_index`: the index's scoring state is
+    per-row (frozen centroids + frozen codebook), so new vectors
+    encode against the stored model and append into the cell
+    partitions; existing rows and every previously-correct probe stay
+    untouched. ``meta/`` is rewritten with the grown ``n_rows`` so the
+    auto serving knobs (n_probe, retrieve_k) keep tracking the real
+    corpus size.
+
+    The documented drift is quantization quality, not correctness:
+    centroids and codewords were trained (seeded) on the build-time
+    corpus, so a heavily drifted append distribution degrades
+    cells-balance and ADC tightness — monitor cell sizes and rebuild,
+    the standard IVF-PQ maintenance trade. Ids must be unique across
+    batches; a tombstoned id (:func:`delete_from_pq_index`) stays
+    masked even if re-appended, until a purge clears the tombstones."""
+    from .tombstones import refresh_index_path
+
+    spark = new.sparkSession
+    meta = _read_pq_meta(spark, path)
+    id_col = corpus_id or str(meta["id_col"])
+    vec_col = vector_col or str(meta["vector_col"])
+    C, book = _load_pq_model(spark, path, meta)
+    n_new = new.count()
+    if n_new == 0:
+        return
+    enc = _encode_cells(
+        new.select(
+            F.col(id_col).cast("long").alias(str(meta["id_col"])),
+            F.col(vec_col).alias(str(meta["vector_col"])),
+        ),
+        str(meta["id_col"]), str(meta["vector_col"]), C, book,
+        _resolve_parts(spark, n_new, rows_per_task),
+    )
+    enc.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+    _write_pq_meta(spark, path, meta, int(meta["n_rows"]) + n_new)
+    refresh_index_path(spark, path)
+
+
+def delete_from_pq_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str | None = None,
+) -> None:
+    """Tombstone corpus ids in a :func:`save_pq_index` directory (see
+    :mod:`.tombstones`). Deleted vectors vanish from
+    :func:`ann_topk_pq_indexed` immediately — masked before BOTH the
+    ADC scan and the exact re-rank, so survivors take the freed
+    shortlist and top-k slots. As with the IVF index there is no score
+    staleness: scoring state is per-row, so the tombstoned serve
+    equals a filtered rebuild with the same frozen model.
+    ``meta.n_rows`` stays at the ingested count until a purge — the
+    auto serving knobs deliberately track ingested volume, not the
+    masked view (knob drift from tombstones is bounded by the purge
+    cadence)."""
+    from .tombstones import refresh_index_path, write_tombstones
+
+    spark = ids.sparkSession
+    meta = _read_pq_meta(spark, path)
+    stored = str(meta["id_col"])
+    write_tombstones(ids, path, id_col or stored, stored)
+    refresh_index_path(spark, path)
+
+
+def purge_pq_index(spark: SparkSession, path: str, out_path: str) -> None:
+    """Physically apply a PQ index's tombstones: rewrite ``cells/``
+    minus the deleted rows into a fresh index at ``out_path`` (frozen
+    centroids/codebook copied, ``n_rows`` re-counted from the
+    survivors, tombstone set empty). Serving from the purged index is
+    bit-identical to the tombstoned serve at the same explicit
+    (n_probe, retrieve_k); with auto knobs, the purged index's params
+    re-derive from the SURVIVING count — the honest corpus size. Same
+    write-then-rename commit discipline as the other purge/compact
+    paths."""
+    from .tombstones import (
+        anti_tombstones, clear_tombstones, refresh_index_path,
+    )
+
+    meta = _read_pq_meta(spark, path)
+    stored = str(meta["id_col"])
+    cells = spark.read.parquet(f"{path}/cells")
+    kept = anti_tombstones(cells, spark, path, stored, stored)
+    clear_tombstones(spark, out_path)
+    kept.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{out_path}/cells")
+    for part in ("centroids", "book"):
+        spark.read.parquet(f"{path}/{part}").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/{part}")
+    n_kept = (
+        spark.read.parquet(f"{out_path}/cells").count()
+    )
+    _write_pq_meta(spark, out_path, meta, n_kept)
+    refresh_index_path(spark, out_path)
 
 
 def ann_topk_pq_indexed(
@@ -610,6 +775,11 @@ def ann_topk_pq_indexed(
     stored = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed)
     )
+    # tombstoned vectors drop out before BOTH the ADC scan and the
+    # exact re-rank (cn below derives from the same filtered relation)
+    from .tombstones import anti_tombstones
+
+    stored = anti_tombstones(stored, spark, path, id_col, id_col)
     gen = _candidate_gen(Q, qids, probe_mask, book, p["retrieve_k"],
                          code_field="codes", cell_field="cell",
                          id_field=id_col)

@@ -1,0 +1,120 @@
+"""Tombstone deletes for the persistable indexes — the Lucene delete
+model adapted to parquet directories.
+
+Every stored index this package writes (BM25 impact index, IVF cells,
+PQ serving index, MinHash band index) is an append-friendly parquet
+layout whose rows are immutable once written. Deleting a document from
+such an index therefore follows the Lucene two-phase contract:
+
+1. **Tombstone** (`delete_from_*_index`): the deleted ids append into a
+   small ``deletes/`` relation under the index directory. Serving paths
+   anti-join the stored rows against it, so deleted documents stop
+   appearing in results IMMEDIATELY — no index rewrite, cost = one
+   (usually broadcast) anti-join per query batch. Scores of surviving
+   documents do NOT change (BM25 impacts keep the build-time reference
+   frame; vector cells keep their frozen centroids) — the same
+   documented staleness stance as the append paths.
+2. **Purge** (`purge_*_index` / :func:`~.search.compact_bm25_index`):
+   a physical rewrite drops the tombstoned rows and clears ``deletes/``.
+   For BM25 the compaction re-derives every corpus stat from the
+   surviving postings, so the purged index is BIT-identical to a full
+   rebuild over the filtered corpus; for the vector indexes the
+   centroids/codebook stay frozen (per-row state only), so a purged
+   serve equals a tombstoned serve exactly.
+
+Tombstones match on the USER id. Re-appending a tombstoned id does not
+resurrect it — the anti-join still masks it — until a purge clears the
+tombstone set. Upsert-by-id is therefore purge-then-append (or append
+under a fresh id), never append alone; this is deliberate: a serve-time
+"newest wins" rule would need a version column on every stored row and
+a window over every probe, paying at query time for what the rewrite
+pays once.
+
+At 100 TB the economics are the point: deletes (compliance purges,
+right-to-be-forgotten, bad-shard retractions) arrive continuously, and
+rewriting a corpus-scale index per delete batch is not an option. The
+tombstone set is ids-only (bytes per delete), the serve-time anti-join
+is broadcast-sized until deletes are a material fraction of the corpus,
+and the purge amortizes into the compaction the index needs anyway.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETES_DIR = "deletes"
+
+
+def _deletes_path(index_path: str) -> str:
+    return f"{index_path}/{DELETES_DIR}"
+
+
+def refresh_index_path(spark: SparkSession, index_path: str) -> None:
+    """Invalidate Spark's cached file listings under ``index_path``.
+
+    Every index writer calls this after mutating the directory:
+    without it, a session that already served from the index keeps the
+    OLD parquet file listing in its FileStatusCache, and the next read
+    after an overwrite/compact dies with FAILED_READ_FILE on the
+    replaced files. Cheap (cache invalidation only), and a no-op for
+    sessions that never touched the path."""
+    spark.catalog.refreshByPath(index_path)
+
+
+def clear_tombstones(spark: SparkSession, index_path: str) -> None:
+    """Remove the ``deletes/`` relation under ``index_path`` (no-op if
+    absent). Called by every ``save_*_index`` overwrite and by the
+    purge writers: a rebuilt index must never inherit stale tombstones
+    from a previous life of the same directory."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_deletes_path(index_path))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def write_tombstones(ids: DataFrame, index_path: str, src_col: str,
+                     stored_col: str) -> None:
+    """Append a delete batch: the distinct ``src_col`` values of
+    ``ids`` land in ``{index_path}/deletes`` under the index's stored
+    id column name. Idempotent per id at read time (readers dedupe);
+    unknown ids are harmless (the anti-join simply matches nothing)."""
+    (
+        ids.select(F.col(src_col).alias(stored_col))
+        .distinct()
+        .write.mode("append")
+        .parquet(_deletes_path(index_path))
+    )
+
+
+def read_tombstones(
+    spark: SparkSession, index_path: str, stored_col: str
+) -> DataFrame | None:
+    """The distinct tombstoned ids, or ``None`` when no delete batch
+    has ever been written (the common case — serving must stay
+    zero-cost then)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        d = spark.read.parquet(_deletes_path(index_path))
+    except AnalysisException:
+        return None
+    return d.select(stored_col).distinct()
+
+
+def anti_tombstones(stored: DataFrame, spark: SparkSession,
+                    index_path: str, key_col: str,
+                    stored_col: str) -> DataFrame:
+    """``stored`` minus the tombstoned ids (left-anti on ``key_col``).
+    Returns ``stored`` unchanged when no tombstones exist, so indexes
+    that never saw a delete keep their exact original plan. The
+    tombstone side is ids-only and deduped; AQE broadcasts it while it
+    is small, and the join stays a plain shuffled anti-join if a
+    purge-overdue index accumulates a huge delete set."""
+    dels = read_tombstones(spark, index_path, stored_col)
+    if dels is None:
+        return stored
+    return stored.join(
+        dels.select(F.col(stored_col).alias("_lt_del_id")),
+        stored[key_col] == F.col("_lt_del_id"),
+        "left_anti",
+    )

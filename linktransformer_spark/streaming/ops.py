@@ -840,6 +840,13 @@ def streaming_ann_against_index(
         F.col(str(meta["id_col"])).alias("neighbor_id"),
         F.col(str(meta["vector_col"])).alias("_cv"),
     )
+    # honor the index's tombstones (delete_from_ivf_index), same as the
+    # batch serve path — deleted vectors never become candidates
+    from ..operators.tombstones import anti_tombstones
+
+    stored = anti_tombstones(
+        stored, spark, index_path, "neighbor_id", str(meta["id_col"])
+    )
     return (
         assigned.join(stored, "cell")
         .withColumn("score", S.dot(F.col("_qv"), F.col("_cv")))
