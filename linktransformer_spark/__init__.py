@@ -18,11 +18,13 @@ from .operators.graph import pagerank
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     ann_topk_ivf_indexed, append_to_ivf_index, mmr_rerank, quantize_embeddings,
+    delete_from_ivf_index, purge_ivf_index,
     save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .operators.serving import (
     ann_serving_topk, ann_topk_pq_indexed, resolve_serving_params,
+    append_to_pq_index, delete_from_pq_index, purge_pq_index,
     save_pq_index,
 )
 from .data import DATA_DIR_PATH
@@ -63,6 +65,8 @@ from .operators.dedup import (
     near_dup_pairs_minhash_against,
     near_dup_pairs_minhash_against_index,
     near_dup_pairs_semdedup,
+    delete_from_minhash_index,
+    purge_minhash_index,
     save_minhash_index,
     near_dup_pairs_simhash,
     semantic_dedup,
@@ -84,6 +88,7 @@ from .operators.entity import (
 )
 from .operators.search import (
     append_to_bm25_index,
+    delete_from_bm25_index,
     bm25_compacted_postings,
     bm25_delta_postings,
     compact_bm25_index,
@@ -222,6 +227,14 @@ __all__ = [
     "save_ivf_index",
     "append_to_bm25_index",
     "append_to_ivf_index",
+    "append_to_pq_index",
+    "delete_from_bm25_index",
+    "delete_from_ivf_index",
+    "delete_from_minhash_index",
+    "delete_from_pq_index",
+    "purge_ivf_index",
+    "purge_minhash_index",
+    "purge_pq_index",
     "bm25_compacted_postings",
     "bm25_delta_postings",
     "quantize_embeddings",

@@ -566,8 +566,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental (new-batch vs seen-corpus) MinHash near-dup: the ingest
 # shape. new = suffix-mutated copies of seen docs 0-149 (guaranteed
 # cross matches) + fresh docs 300-399 (mostly clean).
-_MINHASH_AGAINST_SQL = f"""
-    WITH seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+def _minhash_against_sql(seen_pred: str = "doc_id < 250") -> str:
+    """``seen_pred`` narrows the seen corpus — the SQL mirror of a
+    minhash-index tombstone (delete_from_minhash_index): the new batch
+    is unchanged, deleted seen docs stop producing candidates."""
+    return f"""
+    WITH seen AS (SELECT doc_id, text FROM documents WHERE {seen_pred}),
     nw AS (
       SELECT doc_id + 1000000 AS doc_id, text || ' extra suffix words' AS text
       FROM documents WHERE doc_id < 150
@@ -600,6 +604,9 @@ _MINHASH_AGAINST_SQL = f"""
     WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
           / greatest(len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh)), 1) >= 0.6
 """
+
+
+_MINHASH_AGAINST_SQL = _minhash_against_sql()
 
 
 @_q("dedup_minhash_against", _MINHASH_AGAINST_SQL)
@@ -1941,9 +1948,15 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the entire approximate index — build, assign, probe, re-rank — is
 # hash-checkable. Complements ann_topk_ivf (k-means quality path,
 # rows-only + pytest recall gate).
-def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5,
+                        cand_pred: str | None = None) -> str:
+    """``cand_pred`` filters the CANDIDATE corpus rows (by ``c.vec_id``)
+    BEFORE the top-k window — the SQL mirror of an index tombstone
+    (delete_from_ivf_index): centroids/cells still derive from the full
+    build-time corpus, only serving skips the deleted rows."""
     from .functions.oracle import sql_dot, sql_l2_normalize
 
+    cw = f"WHERE {cand_pred}" if cand_pred else ""
     return f"""
     WITH cn AS (
       SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
@@ -1982,6 +1995,7 @@ def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
                ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
              ) AS rank
       FROM qassign q JOIN cassign c ON q.cell = c.cell
+      {cw}
     ) WHERE rank <= {k}
 """
 
@@ -1992,10 +2006,15 @@ def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
 # order (plain SUM of doubles is partial-aggregation-order dependent).
 def _ann_ivfpq_sql(
     n_cells: int = 16, n_probe: int = 4, k: int = 5, m: int = 8,
-    n_codes: int = 16, dim: int = 64,
+    n_codes: int = 16, dim: int = 64, cand_pred: str | None = None,
 ) -> str:
+    """``cand_pred`` filters the candidate corpus rows (``cc.vec_id``)
+    BEFORE the ADC shortlist window — the SQL mirror of a PQ-index
+    tombstone: the frozen centroids/codebook still derive from the
+    full seed window, only serving skips the deleted rows."""
     from .functions.oracle import sql_dot, sql_l2_normalize
 
+    cw = f"WHERE {cand_pred}" if cand_pred else ""
     ds = dim // m
     qsub = f"q.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
     csub = f"a.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
@@ -2060,6 +2079,7 @@ def _ann_ivfpq_sql(
       FROM (
         SELECT qa.vec_id AS qid, cc.vec_id AS rid, cc.sub, cc.code
         FROM qassign qa JOIN ccodes cc ON qa.cell = cc.cell
+        {cw}
       ) p
       JOIN lut l ON l.vec_id = p.qid AND l.sub = p.sub AND l.code = p.code
       GROUP BY p.qid, p.rid
@@ -3372,13 +3392,22 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Queries are derived deterministically from the corpus itself: every
 # 50th document's first 8 tokens.
 # ---------------------------------------------------------------------------
-def _bm25_sql(k: int = 5) -> str:
+def _bm25_sql(k: int = 5, corpus_pred: str | None = None,
+              cand_pred: str | None = None) -> str:
+    """``corpus_pred`` filters the corpus the stats derive from — the
+    mirror of a PURGED index (compaction re-bakes N/avgdl/df over the
+    survivors, identical to a filtered rebuild). ``cand_pred`` filters
+    only the scored candidates (``dtc.d``) while stats stay full-corpus
+    — the mirror of a TOMBSTONED index (frozen reference frame, deleted
+    docs masked before ranking)."""
     from .functions.oracle import sql_word_tokens
 
     toks = sql_word_tokens("text")
+    corp = f"WHERE {corpus_pred}" if corpus_pred else ""
+    cand = f"WHERE {cand_pred}" if cand_pred else ""
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest({toks}) AS tok FROM documents
+      SELECT doc_id, unnest({toks}) AS tok FROM documents {corp}
     ),
     dtc AS (SELECT doc_id AS d, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
     dl AS (SELECT d, sum(tf) AS dl FROM dtc GROUP BY d),
@@ -3407,6 +3436,7 @@ def _bm25_sql(k: int = 5) -> str:
       FROM qt JOIN dtc ON qt.tok = dtc.tok
               JOIN idf i ON dtc.tok = i.tok
               JOIN dl ON dtc.d = dl.d
+      {cand}
     ),
     scored AS (
       SELECT q, d, CAST(count(*) AS BIGINT) AS n_terms,
@@ -6457,3 +6487,215 @@ def docs_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(
         docs, "text", lang_col="lang", source_col="source", top_sources=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: tombstone deletes + purge (operators/tombstones.py).
+# Compliance deletion (right-to-be-forgotten, bad-shard retraction) is
+# a standing load at 100 TB: the Lucene two-phase contract — ids-only
+# tombstones masked at serve, physically applied at the next compact/
+# purge. Each query drives the full lifecycle against a plain SQL
+# filter; the reference has no stored indexes at all (it rebuilds FAISS
+# per call, infer.py:144-151), so deletion there is "filter the
+# DataFrame and re-embed" — these are the persistable-index analogue.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "search_bm25_deleted",
+    _bm25_sql(cand_pred="dtc.d % 10 <> 3"),
+)
+def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned BM25 serving: build the impact index over the FULL
+    corpus, delete_from_bm25_index every doc_id % 10 == 3, serve. The
+    oracle keeps full-corpus stats (the frozen reference frame) and
+    filters only the scored candidates — deleted docs vanish, survivors
+    take the freed rank slots, surviving scores unchanged."""
+    import hashlib
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import (
+        bm25_topk_indexed, delete_from_bm25_index, save_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_bm25_delidx_{tag}"
+    save_bm25_index(docs, path)
+    delete_from_bm25_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path
+    )
+    out = bm25_topk_indexed(spark, path, queries, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
+    )
+
+
+@_q(
+    "search_bm25_purged",
+    _bm25_sql(corpus_pred="doc_id % 10 <> 3"),
+)
+def search_bm25_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged BM25 serving: build over the full corpus, tombstone
+    doc_id % 10 == 3, compact (which applies the tombstones physically
+    and re-derives N/avgdl/df from the survivors), serve from the
+    compacted index. The oracle runs the whole pipeline over the
+    FILTERED corpus — the compaction-equals-filtered-rebuild guarantee,
+    checked end to end without ever re-reading the corpus text."""
+    import hashlib
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import (
+        bm25_topk_indexed, compact_bm25_index, delete_from_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    src = f"{tempfile.gettempdir()}/lt_bm25_purgesrc_{tag}"
+    dst = f"{tempfile.gettempdir()}/lt_bm25_purgeout_{tag}"
+    save_bm25_index(docs, src)
+    delete_from_bm25_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), src
+    )
+    compact_bm25_index(spark, src, dst)
+    out = bm25_topk_indexed(spark, dst, queries, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"), "n_terms"
+    )
+
+
+@_q(
+    "ann_ivf_deleted",
+    _ann_ivf_seeded_sql(cand_pred="c.vec_id % 7 <> 2"),
+)
+def ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstoned IVF serving: build the cell index over the full
+    corpus (seeded centroids), delete_from_ivf_index vec_id % 7 == 2,
+    serve. Oracle: same seeded-IVF SQL with only the candidate rows
+    filtered — centroids and cell assignment stay the build-time ones,
+    which is exactly the per-row-state no-staleness contract."""
+    import hashlib
+    import tempfile
+
+    from .operators.ann import (
+        ann_topk_ivf_indexed, delete_from_ivf_index, save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_ivf_delidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+    )
+    out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@_q(
+    "ann_pq_lifecycle",
+    _ann_ivfpq_rerank_sql(
+        k=5, retrieve_k=40, n_cells=4, n_probe=3, m=16, n_codes=64,
+        cand_pred="cc.vec_id % 7 <> 2",
+    ),
+)
+def ann_pq_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PQ-index lifecycle in one query: build the r90 serving
+    index over the id-head (vec_id < 400 — the seed window, so the
+    frozen model equals a full build's), append_to_pq_index the id
+    tail, delete_from_pq_index vec_id % 7 == 2, serve with pinned
+    knobs. Oracle: the one-shot IVF-PQ + exact-rerank SQL over the
+    FULL corpus with only the candidates filtered before the ADC
+    shortlist — proving build+append+delete together equal the
+    filtered one-shot plan bit-for-bit."""
+    import hashlib
+    import tempfile
+
+    from .operators.serving import (
+        ann_topk_pq_indexed, append_to_pq_index, delete_from_pq_index,
+        save_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_pq_lcidx_{tag}"
+    save_pq_index(
+        emb.filter(F.col("vec_id") < 400), path,
+        n_cells=4, m=16, n_codes=64,
+    )
+    append_to_pq_index(emb.filter(F.col("vec_id") >= 400), path)
+    delete_from_pq_index(
+        emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+    )
+    out = ann_topk_pq_indexed(
+        spark, path, q, k=5, n_probe=3, retrieve_k=40
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@_q(
+    "dedup_minhash_index_deleted",
+    _minhash_against_sql("doc_id < 250 AND doc_id % 5 <> 1"),
+)
+def dedup_minhash_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-MinHash-index ingest with tombstones: save_minhash_index
+    over the seen corpus, delete_from_minhash_index doc_id % 5 == 1,
+    run the new batch against the index. Oracle: the against-corpus
+    SQL with the seen side filtered — deleted docs stop producing
+    candidates (masked BEFORE any bucket accounting), everything else
+    identical. Also the stored-index path's standing registration
+    (build + load + family-meta validation ride this query)."""
+    import hashlib
+    import tempfile
+
+    from .operators.dedup import (
+        delete_from_minhash_index, near_dup_pairs_minhash_against_index,
+        save_minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    nw = (
+        d.filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+            .select("doc_id", "text")
+        )
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_mh_delidx_{tag}"
+    save_minhash_index(seen, path, on="text", id_col="doc_id")
+    delete_from_minhash_index(
+        seen.filter(F.col("doc_id") % 5 == 1).select("doc_id"), path,
+        id_col="doc_id",
+    )
+    out = near_dup_pairs_minhash_against_index(
+        nw, path, on="text", id_col="doc_id", threshold=0.6
+    )
+    return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
