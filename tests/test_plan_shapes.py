@@ -386,3 +386,59 @@ def test_serving_rerank_joins_are_hash_joins(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tombstone_antijoin_preserves_partition_pruning(spark, sf_dir, tmp_path):
+    """The scale property of index deletes: masking tombstoned rows
+    must not cost the pruned scan. The IVF serve with a deletes/
+    relation still plans PartitionFilters on the probed cells (I/O
+    stays n_probe/n_cells of the corpus), and the tombstone side joins
+    as a broadcast/hash anti-join, never a BNLJ."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16)
+    lt.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+    )
+    q = emb.filter(F.col("vec_id") < 50)
+    out = lt.ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=2)
+    plan = plan_of(out)
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in pf and "INSET" in pf for pf in pfs), plan
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan
+    # the tombstone mask must be a hash anti-join (broadcast while the
+    # delete set is small, shuffled once it is not) — never a BNLJ
+    assert all("HashJoin" in l or "MergeJoin" in l for l in anti), anti
+
+
+def test_bm25_tombstone_keeps_bucket_pruning(spark, sf_dir, tmp_path):
+    """Same property on the BM25 side: the deletes anti-join composes
+    AFTER the bucket partition filter, so a tombstoned index still
+    reads only the query batch's term buckets."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    lt.save_bm25_index(docs, path)
+    lt.delete_from_bm25_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path
+    )
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    out = lt.bm25_topk_indexed(spark, path, queries, k=5)
+    plan = plan_of(out)
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in pf and "INSET" in pf for pf in pfs), plan
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, plan
+    assert all("HashJoin" in l or "MergeJoin" in l for l in anti), anti

@@ -530,3 +530,52 @@ def test_py_minhash_replica_equals_column_forms(spark, texts, cfg):
     for r, sig, sh in zip(rows, sigs, shs):
         assert list(map(int, sig)) == list(r["sig"]), (r["k"],)
         assert sorted(sh) == sorted(r["sh"]), (r["k"],)
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_DOC, min_size=1, max_size=15),
+       st.lists(_DOC, min_size=2, max_size=15),
+       st.lists(st.integers(0, 14), min_size=0, max_size=8))
+def test_index_tombstone_equals_filtered_rebuild_property(
+    spark, tmp_path_factory, new, seen, dels
+):
+    """Round-9 delete invariant: for ANY (new, seen) corpora and ANY
+    delete subset, running the new batch against a tombstoned index
+    equals running it against an index rebuilt over the surviving seen
+    docs — per-row index state means tombstones are exact filters,
+    never approximations (the guarantee compliance deletion rests on)."""
+    from linktransformer_spark.operators.dedup import (
+        delete_from_minhash_index,
+        near_dup_pairs_minhash_against_index,
+        save_minhash_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("mhdel"))
+    ndf = spark.createDataFrame(
+        list(enumerate(new)), "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(1000 + i, d) for i, d in enumerate(seen)],
+        "doc_id long, text string",
+    )
+    del_ids = sorted({1000 + i for i in dels if i < len(seen)})
+    kw = dict(on="text", id_col="doc_id", threshold=0.4)
+    fam = dict(num_hashes=8, bands=4, shingle=2)
+
+    tomb_path = f"{base}/tomb"
+    save_minhash_index(sdf, tomb_path, on="text", id_col="doc_id", **fam)
+    if del_ids:
+        delete_from_minhash_index(
+            spark.createDataFrame([(i,) for i in del_ids], "doc_id long"),
+            tomb_path, id_col="doc_id",
+        )
+    got = near_dup_pairs_minhash_against_index(ndf, tomb_path, **kw).collect()
+
+    ref_path = f"{base}/ref"
+    survivors = sdf.filter(~F.col("doc_id").isin(del_ids)) if del_ids else sdf
+    save_minhash_index(survivors, ref_path, on="text", id_col="doc_id", **fam)
+    want = near_dup_pairs_minhash_against_index(ndf, ref_path, **kw).collect()
+
+    key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
+    assert key(got) == key(want)
