@@ -6699,3 +6699,51 @@ def dedup_minhash_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
         nw, path, on="text", id_col="doc_id", threshold=0.6
     )
     return out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q(
+    "stream_dedup_index_deleted",
+    _minhash_against_sql("doc_id < 250 AND doc_id % 5 <> 1"),
+)
+def stream_dedup_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long-running production ingest shape end to end: the seen
+    corpus's MinHash index is PERSISTED (save_minhash_index), a
+    compliance delete tombstones part of it, and a document STREAM
+    dedups against the stored index — no per-start signature rebuild,
+    stateless append mode, tombstones honored. Oracle: the batch
+    against-corpus SQL with the seen side filtered — the streaming
+    stored-index path emits exactly the filtered batch pair set."""
+    import hashlib
+    import tempfile
+
+    from .operators.dedup import delete_from_minhash_index, save_minhash_index
+    from .streaming import read_stream_table, run_available_now
+    from .streaming.ops import streaming_dedup_against_index
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/lt_mh_sdelidx_{tag}"
+    save_minhash_index(seen, path, on="text", id_col="doc_id")
+    delete_from_minhash_index(
+        seen.filter(F.col("doc_id") % 5 == 1).select("doc_id"), path,
+        id_col="doc_id",
+    )
+
+    s = read_stream_table(spark, sf_dir, "documents")
+    nw = (
+        s.filter(F.col("doc_id") < 150)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+        )
+        .unionByName(
+            s.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+            .select("doc_id", "text")
+        )
+    )
+    out = streaming_dedup_against_index(
+        nw, path, on="text", id_col="doc_id", threshold=0.6
+    )
+    out = out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    return run_available_now(out, output_mode="append")

@@ -260,121 +260,77 @@ def streaming_merge(
     )
 
 
-def streaming_dedup_against(
-    stream_new: DataFrame,
-    static_seen: DataFrame,
-    on: str,
-    id_col: str,
-    threshold: float = 0.8,
-    num_hashes: int = 24,
-    bands: int = 8,
-    shingle: int = 3,
-    word: bool = True,
-    max_bucket_size: int | None = None,
+def _minhash_sig_shingle_stage(
+    df: DataFrame, on, id_in: str, id_out: str, sig_out, sh_out: str,
+    num_hashes: int, shingle: int, word: bool, with_sig: bool = True,
 ) -> DataFrame:
-    """Real-time ingest near-dup alerts: a STREAM of new documents
-    MinHash-checked against a static already-ingested corpus. Emits
-    (src=new id, dst=seen id, jaccard) for every verified near-dup pair
-    — STATELESS end to end (append mode, no watermark, no state store).
-
-    How it stays stateless: the stream side computes its signature with
-    per-row array expressions (no groupBy), bands explode map-only, and
-    candidates come from a stream-static equi-join on
-    (band, band-signature). The one stateful-looking step — dropping
-    the duplicate hit when a pair collides in several bands — is
-    row-local instead: both full signatures ride through the join, so
-    each matched row can check "is my band the FIRST one where the two
-    signatures agree?" and only that row survives. Exact-Jaccard
-    verification compares the two shingle arrays in the same row
-    (static side carries its shingles precomputed at index-build time).
-
-    Matches near_dup_pairs_minhash_against row-for-row on the same
-    inputs (the batch oracle); the static index (bands + signature +
-    shingles) is built once per query start and broadcast/scanned as a
-    static relation — persist it with save_bucketed on (band, bsig) for
-    a long-running deployment.
-    """
-    from ..operators.dedup import _minhash_base_banded, py_minhash_cols
+    """(id, JVM-lowercased key) -> (id, signature, shingles) via the
+    exact-integer Arrow-batch replica (dedup.py_minhash_cols). The
+    per-row Column forms are interpreted HOF trees — measured 79s of an
+    85s sf0.1 drain; this stage is the same values at expression-free
+    speed, and it works identically on streaming and batch frames.
+    Word mode ships the JVM-lowercased key (the one Unicode-sensitive
+    step — both join sides case-fold the same); char mode ships the
+    RAW key, because _shingles char mode never case-folds (pinned by
+    the replica-parity property)."""
     from ..functions.serialize import DEFAULT_SEP, serialize_columns
+    from ..operators.dedup import py_minhash_cols
 
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
+    key = serialize_columns([on] if isinstance(on, str) else list(on),
+                            DEFAULT_SEP)
+    src = df.select(
+        F.col(id_in).cast("long").alias(id_out),
+        (F.lower(key) if word else key).alias("_kl"),
+    )
+    cols = [id_out] + ([sig_out] if with_sig else []) + [sh_out]
+    schema = ", ".join(
+        f"{c} long" if c == id_out
+        else f"{c} array<bigint>" if c == sig_out
+        else f"{c} array<string>"
+        for c in cols
+    )
 
-    def _sig_shingle_stage(df, id_in, id_out, sig_out, sh_out,
-                           with_sig=True):
-        """(id, JVM-lowercased key) -> (id, signature, shingles) via
-        the exact-integer Arrow-batch replica (dedup.py_minhash_cols).
-        The per-row Column forms are interpreted HOF trees — measured
-        79s of an 85s sf0.1 drain; this stage is the same values at
-        expression-free speed, and it works identically on streaming
-        and batch frames. Word mode ships the JVM-lowercased key (the
-        one Unicode-sensitive step — both join sides case-fold the
-        same); char mode ships the RAW key, because _shingles char
-        mode never case-folds (pinned by the replica-parity property)."""
+    def gen(batches):
         import pandas as pd
 
-        key = serialize_columns([on] if isinstance(on, str) else list(on),
-                                DEFAULT_SEP)
-        src = df.select(
-            F.col(id_in).cast("long").alias(id_out),
-            (F.lower(key) if word else key).alias("_kl"),
-        )
-        cols = [id_out] + ([sig_out] if with_sig else []) + [sh_out]
-        schema = ", ".join(
-            f"{c} long" if c == id_out
-            else f"{c} array<bigint>" if c == sig_out
-            else f"{c} array<string>"
-            for c in cols
-        )
+        memo = {}
+        for pdf in batches:
+            sigs, shs = py_minhash_cols(
+                pdf["_kl"].tolist(), num_hashes, shingle, word,
+                memo=memo,
+            )
+            out = {id_out: pdf[id_out].to_numpy()}
+            if with_sig:
+                out[sig_out] = [list(map(int, s)) for s in sigs]
+            out[sh_out] = shs
+            yield pd.DataFrame(out)
 
-        def gen(batches):
-            memo = {}
-            for pdf in batches:
-                sigs, shs = py_minhash_cols(
-                    pdf["_kl"].tolist(), num_hashes, shingle, word,
-                    memo=memo,
-                )
-                out = {id_out: pdf[id_out].to_numpy()}
-                if with_sig:
-                    out[sig_out] = [list(map(int, s)) for s in sigs]
-                out[sh_out] = shs
-                yield pd.DataFrame(out)
+    return src.mapInPandas(gen, schema=schema)
 
-        return src.mapInPandas(gen, schema=schema)
 
-    # static index: (band, bsig, dst id, dst signature, dst shingles).
-    # Signatures/bands come from the relational batch build (codegen,
-    # reused by the band join); the verify shingle arrays come from the
-    # Arrow-batch replica — char mode's empty shingle set becomes {''}
-    # on BOTH sides, matching the batch _shingle_rows/_verify_jaccard
-    # paths row for row (short/empty docs included).
-    sbase, sbanded = _minhash_base_banded(
-        static_seen, on, id_col, num_hashes, bands, shingle, word, None
+def _stream_minhash_verify(
+    stream_new: DataFrame, s_index: DataFrame, on, id_col: str,
+    num_hashes: int, bands: int, shingle: int, word: bool,
+    threshold: float,
+) -> DataFrame:
+    """The stream side + join tail shared by the in-memory and
+    stored-index dedup-against forms. ``s_index`` carries one row per
+    static band entry: (_dst, band, bsig, _sig_s, _sh_s).
+
+    Stateless by construction: the stream side computes its signature
+    with one Arrow-batch stage (no groupBy), bands explode map-only,
+    candidates come from a stream-static equi-join on
+    (band, band-signature), and the duplicate hit when a pair collides
+    in several bands dies row-locally — both full signatures ride
+    through the join, so each matched row checks "is my band the FIRST
+    where the two signatures agree?" and only that row survives.
+    Exact-Jaccard verification compares the two shingle arrays in the
+    same row."""
+    rows_per_band = num_hashes // bands
+    n = _minhash_sig_shingle_stage(
+        stream_new, on, id_col, "_src", "_sig_n", "_sh_n",
+        num_hashes, shingle, word,
     )
-    s_sh = sbase.select(
-        F.col("_id").alias("_dst"), F.col("_sig").alias("_sig_s")
-    ).join(
-        _sig_shingle_stage(static_seen, id_col, "_dst", None, "_sh_s",
-                           with_sig=False),
-        "_dst",
-    )
-    if max_bucket_size is not None:
-        # static-side hot-bucket guard (drop mode): bounds the join
-        # FAN-OUT of every stream row at max_bucket_size candidates per
-        # band. Drop-only here — the recall-preserving salt needs both
-        # sides' bucket sizes, and a micro-batch's are unknowable at
-        # plan time; quantify the static side's loss with
-        # dedup.minhash_cap_stats(static_seen, ...) before opting in.
-        from ..operators.dedup import _cap_buckets
-
-        sbanded = _cap_buckets(sbanded, ["band", "bsig"], max_bucket_size)
-    s_index = sbanded.select(
-        F.col("_id").alias("_dst"), "band", "bsig"
-    ).join(s_sh, "_dst")
-
-    # stream side: per-row signature + shingles (Arrow-batch replica)
-    n = _sig_shingle_stage(stream_new, id_col, "_src", "_sig_n", "_sh_n")
     banded_n = n.select(
         "_src", "_sig_n", "_sh_n",
         F.explode(
@@ -418,6 +374,144 @@ def streaming_dedup_against(
         .select(
             F.col("_src").alias("src"), F.col("_dst").alias("dst"), "jaccard"
         )
+    )
+
+
+def streaming_dedup_against(
+    stream_new: DataFrame,
+    static_seen: DataFrame,
+    on: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 24,
+    bands: int = 8,
+    shingle: int = 3,
+    word: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Real-time ingest near-dup alerts: a STREAM of new documents
+    MinHash-checked against a static already-ingested corpus. Emits
+    (src=new id, dst=seen id, jaccard) for every verified near-dup pair
+    — STATELESS end to end (append mode, no watermark, no state store;
+    see _stream_minhash_verify for the mechanism).
+
+    Matches near_dup_pairs_minhash_against row-for-row on the same
+    inputs (the batch oracle); the static index (bands + signature +
+    shingles) is built once per query start and broadcast/scanned as a
+    static relation. For a long-running deployment persist it with
+    save_minhash_index and use :func:`streaming_dedup_against_index`
+    instead — same semantics, no per-start signature rebuild, and
+    tombstone deletes honored.
+    """
+    from ..operators.dedup import _minhash_base_banded
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    # static index: (band, bsig, dst id, dst signature, dst shingles).
+    # Signatures/bands come from the relational batch build (codegen,
+    # reused by the band join); the verify shingle arrays come from the
+    # Arrow-batch replica — char mode's empty shingle set becomes {''}
+    # on BOTH sides, matching the batch _shingle_rows/_verify_jaccard
+    # paths row for row (short/empty docs included).
+    sbase, sbanded = _minhash_base_banded(
+        static_seen, on, id_col, num_hashes, bands, shingle, word, None
+    )
+    s_sh = sbase.select(
+        F.col("_id").alias("_dst"), F.col("_sig").alias("_sig_s")
+    ).join(
+        _minhash_sig_shingle_stage(
+            static_seen, on, id_col, "_dst", None, "_sh_s",
+            num_hashes, shingle, word, with_sig=False,
+        ),
+        "_dst",
+    )
+    if max_bucket_size is not None:
+        # static-side hot-bucket guard (drop mode): bounds the join
+        # FAN-OUT of every stream row at max_bucket_size candidates per
+        # band. Drop-only here — the recall-preserving salt needs both
+        # sides' bucket sizes, and a micro-batch's are unknowable at
+        # plan time; quantify the static side's loss with
+        # dedup.minhash_cap_stats(static_seen, ...) before opting in.
+        from ..operators.dedup import _cap_buckets
+
+        sbanded = _cap_buckets(sbanded, ["band", "bsig"], max_bucket_size)
+    s_index = sbanded.select(
+        F.col("_id").alias("_dst"), "band", "bsig"
+    ).join(s_sh, "_dst")
+    return _stream_minhash_verify(
+        stream_new, s_index, on, id_col, num_hashes, bands, shingle,
+        word, threshold,
+    )
+
+
+def streaming_dedup_against_index(
+    stream_new: DataFrame,
+    index_path: str,
+    on: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`streaming_dedup_against` with the static side read from a
+    :func:`~..operators.dedup.save_minhash_index` directory — the
+    long-running production shape: the seen corpus's signatures were
+    paid once at ingest, a query (re)start costs only the parquet scan
+    (no per-start re-tokenize/re-hash of the seen corpus), appends to
+    the index show up at the next restart, and tombstone deletes
+    (delete_from_minhash_index) are honored exactly as in the batch
+    against-index path — masked before the cap accounting, rows
+    identical to running against a filtered rebuild.
+
+    Family parameters come from the index meta (signatures from
+    different families must never join). The stored band relation
+    carries each doc's per-band signature slices; the full signature
+    the row-local first-band dedup needs is reconstructed once at plan
+    time with one static-side groupBy (band-sorted flatten — exact,
+    because bands partition the signature in band order). Emits
+    (src=stream id, dst=indexed id, jaccard); stateless append mode.
+    """
+    from ..operators.dedup import _cap_buckets, _load_index_meta
+    from ..operators.tombstones import anti_tombstones
+
+    spark = stream_new.sparkSession
+    meta = _load_index_meta(spark, index_path)
+    num_hashes, bands = int(meta["num_hashes"]), int(meta["bands"])
+    shingle, word = int(meta["shingle"]), bool(meta["word"])
+
+    bands_rel = spark.read.parquet(f"{index_path}/bands")
+    sh_rel = spark.read.parquet(f"{index_path}/shingles")
+    # tombstones mask the seen side BEFORE signature reconstruction and
+    # cap accounting (no-op without deletes/)
+    bands_rel = anti_tombstones(bands_rel, spark, index_path, "_id", "_id")
+    sh_rel = anti_tombstones(sh_rel, spark, index_path, "_id", "_id")
+
+    # full signature from the UNCAPPED band rows (a capped doc keeps
+    # its complete signature; the cap bounds only the join fan-out —
+    # same stance as the in-memory form)
+    s_sig = bands_rel.groupBy("_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("band"), F.col("bsig")))
+                ),
+                lambda x: x["bsig"],
+            )
+        ).alias("_sig_s")
+    )
+    s_sh = s_sig.select(F.col("_id").alias("_dst"), "_sig_s").join(
+        sh_rel.select(F.col("_id").alias("_dst"), F.col("_sh").alias("_sh_s")),
+        "_dst",
+    )
+    joined = bands_rel
+    if max_bucket_size is not None:
+        joined = _cap_buckets(joined, ["band", "bsig"], max_bucket_size)
+    s_index = joined.select(
+        F.col("_id").alias("_dst"), "band", "bsig"
+    ).join(s_sh, "_dst")
+    return _stream_minhash_verify(
+        stream_new, s_index, on, id_col, num_hashes, bands, shingle,
+        word, threshold,
     )
 
 

@@ -335,3 +335,40 @@ def test_delete_validates_index_version(spark, emb, tmp_path):
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
     with pytest.raises(ValueError, match="version"):
         lt.delete_from_ivf_index(emb.select("vec_id"), path)
+
+
+def test_streaming_dedup_against_stored_index_with_tombstones(
+    spark, docs, mh_sides, tmp_path
+):
+    """The long-running ingest shape: a stream dedups against a
+    PERSISTED minhash index with tombstones — rows equal the batch
+    in-memory run against the filtered seen corpus."""
+    from linktransformer_spark.streaming.ops import (
+        run_available_now, streaming_dedup_against_index,
+    )
+
+    seen, _ = mh_sides
+    path = str(tmp_path / "mh")
+    lt.save_minhash_index(seen, path, on="text", id_col="doc_id")
+    lt.delete_from_minhash_index(
+        seen.filter(F.col("doc_id") % 5 == 1).select("doc_id"), path,
+        id_col="doc_id",
+    )
+    src = str(tmp_path / "stream_src")
+    new_batch = docs.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra suffix words")).alias("text"),
+    )
+    new_batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new_batch.schema).parquet(src)
+    got = run_available_now(
+        streaming_dedup_against_index(
+            stream, path, on="text", id_col="doc_id", threshold=0.6
+        ).select("src", "dst", F.round("jaccard", 6).alias("j"))
+    )
+    want = lt.near_dup_pairs_minhash_against(
+        new_batch, seen.filter(F.col("doc_id") % 5 != 1),
+        on="text", id_col="doc_id", threshold=0.6,
+        num_hashes=24, bands=8, shingle=3, word=True,
+    ).select("src", "dst", F.round("jaccard", 6).alias("j"))
+    assert _rows(got) == _rows(want)
