@@ -101,6 +101,42 @@ def read_tombstones(
     return d.select(stored_col).distinct()
 
 
+def tombstone_stats(
+    spark: SparkSession, index_path: str, stored_col: str,
+    stored_rel: str | None = None, rel_col: str | None = None,
+) -> DataFrame:
+    """One-row purge-cadence observable (the "no silent state" stance
+    the skew-cap observables set): ``n_tombstones`` (distinct deleted
+    ids) and, when ``stored_rel`` names a relation under the index
+    (e.g. ``"postings"``, ``"cells"``, ``"bands"``), ``n_masked_rows``
+    — the stored rows the serve-time anti-join is paying to skip — and
+    ``masked_frac``. When masked_frac grows material (rule of thumb:
+    >10-20%), schedule the purge/compaction; until then the measured
+    serve overhead is ~zero (PLANS.md round 9)."""
+    dels = read_tombstones(spark, index_path, stored_col)
+    n_t = 0 if dels is None else dels.count()
+    if stored_rel is None:
+        return spark.createDataFrame(
+            [(n_t,)], "n_tombstones bigint"
+        )
+    rel = spark.read.parquet(f"{index_path}/{stored_rel}")
+    key = rel_col or stored_col
+    total = rel.count()
+    masked = 0
+    if dels is not None and n_t:
+        masked = rel.join(
+            dels.select(F.col(stored_col).alias("_lt_del_id")),
+            rel[key] == F.col("_lt_del_id"),
+            "left_semi",
+        ).count()
+    return spark.createDataFrame(
+        [(n_t, masked, total,
+          float(masked) / total if total else 0.0)],
+        "n_tombstones bigint, n_masked_rows bigint, n_stored_rows bigint, "
+        "masked_frac double",
+    )
+
+
 def anti_tombstones(stored: DataFrame, spark: SparkSession,
                     index_path: str, key_col: str,
                     stored_col: str) -> DataFrame:

@@ -39,6 +39,21 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+
+def _idx_tag(sf_dir: str) -> str:
+    """Tag for the /tmp index directories the index-backed queries
+    (re)build per call: sf-dir-keyed for readability, PID-suffixed so
+    two concurrent drivers (a pytest session + a drive script, two
+    pytest sessions) never write the same index directory — a meta/
+    json overwrite colliding with a concurrent reader dies with an
+    opaque Py4J error otherwise. Nothing reuses these across
+    processes; each query rebuilds its index every call by design."""
+    import hashlib
+    import os
+
+    return f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .sources.tables import read_table
 
@@ -3483,7 +3498,6 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets the query batch touches. Same oracle as the one-shot form:
     the stored impact IS the per-posting BM25 contribution, so results
     are bit-identical."""
-    import hashlib
     import tempfile
 
     from .functions import similarity as S
@@ -3496,7 +3510,7 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(S.word_tokens(F.col("text")), 1, 8), " "
         ).alias("q_text"),
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_bm25_idx_{tag}"
     save_bm25_index(docs, path)
     out = bm25_topk_indexed(spark, path, queries, k=5)
@@ -4876,13 +4890,12 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_topk_ivf_indexed whose scan reads only the probed cell
     partitions. Same oracle as ann_topk_ivf_seeded — identical
     centroids/assignment/probe => bit-identical results."""
-    import hashlib
     import tempfile
 
     from .operators.ann import ann_topk_ivf_indexed, save_ivf_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_ivf_idx_{tag}"
     save_ivf_index(emb, path, n_cells=16, mode="seeded")
     q = emb.filter(F.col("vec_id") < 50)
@@ -4976,7 +4989,6 @@ def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold's exact float order) + stream-static cell join; drain-time
     top-k finalizer. Same SQL oracle as the batch seeded/indexed
     paths — all three are bit-identical."""
-    import hashlib
     import tempfile
 
     from .operators.ann import save_ivf_index
@@ -4986,7 +4998,7 @@ def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_ivf_sidx_{tag}"
     save_ivf_index(emb, path, n_cells=16, mode="seeded")
     qs = read_stream_table(spark, sf_dir, "embeddings").filter(
@@ -6324,7 +6336,6 @@ def search_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored postings alone (no corpus text touched). The oracle is
     the plain full-corpus BM25 SQL: compaction must erase the append
     drift bit-exactly (operators/search.compact_bm25_index)."""
-    import hashlib
     import tempfile
 
     from .functions import similarity as S
@@ -6336,7 +6347,7 @@ def search_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 7)
     delta = docs.filter(F.col("doc_id") % 10 == 7)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     tmp = tempfile.gettempdir()
     inc = f"{tmp}/lt_bm25_seg_{tag}"
     comp = f"{tmp}/lt_bm25_cmp_{tag}"
@@ -6510,7 +6521,6 @@ def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps full-corpus stats (the frozen reference frame) and
     filters only the scored candidates — deleted docs vanish, survivors
     take the freed rank slots, surviving scores unchanged."""
-    import hashlib
     import tempfile
 
     from .functions import similarity as S
@@ -6525,7 +6535,7 @@ def search_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(S.word_tokens(F.col("text")), 1, 8), " "
         ).alias("q_text"),
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_bm25_delidx_{tag}"
     save_bm25_index(docs, path)
     delete_from_bm25_index(
@@ -6548,7 +6558,6 @@ def search_bm25_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted index. The oracle runs the whole pipeline over the
     FILTERED corpus — the compaction-equals-filtered-rebuild guarantee,
     checked end to end without ever re-reading the corpus text."""
-    import hashlib
     import tempfile
 
     from .functions import similarity as S
@@ -6564,7 +6573,7 @@ def search_bm25_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(S.word_tokens(F.col("text")), 1, 8), " "
         ).alias("q_text"),
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     src = f"{tempfile.gettempdir()}/lt_bm25_purgesrc_{tag}"
     dst = f"{tempfile.gettempdir()}/lt_bm25_purgeout_{tag}"
     save_bm25_index(docs, src)
@@ -6588,7 +6597,6 @@ def ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve. Oracle: same seeded-IVF SQL with only the candidate rows
     filtered — centroids and cell assignment stay the build-time ones,
     which is exactly the per-row-state no-staleness contract."""
-    import hashlib
     import tempfile
 
     from .operators.ann import (
@@ -6597,7 +6605,7 @@ def ann_ivf_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_ivf_delidx_{tag}"
     save_ivf_index(emb, path, n_cells=16)
     delete_from_ivf_index(
@@ -6626,7 +6634,6 @@ def ann_pq_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL corpus with only the candidates filtered before the ADC
     shortlist — proving build+append+delete together equal the
     filtered one-shot plan bit-for-bit."""
-    import hashlib
     import tempfile
 
     from .operators.serving import (
@@ -6636,7 +6643,7 @@ def ann_pq_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_pq_lcidx_{tag}"
     save_pq_index(
         emb.filter(F.col("vec_id") < 400), path,
@@ -6667,7 +6674,6 @@ def dedup_minhash_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (masked BEFORE any bucket accounting), everything else
     identical. Also the stored-index path's standing registration
     (build + load + family-meta validation ride this query)."""
-    import hashlib
     import tempfile
 
     from .operators.dedup import (
@@ -6688,7 +6694,7 @@ def dedup_minhash_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
         )
     )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_mh_delidx_{tag}"
     save_minhash_index(seen, path, on="text", id_col="doc_id")
     delete_from_minhash_index(
@@ -6713,7 +6719,6 @@ def stream_dedup_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless append mode, tombstones honored. Oracle: the batch
     against-corpus SQL with the seen side filtered — the streaming
     stored-index path emits exactly the filtered batch pair set."""
-    import hashlib
     import tempfile
 
     from .operators.dedup import delete_from_minhash_index, save_minhash_index
@@ -6722,7 +6727,7 @@ def stream_dedup_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     seen = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = _idx_tag(sf_dir)
     path = f"{tempfile.gettempdir()}/lt_mh_sdelidx_{tag}"
     save_minhash_index(seen, path, on="text", id_col="doc_id")
     delete_from_minhash_index(
@@ -6747,3 +6752,41 @@ def stream_dedup_index_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
     return run_available_now(out, output_mode="append")
+
+
+@_q(
+    "index_tombstone_stats",
+    """
+    WITH dels AS (
+      SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 7 = 2
+    )
+    SELECT CAST((SELECT count(*) FROM dels) AS BIGINT) AS n_tombstones,
+           CAST((SELECT count(*) FROM embeddings e
+                 WHERE e.vec_id IN (SELECT vec_id FROM dels)) AS BIGINT)
+             AS n_masked_rows,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+             AS n_stored_rows,
+           CAST((SELECT count(*) FROM embeddings e
+                 WHERE e.vec_id IN (SELECT vec_id FROM dels)) AS DOUBLE)
+             / (SELECT count(*) FROM embeddings) AS masked_frac
+""",
+)
+def index_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purge-cadence observable (the "no silent state" stance the
+    skew-cap observables set): exact tombstone and masked-row counts
+    for a stored index — what the serve-time anti-join is paying to
+    skip, i.e. when to schedule the purge. Exercised on the IVF index
+    (one cell row per vector, so n_masked_rows = |deleted ∩ stored|)."""
+    import tempfile
+
+    from .operators.ann import delete_from_ivf_index, save_ivf_index
+    from .operators.tombstones import tombstone_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_ivf_tsidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
+    )
+    return tombstone_stats(spark, path, "vec_id", "cells")

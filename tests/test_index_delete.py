@@ -372,3 +372,29 @@ def test_streaming_dedup_against_stored_index_with_tombstones(
         num_hashes=24, bands=8, shingle=3, word=True,
     ).select("src", "dst", F.round("jaccard", 6).alias("j"))
     assert _rows(got) == _rows(want)
+
+
+def test_tombstone_stats_observable(spark, emb, tmp_path):
+    """The purge-cadence observable: exact tombstone/masked-row counts
+    per index, zero-shaped when no delete batch was ever written."""
+    from linktransformer_spark.operators.tombstones import tombstone_stats
+
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16)
+    r0 = tombstone_stats(spark, path, "vec_id", "cells").collect()[0]
+    assert (r0["n_tombstones"], r0["n_masked_rows"]) == (0, 0)
+    assert r0["n_stored_rows"] == emb.count()
+
+    dels = emb.filter(F.col("vec_id") % 7 == 2).select("vec_id")
+    lt.delete_from_ivf_index(dels, path)
+    r1 = tombstone_stats(spark, path, "vec_id", "cells").collect()[0]
+    assert r1["n_tombstones"] == dels.count()
+    assert r1["n_masked_rows"] == dels.count()  # one cell row per vector
+    assert abs(r1["masked_frac"] - dels.count() / emb.count()) < 1e-12
+
+    # purge zeroes it
+    out = str(tmp_path / "purged")
+    lt.purge_ivf_index(spark, path, out)
+    r2 = tombstone_stats(spark, out, "vec_id", "cells").collect()[0]
+    assert (r2["n_tombstones"], r2["n_masked_rows"]) == (0, 0)
+    assert r2["n_stored_rows"] == emb.count() - dels.count()
