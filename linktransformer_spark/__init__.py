@@ -81,6 +81,7 @@ from .operators.textpipe import (
     unigram_lm_score,
 )
 from .operators.entity import (
+    attach_to_entities,
     match_pairs,
     match_pairs_weighted,
     resolve_entities,
@@ -224,6 +225,7 @@ __all__ = [
     "ann_topk",
     "mmr_rerank",
     "ann_topk_ivf_indexed",
+    "attach_to_entities",
     "save_ivf_index",
     "append_to_bm25_index",
     "append_to_ivf_index",

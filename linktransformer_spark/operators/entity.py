@@ -37,8 +37,8 @@ from ..functions.serialize import serialize_columns
 from ..ids import require_integral_id
 from .components import connected_components
 
-__all__ = ["match_pairs", "match_pairs_weighted", "resolve_entities",
-           "sorted_neighborhood_pairs"]
+__all__ = ["attach_to_entities", "match_pairs", "match_pairs_weighted",
+           "resolve_entities", "sorted_neighborhood_pairs"]
 
 
 def _norm_blocking(blocking_vars):
@@ -259,6 +259,143 @@ def resolve_entities(
     )
     return labeled.join(groups, "entity_id").select(
         "entity_id", "side", "record_id", "key", "canonical", "n_members"
+    )
+
+
+def attach_to_entities(
+    new: DataFrame,
+    registry: DataFrame,
+    *,
+    on,
+    id_col: str,
+    sim_threshold: float,
+    registry_key: str = "key",
+    registry_entity: str = "entity_id",
+    blocking_vars: list | None = None,
+    model: str = "levenshtein",
+    blocking: str = "exact",
+    n_planes: int | str = 8,
+    lsh_dim: int = 64,
+) -> DataFrame:
+    """Incremental entity resolution — the production ingest shape.
+
+    A prior :func:`resolve_entities` run (or any reference list)
+    yields an entity REGISTRY: one ``(registry_entity, registry_key)``
+    row per known member key. New record batches then ATTACH to it
+    instead of re-resolving the world: each new record scores against
+    the blocked registry keys and adopts the best-matching entity at
+    or above ``sim_threshold``; records matching nothing come back
+    with NULL entity — the caller resolves those separately (e.g. a
+    batch :func:`resolve_entities` among themselves) and unions the
+    new assignments into the registry. Per-batch cost scales with the
+    batch's candidate pairs, never the history's record count — the
+    same incremental contract as ``dedup_*_against`` and the stored
+    indexes (a 100 TB registry re-resolve per ingest batch is not an
+    option).
+
+    Returns one row per NEW record:
+    ``(record_id, key, entity_id, matched_key, score)`` with the last
+    three NULL for unmatched records. Fully deterministic: best score
+    wins; ties break to the smallest ``entity_id``, then the smallest
+    ``matched_key`` — no float-order dependence (the score itself is
+    an exact JVM expression, see :func:`match_pairs`).
+
+    ``blocking``/``model``/``n_planes``/``lsh_dim`` are
+    :func:`match_pairs`'s knobs: ``'exact'`` blocks on
+    ``blocking_vars`` ``(new_col, registry_col)`` pairs (an equi-join;
+    omitting it is an exact cross product — only sane for a small
+    registry), ``'lsh'`` blocks on hash-n-gram hyperplane sign buckets
+    (the no-hand-key scale path; ``n_planes='auto'`` sizes buckets
+    from the larger side). Reference parity note: the reference's
+    incremental story is "re-run merge on the union"
+    (`infer.py:169-274` has no incremental form); this operator is the
+    stored-registry analogue of that merge, keyed by the entity table
+    it already produced."""
+    if not -1.0 <= sim_threshold <= 1.0:
+        raise ValueError("sim_threshold must be within [-1, 1]")
+    if blocking not in ("exact", "lsh"):
+        raise ValueError(f"unknown blocking {blocking!r}; use exact|lsh")
+    if blocking == "lsh" and blocking_vars:
+        raise ValueError(
+            "blocking='lsh' and blocking_vars are mutually exclusive"
+        )
+    require_integral_id(new, id_col, "attach_to_entities")
+    require_integral_id(registry, registry_entity, "attach_to_entities")
+    for lc, rc in _norm_blocking(blocking_vars):
+        if lc not in new.columns:
+            raise ValueError(f"blocking var {lc!r} not in new frame")
+        if rc not in registry.columns:
+            raise ValueError(f"blocking var {rc!r} not in registry frame")
+    left, right = _sides(
+        new, registry, on, registry_key, id_col, registry_entity,
+        blocking_vars,
+    )
+
+    need_emb = model == "hash-ngram" or blocking == "lsh"
+    if need_emb:
+        from ..encoders.hash_ngram import HashNgramEncoder
+
+        enc = HashNgramEncoder(dim=lsh_dim)
+        left = enc.encode(left, "_lkey", "_lemb")
+        right = enc.encode(right, "_rkey", "_remb")
+
+    if model == "levenshtein":
+        from ..functions.similarity import lev_sim
+
+        score = lev_sim(F.col("_lkey"), F.col("_rkey"))
+    elif model == "hash-ngram":
+        from ..functions.similarity import dot
+
+        score = dot(F.col("_lemb"), F.col("_remb"))
+    else:
+        raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
+
+    if blocking == "lsh":
+        from .ann import hyperplane_bucket, resolve_n_planes
+
+        n_planes = resolve_n_planes(
+            n_planes, lambda: max(left.count(), right.count())
+        )
+        left = left.withColumn(
+            "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
+        )
+        right = right.withColumn(
+            "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
+        )
+        cand = left.join(right, "_bkt")
+    elif blocking_vars:
+        cand = left.join(
+            right, [f"_b{i}" for i in range(len(blocking_vars))]
+        )
+    else:
+        cand = left.crossJoin(right)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("_score").desc(), F.col("_rid").asc(), F.col("_rkey").asc()
+    )
+    best = (
+        cand.withColumn("_score", score)
+        .filter(F.col("_score") >= F.lit(sim_threshold))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_lid",
+            F.col("_rid").alias("entity_id"),
+            F.col("_rkey").alias("matched_key"),
+            F.col("_score").alias("score"),
+        )
+    )
+    base = new.select(
+        F.col(id_col).cast("long").alias("_lid"),
+        serialize_columns(
+            [on] if isinstance(on, str) else list(on)
+        ).alias("key"),
+    )
+    return base.join(best, "_lid", "left").select(
+        F.col("_lid").alias("record_id"),
+        "key", "entity_id", "matched_key", "score",
     )
 
 

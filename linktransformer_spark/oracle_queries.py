@@ -6790,3 +6790,64 @@ def index_tombstone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"), path
     )
     return tombstone_stats(spark, path, "vec_id", "cells")
+
+
+_ER_ATTACH_SQL = f"""
+    WITH l AS (
+      SELECT c_custkey AS id, coalesce(CAST(c_name AS VARCHAR), '') AS key,
+             c_nationkey AS blk FROM customer
+    ),
+    reg AS (
+      SELECT s_suppkey AS eid, coalesce(CAST(s_name AS VARCHAR), '') AS key,
+             s_nationkey AS blk FROM supplier
+    ),
+    sc AS (
+      SELECT l.id, reg.eid, reg.key AS mkey,
+             {sql_lev_sim('l.key', 'reg.key')} AS score
+      FROM l JOIN reg ON l.blk = reg.blk
+      WHERE {sql_lev_sim('l.key', 'reg.key')} >= 0.62
+    ),
+    best AS (
+      SELECT id, eid, mkey, score FROM (
+        SELECT id, eid, mkey, score,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY score DESC, eid ASC, mkey ASC
+               ) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    )
+    SELECT l.id AS record_id, l.key,
+           b.eid AS entity_id, b.mkey AS matched_key,
+           round(b.score, 6) AS score
+    FROM l LEFT JOIN best b ON l.id = b.id
+"""
+
+
+@_q("er_attach_incremental", _ER_ATTACH_SQL)
+def er_attach_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER — attach a new record batch to an existing
+    entity registry (operators/entity.py attach_to_entities): best
+    blocked match at/above threshold adopts the entity, unmatched
+    records come back NULL for a later batch resolve. Registry here =
+    the supplier table as resolved entities (one per supplier); new
+    batch = the customer table; nation blocking, levenshtein scorer —
+    the same match surface as er_match_pairs, now in the stored-
+    registry ingest shape."""
+    from .operators.entity import attach_to_entities
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    registry = supp.select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("key"),
+        "s_nationkey",
+    )
+    out = attach_to_entities(
+        cust, registry, on="c_name", id_col="c_custkey",
+        sim_threshold=0.62,
+        blocking_vars=[("c_nationkey", "s_nationkey")],
+    )
+    return out.select(
+        "record_id", "key", "entity_id", "matched_key",
+        F.round("score", 6).alias("score"),
+    )

@@ -327,3 +327,125 @@ def test_resolve_entities_lsh_end_to_end(spark):
     assert rows[("L", 4)]["entity_id"] == e == rows[("R", 7)]["entity_id"]
     assert rows[("L", 1)]["n_members"] == 3
     assert rows[("L", 3)]["n_members"] == 1  # singleton stays alone
+
+
+# --------------------------------------------------------- incremental attach
+
+class TestAttachToEntities:
+    def _registry(self, spark):
+        return spark.createDataFrame(
+            [
+                (100, "acme corporation", 5),
+                (100, "acme corp", 5),        # second member key, same entity
+                (200, "globex company", 5),
+                (300, "initech llc", 7),
+            ],
+            ["entity_id", "key", "blk"],
+        )
+
+    def _new(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "acme corp.", 5),          # near member key of 100
+                (2, "globex compan", 5),       # near 200
+                (3, "wholly unrelated", 5),    # no match
+                (4, "initech llc", 5),         # right key, WRONG block
+            ],
+            ["rid", "name", "blk"],
+        )
+
+    def test_attach_blocked_best_match_and_nulls(self, spark):
+        import linktransformer_spark as lt
+
+        out = {
+            r["record_id"]: (r["entity_id"], r["matched_key"])
+            for r in lt.attach_to_entities(
+                self._new(spark), self._registry(spark),
+                on="name", id_col="rid", sim_threshold=0.6,
+                blocking_vars=[("blk", "blk")],
+            ).collect()
+        }
+        assert out[1][0] == 100 and out[1][1].startswith("acme")
+        assert out[2] == (200, "globex company")
+        assert out[3] == (None, None)          # below threshold
+        assert out[4] == (None, None)          # blocked out
+        assert len(out) == 4                   # one row per new record
+
+    def test_attach_tie_breaks_to_smallest_entity_then_key(self, spark):
+        import linktransformer_spark as lt
+
+        reg = spark.createDataFrame(
+            [(9, "same key"), (4, "same key"), (4, "same kez")],
+            ["entity_id", "key"],
+        )
+        new = spark.createDataFrame([(1, "same key")], ["rid", "name"])
+        r = lt.attach_to_entities(
+            new, reg, on="name", id_col="rid", sim_threshold=0.5
+        ).collect()[0]
+        assert (r["entity_id"], r["matched_key"]) == (4, "same key")
+
+    def test_attach_registry_roundtrip_from_resolve(self, spark):
+        """resolve_entities -> registry -> attach: a record equal to a
+        resolved member key adopts that entity's id."""
+        import linktransformer_spark as lt
+
+        cust = spark.createDataFrame(
+            [(1, "acme corporation", 5)], ["c_id", "c_name", "n"]
+        )
+        supp = spark.createDataFrame(
+            [(7, "acme corporatio", 5)], ["s_id", "s_name", "n"]
+        )
+        assigned = lt.resolve_entities(
+            cust, supp, left_on="c_name", right_on="s_name",
+            left_id_col="c_id", right_id_col="s_id",
+            sim_threshold=0.6, blocking_vars=[("n", "n")],
+        )
+        eids = {r["entity_id"] for r in assigned.collect()}
+        assert len(eids) == 1  # the two records resolved into ONE entity
+        registry = assigned.select("entity_id", "key")
+        new = spark.createDataFrame([(42, "acme corporatio")], ["rid", "name"])
+        got = lt.attach_to_entities(
+            new, registry, on="name", id_col="rid", sim_threshold=0.6
+        ).collect()[0]
+        assert got["entity_id"] == eids.pop()
+
+    def test_attach_lsh_blocking_finds_cross_block_match(self, spark):
+        import linktransformer_spark as lt
+
+        reg = spark.createDataFrame(
+            [(100, "acme corporation", 1)], ["entity_id", "key", "blk"]
+        )
+        new = spark.createDataFrame(
+            [(1, "acme corporation", 2)], ["rid", "name", "blk"]
+        )
+        # exact-blocked on blk: missed
+        missed = lt.attach_to_entities(
+            new, reg, on="name", id_col="rid", sim_threshold=0.9,
+            blocking_vars=[("blk", "blk")],
+        ).collect()[0]
+        assert missed["entity_id"] is None
+        # lsh similarity blocking: identical keys share every bucket
+        hit = lt.attach_to_entities(
+            new, reg, on="name", id_col="rid", sim_threshold=0.9,
+            blocking="lsh", n_planes=4,
+        ).collect()[0]
+        assert hit["entity_id"] == 100
+
+    def test_attach_validations(self, spark):
+        import linktransformer_spark as lt
+
+        new = self._new(spark)
+        reg = self._registry(spark)
+        with pytest.raises(ValueError, match="sim_threshold"):
+            lt.attach_to_entities(new, reg, on="name", id_col="rid",
+                                  sim_threshold=2.0)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            lt.attach_to_entities(
+                new, reg, on="name", id_col="rid", sim_threshold=0.5,
+                blocking="lsh", blocking_vars=["blk"],
+            )
+        with pytest.raises(ValueError, match="blocking var"):
+            lt.attach_to_entities(
+                new, reg, on="name", id_col="rid", sim_threshold=0.5,
+                blocking_vars=["nope"],
+            )
