@@ -640,6 +640,13 @@ def append_to_pq_index(
     n_new = new.count()
     if n_new == 0:
         return
+    d0 = int(new.select(F.size(vec_col).alias("d")).first()["d"])
+    if d0 != int(meta["dim"]):
+        raise ValueError(
+            f"appended vectors have dim {d0}, index at {path} was built "
+            f"with dim {meta['dim']} — mismatched dims would encode "
+            "garbage codes silently"
+        )
     enc = _encode_cells(
         new.select(
             F.col(id_col).cast("long").alias(str(meta["id_col"])),

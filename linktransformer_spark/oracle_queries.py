@@ -6851,3 +6851,35 @@ def er_attach_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "key", "entity_id", "matched_key",
         F.round("score", 6).alias("score"),
     )
+
+
+@_q("stream_er_attach", _ER_ATTACH_SQL)
+def stream_er_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ER: the customer STREAM attaches to the
+    supplier entity registry — stateless candidate emission
+    (stream-static blocked join + row-local score filter), best-entity
+    rank at drain (final_attach). Same oracle as the batch
+    er_attach_incremental: the split changes the latency model, never
+    the rows."""
+    from .streaming import read_stream_table, run_available_now
+    from .streaming.ops import final_attach, streaming_attach_candidates
+
+    supp = _t(spark, sf_dir, "supplier")
+    registry = supp.select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("key"),
+        "s_nationkey",
+    )
+    cust_stream = read_stream_table(spark, sf_dir, "customer")
+    cand = streaming_attach_candidates(
+        cust_stream, registry, on="c_name", id_col="c_custkey",
+        sim_threshold=0.62,
+        blocking_vars=[("c_nationkey", "s_nationkey")],
+    )
+    drained = run_available_now(cand, output_mode="append")
+    cust = _t(spark, sf_dir, "customer")
+    out = final_attach(drained, cust, on="c_name", id_col="c_custkey")
+    return out.select(
+        "record_id", "key", "entity_id", "matched_key",
+        F.round("score", 6).alias("score"),
+    )

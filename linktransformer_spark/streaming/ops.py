@@ -836,6 +836,138 @@ def final_volume_anomaly(
     )
 
 
+def streaming_attach_candidates(
+    stream_new: DataFrame,
+    registry: DataFrame,
+    on,
+    id_col: str,
+    sim_threshold: float,
+    registry_key: str = "key",
+    registry_entity: str = "entity_id",
+    blocking_vars: list | None = None,
+    model: str = "levenshtein",
+    blocking: str = "exact",
+    n_planes: int = 8,
+    lsh_dim: int = 64,
+) -> DataFrame:
+    """Streaming incremental entity resolution, candidate stage: a
+    STREAM of new records scored against a static entity registry
+    (the :func:`~..operators.entity.attach_to_entities` ingest shape
+    at streaming latency). Emits one row per (record, entity) match at
+    or above ``sim_threshold`` — STATELESS (stream-static equi-join on
+    the blocking key or LSH bucket + a row-local score filter; append
+    mode, no state store).
+
+    Picking the single BEST entity per record needs all of a record's
+    candidates together — cross-row work a stateless append stream
+    cannot do — so ranking happens post-drain with
+    :func:`final_attach`, the same candidates-then-finalize split as
+    :func:`streaming_ann_against_index` / :func:`final_ann_topk`.
+    ``blocking='lsh'`` requires an explicit ``n_planes`` int here
+    ('auto' sizes from a corpus count, and a stream has none)."""
+    from ..operators.entity import _norm_blocking, _sides
+
+    if not -1.0 <= sim_threshold <= 1.0:
+        raise ValueError("sim_threshold must be within [-1, 1]")
+    if blocking not in ("exact", "lsh"):
+        raise ValueError(f"unknown blocking {blocking!r}; use exact|lsh")
+    if blocking == "lsh":
+        if blocking_vars:
+            raise ValueError(
+                "blocking='lsh' and blocking_vars are mutually exclusive"
+            )
+        if not isinstance(n_planes, int) or n_planes < 1:
+            raise ValueError(
+                "streaming attach needs an explicit n_planes int "
+                "(no corpus count to resolve 'auto' against)"
+            )
+    for lc, rc in _norm_blocking(blocking_vars):
+        if lc not in stream_new.columns:
+            raise ValueError(f"blocking var {lc!r} not in stream frame")
+        if rc not in registry.columns:
+            raise ValueError(f"blocking var {rc!r} not in registry frame")
+    left, right = _sides(
+        stream_new, registry, on, registry_key, id_col, registry_entity,
+        blocking_vars,
+    )
+    need_emb = model == "hash-ngram" or blocking == "lsh"
+    if need_emb:
+        from ..encoders.hash_ngram import HashNgramEncoder
+
+        enc = HashNgramEncoder(dim=lsh_dim)
+        left = enc.encode(left, "_lkey", "_lemb")
+        right = enc.encode(right, "_rkey", "_remb")
+    if model == "levenshtein":
+        from ..functions.similarity import lev_sim
+
+        score = lev_sim(F.col("_lkey"), F.col("_rkey"))
+    elif model == "hash-ngram":
+        from ..functions.similarity import dot
+
+        score = dot(F.col("_lemb"), F.col("_remb"))
+    else:
+        raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
+    if blocking == "lsh":
+        from ..operators.ann import hyperplane_bucket
+
+        left = left.withColumn(
+            "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
+        )
+        right = right.withColumn(
+            "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
+        )
+        cand = left.join(right, "_bkt")
+    elif blocking_vars:
+        cand = left.join(
+            right, [f"_b{i}" for i in range(len(blocking_vars))]
+        )
+    else:
+        cand = left.crossJoin(right)
+    return (
+        cand.withColumn("score", score)
+        .filter(F.col("score") >= F.lit(sim_threshold))
+        .select(
+            F.col("_lid").alias("record_id"),
+            F.col("_lkey").alias("key"),
+            F.col("_rid").alias("entity_id"),
+            F.col("_rkey").alias("matched_key"),
+            "score",
+        )
+    )
+
+
+def final_attach(drained: DataFrame, new_records: DataFrame,
+                 on, id_col: str) -> DataFrame:
+    """Rank a drained :func:`streaming_attach_candidates` sink to the
+    batch :func:`~..operators.entity.attach_to_entities` output shape:
+    one row per NEW record, best entity by (score DESC, entity ASC,
+    matched_key ASC), NULLs for unmatched — ``new_records`` (the batch
+    view of the streamed input) supplies the unmatched rows the
+    candidate sink never saw."""
+    from pyspark.sql import Window
+
+    from ..functions.serialize import serialize_columns
+
+    w = Window.partitionBy("record_id").orderBy(
+        F.col("score").desc(), F.col("entity_id").asc(),
+        F.col("matched_key").asc(),
+    )
+    best = (
+        drained.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("record_id", "entity_id", "matched_key", "score")
+    )
+    base = new_records.select(
+        F.col(id_col).cast("long").alias("record_id"),
+        serialize_columns(
+            [on] if isinstance(on, str) else list(on)
+        ).alias("key"),
+    )
+    return base.join(best, "record_id", "left").select(
+        "record_id", "key", "entity_id", "matched_key", "score"
+    )
+
+
 def streaming_ann_against_index(
     spark: SparkSession,
     stream_queries: DataFrame,

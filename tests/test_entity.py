@@ -449,3 +449,36 @@ class TestAttachToEntities:
                 new, reg, on="name", id_col="rid", sim_threshold=0.5,
                 blocking_vars=["nope"],
             )
+
+
+def test_streaming_attach_matches_batch(spark, tmp_path):
+    """streaming_attach_candidates + final_attach == attach_to_entities
+    on the same inputs (the drain-then-rank split changes latency, not
+    rows) — unmatched NULL rows included."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming.ops import (
+        final_attach, run_available_now, streaming_attach_candidates,
+    )
+
+    reg = spark.createDataFrame(
+        [(100, "acme corporation", 5), (200, "globex company", 5)],
+        ["entity_id", "key", "blk"],
+    )
+    new = spark.createDataFrame(
+        [(1, "acme corporatio", 5), (2, "globex compan", 5),
+         (3, "nothing alike", 5), (4, "acme corporation", 9)],
+        ["rid", "name", "blk"],
+    )
+    kw = dict(on="name", id_col="rid", sim_threshold=0.6,
+              blocking_vars=[("blk", "blk")])
+    want = sorted(map(tuple, lt.attach_to_entities(new, reg, **kw).collect()))
+
+    src = str(tmp_path / "src")
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    drained = run_available_now(
+        streaming_attach_candidates(stream, reg, **kw)
+    )
+    got = sorted(map(tuple, final_attach(
+        drained, new, on="name", id_col="rid").collect()))
+    assert got == want

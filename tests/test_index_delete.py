@@ -398,3 +398,13 @@ def test_tombstone_stats_observable(spark, emb, tmp_path):
     r2 = tombstone_stats(spark, out, "vec_id", "cells").collect()[0]
     assert (r2["n_tombstones"], r2["n_masked_rows"]) == (0, 0)
     assert r2["n_stored_rows"] == emb.count() - dels.count()
+
+
+def test_pq_append_rejects_dim_mismatch(spark, emb, tmp_path):
+    path = str(tmp_path / "pq")
+    lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+    bad = emb.filter(F.col("vec_id") >= 490).select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        lt.append_to_pq_index(bad, path)
