@@ -227,9 +227,17 @@ def bench_queries(spark):
         # route a 100 TB right side takes). Tracks the auto-routing
         # and the LSH candidate volume round-over-round; the bench's
         # merge_knn_k3 entry remains the exact-cross oracle baseline.
+        # Left side bounded to 2k rows: TPC-H names differ only in
+        # digits, so every name shares all non-digit n-grams and the
+        # hyperplane buckets barely discriminate — candidate volume per
+        # left row here is a measured near-worst case (PLANS.md round
+        # 9), and the route's health signal (plan shape + candidate
+        # volume drift) is the same at 2k as at 15k.
         from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
 
-        cust = read_table(spark, sf_dir, "customer")
+        cust = read_table(spark, sf_dir, "customer").filter(
+            F.col("c_custkey") <= 2000
+        )
         supp = read_table(spark, sf_dir, "supplier")
         spark.conf.set(AUTO_LSH_CONF, "1")
         try:  # routing resolves at plan-build time, so restore is safe

@@ -327,31 +327,60 @@ def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
     return left.mapInPandas(gen, schema=out_schema)
 
 
-def _lsh_candidates(left, right, scorer, block_on=None, threshold=None, k=None) -> DataFrame:
-    """BucketedRandomProjectionLSH candidate pairs, exact-cosine rescored.
+def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
+                    k=None, n_planes="auto", n_extra=3) -> DataFrame:
+    """Hyperplane-LSH candidate pairs, exact-rescored — the same
+    sign-bucket machinery every other approximate path here uses
+    (ann_topk lsh, er_resolve_lsh, semantic blocking): the corpus side
+    takes its exact bucket, the query side multi-probes ``1+n_extra``
+    buckets (Lv et al. 2007 — flip the least-confident bits), and
+    candidates are ONE equi-join on the bucket id. ``n_planes='auto'``
+    grows one plane per corpus doubling (resolve_n_planes), keeping
+    per-bucket rows ~constant and candidate volume LINEAR in the
+    corpus — the measured scale rule.
 
-    For L2-normalized vectors, euclidean distance d relates to cosine c
-    by c = 1 - d^2/2, so a cosine threshold t maps to d <= sqrt(2(1-t)).
-    With no threshold (pure kNN) we use a generous default radius; recall
-    is approximate — this is the 100 TB path, not the parity path.
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    Replaces a BucketedRandomProjectionLSH formulation whose pure-kNN
+    radius (sqrt(2) on normalized vectors = half the space) degenerated
+    to a near-cross-product through the ML explode machinery — measured
+    35+ min for the 15k x 1k sf0.1 bench shape vs well under a minute
+    for this plan at every measured operating point. Recall stays
+    approximate by contract (a pair split by every probed bucket is
+    missed; raise ``n_extra`` / lower ``n_planes`` to recover, set
+    mode='exact_cross' for exactness — measured curve in PLANS.md
+    round 9; note the TPC-H name columns are a near-worst case, since
+    every name shares all its non-digit n-grams)."""
     if not getattr(scorer, "needs_embeddings", False):
         raise ValueError("lsh mode requires an embedding-based scorer")
-
-    t = threshold if threshold is not None else 0.0
-    radius = float((2.0 * max(1.0 - t, 1e-9)) ** 0.5)
-
-    lv = left.withColumn("_lt_vec", array_to_vector(F.col(LEFT_EMB).cast("array<double>")))
-    rv = right.withColumn("_lt_vec", array_to_vector(F.col(RIGHT_EMB).cast("array<double>")))
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_lt_vec", outputCol="_lt_hashes", bucketLength=2.0, numHashTables=3, seed=42
+    from .ann import (
+        hyperplane_bucket, hyperplane_probe_buckets, resolve_n_planes,
     )
-    model = lsh.fit(rv)
-    pairs = model.approxSimilarityJoin(lv, rv, radius, distCol="_lt_dist")
-    out = pairs.select("datasetA.*", "datasetB.*").drop("_lt_vec", "_lt_hashes")
+
+    dim_row = right.select(F.size(RIGHT_EMB).alias("d")).first()
+    if dim_row is None:  # empty corpus -> no candidates, keep the schema
+        return (
+            left.crossJoin(right.limit(0))
+            .withColumn("score", F.lit(None).cast("double"))
+        )
+    dim = int(dim_row["d"])
+    # size planes on the LARGER side (the match_pairs lsh rule): the
+    # join's candidate volume is |L| x probes x bucket_size, so bucket
+    # granularity must track the bigger relation — right-side-only
+    # sizing at 15k x 1k measured 12M candidates and a 90s interpreted
+    # dot fold vs ~1M and ~8s with max-side sizing (same recall knob)
+    n_planes = resolve_n_planes(
+        n_planes, lambda: max(left.count(), right.count())
+    )
+    n_extra = max(0, min(int(n_extra), n_planes - 1))
+    lb = hyperplane_probe_buckets(
+        ensure_parallelism(left), LEFT_EMB, dim, n_planes, n_extra,
+        out_col="_lt_bkt",
+    )
+    rb = right.withColumn(
+        "_lt_bkt", hyperplane_bucket(RIGHT_EMB, dim, n_planes)
+    )
+    # probe bucket ids are pairwise distinct per left row, so each
+    # (left, right) pair joins AT MOST once — no dedup stage needed
+    out = lb.join(rb, "_lt_bkt").drop("_lt_bkt")
     out = out.withColumn("score", scorer.score())
     if threshold is not None:
         out = out.filter(F.col("score") >= F.lit(threshold))
