@@ -61,6 +61,14 @@ Mode = Literal["auto", "exact_cross", "broadcast_knn", "lsh"]
 AUTO_LSH_CONF = "spark.linktransformer.merge.autoLshThresholdBytes"
 AUTO_LSH_DEFAULT_BYTES = 128 * 1024 * 1024
 
+# recall/cost knobs of the lsh candidate stage, settable per session
+# without threading new parameters through merge_knn (same stance as
+# AUTO_LSH_CONF): plane count ('auto' = one per corpus doubling,
+# max-side) and extra multi-probe buckets on the query side. The
+# measured recall/wall curve lives in PLANS.md round 9.
+LSH_PLANES_CONF = "spark.linktransformer.merge.lshPlanes"
+LSH_EXTRA_CONF = "spark.linktransformer.merge.lshExtraProbes"
+
 
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's sizeInBytes estimate of a DataFrame (file sizes for
@@ -354,6 +362,17 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     from .ann import (
         hyperplane_bucket, hyperplane_probe_buckets, resolve_n_planes,
     )
+
+    spark = left.sparkSession
+    try:
+        conf_planes = spark.conf.get(LSH_PLANES_CONF, None)
+        if conf_planes is not None:
+            n_planes = conf_planes if conf_planes == "auto" else int(conf_planes)
+        conf_extra = spark.conf.get(LSH_EXTRA_CONF, None)
+        if conf_extra is not None:
+            n_extra = int(conf_extra)
+    except Exception:  # noqa: BLE001 — conf read must never break the plan
+        pass
 
     dim_row = right.select(F.size(RIGHT_EMB).alias("d")).first()
     if dim_row is None:  # empty corpus -> no candidates, keep the schema

@@ -169,3 +169,42 @@ def test_threshold_pushdown_equals_post_filter(spark):
     assert got == want
     # sanity: the threshold actually cut something out of some top-3
     assert len(want) < allk.count()
+
+
+def test_lsh_conf_knobs_change_bucketing(spark):
+    """The session-conf recall knobs (LSH_PLANES_CONF / LSH_EXTRA_CONF)
+    reach the lsh candidate stage: more extra probes can only ADD
+    candidate pairs, and results stay a subset of the exact top-k."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.operators.knn_join import (
+        AUTO_LSH_CONF, LSH_EXTRA_CONF, LSH_PLANES_CONF,
+    )
+
+    left = spark.createDataFrame(
+        [(i, f"item number {i} alpha beta") for i in range(60)],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"item number {i} alpha beta gamma") for i in range(60)],
+        ["rid", "rname"],
+    )
+    kw = dict(left_on="name", right_on="rname", model="hash-ngram",
+              mode="auto", k=2, left_id_col="lid", right_id_col="rid")
+    exact = {(r["lid"], r["rid"]) for r in lt.merge_knn(
+        left, right, mode="exact_cross", **{k: v for k, v in kw.items() if k != "mode"}
+    ).select("lid", "rid").collect()}
+    spark.conf.set(AUTO_LSH_CONF, "1")
+    try:
+        spark.conf.set(LSH_PLANES_CONF, "6")
+        spark.conf.set(LSH_EXTRA_CONF, "0")
+        low = {(r["lid"], r["rid"]) for r in lt.merge_knn(
+            left, right, **kw).select("lid", "rid").collect()}
+        spark.conf.set(LSH_EXTRA_CONF, "5")
+        high = {(r["lid"], r["rid"]) for r in lt.merge_knn(
+            left, right, **kw).select("lid", "rid").collect()}
+    finally:
+        spark.conf.unset(AUTO_LSH_CONF)
+        spark.conf.unset(LSH_PLANES_CONF)
+        spark.conf.unset(LSH_EXTRA_CONF)
+    assert low <= exact and high <= exact
+    assert len(high) >= len(low)
