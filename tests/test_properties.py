@@ -579,3 +579,53 @@ def test_index_tombstone_equals_filtered_rebuild_property(
 
     key = lambda rs: sorted((r.src, r.dst, round(r.jaccard, 9)) for r in rs)
     assert key(got) == key(want)
+
+
+# short name-ish keys with heavy collision pressure: small alphabet +
+# lengths near each other force score ties and multi-member entities
+_KEY = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_KEY, min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(1, 5), _KEY), min_size=1, max_size=12))
+def test_attach_to_entities_matches_python_argmax(spark, new_keys, registry):
+    """attach_to_entities == a python argmax with the documented
+    tie-break (score DESC, entity ASC, matched_key ASC) on ANY record
+    batch and ANY registry — ties and unmatched rows included."""
+    import linktransformer_spark as lt
+
+    def lev(a, b):
+        if a == b:
+            return 1.0
+        m, n = len(a), len(b)
+        if m == 0 or n == 0:
+            return 0.0 if max(m, n) else 1.0
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return 1.0 - prev[n] / max(m, n)
+
+    T = 0.5
+    new = spark.createDataFrame(
+        list(enumerate(new_keys)), "rid long, name string"
+    )
+    reg = spark.createDataFrame(registry, "entity_id long, key string")
+    got = {
+        r["record_id"]: (r["entity_id"], r["matched_key"])
+        for r in lt.attach_to_entities(
+            new, reg, on="name", id_col="rid", sim_threshold=T
+        ).collect()
+    }
+    for rid, name in enumerate(new_keys):
+        cands = sorted(
+            ((lev(name, k), e, k) for e, k in registry if lev(name, k) >= T),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        want = (cands[0][1], cands[0][2]) if cands else (None, None)
+        assert got[rid] == want, (rid, name, got[rid], want)
