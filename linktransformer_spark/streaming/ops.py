@@ -865,10 +865,17 @@ def streaming_attach_candidates(
     :func:`streaming_ann_against_index` / :func:`final_ann_topk`.
     ``blocking='lsh'`` requires an explicit ``n_planes`` int here
     ('auto' sizes from a corpus count, and a stream has none)."""
+    from ..ids import require_integral_id
     from ..operators.entity import _norm_blocking, _sides
 
     if not -1.0 <= sim_threshold <= 1.0:
         raise ValueError("sim_threshold must be within [-1, 1]")
+    # same guard as the batch twin: a string id would cast to null
+    # (non-ANSI) and silently collapse records — schema-only check,
+    # streaming-safe
+    require_integral_id(stream_new, id_col, "streaming_attach_candidates")
+    require_integral_id(registry, registry_entity,
+                        "streaming_attach_candidates")
     if blocking not in ("exact", "lsh"):
         raise ValueError(f"unknown blocking {blocking!r}; use exact|lsh")
     if blocking == "lsh":
