@@ -119,6 +119,38 @@ def drains(spark):
         out = streaming_contamination(nw, bench, on="text", n=8)
         return run_available_now(out, output_mode="append")
 
+    _mh_idx = {}
+
+    def stream_dedup_against_index(sf_dir):
+        # same workload as stream_dedup_against, static side read from
+        # a PERSISTED minhash index (built once per sf) — the round-9
+        # long-running ingest shape: the drain should beat the
+        # in-memory twin by the seen side's signature build, and scale
+        # the same way in the join
+        import tempfile
+
+        from linktransformer_spark.operators.dedup import (
+            save_minhash_index,
+        )
+        from linktransformer_spark.streaming.ops import (
+            streaming_dedup_against_index,
+        )
+
+        seen = read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        ).select("doc_id", "text")
+        if sf_dir not in _mh_idx:
+            path = tempfile.mkdtemp(prefix="lt_ss_mh_")
+            save_minhash_index(seen, path, on="text", id_col="doc_id")
+            _mh_idx[sf_dir] = path
+        nw = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 1
+        ).select("doc_id", "text")
+        out = streaming_dedup_against_index(
+            nw, _mh_idx[sf_dir], on="text", id_col="doc_id", threshold=0.6
+        )
+        return run_available_now(out, output_mode="append")
+
     def stream_retention(sf_dir):
         ev = read_stream_table(spark, sf_dir, "events")
         out = streaming_retention_activity(ev)
@@ -131,6 +163,7 @@ def drains(spark):
 
     return {
         "stream_dedup_against": stream_dedup_against,
+        "stream_dedup_against_index": stream_dedup_against_index,
         "stream_semdedup_against": stream_semdedup_against,
         "stream_funnel": stream_funnel,
         "stream_ann_ivf_indexed": stream_ann_ivf_indexed,
