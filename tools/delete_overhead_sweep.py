@@ -112,5 +112,86 @@ def main():
     print(json.dumps(out))
 
 
+def vector_and_minhash():
+    """Second half of the round-9 table: PQ serve and the MinHash
+    against-index ingest under 10% tombstones, both scales."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for sf, d in SFS.items():
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        qv = emb.filter(F.col("vec_id") < 2000).localCheckpoint()
+        r = {}
+
+        pp = f"/tmp/lt_delsweep_pq_{sf}"
+        lt.save_pq_index(emb, pp)
+        kw = dict(k=10, n_probe="auto", retrieve_k="auto")
+        r["pq_serve_clean"] = timed(
+            lambda: lt.ann_topk_pq_indexed(spark, pp, qv, **kw).count()
+        )
+        lt.delete_from_pq_index(
+            emb.filter(F.col("vec_id") % 10 == 3).select("vec_id"), pp
+        )
+        r["pq_serve_tomb10"] = timed(
+            lambda: lt.ann_topk_pq_indexed(spark, pp, qv, **kw).count()
+        )
+        po = f"/tmp/lt_delsweep_pqp_{sf}"
+        t0 = time.time()
+        lt.purge_pq_index(spark, pp, po)
+        r["pq_purge_wall"] = round(time.time() - t0, 3)
+        r["pq_serve_purged"] = timed(
+            lambda: lt.ann_topk_pq_indexed(spark, po, qv, **kw).count()
+        )
+
+        from linktransformer_spark.operators.dedup import (
+            delete_from_minhash_index,
+            near_dup_pairs_minhash_against_index,
+            purge_minhash_index,
+            save_minhash_index,
+        )
+
+        seen = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text"
+        ).localCheckpoint()
+        mp = f"/tmp/lt_delsweep_mh_{sf}"
+        save_minhash_index(seen, mp, on="text", id_col="doc_id")
+        mkw = dict(on="text", id_col="doc_id", threshold=0.6)
+        r["mh_ingest_clean"] = timed(
+            lambda: near_dup_pairs_minhash_against_index(
+                new, mp, **mkw).count()
+        )
+        delete_from_minhash_index(
+            seen.filter(F.col("doc_id") % 10 == 4).select("doc_id"), mp,
+            id_col="doc_id",
+        )
+        r["mh_ingest_tomb10"] = timed(
+            lambda: near_dup_pairs_minhash_against_index(
+                new, mp, **mkw).count()
+        )
+        mo = f"/tmp/lt_delsweep_mhp_{sf}"
+        t0 = time.time()
+        purge_minhash_index(spark, mp, mo)
+        r["mh_purge_wall"] = round(time.time() - t0, 3)
+        r["mh_ingest_purged"] = timed(
+            lambda: near_dup_pairs_minhash_against_index(
+                new, mo, **mkw).count()
+        )
+        out[sf] = r
+        print(sf, json.dumps(r), flush=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    vector_and_minhash() if "vector" in _s.argv[1:] else main()
