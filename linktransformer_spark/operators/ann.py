@@ -1273,7 +1273,7 @@ def delete_from_ivf_index(
             f"this build reads version {_IVF_INDEX_VERSION}"
         )
     stored = str(meta["id_col"])
-    write_tombstones(ids, path, id_col or stored, stored)
+    write_tombstones(ids, path, id_col or stored, stored, stored_rel="cells")
     refresh_index_path(spark, path)
 
 
@@ -1298,6 +1298,9 @@ def purge_ivf_index(spark, path: str, out_path: str) -> None:
             f"ivf index at {path} has version {meta['version']}, "
             f"this build reads version {_IVF_INDEX_VERSION}"
         )
+    from .tombstones import require_distinct_out
+
+    require_distinct_out(path, out_path, "purge_ivf_index")
     stored = str(meta["id_col"])
     cells = spark.read.parquet(f"{path}/cells")
     kept = anti_tombstones(cells, spark, path, stored, stored)

@@ -1203,7 +1203,7 @@ def near_dup_pairs_embedding(
 
         l = base.select(F.col("_id").alias(KJ.LEFT_ID), F.col("_v").alias(KJ.LEFT_EMB))
         r = base.select(F.col("_id").alias(KJ.RIGHT_ID), F.col("_v").alias(KJ.RIGHT_EMB))
-        scorer = type("O", (), {"needs_embeddings": True,
+        scorer = type("O", (), {"needs_embeddings": True, "score_is_dot": True,
                                 "score": staticmethod(lambda: S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB)))})()
         cand = KJ._lsh_candidates(l, r, scorer, threshold=threshold)
         return (
@@ -1408,12 +1408,15 @@ def save_minhash_index(
         clear_tombstones(spark, path)
     banded.write.mode(mode).parquet(f"{path}/bands")
     sh.write.mode(mode).parquet(f"{path}/shingles")
-    refresh_index_path(spark, path)
     # meta is always a single authoritative row, even on append
     spark.createDataFrame(
         [tuple(meta[k] for k in sorted(meta))],
         ", ".join(f"{k} {'boolean' if k == 'word' else 'int'}" for k in sorted(meta)),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    # refresh LAST — after the meta overwrite, so a session that read
+    # the previous meta cannot keep a stale listing for exactly the
+    # relation this refresh covers
+    refresh_index_path(spark, path)
 
 
 def _load_index_meta(spark, path: str) -> dict:
@@ -1446,7 +1449,7 @@ def delete_from_minhash_index(
 
     spark = ids.sparkSession
     _load_index_meta(spark, path)  # version gate
-    write_tombstones(ids, path, id_col, "_id")
+    write_tombstones(ids, path, id_col, "_id", stored_rel="bands")
     refresh_index_path(spark, path)
 
 
@@ -1459,8 +1462,10 @@ def purge_minhash_index(spark, path: str, out_path: str) -> None:
     purge paths."""
     from .tombstones import (
         anti_tombstones, clear_tombstones, refresh_index_path,
+        require_distinct_out,
     )
 
+    require_distinct_out(path, out_path, "purge_minhash_index")
     _load_index_meta(spark, path)  # version gate
     clear_tombstones(spark, out_path)
     for part in ("bands", "shingles"):

@@ -439,7 +439,8 @@ def delete_from_bm25_index(
 
     meta = _read_bm25_meta(ids.sparkSession, index_path)
     stored = str(meta["id_col"])
-    write_tombstones(ids, index_path, id_col or stored, stored)
+    write_tombstones(ids, index_path, id_col or stored, stored,
+                     stored_rel="postings")
     refresh_index_path(ids.sparkSession, index_path)
 
 
@@ -618,8 +619,11 @@ def compact_bm25_index(
     minus the deletions, and the fresh index at ``out_path`` starts
     with an empty tombstone set (deleted ids become re-ingestable).
     """
-    from .tombstones import clear_tombstones, refresh_index_path
+    from .tombstones import (
+        clear_tombstones, refresh_index_path, require_distinct_out,
+    )
 
+    require_distinct_out(index_path, out_path, "compact_bm25_index")
     meta = _read_bm25_meta(spark, index_path, min_version=3)
     nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
     id_col = str(meta["id_col"])

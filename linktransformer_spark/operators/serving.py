@@ -619,9 +619,11 @@ def append_to_pq_index(
     per-row (frozen centroids + frozen codebook), so new vectors
     encode against the stored model and append into the cell
     partitions; existing rows and every previously-correct probe stay
-    untouched. ``meta/`` is rewritten with the grown ``n_rows`` so the
-    auto serving knobs (n_probe, retrieve_k) keep tracking the real
-    corpus size.
+    untouched. ``meta/`` is rewritten with the grown ``n_rows`` — an
+    informational count (read back by :func:`purge_pq_index`'s
+    re-derivation and the observability surface); the auto serving
+    knobs (n_probe, retrieve_k) derive from the frozen ``n_cells``
+    and the request's ``k``, not from ``n_rows``.
 
     The documented drift is quantization quality, not correctness:
     centroids and codewords were trained (seeded) on the build-time
@@ -674,16 +676,15 @@ def delete_from_pq_index(
     shortlist and top-k slots. As with the IVF index there is no score
     staleness: scoring state is per-row, so the tombstoned serve
     equals a filtered rebuild with the same frozen model.
-    ``meta.n_rows`` stays at the ingested count until a purge — the
-    auto serving knobs deliberately track ingested volume, not the
-    masked view (knob drift from tombstones is bounded by the purge
-    cadence)."""
+    ``meta.n_rows`` stays at the ingested count until a purge (it is
+    informational — the serve-time auto knobs derive from ``n_cells``
+    and ``k`` only, so tombstones cannot drift them)."""
     from .tombstones import refresh_index_path, write_tombstones
 
     spark = ids.sparkSession
     meta = _read_pq_meta(spark, path)
     stored = str(meta["id_col"])
-    write_tombstones(ids, path, id_col or stored, stored)
+    write_tombstones(ids, path, id_col or stored, stored, stored_rel="cells")
     refresh_index_path(spark, path)
 
 
@@ -699,8 +700,10 @@ def purge_pq_index(spark: SparkSession, path: str, out_path: str) -> None:
     paths."""
     from .tombstones import (
         anti_tombstones, clear_tombstones, refresh_index_path,
+        require_distinct_out,
     )
 
+    require_distinct_out(path, out_path, "purge_pq_index")
     meta = _read_pq_meta(spark, path)
     stored = str(meta["id_col"])
     cells = spark.read.parquet(f"{path}/cells")

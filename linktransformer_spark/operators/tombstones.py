@@ -49,6 +49,39 @@ def _deletes_path(index_path: str) -> str:
     return f"{index_path}/{DELETES_DIR}"
 
 
+def _norm_path(p: str) -> str:
+    """A scheme-tolerant normal form for comparing two index paths
+    (local compare only — no FS round-trip)."""
+    import os
+
+    q = p
+    for pre in ("file://", "file:"):
+        if q.startswith(pre):
+            q = q[len(pre):]
+            break
+    return os.path.normpath(q)
+
+
+def require_distinct_out(index_path: str, out_path: str, op: str) -> None:
+    """Refuse an in-place purge/compaction: every purge writer starts
+    with ``clear_tombstones(out_path)`` and then overwrites ``out_path``
+    while the lazy anti-join is still READING ``index_path`` — with the
+    two paths equal, the tombstone set is deleted before the anti-join
+    that depends on it executes, and the overwrite races the read of
+    the same files. On a compliance-delete path that can fail mid-write
+    or silently resurrect tombstoned documents, so it is an error, not
+    a footgun. Write to a sibling directory and atomically rename —
+    the documented commit-point discipline."""
+    if _norm_path(index_path) == _norm_path(out_path):
+        raise ValueError(
+            f"{op}: out_path must differ from index_path ({index_path!r})"
+            " — an in-place rewrite would clear the tombstones before "
+            "the anti-join reads them and overwrite files still being "
+            "read; write to a sibling path and rename over the old "
+            "directory afterwards"
+        )
+
+
 def refresh_index_path(spark: SparkSession, index_path: str) -> None:
     """Invalidate Spark's cached file listings under ``index_path``.
 
@@ -73,17 +106,43 @@ def clear_tombstones(spark: SparkSession, index_path: str) -> None:
 
 
 def write_tombstones(ids: DataFrame, index_path: str, src_col: str,
-                     stored_col: str) -> None:
+                     stored_col: str,
+                     stored_rel: str | None = None) -> None:
     """Append a delete batch: the distinct ``src_col`` values of
     ``ids`` land in ``{index_path}/deletes`` under the index's stored
     id column name. Idempotent per id at read time (readers dedupe);
-    unknown ids are harmless (the anti-join simply matches nothing)."""
+    unknown ids are harmless (the anti-join simply matches nothing).
+
+    When ``stored_rel`` names the relation the serve-time anti-join
+    runs against (``"postings"``, ``"cells"``, ``"bands"``), the batch
+    is CAST to that relation's stored id type before writing: without
+    it, successive delete batches carrying different caller types
+    (int vs long vs string) would accumulate mixed-schema parquet
+    files under ``deletes/``, which the merged read can reject or
+    mis-resolve later. One parquet-footer schema read, no data scan."""
+    sel = F.col(src_col)
+    if stored_rel is not None:
+        rel_schema = ids.sparkSession.read.parquet(
+            f"{index_path}/{stored_rel}"
+        ).schema
+        sel = sel.cast(rel_schema[stored_col].dataType)
     (
-        ids.select(F.col(src_col).alias(stored_col))
+        ids.select(sel.alias(stored_col))
         .distinct()
         .write.mode("append")
         .parquet(_deletes_path(index_path))
     )
+
+
+def tombstones_exist(spark: SparkSession, index_path: str) -> bool:
+    """One filesystem ``exists`` RPC for ``{index_path}/deletes`` —
+    the cheap fast-path guard so indexes that never saw a delete keep
+    their exact original serve plan without paying a full DataSource
+    resolution + AnalysisException per query batch."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(_deletes_path(index_path))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def read_tombstones(
@@ -91,9 +150,13 @@ def read_tombstones(
 ) -> DataFrame | None:
     """The distinct tombstoned ids, or ``None`` when no delete batch
     has ever been written (the common case — serving must stay
-    zero-cost then)."""
+    zero-cost then). The existence probe is a single FS RPC; the
+    AnalysisException catch stays as the backstop for a concurrent
+    ``clear_tombstones`` between the probe and the read."""
     from pyspark.errors import AnalysisException
 
+    if not tombstones_exist(spark, index_path):
+        return None
     try:
         d = spark.read.parquet(_deletes_path(index_path))
     except AnalysisException:

@@ -556,7 +556,15 @@ def streaming_contamination(
     import re as _re
     from collections import defaultdict
 
+    from ..ids import require_integral_id
     from ..operators.corpus import _ngram_rows
+
+    # the emitted schema pins both ids to long; a string id would
+    # otherwise cast to null silently (batch contamination_pairs
+    # preserves the caller's id types — fail loudly instead of
+    # silently diverging from the twin)
+    require_integral_id(stream_new, new_id, "streaming_contamination")
+    require_integral_id(static_bench, bench_id, "streaming_contamination")
 
     # bounded collect: (gram, bench_id) rows of the benchmark corpus
     bidx: dict[str, list] = defaultdict(list)

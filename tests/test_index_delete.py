@@ -408,3 +408,93 @@ def test_pq_append_rejects_dim_mismatch(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         lt.append_to_pq_index(bad, path)
+
+
+# ------------------------------------------- round-10 advisory fixes
+
+def test_purge_and_compact_refuse_in_place(spark, docs, emb, tmp_path):
+    """Every purge/compact entry point must reject out_path ==
+    index_path: the in-place form clears the tombstone set before the
+    lazy anti-join reads it and overwrites files still being read — on
+    a compliance-delete path that can resurrect tombstoned docs."""
+    bm = str(tmp_path / "bm")
+    lt.save_bm25_index(docs.limit(50), bm)
+    with pytest.raises(ValueError, match="out_path"):
+        lt.compact_bm25_index(spark, bm, bm)
+    # trailing-slash / file:-scheme aliases of the same directory too
+    with pytest.raises(ValueError, match="out_path"):
+        lt.compact_bm25_index(spark, bm, bm + "/")
+    with pytest.raises(ValueError, match="out_path"):
+        lt.compact_bm25_index(spark, bm, "file://" + bm)
+
+    ivf = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb.limit(64), ivf, n_cells=4)
+    with pytest.raises(ValueError, match="out_path"):
+        lt.purge_ivf_index(spark, ivf, ivf)
+
+    pq = str(tmp_path / "pq")
+    lt.save_pq_index(emb.limit(64), pq, n_cells=4, m=8, n_codes=8)
+    with pytest.raises(ValueError, match="out_path"):
+        lt.purge_pq_index(spark, pq, pq)
+
+    mh = str(tmp_path / "mh")
+    lt.save_minhash_index(docs.limit(50), mh, on="text", id_col="doc_id")
+    with pytest.raises(ValueError, match="out_path"):
+        lt.purge_minhash_index(spark, mh, mh)
+
+
+def test_tombstone_batches_cast_to_stored_id_type(spark, docs, tmp_path):
+    """Successive delete batches with differing caller id types (int
+    vs string) must land under deletes/ in the index's STORED id type
+    — mixed-schema parquet there can break the later merged read or
+    the serve-time anti-join."""
+    path = str(tmp_path / "bm")
+    corpus = docs.limit(60)
+    lt.save_bm25_index(corpus, path)
+    stored_type = spark.read.parquet(f"{path}/postings").schema[
+        "doc_id"
+    ].dataType
+
+    lt.delete_from_bm25_index(
+        spark.createDataFrame([(3,)], "doc_id int"), path
+    )
+    lt.delete_from_bm25_index(
+        spark.createDataFrame([("13",)], "doc_id string"), path
+    )
+    dels = spark.read.parquet(f"{path}/deletes")
+    assert dels.schema["doc_id"].dataType == stored_type
+    assert {r.doc_id for r in dels.collect()} == {3, 13}
+
+    # and the serve still masks both
+    from linktransformer_spark.functions import similarity as S
+
+    qs = corpus.filter(F.col("doc_id").isin(3, 13)).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    got = lt.bm25_topk_indexed(spark, path, qs, k=5)
+    assert got.filter(F.col("doc_id").isin(3, 13)).count() == 0
+
+
+def test_minhash_rebuild_in_place_same_session_meta_fresh(
+    spark, docs, tmp_path
+):
+    """save_minhash_index must refresh the path AFTER the meta
+    overwrite (the last mutation): a session that already read meta
+    and then rebuilds in place must see the fresh listing, not a
+    FAILED_READ_FILE on the replaced meta files."""
+    from linktransformer_spark.operators.dedup import _load_index_meta
+
+    path = str(tmp_path / "mh")
+    lt.save_minhash_index(
+        docs.limit(40), path, on="text", id_col="doc_id", num_hashes=24,
+        bands=8,
+    )
+    assert int(_load_index_meta(spark, path)["num_hashes"]) == 24
+    lt.save_minhash_index(
+        docs.limit(40), path, on="text", id_col="doc_id", num_hashes=32,
+        bands=8,
+    )
+    assert int(_load_index_meta(spark, path)["num_hashes"]) == 32
