@@ -158,6 +158,9 @@ class CosineScorer:
         return S.dot(F.col(LEFT_EMB), F.col(RIGHT_EMB))
 
     needs_embeddings = True
+    # score() IS the plain normalized-dot kernel — lets the LSH path
+    # swap in the bit-equal numpy re-score (bucket_dot_rescored_pairs)
+    score_is_dot = True
 
 
 @dataclass
@@ -335,6 +338,142 @@ def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
     return left.mapInPandas(gen, schema=out_schema)
 
 
+def bucket_dot_rescored_pairs(
+    lb: DataFrame,
+    rb: DataFrame,
+    keys: list[str],
+    left_id: str = LEFT_ID,
+    right_id: str = RIGHT_ID,
+    left_emb: str = LEFT_EMB,
+    right_emb: str = RIGHT_EMB,
+    threshold: float | None = None,
+    k: int | None = None,
+    carry_right: list[str] | None = None,
+    flops_per_chunk: int = 4_000_000,
+) -> DataFrame:
+    """Exact dot re-score of an LSH bucket join, as ONE Arrow-batched
+    cogroup instead of join + per-pair expression fold.
+
+    The declarative form (equi-join on the bucket, then the
+    ``S.dot`` fold per candidate row) is the measured constant-factor
+    floor of every LSH path: higher-order functions are
+    CodegenFallback, and in the shuffled-join stages they land in, the
+    fold runs ~7 µs per candidate row (vs ~0.5 µs in compiled BNLJ
+    stages) — a 14x tax on candidates x rescore (PLANS.md round 9).
+    This replica moves the re-score into ``applyInPandas`` over the
+    bucket cogroup: each row's embedding crosses Arrow ONCE PER BUCKET
+    OCCURRENCE (not once per pair — the transfer-bound failure of the
+    earlier per-pair pandas_udf attempt), the (chunk x bucket) score
+    matrix is vectorized numpy, and the emitted pair row is ~24 bytes.
+
+    Float parity (the established in-repo replica rules, same as the
+    streaming minhash/semdedup twins): scores accumulate PER DIMENSION
+    left-associated from 0.0 — ``acc += L[:, j] * R[:, j]`` for j in
+    order — which rounds every product and partial sum exactly like
+    the ``aggregate(zip_with(...))`` fold, so results are bit-equal to
+    the Column path (property-pinned in test_properties).
+
+    ``keys``: cogroup columns (the bucket id, plus any blocking
+    columns — grouping matches null==null, i.e. exactly eqNullSafe
+    blocking semantics). ``threshold``: emit only pairs with
+    score >= threshold. ``k``: per-left-row IN-GROUP top-k
+    (score DESC, right_id ASC [, carry_right ASC]) — safe pre-pruning
+    for a downstream global top-k under the same order: any dropped
+    candidate has k group-mates strictly preferred to it, so its
+    global rank exceeds k; and threshold-then-topk == topk-then-
+    threshold because both keep high scores. ``carry_right``: extra
+    right-side columns to emit per surviving pair (e.g. a tie-break
+    key). Returns (left_id, right_id, *carry_right, score).
+
+    Memory is bounded: the score matrix is chunked to
+    ``flops_per_chunk`` cells (~32 MB at the default), so a hot bucket
+    costs more chunks, never more resident memory.
+    """
+    carry = list(carry_right or [])
+    lsch, rsch = lb.schema, rb.schema
+    out_schema = ", ".join(
+        [f"{left_id} {lsch[left_id].dataType.simpleString()}",
+         f"{right_id} {rsch[right_id].dataType.simpleString()}"]
+        + [f"{c} {rsch[c].dataType.simpleString()}" for c in carry]
+        + ["score double"]
+    )
+    thr = threshold
+    kk = k
+    r_order = [right_id] + carry
+
+    def fn(l_pdf, r_pdf):
+        import numpy as np
+        import pandas as pd
+
+        def emit(lid, rid, cols, sc):
+            out = {left_id: lid, right_id: rid}
+            for name, vals in zip(carry, cols):
+                out[name] = vals
+            out["score"] = sc
+            return pd.DataFrame(out)
+
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return emit(
+                l_pdf[left_id].iloc[:0], r_pdf[right_id].iloc[:0],
+                [r_pdf[c].iloc[:0] for c in carry],
+                np.empty(0, dtype=np.float64),
+            )
+        # right rows in (right_id [, carry]) ASC order, so a STABLE
+        # argsort on -score yields exactly the downstream tie-break
+        r_pdf = r_pdf.sort_values(r_order, kind="mergesort").reset_index(
+            drop=True
+        )
+        R = np.array(r_pdf[right_emb].tolist(), dtype=np.float64)
+        nr = len(r_pdf)
+        rid_arr = r_pdf[right_id].to_numpy()
+        carry_arrs = [r_pdf[c].to_numpy() for c in carry]
+        l_ids = l_pdf[left_id].to_numpy()
+        L_all = l_pdf[left_emb].tolist()
+        chunk = max(1, min(4096, flops_per_chunk // max(nr, 1)))
+        parts = []
+        for s0 in range(0, len(l_pdf), chunk):
+            Lc = np.array(L_all[s0:s0 + chunk], dtype=np.float64)
+            nl = Lc.shape[0]
+            acc = np.zeros((nl, nr), dtype=np.float64)
+            for j in range(Lc.shape[1]):
+                acc += Lc[:, j:j + 1] * R[:, j]
+            if kk is not None:
+                take = min(kk, nr)
+                idx = np.argsort(-acc, axis=1, kind="stable")[:, :take]
+                sc = np.take_along_axis(acc, idx, axis=1)
+                li = np.repeat(np.arange(nl), take)
+                ri = idx.reshape(-1)
+                sc = sc.reshape(-1)
+                if thr is not None:
+                    keep = sc >= thr
+                    li, ri, sc = li[keep], ri[keep], sc[keep]
+            else:
+                if thr is not None:
+                    li, ri = np.nonzero(acc >= thr)
+                else:
+                    li = np.repeat(np.arange(nl), nr)
+                    ri = np.tile(np.arange(nr), nl)
+                sc = acc[li, ri]
+            if len(li):
+                parts.append(emit(
+                    l_ids[s0 + li], rid_arr[ri],
+                    [a[ri] for a in carry_arrs], sc,
+                ))
+        if not parts:
+            return emit(
+                l_pdf[left_id].iloc[:0], r_pdf[right_id].iloc[:0],
+                [r_pdf[c].iloc[:0] for c in carry],
+                np.empty(0, dtype=np.float64),
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        lb.groupBy(*keys)
+        .cogroup(rb.groupBy(*keys))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
                     k=None, n_planes="auto", n_extra=3) -> DataFrame:
     """Hyperplane-LSH candidate pairs, exact-rescored — the same
@@ -399,6 +538,26 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     )
     # probe bucket ids are pairwise distinct per left row, so each
     # (left, right) pair joins AT MOST once — no dedup stage needed
+    if getattr(scorer, "score_is_dot", False):
+        # the round-10 re-score path: bucket cogroup + vectorized
+        # numpy dot (bit-equal to the fold — see
+        # bucket_dot_rescored_pairs) instead of join + interpreted
+        # per-pair fold. Output is the NARROW (left_id, right_id,
+        # score) relation — exactly what both consumers (top-k merge
+        # re-rank, near-dup pair filter) read; eqNullSafe blocking
+        # folds into the cogroup keys (null groups match null groups).
+        keys = ["_lt_bkt"]
+        lsel = [LEFT_ID, LEFT_EMB]
+        rsel = [RIGHT_ID, RIGHT_EMB]
+        for i, (lc, rc) in enumerate(block_on or []):
+            kn = f"_lt_blk{i}"
+            lb = lb.withColumn(kn, F.col(lc))
+            rb = rb.withColumn(kn, F.col(rc))
+            keys.append(kn)
+        return bucket_dot_rescored_pairs(
+            lb.select(*keys, *lsel), rb.select(*keys, *rsel),
+            keys, threshold=threshold, k=k,
+        )
     out = lb.join(rb, "_lt_bkt").drop("_lt_bkt")
     out = out.withColumn("score", scorer.score())
     if threshold is not None:

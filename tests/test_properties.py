@@ -629,3 +629,73 @@ def test_attach_to_entities_matches_python_argmax(spark, new_keys, registry):
         )
         want = (cands[0][1], cands[0][2]) if cands else (None, None)
         assert got[rid] == want, (rid, name, got[rid], want)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32).map(float),
+            min_size=6, max_size=6,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32).map(float),
+            min_size=6, max_size=6,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([None, 0.0, 5.0, -5.0]),
+    st.sampled_from([None, 1, 2]),
+)
+def test_bucket_dot_rescore_equals_column_fold(spark, lv, rv, thr, k):
+    """bucket_dot_rescored_pairs (the Arrow numpy cogroup re-score of
+    the LSH paths) is BIT-equal to the declarative join + S.dot fold
+    on arbitrary vectors, thresholds, and k — the left-assoc per-
+    dimension accumulation claim, plus: in-group top-k under the
+    (score DESC, right_id ASC) order keeps exactly the rows a global
+    row_number top-k over all candidates would keep per group."""
+    from pyspark.sql import Window
+
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.operators.knn_join import (
+        bucket_dot_rescored_pairs,
+    )
+
+    # two buckets so the cogroup actually groups; uneven split
+    lb = spark.createDataFrame(
+        [(i % 2, i, v) for i, v in enumerate(lv)],
+        "b int, lid long, lemb array<double>",
+    )
+    rb = spark.createDataFrame(
+        [(j % 2, j, v) for j, v in enumerate(rv)],
+        "b int, rid long, remb array<double>",
+    )
+    got = bucket_dot_rescored_pairs(
+        lb, rb, ["b"], left_id="lid", right_id="rid",
+        left_emb="lemb", right_emb="remb", threshold=thr, k=k,
+    ).collect()
+
+    ref = lb.join(rb, "b").withColumn(
+        "score", S.dot(F.col("lemb"), F.col("remb"))
+    )
+    if k is not None:
+        w = Window.partitionBy("lid", "b").orderBy(
+            F.col("score").desc(), F.col("rid").asc()
+        )
+        ref = ref.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= k
+        )
+    if thr is not None:
+        ref = ref.filter(F.col("score") >= F.lit(thr))
+    want = ref.select("lid", "rid", "score").collect()
+
+    # bit-equal: compare raw doubles, no rounding
+    assert sorted((r.lid, r.rid, r.score) for r in got) == sorted(
+        (r.lid, r.rid, r.score) for r in want
+    )
