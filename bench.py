@@ -435,6 +435,45 @@ def main() -> None:
             ).count()
             recall[nm] = round(hit / max(n_exact, 1), 4)
             print(f"# recall@10 {nm}: {recall[nm]}", file=sys.stderr)
+
+        # merge-route recall (round-10 verdict item 3): pair overlap
+        # of the production auto->LSH merge route vs the exact top-k
+        # at the SAME operating point as the timed merge_knn_auto
+        # entry — a plane-sizing or probe regression moves this number
+        # even when the wall-clock looks fine. (The PLANS.md round-9
+        # curve: 0.47-0.95 across planes/probes on these digit-only-
+        # differing TPC-H names, a measured near-worst LSH case.)
+        from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+
+        cust = read_table(spark, SF_DIR, "customer").filter(
+            F.col("c_custkey") <= 2000
+        )
+        supp = read_table(spark, SF_DIR, "supplier")
+        mkw = dict(
+            left_on="c_name", right_on="s_name", model="hash-ngram",
+            k=3, left_id_col="c_custkey", right_id_col="s_suppkey",
+        )
+        exact_m = (
+            lt.merge_knn(cust, supp, mode="exact_cross", **mkw)
+            .select("c_custkey", "s_suppkey")
+            .localCheckpoint(eager=True)
+        )
+        n_ex = exact_m.count()
+        spark.conf.set(AUTO_LSH_CONF, "1")
+        try:
+            lsh_m = lt.merge_knn(cust, supp, mode="auto", **mkw).select(
+                "c_custkey", "s_suppkey"
+            )
+            hit_m = exact_m.join(
+                lsh_m, ["c_custkey", "s_suppkey"]
+            ).count()
+        finally:
+            spark.conf.unset(AUTO_LSH_CONF)
+        recall["merge_auto_recall"] = round(hit_m / max(n_ex, 1), 4)
+        print(
+            f"# merge_auto_recall: {recall['merge_auto_recall']}",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001 — recall is telemetry, not a gate
         print(f"# recall tracking failed: {e}", file=sys.stderr)
 

@@ -18,9 +18,13 @@ from .operators.graph import pagerank
 from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     ann_topk_ivf_indexed, append_to_ivf_index, mmr_rerank, quantize_embeddings,
-    delete_from_ivf_index, purge_ivf_index,
+    delete_from_ivf_index, index_cell_stats, purge_ivf_index,
     save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
+)
+from .operators.upsert import (
+    upsert_bm25_index, upsert_ivf_index, upsert_minhash_index,
+    upsert_pq_index,
 )
 from .operators.serving import (
     ann_serving_topk, ann_topk_pq_indexed, resolve_serving_params,
@@ -234,9 +238,14 @@ __all__ = [
     "delete_from_ivf_index",
     "delete_from_minhash_index",
     "delete_from_pq_index",
+    "index_cell_stats",
     "purge_ivf_index",
     "purge_minhash_index",
     "purge_pq_index",
+    "upsert_bm25_index",
+    "upsert_ivf_index",
+    "upsert_minhash_index",
+    "upsert_pq_index",
     "bm25_compacted_postings",
     "bm25_delta_postings",
     "quantize_embeddings",

@@ -1494,3 +1494,65 @@ def append_to_ivf_index(
     from .tombstones import refresh_index_path
 
     refresh_index_path(spark, path)
+
+
+def index_cell_stats(spark, path: str) -> DataFrame:
+    """One-row cell-balance observable for a stored vector index
+    (:func:`save_ivf_index` or :func:`~.serving.save_pq_index` — any
+    directory with a ``cell``-partitioned ``cells/`` relation and a
+    ``meta/`` carrying ``n_cells``).
+
+    The documented IVF/PQ maintenance trade ("appends encode against
+    frozen centroids; monitor cell sizes and rebuild when the
+    distribution drifts") finally gets its monitor — the same
+    no-silent-state stance as the skew-cap observables and
+    :func:`~.tombstones.tombstone_stats`. Columns:
+
+    - ``n_cells`` — the build-time cell count (meta);
+    - ``n_nonempty_cells`` — cells currently holding rows;
+    - ``n_rows`` / ``max_cell_rows`` / ``min_cell_rows`` — stored-row
+      totals (min over NONEMPTY cells);
+    - ``mean_cell_rows`` — n_rows / n_cells (empty cells included:
+      emptiness IS drift);
+    - ``max_over_mean`` — the skew headline. Rule of thumb (README):
+      ~1-4 is healthy for seeded centroids; sustained >8, or
+      n_nonempty_cells well below n_cells, means probes concentrate
+      on a few hot cells (per-probe recall decays and the probed-scan
+      cost ceases to track n_probe/n_cells) — schedule a rebuild, or
+      a :func:`~.serving.save_pq_index` ``train_cells`` refresh;
+    - ``top_cell`` — the fullest cell (ties to the smallest id).
+
+    Counts only — the scan reads the partition column and row counts,
+    never the vectors. Tombstoned rows still count: they still occupy
+    the probed scan, which is exactly what this observable prices."""
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    n_cells = int(meta["n_cells"])
+    per = (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_nonempty_cells"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_cell_rows"),
+        F.min("n").alias("min_cell_rows"),
+        F.max(
+            F.struct(F.col("n").alias("n"), (-F.col("cell")).alias("nc"))
+        ).alias("_top"),
+    )
+    return agg.select(
+        F.lit(n_cells).cast("int").alias("n_cells"),
+        F.col("n_nonempty_cells").cast("bigint").alias("n_nonempty_cells"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_cell_rows").cast("bigint").alias("max_cell_rows"),
+        F.col("min_cell_rows").cast("bigint").alias("min_cell_rows"),
+        (F.col("n_rows").cast("double") / F.lit(float(n_cells))).alias(
+            "mean_cell_rows"
+        ),
+        (
+            (F.col("max_cell_rows") * F.lit(n_cells)).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("max_over_mean"),
+        (-F.col("_top.nc")).cast("int").alias("top_cell"),
+    )

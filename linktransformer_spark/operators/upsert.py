@@ -1,0 +1,300 @@
+"""One-call upsert for the four persistable indexes — delete the
+batch's ids, append the batch's rows, one refresh.
+
+The tombstone model (:mod:`.tombstones`) deliberately makes plain
+delete-then-append WRONG for an upsert: re-appending a tombstoned id
+stays masked until a purge, so the "new version" would be invisible.
+The documented recipe was purge-then-append — a full index rewrite per
+upsert batch. These operators do better by exploiting each index's
+physical layout:
+
+- **IVF / PQ / BM25** (partition-keyed relations): the batch's old
+  rows live in a bounded set of partitions (the cells holding its
+  vectors; the term buckets holding its postings). The upsert rewrites
+  ONLY those partitions minus the batch's ids — work scales with the
+  affected partitions, never the index — then removes the ids from the
+  tombstone set (so the new version serves) and appends the new rows
+  through the family's frozen-model append path.
+- **MinHash** (unpartitioned band/shingle relations): the rewrite is
+  relation-wide — same I/O class as a purge, documented below.
+
+Scoring semantics after an upsert are exactly the family's
+delete+append semantics: per-row-state indexes (IVF, PQ, MinHash) have
+no staleness at all — the upserted serve equals a one-shot build over
+the modified corpus with the same frozen model; BM25 keeps the frozen
+(N, avgdl, df) reference frame, with the usual drift-until-compaction
+contract (old versions' contribution to the frozen stats lingers until
+:func:`~.search.compact_bm25_index`).
+
+Durability stance: upsert MUTATES the index in place (that is its
+point — one call, no directory swap). Every rewrite stages the
+surviving rows to a sibling temp directory FIRST and only then swaps
+it over the old one, so a reader never races a half-written relation
+and the source is never read lazily while being overwritten (the
+failure the purge paths' ``require_distinct_out`` guard exists for).
+The swap itself (delete old + rename tmp) is not transactional: a
+crash between the two leaves the relation missing — re-run the upsert
+or restore from the staged tmp dir. Deployments needing a commit
+point should keep using purge-to-new-path + atomic rename.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tombstones import (
+    clear_tombstones, read_tombstones, refresh_index_path,
+    tombstones_exist,
+)
+
+_TMP_SUFFIX = "._lt_upsert_tmp"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def _swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
+    """delete(final); rename(tmp, final). On object stores rename is a
+    copy — acceptable for the bounded relations this module stages."""
+    fs, pf = _fs(spark, final)
+    fs.delete(pf, True)
+    _, pt = _fs(spark, tmp)[1], _fs(spark, tmp)[1]
+    fs.rename(pt, pf)
+
+
+def _distinct_ids(batch: DataFrame, id_col: str, dtype) -> DataFrame:
+    """The batch's ids, cast to the index's stored id type, uniqueness
+    enforced — an id appearing twice in one upsert batch has no
+    defined winner, so fail loudly (same stance as require_integral_id).
+    """
+    ids = batch.select(F.col(id_col).cast(dtype).alias("_lt_up_id"))
+    n, nd = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_lt_up_id").alias("nd"),
+    ).first()
+    if n != nd:
+        raise ValueError(
+            f"upsert batch carries duplicate ids in {id_col!r} "
+            f"({n} rows, {nd} distinct) — an in-batch duplicate has no "
+            "defined winner; dedupe the batch first"
+        )
+    return ids.distinct()
+
+
+def _rewrite_partitions_minus_ids(
+    spark: SparkSession,
+    rel_path: str,
+    part_col: str,
+    ids: DataFrame,
+    stored_col: str,
+) -> int:
+    """Physically drop ``ids`` from ``rel_path`` (a ``part_col``-
+    partitioned parquet relation) by rewriting ONLY the partitions
+    that contain them. Returns the number of rows removed.
+
+    The affected-partition list is a bounded collect (<= the
+    partition count); surviving rows of those partitions stage to a
+    sibling tmp dir, then each affected partition directory swaps —
+    a fully-emptied partition simply has no staged counterpart and is
+    deleted. Untouched partitions never read, never write."""
+    rel = spark.read.parquet(rel_path)
+    idsb = F.broadcast(ids)
+    affected = [
+        r[0]
+        for r in rel.join(
+            idsb, rel[stored_col] == F.col("_lt_up_id"), "left_semi"
+        ).select(part_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    hit = rel.filter(F.col(part_col).isin(affected))
+    n_removed = hit.join(
+        idsb, hit[stored_col] == F.col("_lt_up_id"), "left_semi"
+    ).count()
+    kept = hit.join(
+        idsb, hit[stored_col] == F.col("_lt_up_id"), "left_anti"
+    )
+    tmp = rel_path.rstrip("/") + _TMP_SUFFIX
+    kept.repartition(part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(tmp)
+    fs, _ = _fs(spark, rel_path)
+    jvm = spark.sparkContext._jvm
+    for v in affected:
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{part_col}={v}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{rel_path}/{part_col}={v}")
+        fs.delete(dst, True)
+        if fs.exists(src):
+            fs.rename(src, dst)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    refresh_index_path(spark, rel_path)
+    return int(n_removed)
+
+
+def _rewrite_relation_minus_ids(
+    spark: SparkSession, rel_path: str, ids: DataFrame, stored_col: str
+) -> None:
+    """Unpartitioned variant: stage the whole surviving relation, then
+    swap. I/O scales with the relation — the MinHash trade."""
+    rel = spark.read.parquet(rel_path)
+    kept = rel.join(
+        F.broadcast(ids), rel[stored_col] == F.col("_lt_up_id"),
+        "left_anti",
+    )
+    tmp = rel_path.rstrip("/") + _TMP_SUFFIX
+    kept.write.mode("overwrite").parquet(tmp)
+    _swap_dir(spark, tmp, rel_path)
+    refresh_index_path(spark, rel_path)
+
+
+def _untombstone(
+    spark: SparkSession, path: str, ids: DataFrame, stored_col: str
+) -> None:
+    """Drop the batch's ids from the tombstone set so the re-ingested
+    versions serve (plain append would stay masked). Runs AFTER the
+    physical removal of the old rows — a crash in between leaves the
+    ids deleted (consistent), never resurrected."""
+    if not tombstones_exist(spark, path):
+        return
+    dels = read_tombstones(spark, path, stored_col)
+    if dels is None:
+        return
+    kept = dels.join(
+        F.broadcast(ids), dels[stored_col] == F.col("_lt_up_id"),
+        "left_anti",
+    )
+    if kept.isEmpty():
+        clear_tombstones(spark, path)
+    else:
+        tmp = f"{path}/deletes{_TMP_SUFFIX}"
+        kept.write.mode("overwrite").parquet(tmp)
+        _swap_dir(spark, tmp, f"{path}/deletes")
+    refresh_index_path(spark, path)
+
+
+def upsert_ivf_index(
+    batch: DataFrame,
+    path: str,
+    vector_col: str | None = None,
+    corpus_id: str | None = None,
+) -> None:
+    """Upsert a vector batch into a :func:`~.ann.save_ivf_index`
+    directory: old rows with the batch's ids vanish (only their cells
+    rewrite), tombstones on those ids clear, and the new vectors
+    append against the frozen centroids. Serving afterwards equals a
+    one-shot build over the modified corpus with the same centroids —
+    per-row scoring state, no staleness (the IVF delete contract)."""
+    from .ann import _IVF_INDEX_VERSION, append_to_ivf_index
+
+    spark = batch.sparkSession
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    stored = str(meta["id_col"])
+    dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
+    ids = _distinct_ids(batch, corpus_id or stored, dtype)
+    _rewrite_partitions_minus_ids(spark, f"{path}/cells", "cell", ids, stored)
+    _untombstone(spark, path, ids, stored)
+    append_to_ivf_index(batch, path, vector_col=vector_col,
+                        corpus_id=corpus_id)
+    refresh_index_path(spark, path)
+
+
+def upsert_pq_index(
+    batch: DataFrame,
+    path: str,
+    vector_col: str | None = None,
+    corpus_id: str | None = None,
+) -> None:
+    """Upsert into a :func:`~.serving.save_pq_index` directory — same
+    shape as :func:`upsert_ivf_index` (cell-targeted rewrite +
+    untombstone + frozen-model append); ``meta.n_rows`` nets out the
+    removed rows so the informational count stays the ingested-live
+    total."""
+    from .serving import _read_pq_meta, _write_pq_meta, append_to_pq_index
+
+    spark = batch.sparkSession
+    meta = _read_pq_meta(spark, path)
+    stored = str(meta["id_col"])
+    dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
+    ids = _distinct_ids(batch, corpus_id or stored, dtype)
+    n_removed = _rewrite_partitions_minus_ids(
+        spark, f"{path}/cells", "cell", ids, stored
+    )
+    if n_removed:
+        _write_pq_meta(spark, path, meta,
+                       max(0, int(meta["n_rows"]) - n_removed))
+    _untombstone(spark, path, ids, stored)
+    append_to_pq_index(batch, path, vector_col=vector_col,
+                       corpus_id=corpus_id)
+    refresh_index_path(spark, path)
+
+
+def upsert_bm25_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> None:
+    """Upsert a document batch into a :func:`~.search.save_bm25_index`
+    directory: the batch ids' old postings drop out of their term
+    buckets (targeted partition rewrite), tombstones on those ids
+    clear, and the new versions score against the index's FROZEN
+    (N, avgdl, df) reference frame — the append contract. The usual
+    BM25 staleness stance applies: the frozen stats still reflect the
+    old versions until the next :func:`~.search.compact_bm25_index`."""
+    from .search import _read_bm25_meta, append_to_bm25_index
+
+    spark = batch.sparkSession
+    meta = _read_bm25_meta(spark, path)
+    stored = str(meta["id_col"])
+    dtype = spark.read.parquet(f"{path}/postings").schema[stored].dataType
+    ids = _distinct_ids(batch, id_col or stored, dtype)
+    _rewrite_partitions_minus_ids(
+        spark, f"{path}/postings", "bucket", ids, stored
+    )
+    _untombstone(spark, path, ids, stored)
+    append_to_bm25_index(batch, path, text_col=text_col)
+    refresh_index_path(spark, path)
+
+
+def upsert_minhash_index(
+    batch: DataFrame,
+    path: str,
+    on=None,
+    id_col: str | None = None,
+) -> None:
+    """Upsert a document batch into a :func:`~.dedup.save_minhash_index`
+    directory. The band/shingle relations are unpartitioned, so the
+    old-version removal is a relation-wide rewrite — the one family
+    where upsert I/O tracks the index (a purge's cost class), because
+    a MinHash row's location carries no id locality. Family parameters
+    (num_hashes, bands, shingle, word) come from the stored meta; the
+    new signatures append under the identical family, so incremental
+    dedup against the index sees exactly the modified corpus."""
+    from .dedup import _load_index_meta, save_minhash_index
+
+    spark = batch.sparkSession
+    meta = _load_index_meta(spark, path)
+    if id_col is None:
+        raise ValueError("upsert_minhash_index requires id_col")
+    if on is None:
+        raise ValueError("upsert_minhash_index requires on")
+    dtype = spark.read.parquet(f"{path}/bands").schema["_id"].dataType
+    ids = _distinct_ids(batch, id_col, dtype)
+    for rel in ("bands", "shingles"):
+        _rewrite_relation_minus_ids(spark, f"{path}/{rel}", ids, "_id")
+    _untombstone(spark, path, ids, "_id")
+    save_minhash_index(
+        batch, path, on=on, id_col=id_col,
+        num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
+        shingle=int(meta["shingle"]), word=bool(meta["word"]),
+        mode="append",
+    )
+    refresh_index_path(spark, path)

@@ -6883,3 +6883,180 @@ def stream_er_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "key", "entity_id", "matched_key",
         F.round("score", 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: the cell-balance observable for the stored vector
+# indexes (the monitor behind the documented "watch cell sizes and
+# rebuild" IVF/PQ maintenance trade) and the one-call upsert lifecycle
+# (operators/upsert.py — targeted partition rewrite + untombstone +
+# frozen-model append, ≡ the documented delete→purge→append recipe).
+
+
+def _cell_stats_sql(n_cells: int = 16) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    cassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    per AS (SELECT cell, count(*) AS n FROM cassign GROUP BY cell),
+    s AS (
+      SELECT count(*) AS ne, sum(n) AS nr, max(n) AS mx, min(n) AS mn
+      FROM per
+    ),
+    top AS (SELECT cell FROM per ORDER BY n DESC, cell ASC LIMIT 1)
+    SELECT CAST({n_cells} AS INT) AS n_cells,
+           CAST(s.ne AS BIGINT) AS n_nonempty_cells,
+           CAST(s.nr AS BIGINT) AS n_rows,
+           CAST(s.mx AS BIGINT) AS max_cell_rows,
+           CAST(s.mn AS BIGINT) AS min_cell_rows,
+           CAST(s.nr AS DOUBLE) / {float(n_cells)} AS mean_cell_rows,
+           CAST(s.mx * {n_cells} AS DOUBLE) / CAST(s.nr AS DOUBLE)
+             AS max_over_mean,
+           CAST(top.cell AS INT) AS top_cell
+    FROM s, top
+"""
+
+
+@_q("index_cell_stats", _cell_stats_sql())
+def index_cell_stats_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance observable for a stored vector index
+    (operators/ann.index_cell_stats): exact per-cell counts reduced to
+    the one-row skew summary that schedules the rebuild ("monitor cell
+    sizes", the documented IVF/PQ append-drift trade). The oracle
+    mirrors the seeded assignment bit-for-bit and aggregates the same
+    counts in SQL."""
+    import tempfile
+
+    from .operators.ann import index_cell_stats, save_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_ivf_csidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    return index_cell_stats(spark, path)
+
+
+def _ivf_upsert_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """The upsert-lifecycle mirror: centroids stay FROZEN on the
+    ORIGINAL corpus's seed window (the upsert never retrains), the
+    candidate corpus is the MODIFIED one (changed vectors replace
+    their ids in place, new ids append, the still-tombstoned id is
+    masked), queries score against it. Mirrors, in one SQL plan,
+    exactly what build → delete → upsert(changed+new) → serve leaves
+    on disk."""
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    cmod AS (
+      SELECT vec_id, {sql_l2_normalize('list_reverse(embedding)')} AS v
+      FROM embeddings WHERE vec_id % 10 = 3
+      UNION ALL
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id % 10 <> 3
+      UNION ALL
+      SELECT vec_id + 10000, {sql_l2_normalize('embedding')} AS v
+      FROM embeddings WHERE vec_id % 10 = 7
+    ),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cmod c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT q.vec_id, ct.cell, q.v,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM qn q CROSS JOIN cent ct
+      ) WHERE rn <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qassign q JOIN cassign c ON q.cell = c.cell
+      WHERE NOT (c.vec_id % 25 = 9)
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_ivf_upsert", _ivf_upsert_sql())
+def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call upsert lifecycle on the stored IVF index
+    (operators/upsert.upsert_ivf_index): build → tombstone two delete
+    batches (one overlapping the coming upsert, one not) →
+    upsert(changed vectors + brand-new ids) → serve. The upsert must
+    (a) physically drop the old versions from ONLY their cells,
+    (b) clear the batch ids' tombstones so the new versions serve
+    (plain append would stay masked), (c) leave the non-batch
+    tombstone masking intact, and (d) encode everything against the
+    FROZEN build-time centroids. The oracle is the one-shot SQL plan
+    over exactly that end state."""
+    import tempfile
+
+    from .operators.ann import (
+        ann_topk_ivf_indexed, delete_from_ivf_index, save_ivf_index,
+    )
+    from .operators.upsert import upsert_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_ivf_upidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    # two delete batches: %20==3 is re-ingested by the upsert below
+    # (must serve again), %25==9 is not (must stay masked)
+    delete_from_ivf_index(
+        emb.filter((F.col("vec_id") % 20 == 3) | (F.col("vec_id") % 25 == 9))
+        .select("vec_id"),
+        path,
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 3)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 7).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    upsert_ivf_index(batch, path)
+    q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )

@@ -1,0 +1,247 @@
+"""One-call upsert across the four persistable indexes
+(operators/upsert.py) and the cell-balance observable
+(operators/ann.index_cell_stats). Invariants:
+
+- upsert(changed + new) makes every serve equal the same serve against
+  a one-shot index built over the MODIFIED corpus (per-row-state
+  families exactly; BM25 under its frozen-reference-frame append
+  contract — old postings gone, new versions scored with build stats);
+- upserting PREVIOUSLY-TOMBSTONED ids makes the new versions visible
+  (plain append would stay masked — the reason upsert exists);
+- untouched partitions' files are not rewritten (the targeted-rewrite
+  claim for the partition-keyed families);
+- duplicate ids within one batch raise;
+- index_cell_stats reports exact counts and the documented skew ratio.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _modified_corpus(emb):
+    """upsert shape: ids %10==3 get a CHANGED vector (reversed), plus
+    brand-new ids (+10000) carrying other rows' vectors."""
+    changed = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    new = emb.filter(F.col("vec_id") % 10 == 7).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    batch = changed.unionByName(new)
+    modified = (
+        emb.filter(F.col("vec_id") % 10 != 3)
+        .select("vec_id", "embedding")
+        .unionByName(batch)
+    )
+    return batch, modified
+
+
+def test_upsert_ivf_equals_filtered_one_shot(spark, emb, tmp_path):
+    batch, modified = _modified_corpus(emb)
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16)
+    # tombstone SOME of the to-be-upserted ids first: the upsert must
+    # clear them or the new versions stay invisible
+    lt.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 20 == 3).select("vec_id"), path
+    )
+    lt.upsert_ivf_index(batch, path)
+
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    got = lt.ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+
+    # the documented-recipe twin: delete + PURGE (keeps the frozen
+    # build-time centroids) + append to a fresh path — upsert must be
+    # exactly this in one call. (A one-shot rebuild over the modified
+    # corpus is NOT the twin: it would re-seed centroids from the
+    # changed vectors.)
+    ref = str(tmp_path / "ivf_ref")
+    lt.save_ivf_index(emb, ref, n_cells=16)
+    lt.delete_from_ivf_index(batch.select("vec_id"), ref)
+    ref2 = str(tmp_path / "ivf_ref2")
+    lt.purge_ivf_index(spark, ref, ref2)
+    lt.append_to_ivf_index(batch, ref2)
+    want = lt.ann_topk_ivf_indexed(spark, ref2, q, k=5, n_probe=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_upsert_pq_lifecycle_and_meta_rows(spark, emb, tmp_path):
+    batch, modified = _modified_corpus(emb)
+    path = str(tmp_path / "pq")
+    lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+    lt.upsert_pq_index(batch, path)
+
+    meta = spark.read.json(f"{path}/meta").collect()[0]
+    assert meta["n_rows"] == modified.count()
+
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    got = lt.ann_topk_pq_indexed(spark, path, q, k=5)
+    # documented-recipe twin (frozen centroids/codebook survive the
+    # purge; a one-shot rebuild would re-seed them from the batch)
+    ref = str(tmp_path / "pq_ref")
+    lt.save_pq_index(emb, ref, n_cells=8, m=8, n_codes=16)
+    lt.delete_from_pq_index(batch.select("vec_id"), ref)
+    ref2 = str(tmp_path / "pq_ref2")
+    lt.purge_pq_index(spark, ref, ref2)
+    lt.append_to_pq_index(batch, ref2)
+    want = lt.ann_topk_pq_indexed(spark, ref2, q, k=5)
+    assert _rows(got) == _rows(want)
+
+
+def test_upsert_bm25_drops_old_postings_and_serves_new(
+    spark, docs, tmp_path
+):
+    from linktransformer_spark.functions import similarity as S
+
+    corpus = docs.limit(200).select("doc_id", "text")
+    path = str(tmp_path / "bm")
+    lt.save_bm25_index(corpus, path, n_buckets=4)
+    # tombstone one id that the upsert then re-ingests
+    lt.delete_from_bm25_index(
+        corpus.filter(F.col("doc_id") == 3).select("doc_id"), path
+    )
+    batch = corpus.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.concat(F.lit("zqx unique marker "), F.col("text")).alias("text"),
+    )
+    lt.upsert_bm25_index(batch, path)
+
+    post = spark.read.parquet(f"{path}/postings")
+    # old versions physically gone: the upserted docs' postings all
+    # carry the new marker term's dl (old text had no 'zqx')
+    assert post.filter(
+        (F.col("doc_id") % 10 == 3) & (F.col("term") == "zqx")
+    ).count() == batch.count()
+    qs = spark.createDataFrame(
+        [(1, "zqx unique marker")], ["q_id", "q_text"]
+    )
+    got = lt.bm25_topk_indexed(spark, path, qs, k=5)
+    assert got.count() > 0
+    assert all(r.doc_id % 10 == 3 for r in got.collect())
+    # the previously tombstoned, now re-upserted id serves again
+    qs3 = spark.createDataFrame([(2, "zqx marker")], ["q_id", "q_text"])
+    served = {r.doc_id for r in lt.bm25_topk_indexed(spark, path, qs3, k=20).collect()}
+    assert 3 in served
+
+    # frozen-frame parity: scores match delete+append to a FRESH path
+    ref = str(tmp_path / "bm_ref")
+    lt.save_bm25_index(corpus, ref, n_buckets=4)
+    refp = spark.read.parquet(f"{ref}/postings").filter(
+        F.col("doc_id") % 10 != 3
+    )
+    dl = lt.bm25_delta_postings(spark, ref, batch)
+    want = refp.unionByName(dl.select(refp.columns))
+    got_all = spark.read.parquet(f"{path}/postings")
+    assert _rows(
+        got_all.select("doc_id", "term", "impact", "tf", "dl")
+    ) == _rows(want.select("doc_id", "term", "impact", "tf", "dl"))
+
+
+def test_upsert_minhash_matches_modified_one_shot(spark, docs, tmp_path):
+    corpus = docs.limit(150).select("doc_id", "text")
+    path = str(tmp_path / "mh")
+    lt.save_minhash_index(corpus, path, on="text", id_col="doc_id")
+    batch = corpus.filter(F.col("doc_id") % 10 == 4).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" tail drift words added")).alias(
+            "text"
+        ),
+    )
+    lt.upsert_minhash_index(batch, path, on="text", id_col="doc_id")
+
+    probe = corpus.filter(F.col("doc_id") >= 100).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    got = lt.near_dup_pairs_minhash_against_index(
+        probe, path, on="text", id_col="doc_id", threshold=0.5
+    )
+    ref = str(tmp_path / "mh_ref")
+    modified = corpus.filter(F.col("doc_id") % 10 != 4).unionByName(batch)
+    lt.save_minhash_index(modified, ref, on="text", id_col="doc_id")
+    want = lt.near_dup_pairs_minhash_against_index(
+        probe, ref, on="text", id_col="doc_id", threshold=0.5
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_upsert_rejects_duplicate_batch_ids(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb.limit(64), path, n_cells=4)
+    dup = emb.limit(1).unionByName(emb.limit(1))
+    with pytest.raises(ValueError, match="duplicate ids"):
+        lt.upsert_ivf_index(dup, path)
+
+
+def test_upsert_rewrites_only_affected_cells(spark, emb, tmp_path):
+    """The targeted-rewrite claim: files under cells the batch does
+    not touch keep their modification times."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16)
+    cells = spark.read.parquet(f"{path}/cells")
+    # one existing id -> its (single) cell is the only affected one
+    one = emb.filter(F.col("vec_id") == 7)
+    hit_cell = cells.filter(F.col("vec_id") == 7).select("cell").first()[0]
+    before = {}
+    for d in os.listdir(f"{path}/cells"):
+        if d.startswith("cell="):
+            full = f"{path}/cells/{d}"
+            before[d] = {
+                f: os.path.getmtime(f"{full}/{f}") for f in os.listdir(full)
+            }
+    lt.upsert_ivf_index(
+        one.select("vec_id", F.reverse("embedding").alias("embedding")),
+        path,
+    )
+    for d, files in before.items():
+        if d == f"cell={hit_cell}":
+            continue
+        full = f"{path}/cells/{d}"
+        for f, mt in files.items():
+            # append may ADD files to the new version's target cell;
+            # pre-existing files elsewhere must be untouched
+            if os.path.exists(f"{full}/{f}"):
+                assert os.path.getmtime(f"{full}/{f}") == mt, (d, f)
+
+
+def test_index_cell_stats_exact_counts(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb, path, n_cells=16)
+    cells = spark.read.parquet(f"{path}/cells")
+    per = {
+        r["cell"]: r["n"]
+        for r in cells.groupBy("cell").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    r = lt.index_cell_stats(spark, path).collect()[0]
+    assert r["n_cells"] == 16
+    assert r["n_nonempty_cells"] == len(per)
+    assert r["n_rows"] == sum(per.values())
+    assert r["max_cell_rows"] == max(per.values())
+    assert r["min_cell_rows"] == min(per.values())
+    assert abs(r["mean_cell_rows"] - sum(per.values()) / 16) < 1e-12
+    assert abs(
+        r["max_over_mean"] - max(per.values()) * 16 / sum(per.values())
+    ) < 1e-12
+    best = max(per.values())
+    assert r["top_cell"] == min(c for c, n in per.items() if n == best)
