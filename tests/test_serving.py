@@ -146,3 +146,92 @@ class TestServingEdges:
         q = emb.filter(F.col("vec_id") < 5)
         with pytest.raises(ValueError, match="version"):
             lt.ann_topk_pq_indexed(spark, path, q)
+
+
+class TestTrainedCentroids:
+    """save_pq_index train_cells/train_codes (round-10): deterministic
+    Lloyd refine of the frozen model. Default 0 must stay bit-exact
+    seeded (the SQL-mirrored path); trained builds must be
+    reproducible, lifecycle-compatible, and actually better on a
+    clustered corpus."""
+
+    def _clustered(self, spark, n=1500, k=8, dim=64, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(k, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = centers[rng.integers(0, k, n)] + 0.15 * rng.normal(
+            size=(n, dim)
+        )
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_trained_build_reproducible(self, spark, tmp_path):
+        c = self._clustered(spark)
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        for p in (p1, p2):
+            lt.save_pq_index(c, p, n_cells=8, m=8, n_codes=16,
+                             train_cells=4, train_codes=2)
+        for rel in ("centroids", "book"):
+            a = sorted(map(tuple, spark.read.parquet(f"{p1}/{rel}").collect()))
+            b = sorted(map(tuple, spark.read.parquet(f"{p2}/{rel}").collect()))
+            assert a == b, rel
+
+    def test_default_zero_is_exact_seeded_build(self, spark, emb, tmp_path):
+        p1, p2 = str(tmp_path / "s"), str(tmp_path / "t")
+        lt.save_pq_index(emb, p1, n_cells=8, m=8, n_codes=16)
+        lt.save_pq_index(emb, p2, n_cells=8, m=8, n_codes=16,
+                         train_cells=0, train_codes=0)
+        for rel in ("centroids", "book", "cells"):
+            a = sorted(map(tuple, spark.read.parquet(f"{p1}/{rel}").collect()))
+            b = sorted(map(tuple, spark.read.parquet(f"{p2}/{rel}").collect()))
+            assert a == b, rel
+
+    def test_trained_lifecycle_append_delete_serve(self, spark, tmp_path):
+        c = self._clustered(spark)
+        base = c.filter(F.col("vec_id") < 1200)
+        tail = c.filter(F.col("vec_id") >= 1200)
+        path = str(tmp_path / "pq")
+        lt.save_pq_index(base, path, n_cells=8, m=8, n_codes=16,
+                         train_cells=4, train_codes=2)
+        lt.append_to_pq_index(tail, path)
+        lt.delete_from_pq_index(
+            c.filter(F.col("vec_id") % 9 == 2).select("vec_id"), path
+        )
+        q = c.filter(F.col("vec_id") < 30)
+        got = lt.ann_topk_pq_indexed(spark, path, q, k=5)
+        ids = {r.neighbor_id for r in got.collect()}
+        assert ids and all(i % 9 != 2 for i in ids)
+        assert got.groupBy("query_id").count().filter(
+            F.col("count") != 5
+        ).count() == 0
+
+    def test_trained_recall_not_worse_on_clustered(self, spark, tmp_path):
+        """Deterministic end-to-end recall comparison at a NARROW probe
+        on a clustered corpus (the measured round-10 claim, miniature):
+        trained >= seeded. Fixed seeds everywhere — no flake surface."""
+        c = self._clustered(spark, n=2000).localCheckpoint(eager=True)
+        q = c.filter(F.col("vec_id") < 100)
+        exact = (
+            lt.ann_topk(q, c, k=5, mode="broadcast_knn")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        n_ex = exact.count()
+        rec = {}
+        for name, kw in (
+            ("seeded", {}),
+            ("trained", dict(train_cells=6, train_codes=3)),
+        ):
+            p = str(tmp_path / name)
+            lt.save_pq_index(c, p, n_cells=16, m=8, n_codes=16, **kw)
+            a = lt.ann_topk_pq_indexed(spark, p, q, k=5, n_probe=2).select(
+                "query_id", "neighbor_id"
+            )
+            rec[name] = exact.join(a, ["query_id", "neighbor_id"]).count() / n_ex
+        assert rec["trained"] >= rec["seeded"]
+        assert rec["trained"] >= 0.9
