@@ -42,7 +42,8 @@ def hyperplane_component(h: int, j: int) -> float:
     return ((h * 64 + j + 1) * KNUTH % MOD31) / MOD31 - 0.5
 
 
-def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12) -> Column:
+def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12,
+                      plane_offset: int = 0) -> Column:
     """Sign-bit bucket id of ``vec`` against n_planes fixed hyperplanes.
 
     Pass a SQL-text fragment (e.g. a column name) to build the whole
@@ -50,12 +51,18 @@ def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12) -> Column
     costs ~n_planes*dim py4j roundtrips (~1 s of driver time at
     64x6). Both forms produce the same sequential-fold dot, so bucket
     ids are bit-identical (repr() round-trips the exact coefficient
-    doubles; mirrored in oracle.sql_hyperplane_bucket)."""
+    doubles; mirrored in oracle.sql_hyperplane_bucket).
+
+    ``plane_offset`` selects an INDEPENDENT plane set (plane h reads
+    coefficient stream position h + plane_offset) — the multi-table
+    OR-construction's knob: table t uses offset t*n_planes, so no two
+    tables share a plane."""
     if isinstance(vec, str):
         terms = []
         for h in range(n_planes):
             coeffs = "array(" + ", ".join(
-                f"{hyperplane_component(h, j)!r}D" for j in range(dim)
+                f"{hyperplane_component(h + plane_offset, j)!r}D"
+                for j in range(dim)
             ) + ")"
             dot = (
                 f"aggregate(zip_with({vec}, {coeffs}, "
@@ -66,7 +73,10 @@ def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12) -> Column
         return F.expr("(" + " + ".join(terms) + ")")
     bucket = F.lit(0)
     for h in range(n_planes):
-        coeffs = F.array(*[F.lit(hyperplane_component(h, j)) for j in range(dim)])
+        coeffs = F.array(*[
+            F.lit(hyperplane_component(h + plane_offset, j))
+            for j in range(dim)
+        ])
         dot = S.dot(vec, coeffs)
         bucket = bucket + F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
     return bucket
@@ -191,37 +201,35 @@ def ann_topk(
                 "_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes)
             )
         cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
+        keys = ["_bkt"]
         if max_bucket_size is not None:
             from .dedup import _cap_buckets, _salt_two_sided
 
             if hot_bucket == "salt":
+                # a (query, corpus) pair shares exactly ONE
+                # (_bkt, _salt) grid cell (the bipartite salt
+                # contract), so the cell IS the cogroup key
                 qb, cb = _salt_two_sided(
                     qb, cb, ["_bkt"], max_bucket_size,
                     id_col=KJ.LEFT_ID, rid_col=KJ.RIGHT_ID,
                 )
-                l, r = qb.alias("l"), cb.alias("r")
-                cand = l.join(
-                    r,
-                    (F.col("l._bkt") == F.col("r._bkt"))
-                    & (F.col("l._salt") == F.col("r._salt")),
-                ).select(
-                    F.col(f"l.{KJ.LEFT_ID}").alias(KJ.LEFT_ID),
-                    F.col(f"l.{KJ.LEFT_EMB}").alias(KJ.LEFT_EMB),
-                    F.col(f"r.{KJ.RIGHT_ID}").alias(KJ.RIGHT_ID),
-                    F.col(f"r.{KJ.RIGHT_EMB}").alias(KJ.RIGHT_EMB),
-                )
+                keys = ["_bkt", "_salt"]
             elif hot_bucket == "drop":
                 qb = _cap_buckets(qb, ["_bkt"], max_bucket_size)
                 cb = _cap_buckets(cb, ["_bkt"], max_bucket_size)
-                cand = qb.join(cb, "_bkt")
             else:
                 raise ValueError(
                     f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
                 )
-        else:
-            cand = qb.join(cb, "_bkt")
-        cand = cand.withColumn(
-            "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+        # in-bucket re-score as the Arrow numpy cogroup — bit-equal to
+        # the S.dot fold and free of its interpreted per-candidate-row
+        # floor in shuffled join stages (knn_join.bucket_dot_rescored_
+        # pairs); in-group top-k pre-pruning bounds the global window's
+        # input at k per (query, cell) without changing its result
+        cand = KJ.bucket_dot_rescored_pairs(
+            qb.select(*keys, KJ.LEFT_ID, KJ.LEFT_EMB),
+            cb.select(*keys, KJ.RIGHT_ID, KJ.RIGHT_EMB),
+            keys, k=k,
         )
         ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     elif mode == "exact_cross":
@@ -1387,6 +1395,7 @@ def hyperplane_probe_buckets(
     n_planes: int,
     n_extra: int,
     out_col: str = "_bkt",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Multi-probe LSH buckets (Lv et al. 2007): the exact bucket plus
     ``n_extra`` variants obtained by flipping the LEAST-CONFIDENT
@@ -1409,7 +1418,10 @@ def hyperplane_probe_buckets(
     dots = F.array(*[
         S.dot(
             F.col(vec_col),
-            F.array(*[F.lit(hyperplane_component(h, j)) for j in range(dim)]),
+            F.array(*[
+                F.lit(hyperplane_component(h + plane_offset, j))
+                for j in range(dim)
+            ]),
         )
         for h in range(n_planes)
     ])

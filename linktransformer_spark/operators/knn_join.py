@@ -68,6 +68,9 @@ AUTO_LSH_DEFAULT_BYTES = 128 * 1024 * 1024
 # measured recall/wall curve lives in PLANS.md round 9.
 LSH_PLANES_CONF = "spark.linktransformer.merge.lshPlanes"
 LSH_EXTRA_CONF = "spark.linktransformer.merge.lshExtraProbes"
+# OR-construction width for the lsh merge route: L independent plane
+# sets (hash tables), candidates unioned + pair-deduped. Default 1.
+LSH_TABLES_CONF = "spark.linktransformer.merge.lshTables"
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:
@@ -524,20 +527,28 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     # join's candidate volume is |L| x probes x bucket_size, so bucket
     # granularity must track the bigger relation — right-side-only
     # sizing at 15k x 1k measured 12M candidates and a 90s interpreted
-    # dot fold vs ~1M and ~8s with max-side sizing (same recall knob)
+    # dot fold vs ~1M and ~8s with max-side sizing (same recall knob).
+    # rows_per_bucket=128 (not the ANN family's 32): recall on real
+    # match keys comes from bucket CO-RESIDENCY while precision comes
+    # from the exact re-score — and the round-10 numpy cogroup made
+    # re-scoring 4x more candidates cheaper than probing 4x more
+    # buckets. Measured on perturbed Zipf titles (PLANS.md round 10):
+    # 128 rpb = recall@1 0.76 at 3.3s vs 0.68 at 4.8s under the 32-rpb
+    # rule; still one plane per corpus doubling, so candidate volume
+    # stays linear at scale.
     n_planes = resolve_n_planes(
-        n_planes, lambda: max(left.count(), right.count())
+        n_planes, lambda: max(left.count(), right.count()),
+        rows_per_bucket=128,
     )
     n_extra = max(0, min(int(n_extra), n_planes - 1))
-    lb = hyperplane_probe_buckets(
-        ensure_parallelism(left), LEFT_EMB, dim, n_planes, n_extra,
-        out_col="_lt_bkt",
-    )
-    rb = right.withColumn(
-        "_lt_bkt", hyperplane_bucket(RIGHT_EMB, dim, n_planes)
-    )
-    # probe bucket ids are pairwise distinct per left row, so each
-    # (left, right) pair joins AT MOST once — no dedup stage needed
+    n_tables = 1
+    try:
+        conf_tables = spark.conf.get(LSH_TABLES_CONF, None)
+        if conf_tables is not None:
+            n_tables = max(1, int(conf_tables))
+    except Exception:  # noqa: BLE001 — conf read must never break the plan
+        pass
+    left_p = ensure_parallelism(left)
     if getattr(scorer, "score_is_dot", False):
         # the round-10 re-score path: bucket cogroup + vectorized
         # numpy dot (bit-equal to the fold — see
@@ -546,18 +557,54 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
         # score) relation — exactly what both consumers (top-k merge
         # re-rank, near-dup pair filter) read; eqNullSafe blocking
         # folds into the cogroup keys (null groups match null groups).
-        keys = ["_lt_bkt"]
-        lsel = [LEFT_ID, LEFT_EMB]
-        rsel = [RIGHT_ID, RIGHT_EMB]
-        for i, (lc, rc) in enumerate(block_on or []):
-            kn = f"_lt_blk{i}"
-            lb = lb.withColumn(kn, F.col(lc))
-            rb = rb.withColumn(kn, F.col(rc))
-            keys.append(kn)
-        return bucket_dot_rescored_pairs(
-            lb.select(*keys, *lsel), rb.select(*keys, *rsel),
-            keys, threshold=threshold, k=k,
-        )
+        #
+        # n_tables > 1 (LSH_TABLES_CONF) is the OR-construction: each
+        # table hashes on an INDEPENDENT plane set (offset t*n_planes
+        # into the coefficient stream) and the candidate union dedupes
+        # on the pair ids — recall 1-(1-p)^L for L tables at ~L x probe
+        # cost, the standard lever when one table's co-residency
+        # probability caps recall on weakly-similar true matches
+        # (measured curve: PLANS.md round 10).
+        parts = []
+        for t in range(n_tables):
+            off = t * n_planes
+            lb = hyperplane_probe_buckets(
+                left_p, LEFT_EMB, dim, n_planes, n_extra,
+                out_col="_lt_bkt", plane_offset=off,
+            )
+            rb = right.withColumn(
+                "_lt_bkt",
+                hyperplane_bucket(RIGHT_EMB, dim, n_planes,
+                                  plane_offset=off),
+            )
+            keys = ["_lt_bkt"]
+            for i, (lc, rc) in enumerate(block_on or []):
+                kn = f"_lt_blk{i}"
+                lb = lb.withColumn(kn, F.col(lc))
+                rb = rb.withColumn(kn, F.col(rc))
+                keys.append(kn)
+            parts.append(bucket_dot_rescored_pairs(
+                lb.select(*keys, LEFT_ID, LEFT_EMB),
+                rb.select(*keys, RIGHT_ID, RIGHT_EMB),
+                keys, threshold=threshold, k=k,
+            ))
+        if len(parts) == 1:
+            # single table: probe buckets are pairwise distinct per
+            # left row, so each pair appears at most once — no dedup
+            return parts[0]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # a pair found by several tables carries the IDENTICAL exact
+        # score — dedup by ids alone (narrow rows, in-group top-k has
+        # already bounded the volume at k per (row, table, bucket))
+        return out.dropDuplicates([LEFT_ID, RIGHT_ID])
+    lb = hyperplane_probe_buckets(
+        left_p, LEFT_EMB, dim, n_planes, n_extra, out_col="_lt_bkt",
+    )
+    rb = right.withColumn(
+        "_lt_bkt", hyperplane_bucket(RIGHT_EMB, dim, n_planes)
+    )
     out = lb.join(rb, "_lt_bkt").drop("_lt_bkt")
     out = out.withColumn("score", scorer.score())
     if threshold is not None:

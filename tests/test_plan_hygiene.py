@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "ann_topk_ivf_seeded": "n_cells-row centroid broadcast",
     "ann_ivf_indexed": "n_cells-row stored-centroid broadcast",
     "ann_ivf_deleted": "n_cells-row stored-centroid broadcast",
+    "ann_ivf_upsert": "n_cells-row stored-centroid broadcast",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
     "search_hybrid_rrf": "1-row corpus-stats broadcast (bm25 arm) + exact-cross semantic arm",
