@@ -426,6 +426,11 @@ def main() -> None:
                                                 n_planes=6, dim=64,
                                                 multi_probe=3)),
             ("ann_ivf_probe8", lt.ivf_topk(emb, emb, k=10, n_probe=8)),
+            # the round-10 OR-construction: 3 independent plane sets
+            ("ann_lsh_tables3", lt.ann_topk(emb, emb, k=10,
+                                            mode="lsh_hyperplane",
+                                            n_planes=6, dim=64,
+                                            n_tables=3)),
             # THE serving default — the measured >=0.9 operating point
             ("ann_serve_r90", lt.ann_serving_topk(emb, emb, k=10)),
         ):

@@ -142,8 +142,17 @@ def ann_topk(
     multi_probe: int = 0,
     max_bucket_size: int | None = None,
     hot_bucket: str = "salt",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Top-k nearest corpus rows per query row by cosine.
+
+    ``n_tables`` (lsh_hyperplane only): the classic multi-table
+    OR-construction — L independent plane sets (coefficient-stream
+    offset t*n_planes per table), candidate union deduped on pair ids.
+    Recall ~ 1-(1-p)^L at ~L x probe cost; composes with
+    ``multi_probe`` (probes multiply per table) and the skew guards
+    (applied per table). Default 1 keeps the byte-stable single-table
+    plan the SQL mirrors pin.
 
     Returns (query_id, neighbor_id, rank, score). Deterministic
     tie-break (score DESC, neighbor_id ASC) everywhere.
@@ -191,46 +200,71 @@ def ann_topk(
     elif mode == "lsh_hyperplane":
         if dim is None:
             raise ValueError("lsh_hyperplane mode needs dim=")
+        if n_tables < 1:
+            raise ValueError("n_tables must be >= 1")
         n_planes = resolve_n_planes(n_planes, c.count)
-        if multi_probe:
-            qb = hyperplane_probe_buckets(
-                q, KJ.LEFT_EMB, dim, n_planes, multi_probe
-            )
-        else:
-            qb = q.withColumn(
-                "_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes)
-            )
-        cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
-        keys = ["_bkt"]
-        if max_bucket_size is not None:
-            from .dedup import _cap_buckets, _salt_two_sided
-
-            if hot_bucket == "salt":
-                # a (query, corpus) pair shares exactly ONE
-                # (_bkt, _salt) grid cell (the bipartite salt
-                # contract), so the cell IS the cogroup key
-                qb, cb = _salt_two_sided(
-                    qb, cb, ["_bkt"], max_bucket_size,
-                    id_col=KJ.LEFT_ID, rid_col=KJ.RIGHT_ID,
+        parts = []
+        for t in range(n_tables):
+            off = t * n_planes
+            if multi_probe:
+                qb = hyperplane_probe_buckets(
+                    q, KJ.LEFT_EMB, dim, n_planes, multi_probe,
+                    plane_offset=off,
                 )
-                keys = ["_bkt", "_salt"]
-            elif hot_bucket == "drop":
-                qb = _cap_buckets(qb, ["_bkt"], max_bucket_size)
-                cb = _cap_buckets(cb, ["_bkt"], max_bucket_size)
             else:
-                raise ValueError(
-                    f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
+                qb = q.withColumn(
+                    "_bkt",
+                    hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes,
+                                      plane_offset=off),
                 )
-        # in-bucket re-score as the Arrow numpy cogroup — bit-equal to
-        # the S.dot fold and free of its interpreted per-candidate-row
-        # floor in shuffled join stages (knn_join.bucket_dot_rescored_
-        # pairs); in-group top-k pre-pruning bounds the global window's
-        # input at k per (query, cell) without changing its result
-        cand = KJ.bucket_dot_rescored_pairs(
-            qb.select(*keys, KJ.LEFT_ID, KJ.LEFT_EMB),
-            cb.select(*keys, KJ.RIGHT_ID, KJ.RIGHT_EMB),
-            keys, k=k,
-        )
+            cb = c.withColumn(
+                "_bkt",
+                hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes,
+                                  plane_offset=off),
+            )
+            keys = ["_bkt"]
+            if max_bucket_size is not None:
+                from .dedup import _cap_buckets, _salt_two_sided
+
+                if hot_bucket == "salt":
+                    # a (query, corpus) pair shares exactly ONE
+                    # (_bkt, _salt) grid cell (the bipartite salt
+                    # contract), so the cell IS the cogroup key
+                    qb, cb = _salt_two_sided(
+                        qb, cb, ["_bkt"], max_bucket_size,
+                        id_col=KJ.LEFT_ID, rid_col=KJ.RIGHT_ID,
+                    )
+                    keys = ["_bkt", "_salt"]
+                elif hot_bucket == "drop":
+                    qb = _cap_buckets(qb, ["_bkt"], max_bucket_size)
+                    cb = _cap_buckets(cb, ["_bkt"], max_bucket_size)
+                else:
+                    raise ValueError(
+                        f"hot_bucket must be 'drop' or 'salt', got "
+                        f"{hot_bucket!r}"
+                    )
+            # in-bucket re-score as the Arrow numpy cogroup — bit-equal
+            # to the S.dot fold and free of its interpreted
+            # per-candidate-row floor in shuffled join stages
+            # (knn_join.bucket_dot_rescored_pairs); in-group top-k
+            # pre-pruning bounds the global window's input at k per
+            # (query, cell) without changing its result
+            parts.append(KJ.bucket_dot_rescored_pairs(
+                qb.select(*keys, KJ.LEFT_ID, KJ.LEFT_EMB),
+                cb.select(*keys, KJ.RIGHT_ID, KJ.RIGHT_EMB),
+                keys, k=k,
+            ))
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        if n_tables > 1:
+            # the OR-construction (n_tables independent plane sets,
+            # plane_offset t*n_planes): a pair found by several tables
+            # carries the identical exact score — dedup on ids alone.
+            # recall ~ 1-(1-p)^L at ~L x probe cost, the standard
+            # lever when one table's co-residency caps recall
+            # (measured: PLANS.md round 10)
+            cand = cand.dropDuplicates([KJ.LEFT_ID, KJ.RIGHT_ID])
         ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     elif mode == "exact_cross":
         cand = q.crossJoin(c).withColumn(

@@ -1107,3 +1107,85 @@ def test_ann_topk_lsh_auto_planes_matches_pinned(spark, sf_dir):
                          dim=64, n_planes=4).collect()
     key = lambda rs: sorted((r.query_id, r.neighbor_id, r.rank) for r in rs)
     assert key(auto) == key(pinned)
+
+
+def test_ann_topk_multi_table_recall_and_default(spark, sf_dir):
+    """n_tables (the round-10 OR-construction): recall vs the exact
+    path must be monotone in table count on the fixed corpus
+    (deterministic planes — no flake surface), and n_tables=1 must be
+    the byte-stable single-table plan (identical rows to the default
+    call)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(400)
+    q = emb.limit(60)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in lt.ann_topk(q, emb, k=5, mode="broadcast_knn").collect()
+    }
+
+    def rec(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lt.ann_topk(
+                q, emb, k=5, mode="lsh_hyperplane", dim=64, n_planes=6,
+                n_tables=n_tables,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3 = rec(1), rec(3)
+    assert r3 >= r1
+
+    base = sorted(map(tuple, lt.ann_topk(
+        q, emb, k=5, mode="lsh_hyperplane", dim=64, n_planes=6
+    ).collect()))
+    one = sorted(map(tuple, lt.ann_topk(
+        q, emb, k=5, mode="lsh_hyperplane", dim=64, n_planes=6, n_tables=1
+    ).collect()))
+    assert base == one
+
+    with pytest.raises(ValueError, match="n_tables"):
+        lt.ann_topk(q, emb, k=5, mode="lsh_hyperplane", dim=64, n_tables=0)
+
+
+def test_ann_topk_multi_table_composes_with_salt(spark, sf_dir):
+    """Tables x salted skew guard: every emitted pair must be unique
+    and scores must equal the exact dot (the cogroup is bit-equal), on
+    a corpus with a forced hot bucket (many identical vectors)."""
+    from pyspark.sql import functions as F
+
+    from linktransformer_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(200)
+    hot = emb.limit(1).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    for i in range(4):
+        emb = emb.unionByName(hot.select(
+            (F.col("vec_id") + i).alias("vec_id"), "embedding"
+        ))
+    q = emb.limit(40)
+    out = lt.ann_topk(
+        q, emb, k=3, mode="lsh_hyperplane", dim=64, n_planes=5,
+        n_tables=2, max_bucket_size=16, hot_bucket="salt",
+    )
+    rows = out.collect()
+    assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
+    # spot-check score exactness: left-assoc python dot over the
+    # engine-normalized vectors (the fold's float order) must be
+    # bit-equal to the emitted scores
+    ids = [(r.query_id, r.neighbor_id, r.score) for r in rows[:20]]
+    norm = {
+        r["vec_id"]: r["v"]
+        for r in emb.select(
+            "vec_id", S.l2_normalize(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    for x, y, s in ids:
+        acc = 0.0
+        for a_, b_ in zip(norm[x], norm[y]):
+            acc = acc + a_ * b_
+        assert acc == s, (x, y)

@@ -61,8 +61,13 @@ def main():
     zdir = tempfile.mkdtemp(prefix="lt_zipf_docs_")
     pq.write_table(gen_zipf_documents(N_DOCS), f"{zdir}/documents_zipf.parquet")
 
+    # >5000 docs: the shipped sf0.1 corpus tops out at 5k — read the
+    # deterministic generated sf1 twin (tools/gen_scale_data.py) instead
+    v31_src = SF if N_DOCS <= 5000 else os.environ.get(
+        "LT_SCALE_DIR", "/tmp/lt_scale/sf1"
+    )
     corpora = {
-        "vocab31": spark.read.parquet(f"{SF}/documents.parquet")
+        "vocab31": spark.read.parquet(f"{v31_src}/documents.parquet")
         .select("doc_id", "text").limit(N_DOCS),
         "zipf12k": spark.read.parquet(f"{zdir}/documents_zipf.parquet")
         .select("doc_id", "text"),
