@@ -536,8 +536,13 @@ def ivf_topk_seeded(
     cent = ivf_seed_centroids(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, n_cells)
     cq = _assign_cells_declarative(q, KJ.LEFT_ID, KJ.LEFT_EMB, cent, n_probe)
     cc = _assign_cells_declarative(c, KJ.RIGHT_ID, KJ.RIGHT_EMB, cent, 1)
-    cand = cq.join(cc, "cell").withColumn(
-        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+    # in-cell re-score as the Arrow numpy cogroup (bit-equal to the
+    # fold — knn_join.bucket_dot_rescored_pairs; the round-10 fix for
+    # the interpreted per-candidate-row floor in shuffled join stages)
+    cand = KJ.bucket_dot_rescored_pairs(
+        cq.select("cell", KJ.LEFT_ID, KJ.LEFT_EMB),
+        cc.select("cell", KJ.RIGHT_ID, KJ.RIGHT_EMB),
+        ["cell"], k=k,
     )
     ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     return ranked.select(
@@ -792,8 +797,11 @@ def ivf_topk(
     cq = _assign_cells(q, KJ.LEFT_EMB, KJ.LEFT_ID, bc, n_probe=n_probe)
     cc = _assign_cells(c, KJ.RIGHT_EMB, KJ.RIGHT_ID, bc, n_probe=1)
 
-    cand = cq.join(cc, "cell").withColumn(
-        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+    # in-cell re-score as the Arrow numpy cogroup (see ivf_topk_seeded)
+    cand = KJ.bucket_dot_rescored_pairs(
+        cq.select("cell", KJ.LEFT_ID, KJ.LEFT_EMB),
+        cc.select("cell", KJ.RIGHT_ID, KJ.RIGHT_EMB),
+        ["cell"], k=k,
     )
     ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     return ranked.select(
@@ -850,16 +858,25 @@ def knn_classify(
         n_planes = resolve_n_planes(n_planes, base.count)
         qb = q.withColumn("_bkt", hyperplane_bucket(KJ.LEFT_EMB, dim, n_planes))
         cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
-        cand = qb.join(cb, "_bkt").filter(
-            F.col(KJ.LEFT_ID) != F.col(KJ.RIGHT_ID)
+        # in-bucket re-score as the Arrow numpy cogroup (bit-equal to
+        # the fold — the round-10 interpreted-floor fix), leave-one-out
+        # exclusion INSIDE the candidate stage; labels rejoin by id on
+        # the k-pruned pairs (narrow), never riding the candidate set
+        pairs = KJ.bucket_dot_rescored_pairs(
+            qb.select("_bkt", KJ.LEFT_ID, KJ.LEFT_EMB),
+            cb.select("_bkt", KJ.RIGHT_ID, KJ.RIGHT_EMB),
+            ["_bkt"], k=k, exclude_equal_ids=True,
         )
+        cand = pairs.join(
+            q.select(KJ.LEFT_ID, "_tl"), KJ.LEFT_ID
+        ).join(c.select(KJ.RIGHT_ID, "_nl"), KJ.RIGHT_ID)
     elif mode == "exact_cross":
         cand = q.join(c, F.col(KJ.LEFT_ID) != F.col(KJ.RIGHT_ID))
+        cand = cand.withColumn(
+            "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+        )
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    cand = cand.withColumn(
-        "score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
-    )
     nn = KJ.topk(cand, k)
     votes = nn.groupBy(KJ.LEFT_ID, "_tl", "_nl").agg(F.count(F.lit(1)).alias("_nv"))
     pred = (
@@ -1405,14 +1422,19 @@ def ann_topk_ivf_indexed(
     stored = anti_tombstones(
         stored, spark, path, str(meta["id_col"]), str(meta["id_col"])
     )
-    cand = cq.join(
+    # in-cell re-score as the Arrow numpy cogroup (bit-equal to the
+    # fold — the round-10 interpreted-floor fix); the probed-cell
+    # partition filter and the tombstone anti-join above still apply
+    # to the scan BEFORE the cogroup shuffles it
+    cand = KJ.bucket_dot_rescored_pairs(
+        cq.select("cell", KJ.LEFT_ID, KJ.LEFT_EMB),
         stored.select(
             "cell",
             F.col(str(meta["id_col"])).alias(KJ.RIGHT_ID),
             F.col(str(meta["vector_col"])).alias(KJ.RIGHT_EMB),
         ),
-        "cell",
-    ).withColumn("score", S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB)))
+        ["cell"], k=k,
+    )
     ranked = KJ.topk(cand, k).withColumnRenamed("_lt_rank", "rank")
     return ranked.select(
         F.col(KJ.LEFT_ID).alias("query_id"),

@@ -353,6 +353,7 @@ def bucket_dot_rescored_pairs(
     k: int | None = None,
     carry_right: list[str] | None = None,
     flops_per_chunk: int = 4_000_000,
+    exclude_equal_ids: bool = False,
 ) -> DataFrame:
     """Exact dot re-score of an LSH bucket join, as ONE Arrow-batched
     cogroup instead of join + per-pair expression fold.
@@ -391,6 +392,11 @@ def bucket_dot_rescored_pairs(
     Memory is bounded: the score matrix is chunked to
     ``flops_per_chunk`` cells (~32 MB at the default), so a hot bucket
     costs more chunks, never more resident memory.
+
+    ``exclude_equal_ids``: drop pairs with left_id == right_id BEFORE
+    the in-group top-k (the leave-one-out contract — excluding in the
+    candidate stage, not post-filtering a k+1 list, keeps semantics
+    exact when duplicate vectors tie with the self at cosine 1.0).
     """
     carry = list(carry_right or [])
     lsch, rsch = lb.schema, rb.schema
@@ -440,22 +446,36 @@ def bucket_dot_rescored_pairs(
             acc = np.zeros((nl, nr), dtype=np.float64)
             for j in range(Lc.shape[1]):
                 acc += Lc[:, j:j + 1] * R[:, j]
+            self_mask = None
+            if exclude_equal_ids:
+                self_mask = (
+                    l_ids[s0:s0 + nl, None] == rid_arr[None, :]
+                )
             if kk is not None:
                 take = min(kk, nr)
-                idx = np.argsort(-acc, axis=1, kind="stable")[:, :take]
-                sc = np.take_along_axis(acc, idx, axis=1)
+                # exclusion BEFORE the top-k selection: masked pairs
+                # rank to the bottom; the kept pairs' emitted scores
+                # are the untouched true accumulations
+                sel = acc if self_mask is None else np.where(
+                    self_mask, -np.inf, acc
+                )
+                idx = np.argsort(-sel, axis=1, kind="stable")[:, :take]
+                sc = np.take_along_axis(sel, idx, axis=1)
                 li = np.repeat(np.arange(nl), take)
                 ri = idx.reshape(-1)
                 sc = sc.reshape(-1)
+                keep = np.isfinite(sc)
                 if thr is not None:
-                    keep = sc >= thr
-                    li, ri, sc = li[keep], ri[keep], sc[keep]
+                    keep &= sc >= thr
+                li, ri, sc = li[keep], ri[keep], sc[keep]
             else:
                 if thr is not None:
-                    li, ri = np.nonzero(acc >= thr)
+                    ok = acc >= thr
                 else:
-                    li = np.repeat(np.arange(nl), nr)
-                    ri = np.tile(np.arange(nr), nl)
+                    ok = np.ones_like(acc, dtype=bool)
+                if self_mask is not None:
+                    ok &= ~self_mask
+                li, ri = np.nonzero(ok)
                 sc = acc[li, ri]
             if len(li):
                 parts.append(emit(

@@ -61,7 +61,7 @@ def _swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
     copy — acceptable for the bounded relations this module stages."""
     fs, pf = _fs(spark, final)
     fs.delete(pf, True)
-    _, pt = _fs(spark, tmp)[1], _fs(spark, tmp)[1]
+    pt = _fs(spark, tmp)[1]
     fs.rename(pt, pf)
 
 

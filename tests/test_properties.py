@@ -699,3 +699,84 @@ def test_bucket_dot_rescore_equals_column_fold(spark, lv, rv, thr, k):
     assert sorted((r.lid, r.rid, r.score) for r in got) == sorted(
         (r.lid, r.rid, r.score) for r in want
     )
+
+
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(st.integers(0, 63), max_size=12),   # ids to change in place
+    st.sets(st.integers(0, 63), max_size=8),    # ids to tombstone first
+    st.sets(st.integers(100, 140), max_size=6), # brand-new ids
+)
+def test_upsert_ivf_equals_recipe_property(
+    spark, tmp_path_factory, changed, deleted, new_ids
+):
+    """upsert_ivf_index == the documented delete->purge->append recipe
+    on ARBITRARY batch shapes: changed ids (overlapping or not with a
+    prior tombstone batch), brand-new ids, empty pieces — the serve
+    results and the stored cell relation must match the recipe twin
+    exactly (same frozen centroids)."""
+    import linktransformer_spark as lt
+
+    batch_ids = sorted(changed | new_ids)
+    if not batch_ids:
+        return
+    base = tmp_path_factory.mktemp("upsert_prop")
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 9 - 4) for j in range(8)])
+         for i in batch_ids],
+        "vec_id long, embedding array<double>",
+    )
+    dels = spark.createDataFrame(
+        [(i,) for i in sorted(deleted)] or [(-1,)], "vec_id long"
+    )
+
+    p_up = str(base / "up")
+    lt.save_ivf_index(emb, p_up, n_cells=4)
+    lt.delete_from_ivf_index(dels, p_up)
+    lt.upsert_ivf_index(batch, p_up)
+
+    p_ref = str(base / "ref")
+    lt.save_ivf_index(emb, p_ref, n_cells=4)
+    lt.delete_from_ivf_index(dels, p_ref)
+    lt.delete_from_ivf_index(batch.select("vec_id"), p_ref)
+    p_ref2 = str(base / "ref2")
+    lt.purge_ivf_index(spark, p_ref, p_ref2)
+    lt.append_to_ivf_index(batch, p_ref2)
+    # the recipe twin loses the NON-batch tombstones at purge time;
+    # re-apply them so both sides mask the same surviving delete set
+    still_deleted = sorted(deleted - set(batch_ids))
+    if still_deleted:
+        lt.delete_from_ivf_index(
+            spark.createDataFrame([(i,) for i in still_deleted],
+                                  "vec_id long"),
+            p_ref2,
+        )
+
+    q = emb.limit(10)
+    got = sorted(map(tuple, lt.ann_topk_ivf_indexed(
+        spark, p_up, q, k=3, n_probe=2).collect()))
+    want = sorted(map(tuple, lt.ann_topk_ivf_indexed(
+        spark, p_ref2, q, k=3, n_probe=2).collect()))
+    assert got == want
+    # stored-relation twin check: upsert leaves NON-batch tombstoned
+    # rows on disk (masked — that is the tombstone contract), while
+    # the recipe's purge removed them physically; compare the upserted
+    # cells minus that masked set
+    def cells(path, skip=()):
+        rows = spark.read.parquet(f"{path}/cells").select(
+            "vec_id", "cell", "embedding"
+        ).collect()
+        return sorted(
+            (r.vec_id, r.cell, tuple(r.embedding))
+            for r in rows if r.vec_id not in set(skip)
+        )
+
+    assert cells(p_up, skip=still_deleted) == cells(p_ref2)

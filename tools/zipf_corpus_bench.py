@@ -29,10 +29,15 @@ N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 SF = "/root/testdata/sf0.1"
 
 
-def _bm25_queries(docs):
+def _bm25_queries(docs, n_docs):
     from linktransformer_spark.functions import similarity as S
 
-    return docs.filter(F.col("doc_id") % 50 == 0).select(
+    # FIXED ~100-query batch regardless of corpus size — the round-8
+    # sweep's lesson: a corpus-proportional query batch confounds the
+    # corpus-scaling readout (and on the all-stopword vocab31 corpus
+    # at 50k docs it pushes one from-scratch run past 5 minutes)
+    step = max(1, n_docs // 100)
+    return docs.filter(F.col("doc_id") % step == 0).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(
             F.slice(S.word_tokens(F.col("text")), 1, 8), " "
@@ -79,7 +84,7 @@ def main():
     idx_paths = {}
     for name, docs in corpora.items():
         docs = docs.localCheckpoint(eager=True)
-        qs = _bm25_queries(docs).localCheckpoint(eager=True)
+        qs = _bm25_queries(docs, N_DOCS).localCheckpoint(eager=True)
         w_scr, _ = _timed(lambda: lt.bm25_topk(docs, qs, k=10).count())
         path = tempfile.mkdtemp(prefix=f"lt_zipf_bm_{name}_")
         t0 = time.time()
