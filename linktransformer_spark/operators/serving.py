@@ -311,11 +311,20 @@ def _candidate_gen(Q, qids, probe_mask, book, retrieve_k, C=None,
     return gen
 
 
-def _shortlist_and_rerank(cand, queries_norm, corpus_norm, k, retrieve_k):
+def _shortlist_and_rerank(cand, queries_norm, corpus_norm, k, retrieve_k,
+                          q_model=None):
     """Global top-``retrieve_k`` shortlist by (adc DESC, id ASC), then
     exact re-rank: only shortlisted pairs fetch true vectors (id
-    equi-joins), score = the JVM left-assoc dot (oracle-exact), final
-    top-k by (score DESC, id ASC)."""
+    equi-joins), score = the left-assoc dot, final top-k by
+    (score DESC, id ASC).
+
+    ``q_model=(qids, Q)``: the serving paths already hold the
+    (bounded, closure-shipped) query batch driver-side, so the exact
+    re-rank runs as one Arrow-batched numpy pass over the shortlist —
+    per-dimension left-associated accumulation, bit-equal to the
+    ``S.dot`` fold the ``q_model=None`` declarative form keeps (the
+    round-10 interpreted-floor fix: the fold ran ~7 µs per shortlist
+    row inside the shuffled re-rank stage)."""
     wl = Window.partitionBy("_qid").orderBy(
         F.col("_adc").desc(), F.col("_cid").asc()
     )
@@ -324,11 +333,43 @@ def _shortlist_and_rerank(cand, queries_norm, corpus_norm, k, retrieve_k):
         .filter(F.col("_r") <= retrieve_k)
         .select("_qid", "_cid")
     )
-    exact = (
-        short.join(queries_norm, "_qid")
-        .join(corpus_norm, "_cid")
-        .withColumn("score", S.dot(F.col("_qv"), F.col("_cv")))
-    )
+    if q_model is not None:
+        import numpy as np
+
+        qids, Q = q_model
+        spark = cand.sparkSession
+        b = spark.sparkContext.broadcast(
+            ({int(i): n for n, i in enumerate(qids)}, Q)
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            idx, Qm = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qi = pdf["_qid"].map(idx).to_numpy(dtype=np.int64)
+                Qs = Qm[qi]                                 # (n, d)
+                C = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(Qs.shape[1]):
+                    acc = acc + Qs[:, j] * C[:, j]
+                yield pd.DataFrame({
+                    "_qid": pdf["_qid"].to_numpy(dtype=np.int64),
+                    "_cid": pdf["_cid"].to_numpy(dtype=np.int64),
+                    "score": acc,
+                })
+
+        exact = short.join(corpus_norm, "_cid").mapInPandas(
+            gen, schema="_qid long, _cid long, score double"
+        )
+    else:
+        exact = (
+            short.join(queries_norm, "_qid")
+            .join(corpus_norm, "_cid")
+            .withColumn("score", S.dot(F.col("_qv"), F.col("_cv")))
+        )
     wk = Window.partitionBy("_qid").orderBy(
         F.col("score").desc(), F.col("_cid").asc()
     )
@@ -467,7 +508,7 @@ def ann_serving_topk(
         S.l2_normalize(F.col(vector_col)).alias("_cv"),
     )
     return _shortlist_and_rerank(cand, F.broadcast(qn), cn, k,
-                                 p["retrieve_k"])
+                                 p["retrieve_k"], q_model=(qids, Q))
 
 
 # ---------------------------------------------------------------------------
@@ -869,4 +910,4 @@ def ann_topk_pq_indexed(
         F.col(vec_col).alias("_cv"),  # stored normalized at build
     )
     return _shortlist_and_rerank(cand, F.broadcast(qn), cn, k,
-                                 p["retrieve_k"])
+                                 p["retrieve_k"], q_model=(qids, Q))
