@@ -208,3 +208,46 @@ def test_lsh_conf_knobs_change_bucketing(spark):
         spark.conf.unset(LSH_EXTRA_CONF)
     assert low <= exact and high <= exact
     assert len(high) >= len(low)
+
+
+def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
+    """LSH_TABLES_CONF (the round-10 OR-construction on the merge
+    route): tables=2 must recall at least as many exact top-k pairs as
+    the single-table default on a fixed frame, and an unset conf must
+    equal tables=1 exactly."""
+    from pyspark.sql import functions as F
+
+    from linktransformer_spark.operators.knn_join import (
+        AUTO_LSH_CONF, LSH_TABLES_CONF,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") <= 300
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    kw = dict(left_on="c_name", right_on="s_name", model="hash-ngram",
+              k=2, left_id_col="c_custkey", right_id_col="s_suppkey")
+    exact = {
+        (r.c_custkey, r.s_suppkey)
+        for r in lt.merge_knn(cust, supp, mode="exact_cross", **kw)
+        .select("c_custkey", "s_suppkey").collect()
+    }
+
+    def pairs(tables=None):
+        spark.conf.set(AUTO_LSH_CONF, "1")
+        if tables is not None:
+            spark.conf.set(LSH_TABLES_CONF, str(tables))
+        try:
+            return {
+                (r.c_custkey, r.s_suppkey)
+                for r in lt.merge_knn(cust, supp, mode="auto", **kw)
+                .select("c_custkey", "s_suppkey").collect()
+            }
+        finally:
+            spark.conf.unset(AUTO_LSH_CONF)
+            if tables is not None:
+                spark.conf.unset(LSH_TABLES_CONF)
+
+    p_default, p1, p2 = pairs(None), pairs(1), pairs(2)
+    assert p_default == p1
+    assert len(p2 & exact) >= len(p1 & exact)
