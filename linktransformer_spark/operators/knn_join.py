@@ -391,7 +391,12 @@ def bucket_dot_rescored_pairs(
 
     Memory is bounded: the score matrix is chunked to
     ``flops_per_chunk`` cells (~32 MB at the default), so a hot bucket
-    costs more chunks, never more resident memory.
+    costs more chunks, never more resident memory. The cogroup itself
+    materializes one (bucket-rows x dim) pandas frame per side per
+    group — bounded by the CALLERS' bucket-sizing rules (auto planes /
+    auto cells target ~32-256 rows per bucket and grow one bit per
+    corpus doubling; the skew guards cap or salt the hot tail), which
+    is the same contract the join form's per-task memory relied on.
 
     ``exclude_equal_ids``: drop pairs with left_id == right_id BEFORE
     the in-group top-k (the leave-one-out contract — excluding in the
