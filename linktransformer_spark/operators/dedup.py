@@ -1298,13 +1298,22 @@ def near_dup_pairs_semdedup(
         hot_cell,
     ).localCheckpoint(eager=False)
     salted = "_salt" in assigned.columns
+    if not salted:
+        # within-cell pairs as the Arrow numpy self-cogroup (bit-equal
+        # to the join + fold — knn_join.bucket_dot_self_pairs; the
+        # round-10 interpreted-floor fix). The salted form below keeps
+        # the join: its triangle salt-cell pair rule (_salt_pair_cond)
+        # is a per-pair predicate over BOTH rows' salt groups, which
+        # the group-local kernel cannot see.
+        return KJ.bucket_dot_self_pairs(
+            assigned.select("cell", "_id", "_v"), "cell", "_id", "_v",
+            threshold,
+        ).select("src", "dst", "cell", "cosine")
     l = assigned.alias("l")
     r = assigned.alias("r")
     cond = (F.col("l.cell") == F.col("r.cell")) & (
         F.col("l._id") < F.col("r._id")
-    )
-    if salted:
-        cond = cond & _salt_pair_cond()
+    ) & _salt_pair_cond()
     return (
         l.join(r, cond)
         .withColumn("cosine", S.dot(F.col("l._v"), F.col("r._v")))

@@ -341,6 +341,80 @@ def _broadcast_knn(left, right, scorer, block_on=None, k: int = 1) -> DataFrame:
     return left.mapInPandas(gen, schema=out_schema)
 
 
+def bucket_dot_self_pairs(
+    assigned: DataFrame,
+    group_col: str,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    flops_per_chunk: int = 4_000_000,
+) -> DataFrame:
+    """The SELF-join twin of :func:`bucket_dot_rescored_pairs`: within
+    each ``group_col`` group, emit every (src < dst by ``id_col``)
+    pair with left-assoc dot >= ``threshold`` — the SemDeDup within-
+    cell pair stage without the join + interpreted per-pair fold.
+    Returns ``(src, dst, group_col, cosine)``; bit-equal to
+    ``l JOIN r ON cell AND l.id < r.id`` + the ``S.dot`` fold (same
+    accumulation rules; duplicate ids produce no self-pair, exactly
+    like the strict ``<`` join condition). Each row's vector crosses
+    Arrow once per group; the (chunk x group) score matrix is bounded
+    by ``flops_per_chunk``; group residency is bounded by the caller's
+    cell-sizing rule (auto cells target ~256 rows)."""
+    itype = assigned.schema[id_col].dataType.simpleString()
+    gtype = assigned.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"src {itype}, dst {itype}, {group_col} {gtype}, cosine double"
+    )
+    thr = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame({
+                "src": pdf[id_col].iloc[:0],
+                "dst": pdf[id_col].iloc[:0],
+                group_col: pdf[group_col].iloc[:0],
+                "cosine": np.empty(0, dtype=np.float64),
+            })
+
+        n = len(pdf)
+        if n < 2:
+            return empty()
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        V = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        gval = pdf[group_col].iloc[0]
+        chunk = max(1, min(4096, flops_per_chunk // n))
+        parts = []
+        for s0 in range(0, n, chunk):
+            Vc = V[s0:s0 + chunk]
+            acc = np.zeros((Vc.shape[0], n), dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += Vc[:, j:j + 1] * V[:, j]
+            li, ri = np.nonzero(acc >= thr)
+            # strict id order, not position order: equal ids (if the
+            # caller ever ships duplicates) pair with NOTHING — the
+            # join form's l.id < r.id contract
+            keep = ids[s0 + li] < ids[ri]
+            li, ri = li[keep], ri[keep]
+            if len(li):
+                parts.append(pd.DataFrame({
+                    "src": ids[s0 + li],
+                    "dst": ids[ri],
+                    group_col: gval,
+                    "cosine": acc[li, ri],
+                }))
+        if not parts:
+            return empty()
+        return pd.concat(parts, ignore_index=True)
+
+    return assigned.groupBy(group_col).applyInPandas(fn, schema=out_schema)
+
+
 def bucket_dot_rescored_pairs(
     lb: DataFrame,
     rb: DataFrame,
