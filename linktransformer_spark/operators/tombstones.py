@@ -119,13 +119,29 @@ def write_tombstones(ids: DataFrame, index_path: str, src_col: str,
     it, successive delete batches carrying different caller types
     (int vs long vs string) would accumulate mixed-schema parquet
     files under ``deletes/``, which the merged read can reject or
-    mis-resolve later. One parquet-footer schema read, no data scan."""
+    mis-resolve later. One parquet-footer schema read, no data scan.
+
+    An id the non-ANSI cast cannot convert (e.g. ``'abc'`` against a
+    long-id index) raises instead of writing a silent null: a null
+    tombstone never anti-join-matches anything, so the requested
+    delete would silently not happen — unacceptable on a
+    compliance-delete path."""
     sel = F.col(src_col)
     if stored_rel is not None:
         rel_schema = ids.sparkSession.read.parquet(
             f"{index_path}/{stored_rel}"
         ).schema
         sel = sel.cast(rel_schema[stored_col].dataType)
+        nbad = ids.filter(
+            sel.isNull() & F.col(src_col).isNotNull()
+        ).count()
+        if nbad:
+            raise ValueError(
+                f"{nbad} delete id(s) in {src_col!r} do not cast to "
+                f"the index's stored id type "
+                f"{rel_schema[stored_col].dataType.simpleString()} — a "
+                "null tombstone deletes nothing; fix the id column"
+            )
     (
         ids.select(sel.alias(stored_col))
         .distinct()

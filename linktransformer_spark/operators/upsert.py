@@ -70,18 +70,47 @@ def _distinct_ids(batch: DataFrame, id_col: str, dtype) -> DataFrame:
     enforced — an id appearing twice in one upsert batch has no
     defined winner, so fail loudly (same stance as require_integral_id).
     """
-    ids = batch.select(F.col(id_col).cast(dtype).alias("_lt_up_id"))
-    n, nd = ids.agg(
+    ids = batch.select(
+        F.col(id_col).alias("_lt_up_src"),
+        F.col(id_col).cast(dtype).alias("_lt_up_id"),
+    )
+    n, nd, nbad, nnull = ids.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("_lt_up_id").alias("nd"),
+        F.count(
+            F.when(
+                F.col("_lt_up_id").isNull()
+                & F.col("_lt_up_src").isNotNull(),
+                F.lit(1),
+            )
+        ).alias("nbad"),
+        F.count(
+            F.when(F.col("_lt_up_src").isNull(), F.lit(1))
+        ).alias("nnull"),
     ).first()
+    if nnull:
+        raise ValueError(
+            f"upsert batch has {nnull} NULL id(s) in {id_col!r} — a "
+            "row without an id cannot replace anything; drop or fix "
+            "those rows first"
+        )
+    if nbad:
+        # the non-ANSI cast nulls unconvertible ids SILENTLY — without
+        # this check the old version would survive and the new row
+        # would append under a null id (and two such rows would trip
+        # the duplicate error below with a misleading message)
+        raise ValueError(
+            f"upsert batch has {nbad} id(s) in {id_col!r} that do not "
+            f"cast to the index's stored id type {dtype.simpleString()} "
+            "— fix the batch's id column before upserting"
+        )
     if n != nd:
         raise ValueError(
             f"upsert batch carries duplicate ids in {id_col!r} "
             f"({n} rows, {nd} distinct) — an in-batch duplicate has no "
             "defined winner; dedupe the batch first"
         )
-    return ids.distinct()
+    return ids.select("_lt_up_id").distinct()
 
 
 def _rewrite_partitions_minus_ids(

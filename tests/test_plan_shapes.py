@@ -227,23 +227,40 @@ def test_pack_sequences_two_phase_avoids_corpus_global_window(spark, sf_dir):
     assert len(m) <= 1
 
 
-def test_semdedup_pairs_join_is_hash_join_on_cell(spark, sf_dir):
-    """SemDeDup's candidate stage must be an equi-join on cell (hash or
-    sort-merge), never a nested-loop pair scan; the only nested-loop /
-    broadcast-cross allowed is the n_cells-row centroid table."""
+def test_semdedup_pairs_stage_is_cell_cogroup_never_nested_loop(
+    spark, sf_dir
+):
+    """SemDeDup's within-cell pair stage runs as the Arrow self-cogroup
+    kernel grouped on cell (bucket_dot_self_pairs — the round-10
+    interpreted-fold fix), never a nested-loop pair scan; the only
+    nested-loop / broadcast-cross allowed is the n_cells-row centroid
+    table. The SALTED path (max_cell_size) keeps the equi-join: its
+    triangle salt-cell pair rule is a per-pair predicate the
+    group-local kernel cannot see — pinned separately below."""
     import linktransformer_spark as lt
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = plan_of(lt.near_dup_pairs_semdedup(emb, "embedding", "vec_id",
                                               threshold=0.3, n_cells=16))
     assert "CartesianProduct" not in plan
-    # centroid attach may appear as BroadcastNestedLoopJoin (16-row
-    # build side, bounded); the id<id pair join must not
-    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert "FlatMapGroupsInPandas" in plan, (
+        f"no cell cogroup stage found in:\n{plan[:4000]}"
+    )
+    # the cogroup's grouping shuffle is on the cell key
+    assert "Exchange hashpartitioning(cell" in plan
+
+    # salted form: the pair stage stays an equi-join on (cell, salt
+    # groups) — hash or sort-merge, never nested-loop
+    plan_s = plan_of(lt.near_dup_pairs_semdedup(
+        emb, "embedding", "vec_id", threshold=0.3, n_cells=16,
+        max_cell_size=64, hot_cell="salt",
+    ))
+    assert "CartesianProduct" not in plan_s
+    joins = [ln for ln in plan_s.splitlines() if "Join" in ln]
     pair_joins = [ln for ln in joins
                   if "cell" in ln and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
                                        or "BroadcastHashJoin" in ln)]
-    assert pair_joins, f"no equi-join on cell found in:\n{plan[:4000]}"
+    assert pair_joins, f"no equi-join on cell found in:\n{plan_s[:4000]}"
 
 
 def test_q6_pushes_all_predicates_no_join(spark, sf_dir):

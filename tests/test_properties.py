@@ -780,3 +780,62 @@ def test_upsert_ivf_equals_recipe_property(
         )
 
     assert cells(p_up, skip=still_deleted) == cells(p_ref2)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # id — duplicates allowed on purpose
+            st.lists(
+                st.floats(-8, 8, allow_nan=False, width=32).map(float),
+                min_size=5, max_size=5,
+            ),
+        ),
+        min_size=1, max_size=14,
+    ),
+    st.sampled_from([0.0, 5.0, -5.0, 40.0]),
+)
+def test_bucket_dot_self_pairs_equals_join_fold(spark, rows, thr):
+    """bucket_dot_self_pairs (the SemDeDup within-cell self-cogroup
+    kernel) is BIT-equal to the declarative self-join on
+    (cell, l.id < r.id) + the S.dot fold on arbitrary vectors and
+    thresholds — including DUPLICATE ids, which must pair with
+    nothing between themselves (the strict < contract) while still
+    pairing with every other id in the cell."""
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.operators.knn_join import (
+        bucket_dot_self_pairs,
+    )
+
+    # two cells so the cogroup actually groups; uneven split
+    df = spark.createDataFrame(
+        [(i % 2, rid, v) for i, (rid, v) in enumerate(rows)],
+        "cell int, _id long, _v array<double>",
+    )
+    got = bucket_dot_self_pairs(df, "cell", "_id", "_v", thr).collect()
+
+    l, r = df.alias("l"), df.alias("r")
+    cond = (F.col("l.cell") == F.col("r.cell")) & (
+        F.col("l._id") < F.col("r._id")
+    )
+    want = (
+        l.join(r, cond)
+        .withColumn("cosine", S.dot(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cosine") >= F.lit(thr))
+        .select(
+            F.col("l._id").alias("src"), F.col("r._id").alias("dst"),
+            F.col("l.cell").alias("cell"), "cosine",
+        )
+        .collect()
+    )
+
+    # bit-equal: raw doubles, no rounding. The join form can emit the
+    # same (src, dst) via DIFFERENT duplicate-id rows — both forms
+    # must produce the identical multiset of (src, dst, cell, score).
+    assert sorted((g.src, g.dst, g.cell, g.cosine) for g in got) == sorted(
+        (w.src, w.dst, w.cell, w.cosine) for w in want
+    )

@@ -190,6 +190,40 @@ def test_upsert_rejects_duplicate_batch_ids(spark, emb, tmp_path):
         lt.upsert_ivf_index(dup, path)
 
 
+def test_upsert_rejects_uncastable_and_null_ids(spark, emb, tmp_path):
+    """The non-ANSI cast nulls unconvertible ids silently; the upsert
+    must raise (old version would otherwise survive and the new row
+    append under a null id). Same for ids that are already null."""
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb.limit(64), path, n_cells=4)
+    bad = spark.createDataFrame(
+        [("abc", [0.0] * 64)], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="do not cast"):
+        lt.upsert_ivf_index(bad, path)
+    nulled = spark.createDataFrame(
+        [(None, [0.0] * 64)], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL id"):
+        lt.upsert_ivf_index(nulled, path)
+
+
+def test_delete_rejects_uncastable_ids(spark, emb, tmp_path):
+    """A tombstone that casts to null deletes NOTHING — the delete
+    path must raise rather than silently no-op a compliance delete."""
+    path = str(tmp_path / "ivf")
+    lt.save_ivf_index(emb.limit(64), path, n_cells=4)
+    bad = spark.createDataFrame([("abc",)], "vec_id string")
+    with pytest.raises(ValueError, match="null tombstone deletes nothing"):
+        lt.delete_from_ivf_index(bad, path)
+    # string ids that DO cast still work (the typed-tombstone contract)
+    ok = spark.createDataFrame([("3",)], "vec_id string")
+    lt.delete_from_ivf_index(ok, path)
+    q = emb.limit(5)
+    got = lt.ann_topk_ivf_indexed(spark, path, q, k=3, n_probe=16)
+    assert got.filter(F.col("neighbor_id") == 3).count() == 0
+
+
 def test_upsert_rewrites_only_affected_cells(spark, emb, tmp_path):
     """The targeted-rewrite claim: files under cells the batch does
     not touch keep their modification times."""
@@ -245,3 +279,94 @@ def test_index_cell_stats_exact_counts(spark, emb, tmp_path):
     ) < 1e-12
     best = max(per.values())
     assert r["top_cell"] == min(c for c, n in per.items() if n == best)
+
+
+class TestRebalanceIvf:
+    """rebalance_ivf_index — the ACT half of the index_cell_stats
+    loop. Oracle parity (the full SQL re-derivation of the rebalance)
+    runs in test_oracle_queries (ann_ivf_rebalanced); these pin the
+    physical invariants."""
+
+    def test_rows_preserved_and_all_probe_equals_exact(
+        self, spark, emb, tmp_path
+    ):
+        path = str(tmp_path / "ivf")
+        lt.save_ivf_index(emb, path, n_cells=16)
+        st = lt.rebalance_ivf_index(
+            spark, path, max_over_mean=1.2, split_factor=2
+        ).collect()[0]
+        assert st.n_hot_cells > 0 and st.n_new_cells > 0
+        assert st.n_cells_after == st.n_cells_before + st.n_new_cells
+        # the stored (id -> vector) multiset is untouched — only cell
+        # membership moved
+        stored = spark.read.parquet(f"{path}/cells")
+        assert stored.count() == emb.count()
+        assert stored.select("vec_id").distinct().count() == emb.count()
+        # centroid relation grew to the new topology, ids unique
+        cent = spark.read.parquet(f"{path}/centroids")
+        assert cent.count() == st.n_cells_after
+        assert cent.select("cell").distinct().count() == st.n_cells_after
+        # probing every cell is exact top-k (nothing lost in surgery)
+        q = emb.filter(F.col("vec_id") < 20)
+        got = lt.ann_topk_ivf_indexed(
+            spark, path, q, k=5, n_probe=int(st.n_cells_after)
+        )
+        want = lt.ann_topk(q, emb, vector_col="embedding", k=5,
+                           mode="exact_cross")
+        assert sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+        ) == sorted(
+            (r.query_id, r.neighbor_id, r.rank) for r in want.collect()
+        )
+
+    def test_noop_when_balanced(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivf")
+        lt.save_ivf_index(emb, path, n_cells=8)
+        before = sorted(map(tuple, spark.read.parquet(
+            f"{path}/cells").select("vec_id", "cell").collect()))
+        st = lt.rebalance_ivf_index(
+            spark, path, max_over_mean=50.0
+        ).collect()[0]
+        assert st.n_hot_cells == 0 and st.rows_moved == 0
+        assert st.n_cells_after == st.n_cells_before
+        after = sorted(map(tuple, spark.read.parquet(
+            f"{path}/cells").select("vec_id", "cell").collect()))
+        assert before == after
+
+    def test_deterministic_across_builds(self, spark, emb, tmp_path):
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        for p in (p1, p2):
+            lt.save_ivf_index(emb, p, n_cells=16)
+            lt.rebalance_ivf_index(spark, p, max_over_mean=1.2)
+        for rel in ("cells", "centroids"):
+            a = sorted(map(repr, map(tuple, spark.read.parquet(
+                f"{p1}/{rel}").collect())))
+            b = sorted(map(repr, map(tuple, spark.read.parquet(
+                f"{p2}/{rel}").collect())))
+            assert a == b, rel
+
+    def test_tombstones_survive_rebalance(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivf")
+        lt.save_ivf_index(emb, path, n_cells=16)
+        dels = emb.filter(F.col("vec_id") % 11 == 5).select("vec_id")
+        lt.delete_from_ivf_index(dels, path)
+        st = lt.rebalance_ivf_index(
+            spark, path, max_over_mean=1.2
+        ).collect()[0]
+        assert st.n_hot_cells > 0
+        q = emb.filter(F.col("vec_id") < 20)
+        got = lt.ann_topk_ivf_indexed(
+            spark, path, q, k=5, n_probe=int(st.n_cells_after)
+        )
+        deleted = {r.vec_id for r in dels.collect()}
+        assert not deleted & {
+            r.neighbor_id for r in got.collect()
+        }
+
+    def test_knob_validation(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivf")
+        lt.save_ivf_index(emb.limit(64), path, n_cells=4)
+        with pytest.raises(ValueError, match="split_factor"):
+            lt.rebalance_ivf_index(spark, path, split_factor=1)
+        with pytest.raises(ValueError, match="max_over_mean"):
+            lt.rebalance_ivf_index(spark, path, max_over_mean=0)
