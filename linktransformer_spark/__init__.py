@@ -19,7 +19,7 @@ from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     ann_topk_ivf_indexed, append_to_ivf_index, mmr_rerank, quantize_embeddings,
     delete_from_ivf_index, index_cell_stats, purge_ivf_index,
-    save_ivf_index,
+    rebalance_ivf_index, save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .operators.upsert import (
@@ -29,7 +29,7 @@ from .operators.upsert import (
 from .operators.serving import (
     ann_serving_topk, ann_topk_pq_indexed, resolve_serving_params,
     append_to_pq_index, delete_from_pq_index, purge_pq_index,
-    save_pq_index,
+    save_pq_index, hybrid_topk_indexed,
 )
 from .data import DATA_DIR_PATH
 from .modelling import LinkTransformer, LinkTransformerClassifier, save_model
@@ -239,6 +239,7 @@ __all__ = [
     "delete_from_minhash_index",
     "delete_from_pq_index",
     "index_cell_stats",
+    "rebalance_ivf_index",
     "purge_ivf_index",
     "purge_minhash_index",
     "purge_pq_index",
@@ -273,6 +274,7 @@ __all__ = [
     "ivf_pq_rerank_topk",
     "ann_serving_topk",
     "ann_topk_pq_indexed",
+    "hybrid_topk_indexed",
     "resolve_serving_params",
     "save_pq_index",
     "ivf_topk_seeded",

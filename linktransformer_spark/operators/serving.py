@@ -911,3 +911,71 @@ def ann_topk_pq_indexed(
     )
     return _shortlist_and_rerank(cand, F.broadcast(qn), cn, k,
                                  p["retrieve_k"], q_model=(qids, Q))
+
+
+def hybrid_topk_indexed(
+    spark: SparkSession,
+    bm25_path: str,
+    pq_path: str,
+    queries: DataFrame,
+    query_id: str = "q_id",
+    query_col: str = "q_text",
+    vector_col: str = "embedding",
+    k: int = 10,
+    k_arm: int = 10,
+    k_rrf: int = 60,
+    n_probe: int | str = "auto",
+    retrieve_k: int | str = "auto",
+    max_df_ratio: float | None = None,
+    max_query_batch: int = SERVE_MAX_QUERY_BATCH,
+) -> DataFrame:
+    """One-call hybrid retrieval against the STORED indexes: the
+    lexical arm serves from a :func:`~.search.save_bm25_index`
+    directory, the semantic arm from a :func:`save_pq_index`
+    directory (the r90 recipe), and the two top-``k_arm`` lists fuse
+    by Reciprocal Rank Fusion (:func:`~.search.rrf_fuse`, Cormack,
+    Clarke & Buettcher 2009) — the standard production hybrid stack,
+    now one call over two persisted indexes instead of two from-
+    scratch corpus passes.
+
+    ``queries`` carries the query id, the query TEXT (``query_col``)
+    for the lexical arm, and the query VECTOR (``vector_col``) for
+    the semantic arm. Returns (``query_id``, <the BM25 index's stored
+    doc id column>, ``rank``, ``rrf_score``, ``n_lists``), top-``k``
+    per query by (rrf_score DESC, id ASC).
+
+    Scale shape: each arm keeps its own serve plan untouched — the
+    BM25 arm reads only the query terms' bucket partitions, the PQ
+    arm only the probed cell partitions plus the shortlist's true
+    vectors; fusion is one hash aggregate over the two k_arm-bounded
+    candidate lists (cost tracks the query batch, never either
+    corpus). Tombstones on EITHER index are honored by that arm's own
+    serve path, so a doc deleted from one index simply loses that
+    arm's contribution (and drops entirely when deleted from both) —
+    delete from both indexes for a full takedown.
+    """
+    from .search import _read_bm25_meta, bm25_topk_indexed, rrf_fuse
+
+    doc_id = str(_read_bm25_meta(spark, bm25_path)["id_col"])
+    bm = bm25_topk_indexed(
+        spark, bm25_path,
+        queries.select(query_id, query_col),
+        query_id=query_id, query_col=query_col, k=k_arm,
+        max_df_ratio=max_df_ratio,
+    ).select(query_id, doc_id, "rank")
+    an = ann_topk_pq_indexed(
+        spark, pq_path,
+        queries.select(query_id, vector_col),
+        vector_col=vector_col, query_id=query_id, k=k_arm,
+        n_probe=n_probe, retrieve_k=retrieve_k,
+        max_query_batch=max_query_batch,
+    ).select(
+        F.col("query_id").alias(query_id),
+        F.col("neighbor_id").alias(doc_id),
+        "rank",
+    )
+    # arm order is the fusion fold's accumulation order (rrf_fuse
+    # folds contributions sorted by arm index): lexical first,
+    # semantic second — pinned, so results are reproducible
+    return rrf_fuse([bm, an], query_id=query_id, id_col=doc_id,
+                    k_rrf=k_rrf, k=k)

@@ -2022,11 +2022,14 @@ def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5,
 def _ann_ivfpq_sql(
     n_cells: int = 16, n_probe: int = 4, k: int = 5, m: int = 8,
     n_codes: int = 16, dim: int = 64, cand_pred: str | None = None,
+    query_pred: str = "vec_id < 50",
 ) -> str:
     """``cand_pred`` filters the candidate corpus rows (``cc.vec_id``)
     BEFORE the ADC shortlist window — the SQL mirror of a PQ-index
     tombstone: the frozen centroids/codebook still derive from the
-    full seed window, only serving skips the deleted rows."""
+    full seed window, only serving skips the deleted rows.
+    ``query_pred`` selects the query rows (default keeps the
+    registered queries' byte-stable SQL)."""
     from .functions.oracle import sql_dot, sql_l2_normalize
 
     cw = f"WHERE {cand_pred}" if cand_pred else ""
@@ -2037,7 +2040,7 @@ def _ann_ivfpq_sql(
     WITH cn AS (
       SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
     ),
-    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    qn AS (SELECT vec_id, v FROM cn WHERE {query_pred}),
     cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
       FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
@@ -2129,16 +2132,17 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retrieve-wide + exact re-rank: ADC picks 40 candidates, the true
 # vectors re-score only those, final rank on exact cosine.
 def _ann_ivfpq_rerank_sql(k: int = 5, retrieve_k: int = 40,
+                          query_pred: str = "vec_id < 50",
                           **ivfpq_kw) -> str:
     from .functions.oracle import sql_dot, sql_l2_normalize
 
-    inner = _ann_ivfpq_sql(k=retrieve_k, **ivfpq_kw)
+    inner = _ann_ivfpq_sql(k=retrieve_k, query_pred=query_pred, **ivfpq_kw)
     return f"""
     WITH cand AS ({inner}),
     cn2 AS (
       SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
     ),
-    qn2 AS (SELECT vec_id, v FROM cn2 WHERE vec_id < 50)
+    qn2 AS (SELECT vec_id, v FROM cn2 WHERE {query_pred})
     SELECT query_id, neighbor_id, rank, round(score, 6) AS score
     FROM (
       SELECT b.query_id, b.neighbor_id,
@@ -5540,6 +5544,145 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid over the STORED indexes (operators/serving.py
+# hybrid_topk_indexed): the lexical arm serves from a persisted BM25
+# impact index (serve == the from-scratch formula — the standing
+# search_bm25_indexed proof), the semantic arm from a persisted IVF-PQ
+# r90 index with pinned knobs (serve == the seeded recipe mirror — the
+# standing ann_pq_lifecycle proof), fused by the same RRF fold.
+def _hybrid_indexed_sql(k_arm: int = 10, k_rrf: int = 60,
+                        k: int = 10) -> str:
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
+    an_sub = _ann_ivfpq_rerank_sql(
+        k=k_arm, retrieve_k=40, n_cells=4, n_probe=3, m=16, n_codes=64,
+        query_pred="vec_id % 50 = 0",
+    )
+    return f"""
+    WITH dtoks AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    dtc AS (SELECT doc_id AS d, tok, count(*) AS tf FROM dtoks GROUP BY 1, 2),
+    dl AS (SELECT d, sum(tf) AS dl FROM dtc GROUP BY d),
+    stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM dtc GROUP BY tok),
+    idf AS (
+      SELECT tok,
+             ln(1.0 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+             s.avgdl
+      FROM dfreq CROSS JOIN stats s
+    ),
+    qt AS (
+      SELECT DISTINCT q, tok FROM (
+        SELECT doc_id AS q, unnest(({toks})[1:8]) AS tok
+        FROM documents WHERE doc_id % 50 = 0
+      )
+    ),
+    contrib AS (
+      SELECT qt.q, dtc.d, dtc.tok,
+             i.idf * (CAST(dtc.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(dtc.tf AS DOUBLE)
+                + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * (CAST(dl.dl AS DOUBLE) / i.avgdl))) AS c
+      FROM qt JOIN dtc ON qt.tok = dtc.tok
+              JOIN idf i ON dtc.tok = i.tok
+              JOIN dl ON dtc.d = dl.d
+    ),
+    bms AS (
+      SELECT q, d,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY tok)),
+               (acc, x) -> acc + x
+             ) AS score
+      FROM contrib GROUP BY q, d
+    ),
+    bmr AS (
+      SELECT q, d, rnk FROM (
+        SELECT q, d,
+               row_number() OVER (PARTITION BY q ORDER BY score DESC, d ASC) AS rnk
+        FROM bms
+      ) WHERE rnk <= {k_arm}
+    ),
+    anr AS (
+      SELECT query_id AS q, neighbor_id AS d, rnk FROM (
+        SELECT query_id, neighbor_id,
+               CAST(rank AS BIGINT) AS rnk
+        FROM ({an_sub})
+      )
+    ),
+    uni AS (
+      SELECT q, d, 0 AS arm, rnk FROM bmr
+      UNION ALL
+      SELECT q, d, 1 AS arm, rnk FROM anr
+    ),
+    fused AS (
+      SELECT q, d, CAST(count(*) AS BIGINT) AS nl,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(1.0 / ({k_rrf}.0 + CAST(rnk AS DOUBLE))
+                                 ORDER BY arm)),
+               (acc, x) -> acc + x
+             ) AS s
+      FROM uni GROUP BY q, d
+    )
+    SELECT q AS q_id, d AS doc_id, CAST(rk AS INT) AS rank,
+           round(s, 6) AS rrf_score, nl AS n_lists
+    FROM (
+      SELECT q, d, nl, s,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, d ASC) AS rk
+      FROM fused
+    ) WHERE rk <= {k}
+"""
+
+
+@_q("search_hybrid_indexed", _hybrid_indexed_sql())
+def search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call hybrid serve over the two PERSISTED indexes: BM25
+    impact index + IVF-PQ r90 index (pinned knobs: n_cells=4,
+    n_probe=3, m=16, n_codes=64, retrieve_k=40), RRF-fused (k_rrf=60).
+    The oracle composes the two standing serve mirrors — the
+    from-scratch BM25 formula and the seeded IVF-PQ + exact-rerank
+    recipe — through the identical RRF fold, so this query proves the
+    stored-index hybrid equals the from-scratch hybrid end to end."""
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import save_bm25_index
+    from .operators.serving import hybrid_topk_indexed, save_pq_index
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(
+                F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+            ).alias("q_text"),
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+            "q_id",
+        )
+    )
+    tag = _idx_tag(sf_dir)
+    bm_path = f"{tempfile.gettempdir()}/lt_hyb_bm25_{tag}"
+    pq_path = f"{tempfile.gettempdir()}/lt_hyb_pq_{tag}"
+    save_bm25_index(docs, bm_path)
+    save_pq_index(emb, pq_path, n_cells=4, m=16, n_codes=64)
+    out = hybrid_topk_indexed(
+        spark, bm_path, pq_path, queries,
+        k=10, k_arm=10, k_rrf=60, n_probe=3, retrieve_k=40,
+    )
+    return out.select(
+        "q_id", "doc_id", "rank",
+        F.round("rrf_score", 6).alias("rrf_score"), "n_lists",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A/B readout (operators/eventpipe.py ab_test) — two-proportion z per
 # event type; variant derived deterministically from the props key
@@ -7055,6 +7198,136 @@ def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     upsert_ivf_index(batch, path)
+    q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )
+
+
+# The ACT half of the cell-balance loop (operators/ann.py
+# rebalance_ivf_index): hot cells (count > ratio x mean, mean over the
+# build-time n_cells) split into children seeded from their smallest-id
+# stored vectors — child 0 keeps the cell id, child j>=1 gets
+# n_cells + hot_rank*(split-1) + (j-1) — and the hot cells' rows
+# reassign by first-max dot with ties to the smaller new cell id.
+# Serving over the post-rebalance topology is fully SQL-expressible
+# because every choice above is deterministic and id-seeded.
+def _ivf_rebalance_sql(n_cells: int = 16, ratio: float = 1.2,
+                       split: int = 2, n_probe: int = 4,
+                       k: int = 5) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    counts AS (SELECT cell, count(*) AS c FROM cassign GROUP BY cell),
+    meanv AS (
+      SELECT CAST(sum(c) AS DOUBLE) / {n_cells} AS m FROM counts
+    ),
+    hot AS (
+      SELECT cell FROM counts CROSS JOIN meanv
+      WHERE c > {ratio} * m AND c >= {split}
+    ),
+    hotr AS (
+      SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS hi FROM hot
+    ),
+    childv AS (
+      SELECT a.cell AS old_cell, a.v,
+             row_number() OVER (
+               PARTITION BY a.cell ORDER BY a.vec_id ASC
+             ) - 1 AS child
+      FROM cassign a JOIN hot h ON a.cell = h.cell
+    ),
+    children AS (
+      SELECT c.old_cell, c.v,
+             CASE WHEN c.child = 0 THEN c.old_cell
+                  ELSE {n_cells} + hr.hi * ({split} - 1) + (c.child - 1)
+             END AS new_cell
+      FROM childv c JOIN hotr hr ON c.old_cell = hr.cell
+      WHERE c.child < {split}
+    ),
+    reassign AS (
+      SELECT vec_id, new_cell AS cell, v FROM (
+        SELECT a.vec_id, ch.new_cell, a.v,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {sql_dot('a.v', 'ch.v')} DESC, ch.new_cell ASC
+               ) AS rn
+        FROM cassign a JOIN children ch ON a.cell = ch.old_cell
+      ) WHERE rn = 1
+    ),
+    finala AS (
+      SELECT vec_id, cell, v FROM cassign
+      WHERE cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT vec_id, cell, v FROM reassign
+    ),
+    newcent AS (
+      SELECT cell, v FROM cent WHERE cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT new_cell AS cell, v FROM children
+    ),
+    qassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT q.vec_id, nc.cell, q.v,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'nc.v')} DESC, nc.cell ASC
+               ) AS rn
+        FROM qn q CROSS JOIN newcent nc
+      ) WHERE rn <= {n_probe}
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM qassign q JOIN finala c ON q.cell = c.cell
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_ivf_rebalanced", _ivf_rebalance_sql())
+def ann_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance lifecycle: build the seeded IVF index, split its
+    hot cells with rebalance_ivf_index (ratio 1.2 so the near-uniform
+    bench corpus still produces hot cells), serve over the
+    post-rebalance topology. The oracle re-derives the ENTIRE
+    rebalance in SQL — hot-cell detection, child seeding, the closed-
+    form new-cell ids, the first-max reassignment — and serves with
+    the same n_probe, proving the in-place partition surgery equals
+    the declarative plan end to end."""
+    import tempfile
+
+    from .operators.ann import (
+        ann_topk_ivf_indexed, rebalance_ivf_index, save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_ivf_rebidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    rebalance_ivf_index(spark, path, max_over_mean=1.2, split_factor=2)
     q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
     out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
     return out.select(

@@ -235,3 +235,93 @@ class TestTrainedCentroids:
             rec[name] = exact.join(a, ["query_id", "neighbor_id"]).count() / n_ex
         assert rec["trained"] >= rec["seeded"]
         assert rec["trained"] >= 0.9
+
+
+class TestHybridIndexed:
+    """hybrid_topk_indexed: one-call RRF over the two stored indexes.
+    Oracle parity (vs the composed from-scratch SQL) runs in
+    test_oracle_queries (search_hybrid_indexed); these pin the
+    composition and the per-arm tombstone semantics."""
+
+    @pytest.fixture(scope="class")
+    def paths(self, spark, sf_dir, tmp_path_factory):
+        from linktransformer_spark.functions import similarity as S
+
+        base = tmp_path_factory.mktemp("hybrid_idx")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bm, pq = str(base / "bm25"), str(base / "pq")
+        lt.save_bm25_index(docs, bm)
+        lt.save_pq_index(emb, pq, n_cells=4, m=16, n_codes=64)
+        queries = (
+            docs.filter(F.col("doc_id") % 50 == 0)
+            .select(
+                F.col("doc_id").alias("q_id"),
+                F.array_join(
+                    F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+                ).alias("q_text"),
+            )
+            .join(emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+                  "q_id")
+        )
+        return bm, pq, queries
+
+    def test_equals_manual_arm_fusion(self, spark, paths):
+        from linktransformer_spark.operators.search import (
+            bm25_topk_indexed, rrf_fuse,
+        )
+
+        bm_path, pq_path, queries = paths
+        got = lt.hybrid_topk_indexed(
+            spark, bm_path, pq_path, queries, k=10, k_arm=10,
+            n_probe=3, retrieve_k=40,
+        )
+        bm = bm25_topk_indexed(
+            spark, bm_path, queries.select("q_id", "q_text"), k=10
+        ).select("q_id", "doc_id", "rank")
+        an = lt.ann_topk_pq_indexed(
+            spark, pq_path, queries.select("q_id", "embedding"),
+            query_id="q_id", k=10, n_probe=3, retrieve_k=40,
+        ).select(
+            F.col("query_id").alias("q_id"),
+            F.col("neighbor_id").alias("doc_id"), "rank",
+        )
+        want = rrf_fuse([bm, an], query_id="q_id", id_col="doc_id", k=10)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # both arms actually contribute: some fused doc is in 2 lists
+        assert got.filter(F.col("n_lists") == 2).count() > 0
+
+    def test_tombstones_honored_per_arm(self, spark, paths):
+        bm_path, pq_path, queries = paths
+        before = lt.hybrid_topk_indexed(
+            spark, bm_path, pq_path, queries, k=10, k_arm=10,
+            n_probe=3, retrieve_k=40,
+        )
+        # a doc both arms retrieve for some query
+        both = before.filter(F.col("n_lists") == 2).orderBy(
+            "q_id", "rank"
+        ).first()
+        victim = int(both["doc_id"])
+        dels = spark.createDataFrame([(victim,)], "doc_id long")
+        # delete from the BM25 side only: the doc must lose the
+        # lexical contribution (n_lists drops) but may still appear
+        # through the semantic arm
+        lt.delete_from_bm25_index(dels, bm_path)
+        mid = lt.hybrid_topk_indexed(
+            spark, bm_path, pq_path, queries, k=10, k_arm=10,
+            n_probe=3, retrieve_k=40,
+        )
+        assert mid.filter(
+            (F.col("doc_id") == victim) & (F.col("n_lists") == 2)
+        ).count() == 0
+        # delete from the PQ side too: full takedown
+        lt.delete_from_pq_index(
+            dels.select(F.col("doc_id").alias("vec_id")), pq_path
+        )
+        after = lt.hybrid_topk_indexed(
+            spark, bm_path, pq_path, queries, k=10, k_arm=10,
+            n_probe=3, retrieve_k=40,
+        )
+        assert after.filter(F.col("doc_id") == victim).count() == 0
