@@ -1624,3 +1624,179 @@ def index_cell_stats(spark, path: str) -> DataFrame:
         ).alias("max_over_mean"),
         (-F.col("_top.nc")).cast("int").alias("top_cell"),
     )
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    max_over_mean: float = 4.0,
+    split_factor: int = 2,
+) -> DataFrame:
+    """Split an IVF index's hot cells in place — the ACT half of the
+    observe-act loop :func:`index_cell_stats` opens (the documented
+    append-drift trade: frozen centroids concentrate appended vectors
+    into a few cells; per-probe recall decays and the probed scan
+    stops tracking n_probe/n_cells).
+
+    A cell is HOT when its stored-row count exceeds ``max_over_mean``
+    x mean (mean = n_rows / meta n_cells — the
+    :func:`index_cell_stats` definition, tombstoned rows included) and
+    it has at least ``split_factor`` rows. Each hot cell ``h`` splits
+    into ``split_factor`` children seeded from its ``split_factor``
+    smallest-id stored vectors (the :func:`ivf_seed_centroids` stance
+    — deterministic and SQL-mirrorable; rebuild with
+    ``mode='kmeans'`` when trained geometry is worth a full pass):
+
+    - child 0 keeps the cell id ``h`` (untouched cells never renumber);
+      child j>=1 gets id ``n_cells + hi*(split_factor-1) + (j-1)``
+      where ``hi`` is the hot cell's 0-based rank among hot cells in
+      ascending-id order — a closed form any reader (or the SQL
+      mirror) can re-derive;
+    - the hot cell's rows reassign to the child with the max
+      sequential-fold dot, tie to the smaller child id (child 0's id
+      is below every new id, so new-cell-ASC == child-index-ASC — the
+      exact `_assign_cells_declarative` rule);
+    - ONLY the hot cells' partitions rewrite (staged to a sibling tmp
+      directory, then swapped — the :mod:`.upsert` discipline);
+      ``centroids/`` is rewritten with child-0 vectors replacing the
+      hot centroids plus the new children appended (bounded relation);
+      ``meta.n_cells`` grows by ``n_hot * (split_factor - 1)``.
+
+    Serving needs no code change — it reads the centroid relation —
+    and tombstones are untouched (ids never change). Returns a one-row
+    observable (n_hot_cells, n_new_cells, rows_moved, n_cells_before,
+    n_cells_after); no-op (zero-row writes avoided entirely) when no
+    cell is hot."""
+    from .tombstones import refresh_index_path
+    from .upsert import _fs, _TMP_SUFFIX
+
+    if split_factor < 2:
+        raise ValueError("split_factor must be >= 2")
+    if max_over_mean <= 0:
+        raise ValueError("max_over_mean must be > 0")
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    id_col = str(meta["id_col"])
+    vec_col = str(meta["vector_col"])
+    n_cells0 = int(meta["n_cells"])
+    cells = spark.read.parquet(f"{path}/cells")
+    counts = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    total = counts.agg(F.sum("_n")).first()[0] or 0
+    mean = float(total) / float(n_cells0) if n_cells0 else 0.0
+    hot = sorted(
+        r["cell"]
+        for r in counts.filter(
+            (F.col("_n") > F.lit(float(max_over_mean) * mean))
+            & (F.col("_n") >= split_factor)
+        ).select("cell").collect()
+    )
+
+    def stats(n_hot, n_new, moved, after):
+        return spark.createDataFrame(
+            [(n_hot, n_new, moved, n_cells0, after)],
+            "n_hot_cells int, n_new_cells int, rows_moved bigint, "
+            "n_cells_before int, n_cells_after int",
+        )
+
+    if not hot:
+        return stats(0, 0, 0, n_cells0)
+
+    hi = {h: i for i, h in enumerate(hot)}
+    members = cells.filter(F.col("cell").isin(hot)).select(
+        F.col("cell").cast("int").alias("_old_cell"),
+        F.col(id_col), F.col(vec_col),
+    )
+    # children: the split_factor smallest-id stored vectors per hot
+    # cell; child j's serving id by the closed form above
+    wch = Window.partitionBy("_old_cell").orderBy(F.col(id_col).asc())
+    child_map = F.create_map(*[
+        x for h in hot for x in (F.lit(h), F.lit(hi[h]))
+    ])
+    children = (
+        members.withColumn("_child", F.row_number().over(wch) - 1)
+        .filter(F.col("_child") < split_factor)
+        .withColumn(
+            "_new_cell",
+            F.when(F.col("_child") == 0, F.col("_old_cell")).otherwise(
+                F.lit(n_cells0)
+                + child_map[F.col("_old_cell")] * F.lit(split_factor - 1)
+                + (F.col("_child") - 1)
+            ).cast("int"),
+        )
+        .select("_old_cell", "_new_cell",
+                F.col(vec_col).alias("_child_emb"))
+    )
+    # reassignment: every hot-cell row scores only its OWN cell's
+    # children (equi-join on the old cell; the child relation is
+    # bounded at n_hot x split_factor rows — broadcast), first-max
+    # sequential-fold dot, tie to the smaller new cell id
+    scored = members.join(F.broadcast(children), "_old_cell").withColumn(
+        "_cdot", S.dot(F.col(vec_col), F.col("_child_emb"))
+    )
+    m = F.max(
+        F.struct(
+            F.col("_cdot").alias("s"),
+            (-F.col("_new_cell")).alias("nc"),
+            F.col(vec_col).alias("e"),
+        )
+    ).alias("_m")
+    reassigned = scored.groupBy(id_col).agg(m).select(
+        F.col(id_col),
+        (-F.col("_m.nc")).cast("int").alias("cell"),
+        F.col("_m.e").alias(vec_col),
+    )
+    # materialize the bounded child relation (n_hot x split_factor
+    # rows) BEFORE any mutation: its lineage reads the hot cells'
+    # parquet files, which the swap below replaces — a lazy re-read
+    # after the swap would hit deleted files
+    child_rows = children.collect()
+    new_ids = sorted(
+        int(r["_new_cell"]) for r in child_rows
+        if int(r["_new_cell"]) >= n_cells0
+    )
+    moved = reassigned.filter(~F.col("cell").isin(hot)).count()
+
+    # stage, then swap only the affected partition directories
+    tmp = f"{path}/cells" + _TMP_SUFFIX
+    reassigned.select(id_col, vec_col, "cell").repartition(
+        "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    fs, _ = _fs(spark, f"{path}/cells")
+    jvm = spark.sparkContext._jvm
+    for v in list(hot) + new_ids:
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/cell={v}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/cells/cell={v}")
+        fs.delete(dst, True)
+        if fs.exists(src):
+            fs.rename(src, dst)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    new_cent = cent.filter(~F.col("cell").isin(hot)).unionByName(
+        spark.createDataFrame(
+            [(int(r["_new_cell"]), [float(x) for x in r["_child_emb"]])
+             for r in child_rows],
+            "cell int, centroid array<double>",
+        )
+    )
+    tmp_c = f"{path}/centroids" + _TMP_SUFFIX
+    new_cent.coalesce(1).write.mode("overwrite").parquet(tmp_c)
+    pc = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")
+    fs.delete(pc, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_c), pc)
+
+    n_after = n_cells0 + len(hot) * (split_factor - 1)
+    spark.createDataFrame(
+        [(_IVF_INDEX_VERSION, int(n_after), str(meta["mode"]), id_col,
+          vec_col)],
+        "version int, n_cells int, mode string, id_col string, "
+        "vector_col string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    refresh_index_path(spark, path)
+    return stats(len(hot), len(new_ids), moved, n_after)

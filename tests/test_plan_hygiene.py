@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_indexed": "n_cells-row stored-centroid broadcast",
     "ann_ivf_deleted": "n_cells-row stored-centroid broadcast",
     "ann_ivf_upsert": "n_cells-row stored-centroid broadcast",
+    "ann_ivf_rebalanced": "n_cells-row stored-centroid broadcast (+ bounded child-centroid broadcast in the rebalance build step)",
     "semdedup_embeddings": "n_cells-row centroid broadcast",
     "search_bm25_documents": "1-row corpus-stats (N, avgdl) broadcast",
     "search_hybrid_rrf": "1-row corpus-stats broadcast (bm25 arm) + exact-cross semantic arm",
