@@ -19,7 +19,7 @@ from .operators.ann import (
     ann_topk, ivf_pq_rerank_topk, ivf_pq_topk, ivf_topk, ivf_topk_seeded,
     ann_topk_ivf_indexed, append_to_ivf_index, mmr_rerank, quantize_embeddings,
     delete_from_ivf_index, index_cell_stats, purge_ivf_index,
-    rebalance_ivf_index, save_ivf_index,
+    rebalance_ivf_index, rebalance_pq_index, save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
 from .operators.upsert import (
@@ -240,6 +240,7 @@ __all__ = [
     "delete_from_pq_index",
     "index_cell_stats",
     "rebalance_ivf_index",
+    "rebalance_pq_index",
     "purge_ivf_index",
     "purge_minhash_index",
     "purge_pq_index",

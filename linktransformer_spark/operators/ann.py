@@ -1626,63 +1626,28 @@ def index_cell_stats(spark, path: str) -> DataFrame:
     )
 
 
-def rebalance_ivf_index(
+def _rebalance_cells(
     spark,
     path: str,
-    max_over_mean: float = 4.0,
-    split_factor: int = 2,
-) -> DataFrame:
-    """Split an IVF index's hot cells in place — the ACT half of the
-    observe-act loop :func:`index_cell_stats` opens (the documented
-    append-drift trade: frozen centroids concentrate appended vectors
-    into a few cells; per-probe recall decays and the probed scan
-    stops tracking n_probe/n_cells).
-
-    A cell is HOT when its stored-row count exceeds ``max_over_mean``
-    x mean (mean = n_rows / meta n_cells — the
-    :func:`index_cell_stats` definition, tombstoned rows included) and
-    it has at least ``split_factor`` rows. Each hot cell ``h`` splits
-    into ``split_factor`` children seeded from its ``split_factor``
-    smallest-id stored vectors (the :func:`ivf_seed_centroids` stance
-    — deterministic and SQL-mirrorable; rebuild with
-    ``mode='kmeans'`` when trained geometry is worth a full pass):
-
-    - child 0 keeps the cell id ``h`` (untouched cells never renumber);
-      child j>=1 gets id ``n_cells + hi*(split_factor-1) + (j-1)``
-      where ``hi`` is the hot cell's 0-based rank among hot cells in
-      ascending-id order — a closed form any reader (or the SQL
-      mirror) can re-derive;
-    - the hot cell's rows reassign to the child with the max
-      sequential-fold dot, tie to the smaller child id (child 0's id
-      is below every new id, so new-cell-ASC == child-index-ASC — the
-      exact `_assign_cells_declarative` rule);
-    - ONLY the hot cells' partitions rewrite (staged to a sibling tmp
-      directory, then swapped — the :mod:`.upsert` discipline);
-      ``centroids/`` is rewritten with child-0 vectors replacing the
-      hot centroids plus the new children appended (bounded relation);
-      ``meta.n_cells`` grows by ``n_hot * (split_factor - 1)``.
-
-    Serving needs no code change — it reads the centroid relation —
-    and tombstones are untouched (ids never change). Returns a one-row
-    observable (n_hot_cells, n_new_cells, rows_moved, n_cells_before,
-    n_cells_after); no-op (zero-row writes avoided entirely) when no
-    cell is hot."""
-    from .tombstones import refresh_index_path
+    id_col: str,
+    vec_col: str,
+    carry_cols: list,
+    n_cells0: int,
+    max_over_mean: float,
+    split_factor: int,
+):
+    """Shared hot-cell split over a ``cell``-partitioned ``cells/``
+    relation (IVF and PQ indexes — the PQ family carries its frozen
+    per-row ``codes`` through untouched). Contract and determinism
+    rules documented on :func:`rebalance_ivf_index`. Returns
+    ``(n_hot, n_new, rows_moved, n_cells_after)``; performs no write
+    when no cell is hot."""
     from .upsert import _fs, _TMP_SUFFIX
 
     if split_factor < 2:
         raise ValueError("split_factor must be >= 2")
     if max_over_mean <= 0:
         raise ValueError("max_over_mean must be > 0")
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
-    id_col = str(meta["id_col"])
-    vec_col = str(meta["vector_col"])
-    n_cells0 = int(meta["n_cells"])
     cells = spark.read.parquet(f"{path}/cells")
     counts = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
         F.count(F.lit(1)).alias("_n")
@@ -1696,24 +1661,16 @@ def rebalance_ivf_index(
             & (F.col("_n") >= split_factor)
         ).select("cell").collect()
     )
-
-    def stats(n_hot, n_new, moved, after):
-        return spark.createDataFrame(
-            [(n_hot, n_new, moved, n_cells0, after)],
-            "n_hot_cells int, n_new_cells int, rows_moved bigint, "
-            "n_cells_before int, n_cells_after int",
-        )
-
     if not hot:
-        return stats(0, 0, 0, n_cells0)
+        return 0, 0, 0, n_cells0
 
     hi = {h: i for i, h in enumerate(hot)}
     members = cells.filter(F.col("cell").isin(hot)).select(
         F.col("cell").cast("int").alias("_old_cell"),
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col), F.col(vec_col), *carry_cols,
     )
     # children: the split_factor smallest-id stored vectors per hot
-    # cell; child j's serving id by the closed form above
+    # cell; child j's serving id by the closed form in the docstring
     wch = Window.partitionBy("_old_cell").orderBy(F.col(id_col).asc())
     child_map = F.create_map(*[
         x for h in hot for x in (F.lit(h), F.lit(hi[h]))
@@ -1732,25 +1689,6 @@ def rebalance_ivf_index(
         .select("_old_cell", "_new_cell",
                 F.col(vec_col).alias("_child_emb"))
     )
-    # reassignment: every hot-cell row scores only its OWN cell's
-    # children (equi-join on the old cell; the child relation is
-    # bounded at n_hot x split_factor rows — broadcast), first-max
-    # sequential-fold dot, tie to the smaller new cell id
-    scored = members.join(F.broadcast(children), "_old_cell").withColumn(
-        "_cdot", S.dot(F.col(vec_col), F.col("_child_emb"))
-    )
-    m = F.max(
-        F.struct(
-            F.col("_cdot").alias("s"),
-            (-F.col("_new_cell")).alias("nc"),
-            F.col(vec_col).alias("e"),
-        )
-    ).alias("_m")
-    reassigned = scored.groupBy(id_col).agg(m).select(
-        F.col(id_col),
-        (-F.col("_m.nc")).cast("int").alias("cell"),
-        F.col("_m.e").alias(vec_col),
-    )
     # materialize the bounded child relation (n_hot x split_factor
     # rows) BEFORE any mutation: its lineage reads the hot cells'
     # parquet files, which the swap below replaces — a lazy re-read
@@ -1760,11 +1698,34 @@ def rebalance_ivf_index(
         int(r["_new_cell"]) for r in child_rows
         if int(r["_new_cell"]) >= n_cells0
     )
+    # reassignment: every hot-cell row scores only its OWN cell's
+    # children (equi-join on the old cell; the child relation is
+    # bounded — broadcast), first-max sequential-fold dot, tie to the
+    # smaller new cell id. The max-struct comparison resolves on
+    # (_cdot, -_new_cell) — distinct within a group — so the carried
+    # payload fields after them never influence the winner.
+    scored = members.join(F.broadcast(children), "_old_cell").withColumn(
+        "_cdot", S.dot(F.col(vec_col), F.col("_child_emb"))
+    )
+    m = F.max(
+        F.struct(
+            F.col("_cdot").alias("s"),
+            (-F.col("_new_cell")).alias("nc"),
+            F.col(vec_col).alias("e"),
+            *[F.col(c).alias(f"c{i}") for i, c in enumerate(carry_cols)],
+        )
+    ).alias("_m")
+    reassigned = scored.groupBy(id_col).agg(m).select(
+        F.col(id_col),
+        (-F.col("_m.nc")).cast("int").alias("cell"),
+        F.col("_m.e").alias(vec_col),
+        *[F.col(f"_m.c{i}").alias(c) for i, c in enumerate(carry_cols)],
+    )
     moved = reassigned.filter(~F.col("cell").isin(hot)).count()
 
     # stage, then swap only the affected partition directories
     tmp = f"{path}/cells" + _TMP_SUFFIX
-    reassigned.select(id_col, vec_col, "cell").repartition(
+    reassigned.select(id_col, vec_col, *carry_cols, "cell").repartition(
         "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(tmp)
     fs, _ = _fs(spark, f"{path}/cells")
@@ -1792,11 +1753,118 @@ def rebalance_ivf_index(
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_c), pc)
 
     n_after = n_cells0 + len(hot) * (split_factor - 1)
-    spark.createDataFrame(
-        [(_IVF_INDEX_VERSION, int(n_after), str(meta["mode"]), id_col,
-          vec_col)],
-        "version int, n_cells int, mode string, id_col string, "
-        "vector_col string",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
-    refresh_index_path(spark, path)
-    return stats(len(hot), len(new_ids), moved, n_after)
+    return len(hot), len(new_ids), int(moved), n_after
+
+
+def _rebalance_stats(spark, n_hot, n_new, moved, before, after):
+    return spark.createDataFrame(
+        [(n_hot, n_new, moved, before, after)],
+        "n_hot_cells int, n_new_cells int, rows_moved bigint, "
+        "n_cells_before int, n_cells_after int",
+    )
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    max_over_mean: float = 4.0,
+    split_factor: int = 2,
+) -> DataFrame:
+    """Split an IVF index's hot cells in place — the ACT half of the
+    observe-act loop :func:`index_cell_stats` opens (the documented
+    append-drift trade: frozen centroids concentrate appended vectors
+    into a few cells; per-probe recall decays and the probed scan
+    stops tracking n_probe/n_cells).
+
+    A cell is HOT when its stored-row count exceeds ``max_over_mean``
+    x mean (mean = n_rows / meta n_cells — the
+    :func:`index_cell_stats` definition, tombstoned rows included) and
+    it has at least ``split_factor`` rows. Each hot cell ``h`` splits
+    into ``split_factor`` children seeded from its ``split_factor``
+    smallest-id stored vectors (the :func:`ivf_seed_centroids` stance
+    — deterministic and SQL-mirrorable; rebuild with
+    ``mode='kmeans'`` when trained geometry is worth a full pass):
+
+    - child 0 keeps the cell id ``h`` (untouched cells never renumber,
+      and cell ids stay DENSE 0..n_cells-1 — the PQ serve's positional
+      centroid matrix relies on that); child j>=1 gets id
+      ``n_cells + hi*(split_factor-1) + (j-1)`` where ``hi`` is the
+      hot cell's 0-based rank among hot cells in ascending-id order —
+      a closed form any reader (or the SQL mirror) can re-derive;
+    - the hot cell's rows reassign to the child with the max
+      sequential-fold dot, tie to the smaller child id (child 0's id
+      is below every new id, so new-cell-ASC == child-index-ASC — the
+      exact `_assign_cells_declarative` rule);
+    - ONLY the hot cells' partitions rewrite (staged to a sibling tmp
+      directory, then swapped — the :mod:`.upsert` discipline);
+      ``centroids/`` is rewritten with child-0 vectors replacing the
+      hot centroids plus the new children appended (bounded relation);
+      ``meta.n_cells`` grows by ``n_hot * (split_factor - 1)``.
+
+    Serving needs no code change — it reads the centroid relation —
+    and tombstones are untouched (ids never change). What a rebalance
+    buys is PROBE GRANULARITY (measured, PLANS.md round-10 addendum):
+    at fixed n_probe the probed scan shrinks and the serve speeds up
+    at some recall cost; at EQUAL scan budget (raise n_probe to match
+    the pre-rebalance probed fraction) recall meets-or-beats the
+    drifted index AND the serve stays faster. A mega-cell may need
+    several passes (its halves can still exceed the new mean) — re-run
+    until ``n_hot_cells`` is 0; each pass rewrites only the current
+    hot partitions. Returns a one-row observable (n_hot_cells,
+    n_new_cells, rows_moved, n_cells_before, n_cells_after); no-op
+    when no cell is hot."""
+    from .tombstones import refresh_index_path
+
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    n_cells0 = int(meta["n_cells"])
+    n_hot, n_new, moved, n_after = _rebalance_cells(
+        spark, path, str(meta["id_col"]), str(meta["vector_col"]), [],
+        n_cells0, max_over_mean, split_factor,
+    )
+    if n_hot:
+        spark.createDataFrame(
+            [(_IVF_INDEX_VERSION, int(n_after), str(meta["mode"]),
+              str(meta["id_col"]), str(meta["vector_col"]))],
+            "version int, n_cells int, mode string, id_col string, "
+            "vector_col string",
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        refresh_index_path(spark, path)
+    return _rebalance_stats(spark, n_hot, n_new, moved, n_cells0, n_after)
+
+
+def rebalance_pq_index(
+    spark,
+    path: str,
+    max_over_mean: float = 4.0,
+    split_factor: int = 2,
+) -> DataFrame:
+    """The :func:`rebalance_ivf_index` twin for the r90 serving index
+    (:func:`~.serving.save_pq_index` — the family that actually drifts
+    in production, since appends encode against the frozen model).
+    Identical split semantics and surgery; the frozen per-row PQ
+    ``codes`` ride along untouched (they encode against the CODEBOOK,
+    which is cell-independent — moving a row between cells never
+    re-encodes it), and the new cell ids stay dense so the serve's
+    positional centroid matrix (`_load_pq_model`) keeps working.
+    ``meta.n_cells`` grows; the auto serving knobs (n_probe,
+    retrieve_k) re-derive from it on the next serve, so a rebalanced
+    index automatically probes proportionally more cells."""
+    from .tombstones import refresh_index_path
+    from .serving import _read_pq_meta, _write_pq_meta
+
+    meta = _read_pq_meta(spark, path)
+    n_cells0 = int(meta["n_cells"])
+    n_hot, n_new, moved, n_after = _rebalance_cells(
+        spark, path, str(meta["id_col"]), str(meta["vector_col"]),
+        ["codes"], n_cells0, max_over_mean, split_factor,
+    )
+    if n_hot:
+        meta["n_cells"] = int(n_after)
+        _write_pq_meta(spark, path, meta, int(meta["n_rows"]))
+        refresh_index_path(spark, path)
+    return _rebalance_stats(spark, n_hot, n_new, moved, n_cells0, n_after)

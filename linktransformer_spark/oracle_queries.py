@@ -7307,6 +7307,183 @@ def _ivf_rebalance_sql(n_cells: int = 16, ratio: float = 1.2,
 """
 
 
+# The PQ twin: identical rebalance semantics over the r90 serving
+# index — frozen per-row codes ride along (they encode against the
+# cell-independent codebook), the post-rebalance topology replaces
+# cassign/cent in the ADC + exact-rerank recipe.
+def _pq_rebalance_sql(n_cells: int = 16, ratio: float = 1.2,
+                      split: int = 2, n_probe: int = 4, k: int = 5,
+                      retrieve_k: int = 40, m: int = 8,
+                      n_codes: int = 16, dim: int = 64) -> str:
+    from .functions.oracle import sql_dot, sql_l2_normalize
+
+    ds = dim // m
+    qsub = f"q.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
+    csub = f"a.v[b.sub*{ds}+1 : b.sub*{ds}+{ds}]"
+    return f"""
+    WITH cn AS (
+      SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
+    ),
+    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_codes})
+    ),
+    book AS (
+      SELECT CAST(t.j AS INT) AS sub, code,
+             v[t.j*{ds}+1 : t.j*{ds}+{ds}] AS cv
+      FROM seeds CROSS JOIN range(0, {m}) t(j)
+    ),
+    cassign AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, ct.cell, c.v,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {sql_dot('c.v', 'ct.v')} DESC, ct.cell ASC
+               ) AS rn
+        FROM cn c CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    counts AS (SELECT cell, count(*) AS c FROM cassign GROUP BY cell),
+    meanv AS (
+      SELECT CAST(sum(c) AS DOUBLE) / {n_cells} AS m FROM counts
+    ),
+    hot AS (
+      SELECT cell FROM counts CROSS JOIN meanv
+      WHERE c > {ratio} * m AND c >= {split}
+    ),
+    hotr AS (
+      SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS hi FROM hot
+    ),
+    childv AS (
+      SELECT a.cell AS old_cell, a.v,
+             row_number() OVER (
+               PARTITION BY a.cell ORDER BY a.vec_id ASC
+             ) - 1 AS child
+      FROM cassign a JOIN hot h ON a.cell = h.cell
+    ),
+    children AS (
+      SELECT c.old_cell, c.v,
+             CASE WHEN c.child = 0 THEN c.old_cell
+                  ELSE {n_cells} + hr.hi * ({split} - 1) + (c.child - 1)
+             END AS new_cell
+      FROM childv c JOIN hotr hr ON c.old_cell = hr.cell
+      WHERE c.child < {split}
+    ),
+    reassign AS (
+      SELECT vec_id, new_cell AS cell, v FROM (
+        SELECT a.vec_id, ch.new_cell, a.v,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {sql_dot('a.v', 'ch.v')} DESC, ch.new_cell ASC
+               ) AS rn
+        FROM cassign a JOIN children ch ON a.cell = ch.old_cell
+      ) WHERE rn = 1
+    ),
+    finala AS (
+      SELECT vec_id, cell, v FROM cassign
+      WHERE cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT vec_id, cell, v FROM reassign
+    ),
+    newcent AS (
+      SELECT cell, v FROM cent WHERE cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT new_cell AS cell, v FROM children
+    ),
+    ccodes AS (
+      SELECT vec_id, cell, sub, code FROM (
+        SELECT a.vec_id, a.cell, b.sub, b.code,
+               row_number() OVER (
+                 PARTITION BY a.vec_id, b.sub
+                 ORDER BY {sql_dot(csub, 'b.cv')} DESC, b.code ASC
+               ) AS rn
+        FROM finala a CROSS JOIN book b
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, nc.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_dot('q.v', 'nc.v')} DESC, nc.cell ASC
+               ) AS rn
+        FROM qn q CROSS JOIN newcent nc
+      ) WHERE rn <= {n_probe}
+    ),
+    lut AS (
+      SELECT q.vec_id, b.sub, b.code, {sql_dot(qsub, 'b.cv')} AS lut
+      FROM qn q CROSS JOIN book b
+    ),
+    folded AS (
+      SELECT p.qid, p.rid,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(l.lut ORDER BY l.sub)),
+               (acc, x) -> acc + x
+             ) AS score
+      FROM (
+        SELECT qa.vec_id AS qid, cc.vec_id AS rid, cc.sub, cc.code
+        FROM qassign qa JOIN ccodes cc ON qa.cell = cc.cell
+      ) p
+      JOIN lut l ON l.vec_id = p.qid AND l.sub = p.sub AND l.code = p.code
+      GROUP BY p.qid, p.rid
+    ),
+    shortlist AS (
+      SELECT qid, rid FROM (
+        SELECT qid, rid,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY score DESC, rid ASC
+               ) AS rank
+        FROM folded
+      ) WHERE rank <= {retrieve_k}
+    )
+    SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+    FROM (
+      SELECT b.qid AS query_id, b.rid AS neighbor_id,
+             {sql_dot('q.v', 'c.v')} AS score,
+             row_number() OVER (
+               PARTITION BY b.qid
+               ORDER BY {sql_dot('q.v', 'c.v')} DESC, b.rid ASC
+             ) AS rank
+      FROM shortlist b
+      JOIN qn q ON q.vec_id = b.qid
+      JOIN cn c ON c.vec_id = b.rid
+    ) WHERE rank <= {k}
+"""
+
+
+@_q("ann_pq_rebalanced", _pq_rebalance_sql())
+def ann_pq_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance lifecycle on the r90 SERVING index: build the
+    seeded PQ index, split its hot cells with rebalance_pq_index (the
+    frozen per-row codes ride along — the codebook is
+    cell-independent), serve with pinned knobs. The oracle re-derives
+    the rebalance AND the full ADC + exact-rerank recipe over the
+    post-rebalance topology."""
+    import tempfile
+
+    from .operators.ann import rebalance_pq_index
+    from .operators.serving import ann_topk_pq_indexed, save_pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_pq_rebidx_{tag}"
+    save_pq_index(emb, path, n_cells=16, m=8, n_codes=16)
+    rebalance_pq_index(spark, path, max_over_mean=1.2, split_factor=2)
+    q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    out = ann_topk_pq_indexed(
+        spark, path, q, k=5, n_probe=4, retrieve_k=40
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 @_q("ann_ivf_rebalanced", _ivf_rebalance_sql())
 def ann_ivf_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-balance lifecycle: build the seeded IVF index, split its

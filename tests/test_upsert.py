@@ -370,3 +370,55 @@ class TestRebalanceIvf:
             lt.rebalance_ivf_index(spark, path, split_factor=1)
         with pytest.raises(ValueError, match="max_over_mean"):
             lt.rebalance_ivf_index(spark, path, max_over_mean=0)
+
+
+class TestRebalancePq:
+    """rebalance_pq_index — the r90 serving-index twin. Oracle parity
+    (rebalance + full ADC/rerank recipe in SQL) runs in
+    test_oracle_queries (ann_pq_rebalanced); these pin the frozen-code
+    and topology invariants."""
+
+    def test_codes_frozen_and_meta_grows(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq")
+        lt.save_pq_index(emb, path, n_cells=16, m=8, n_codes=16)
+        before = {
+            r.vec_id: tuple(r.codes)
+            for r in spark.read.parquet(f"{path}/cells")
+            .select("vec_id", "codes").collect()
+        }
+        st = lt.rebalance_pq_index(
+            spark, path, max_over_mean=1.2, split_factor=2
+        ).collect()[0]
+        assert st.n_hot_cells > 0
+        meta = spark.read.json(f"{path}/meta").collect()[0]
+        assert meta["n_cells"] == st.n_cells_after
+        assert meta["n_rows"] == emb.count()
+        after = {
+            r.vec_id: tuple(r.codes)
+            for r in spark.read.parquet(f"{path}/cells")
+            .select("vec_id", "codes").collect()
+        }
+        # moving a row between cells never re-encodes it
+        assert before == after
+        # cell ids stay dense (the positional centroid matrix contract)
+        cents = sorted(
+            r.cell for r in spark.read.parquet(
+                f"{path}/centroids").select("cell").collect()
+        )
+        assert cents == list(range(int(st.n_cells_after)))
+        # serve still works and honors auto knobs over the new n_cells
+        q = emb.filter(F.col("vec_id") < 10)
+        got = lt.ann_topk_pq_indexed(spark, path, q, k=5)
+        assert got.groupBy("query_id").count().agg(
+            F.min("count")).first()[0] == 5
+
+    def test_tombstones_survive(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq")
+        lt.save_pq_index(emb, path, n_cells=16, m=8, n_codes=16)
+        dels = emb.filter(F.col("vec_id") % 13 == 2).select("vec_id")
+        lt.delete_from_pq_index(dels, path)
+        lt.rebalance_pq_index(spark, path, max_over_mean=1.2)
+        q = emb.filter(F.col("vec_id") < 20)
+        got = lt.ann_topk_pq_indexed(spark, path, q, k=5, n_probe=16)
+        deleted = {r.vec_id for r in dels.collect()}
+        assert not deleted & {r.neighbor_id for r in got.collect()}
