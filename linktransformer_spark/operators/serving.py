@@ -957,6 +957,11 @@ def hybrid_topk_indexed(
     from .search import _read_bm25_meta, bm25_topk_indexed, rrf_fuse
 
     doc_id = str(_read_bm25_meta(spark, bm25_path)["id_col"])
+    if query_id == doc_id:
+        raise ValueError(
+            f"query_id {query_id!r} collides with the BM25 index's "
+            "stored doc id column — rename the query id column"
+        )
     bm = bm25_topk_indexed(
         spark, bm25_path,
         queries.select(query_id, query_col),

@@ -325,3 +325,13 @@ class TestHybridIndexed:
             n_probe=3, retrieve_k=40,
         )
         assert after.filter(F.col("doc_id") == victim).count() == 0
+
+    def test_query_id_collision_raises(self, spark, paths):
+        bm_path, pq_path, queries = paths
+        bad = queries.select(
+            F.col("q_id").alias("doc_id"), "q_text", "embedding"
+        )
+        with pytest.raises(ValueError, match="collides"):
+            lt.hybrid_topk_indexed(
+                spark, bm_path, pq_path, bad, query_id="doc_id"
+            )
