@@ -1586,8 +1586,12 @@ def index_cell_stats(spark, path: str) -> DataFrame:
       ~1-4 is healthy for seeded centroids; sustained >8, or
       n_nonempty_cells well below n_cells, means probes concentrate
       on a few hot cells (per-probe recall decays and the probed-scan
-      cost ceases to track n_probe/n_cells) — schedule a rebuild, or
-      a :func:`~.serving.save_pq_index` ``train_cells`` refresh;
+      cost ceases to track n_probe/n_cells) — run
+      :func:`rebalance_ivf_index` / :func:`rebalance_pq_index` (the
+      in-place ACT half of this loop; only hot partitions rewrite),
+      or schedule a rebuild / a :func:`~.serving.save_pq_index`
+      ``train_cells`` refresh when trained geometry is worth a full
+      pass;
     - ``top_cell`` — the fullest cell (ties to the smallest id).
 
     Counts only — the scan reads the partition column and row counts,
