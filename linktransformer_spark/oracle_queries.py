@@ -5018,6 +5018,47 @@ def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("stream_search_bm25_indexed", _bm25_sql())
+def stream_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyword search against the persisted BM25 impact
+    index: a stream of query texts emits stateless per-(query, doc,
+    term) impact contributions (stream-static join; per-row
+    array_distinct replaces the batch path's global (q, term)
+    distinct), the drain finalizer runs the identical order-pinned
+    fold + rank. Same SQL oracle as search_bm25_documents and
+    search_bm25_indexed — all three bit-identical."""
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.search import save_bm25_index
+    from .streaming import (
+        final_bm25_topk, read_stream_table, run_available_now,
+        streaming_bm25_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_bm25_sidx_{tag}"
+    save_bm25_index(docs, path)
+    qs = read_stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    drained = run_available_now(
+        streaming_bm25_against_index(spark, qs, path),
+        output_mode="append",
+    )
+    out = final_bm25_topk(drained, k=5)
+    return out.select(
+        "q_id", "doc_id", "rank", F.round("score", 6).alias("score"),
+        "n_terms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-probe LSH ANN (Lv et al. 2007; operators/ann.py
 # hyperplane_probe_buckets) — flip the least-confident hyperplane bits

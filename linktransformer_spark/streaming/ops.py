@@ -1582,3 +1582,110 @@ def final_ab_test(
             F.abs(F.round(z, 6)) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("significant"),
     )
+
+
+def streaming_bm25_against_index(
+    spark: SparkSession,
+    stream_queries: DataFrame,
+    index_path: str,
+    query_id: str = "q_id",
+    query_col: str = "q_text",
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Real-time keyword search: a STREAM of query texts scored
+    against a :func:`~linktransformer_spark.operators.search.save_bm25_index`
+    directory — per-term impact CONTRIBUTIONS out, STATELESS end to
+    end (append mode, no watermark, no state store); rank with
+    :func:`final_bm25_topk` at drain time, which equals the batch
+    ``bm25_topk_indexed`` row for row (same order-pinned fold, same
+    tie-break), so the same SQL oracle checks both.
+
+    How it stays stateless: the batch path's per-(query, doc) score
+    fold is an aggregation (stateful on a stream), so the stream emits
+    the JOINED contributions instead — one row per (query, doc, term)
+    with the stored impact — and the fold runs on the drained sink.
+    The batch path's (query, term) distinct is global; here a query's
+    tokens live in ONE stream row, so ``array_distinct`` per row is
+    the identical set with no state. ``max_df_ratio`` stopword pruning
+    stays a stream-static semi-join against the index's vocab-sized
+    ``dfreq/`` relation.
+
+    Scale note (same as :func:`streaming_ann_against_index`): a
+    stream-static join re-reads the static side per micro-batch and
+    cannot collect the batch path's query-bucket partition filter from
+    a stream — persist the postings relation hot for high-frequency
+    triggers, or route very fat query batches through the batch serve.
+
+    Tombstones (:func:`~linktransformer_spark.operators.search.delete_from_bm25_index`)
+    are honored exactly like the batch serve: deleted docs never emit
+    contributions, so survivors take the freed rank slots at drain."""
+    from ..functions import similarity as S
+    from ..operators.search import _read_bm25_meta
+    from ..operators.tombstones import anti_tombstones
+
+    meta = _read_bm25_meta(spark, index_path)
+    id_col = str(meta["id_col"])
+    qterms = stream_queries.select(
+        F.col(query_id).alias("_q"),
+        F.explode(
+            F.array_distinct(S.word_tokens(F.col(query_col)))
+        ).alias("_tok"),
+    )
+    if max_df_ratio is not None:
+        keep = (
+            spark.read.parquet(f"{index_path}/dfreq")
+            .filter(
+                F.col("df").cast("double")
+                <= F.lit(max_df_ratio) * F.col("n_docs").cast("double")
+            )
+            .select(F.col("term").alias("_tok"))
+        )
+        qterms = qterms.join(keep, "_tok", "left_semi")
+    postings = spark.read.parquet(f"{index_path}/postings").select(
+        F.col("term").alias("_tok"),
+        F.col(id_col).alias("_d"),
+        F.col("impact").alias("_c"),
+    )
+    postings = anti_tombstones(postings, spark, index_path, "_d", id_col)
+    return qterms.join(postings, "_tok").select("_q", "_d", "_tok", "_c")
+
+
+def final_bm25_topk(
+    drained: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drain-time finalizer for :func:`streaming_bm25_against_index`:
+    the batch ``_retrieve`` tail over the drained contribution sink —
+    order-pinned fold (terms in token order, left-assoc from 0.0),
+    top-k rank window, the ``bm25_topk_indexed`` output shape
+    (query, doc, rank, score, n_terms)."""
+    from pyspark.sql import Window
+
+    scored = drained.groupBy("_q", "_d").agg(
+        F.count("*").alias("_nt"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_tok").alias("t"), F.col("_c").alias("c"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("_score"),
+    )
+    w = Window.partitionBy("_q").orderBy(
+        F.col("_score").desc(), F.col("_d").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(
+            F.col("_q").alias(query_id),
+            F.col("_d").alias(id_col),
+            F.col("_r").cast("int").alias("rank"),
+            F.col("_score").alias("score"),
+            F.col("_nt").cast("long").alias("n_terms"),
+        )
+    )

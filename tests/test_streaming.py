@@ -680,3 +680,79 @@ def test_streaming_dedup_against_static_cap_matches_batch_drop(spark, sf_dir):
     drained = run_available_now(out, output_mode="append")
     got = {(r.src, r.dst, round(r.jaccard, 9)) for r in drained.collect()}
     assert got == batch_drop
+
+
+def test_streaming_bm25_against_index_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-micro-batch streaming keyword search against the
+    persisted BM25 index must equal the batch indexed serve exactly
+    (same order-pinned fold at drain, same tie-break), including
+    tombstone masking."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.streaming import (
+        final_bm25_topk, run_available_now, streaming_bm25_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm")
+    lt.save_bm25_index(docs, path)
+    lt.delete_from_bm25_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path
+    )
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    src = str(tmp_path / "qstream")
+    q.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_bm25_against_index(spark, sdf, path),
+        output_mode="append",
+    )
+    got = {(r["q_id"], r["doc_id"], r["rank"], round(r["score"], 9),
+            r["n_terms"])
+           for r in final_bm25_topk(drained, k=5).collect()}
+    want = {(r["q_id"], r["doc_id"], r["rank"], round(r["score"], 9),
+             r["n_terms"])
+            for r in lt.bm25_topk_indexed(spark, path, q, k=5).collect()}
+    assert got == want and got
+    assert not any(d % 10 == 3 for _, d, *_ in got)
+
+
+def test_streaming_bm25_max_df_ratio_equals_batch(spark, sf_dir, tmp_path):
+    """The stopword-impact pruning semi-join must behave identically
+    stream-static."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.streaming import (
+        final_bm25_topk, run_available_now, streaming_bm25_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm")
+    lt.save_bm25_index(docs, path)
+    q = docs.filter(F.col("doc_id") % 70 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    src = str(tmp_path / "qstream2")
+    q.write.parquet(src)
+    sdf = spark.readStream.schema(q.schema).parquet(src)
+    drained = run_available_now(
+        streaming_bm25_against_index(spark, sdf, path,
+                                     max_df_ratio=0.82),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, final_bm25_topk(drained, k=5).collect()))
+    want = sorted(map(tuple, lt.bm25_topk_indexed(
+        spark, path, q, k=5, max_df_ratio=0.82).collect()))
+    assert got == want and got
