@@ -1964,7 +1964,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-checkable. Complements ann_topk_ivf (k-means quality path,
 # rows-only + pytest recall gate).
 def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5,
-                        cand_pred: str | None = None) -> str:
+                        cand_pred: str | None = None,
+                        query_pred: str = "vec_id < 50") -> str:
     """``cand_pred`` filters the CANDIDATE corpus rows (by ``c.vec_id``)
     BEFORE the top-k window — the SQL mirror of an index tombstone
     (delete_from_ivf_index): centroids/cells still derive from the full
@@ -1976,7 +1977,7 @@ def _ann_ivf_seeded_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5,
     WITH cn AS (
       SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings
     ),
-    qn AS (SELECT vec_id, v FROM cn WHERE vec_id < 50),
+    qn AS (SELECT vec_id, v FROM cn WHERE {query_pred}),
     cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
       FROM (SELECT vec_id, v FROM cn ORDER BY vec_id LIMIT {n_cells})
@@ -5593,13 +5594,21 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standing ann_pq_lifecycle proof), fused by the same RRF fold.
 def _hybrid_indexed_sql(k_arm: int = 10, k_rrf: int = 60,
                         k: int = 10) -> str:
-    from .functions.oracle import sql_word_tokens
-
-    toks = sql_word_tokens("text")
     an_sub = _ann_ivfpq_rerank_sql(
         k=k_arm, retrieve_k=40, n_cells=4, n_probe=3, m=16, n_codes=64,
         query_pred="vec_id % 50 = 0",
     )
+    return _hybrid_fused_sql(an_sub, k_arm=k_arm, k_rrf=k_rrf, k=k)
+
+
+def _hybrid_fused_sql(an_sub: str, k_arm: int = 10, k_rrf: int = 60,
+                      k: int = 10) -> str:
+    """Shared skeleton: the from-scratch BM25 arm (the standing
+    indexed-serve mirror) + a caller-supplied semantic-arm subquery
+    (must emit query_id, neighbor_id, rank) + the RRF fold."""
+    from .functions.oracle import sql_word_tokens
+
+    toks = sql_word_tokens("text")
     return f"""
     WITH dtoks AS (
       SELECT doc_id, unnest({toks}) AS tok FROM documents
@@ -5718,6 +5727,66 @@ def search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, bm_path, pq_path, queries,
         k=10, k_arm=10, k_rrf=60, n_probe=3, retrieve_k=40,
     )
+    return out.select(
+        "q_id", "doc_id", "rank",
+        F.round("rrf_score", 6).alias("rrf_score"), "n_lists",
+    )
+
+
+def _hybrid_stream_sql(k_arm: int = 10, k_rrf: int = 60,
+                       k: int = 10) -> str:
+    an_sub = _ann_ivf_seeded_sql(
+        n_cells=16, n_probe=4, k=k_arm, query_pred="vec_id % 50 = 0",
+    )
+    return _hybrid_fused_sql(an_sub, k_arm=k_arm, k_rrf=k_rrf, k=k)
+
+
+@_q("stream_search_hybrid_indexed", _hybrid_stream_sql())
+def stream_search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hybrid retrieval: BOTH arms stream statelessly
+    against their persisted indexes (BM25 impact contributions; IVF
+    cell candidates), only the drained sinks rank and fuse
+    (final_hybrid_rrf — the streaming twin of hybrid_topk_indexed).
+    Oracle: the shared hybrid skeleton with the seeded-IVF arm — the
+    same standing mirrors as stream_search_bm25_indexed and
+    stream_ann_ivf_indexed, composed through the RRF fold."""
+    import tempfile
+
+    from .functions import similarity as S
+    from .operators.ann import save_ivf_index
+    from .operators.search import save_bm25_index
+    from .streaming import (
+        final_hybrid_rrf, read_stream_table, run_available_now,
+        streaming_ann_against_index, streaming_bm25_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    bm_path = f"{tempfile.gettempdir()}/lt_hyb_sbm_{tag}"
+    ivf_path = f"{tempfile.gettempdir()}/lt_hyb_sivf_{tag}"
+    save_bm25_index(docs, bm_path)
+    save_ivf_index(emb, ivf_path, n_cells=16, mode="seeded")
+    qt = read_stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    qv = read_stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 50 == 0
+    )
+    bm_drained = run_available_now(
+        streaming_bm25_against_index(spark, qt, bm_path),
+        output_mode="append",
+    )
+    ann_drained = run_available_now(
+        streaming_ann_against_index(spark, qv, ivf_path, n_probe=4),
+        output_mode="append",
+    )
+    out = final_hybrid_rrf(bm_drained, ann_drained, k=10, k_arm=10)
     return out.select(
         "q_id", "doc_id", "rank",
         F.round("rrf_score", 6).alias("rrf_score"), "n_lists",

@@ -1689,3 +1689,38 @@ def final_bm25_topk(
             F.col("_nt").cast("long").alias("n_terms"),
         )
     )
+
+
+def final_hybrid_rrf(
+    bm25_drained: DataFrame,
+    ann_drained: DataFrame,
+    k: int = 10,
+    k_arm: int = 10,
+    k_rrf: int = 60,
+    query_id: str = "q_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drain-time hybrid fusion: rank each drained arm
+    (:func:`final_bm25_topk` over the lexical contributions,
+    :func:`final_ann_topk` over the semantic candidates) to its
+    top-``k_arm`` and fuse by Reciprocal Rank Fusion — the streaming
+    twin of
+    :func:`~linktransformer_spark.operators.serving.hybrid_topk_indexed`:
+    both arms stream STATELESSLY against their stored indexes
+    (:func:`streaming_bm25_against_index`,
+    :func:`streaming_ann_against_index`) and only the bounded
+    k_arm-per-query lists meet at the drain. Arm order (lexical then
+    semantic) pins the fusion fold's accumulation order, matching the
+    batch operator."""
+    from ..operators.search import rrf_fuse
+
+    bm = final_bm25_topk(
+        bm25_drained, k=k_arm, query_id=query_id, id_col=id_col
+    ).select(query_id, id_col, "rank")
+    an = final_ann_topk(ann_drained, k=k_arm).select(
+        F.col("query_id").alias(query_id),
+        F.col("neighbor_id").alias(id_col),
+        "rank",
+    )
+    return rrf_fuse([bm, an], query_id=query_id, id_col=id_col,
+                    k_rrf=k_rrf, k=k)

@@ -756,3 +756,58 @@ def test_streaming_bm25_max_df_ratio_equals_batch(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, lt.bm25_topk_indexed(
         spark, path, q, k=5, max_df_ratio=0.82).collect()))
     assert got == want and got
+
+
+def test_final_hybrid_rrf_equals_batch_arm_fusion(spark, sf_dir, tmp_path):
+    """The streaming hybrid (both arms drained statelessly, fused at
+    drain) must equal fusing the two BATCH indexed serves."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.operators.search import rrf_fuse
+    from linktransformer_spark.streaming import (
+        final_hybrid_rrf, run_available_now,
+        streaming_ann_against_index, streaming_bm25_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm_path, ivf_path = str(tmp_path / "bm"), str(tmp_path / "ivf")
+    lt.save_bm25_index(docs, bm_path)
+    lt.save_ivf_index(emb, ivf_path, n_cells=16, mode="seeded")
+    qt = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    qv = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding"
+    )
+    for df, name in ((qt, "qt"), (qv, "qv")):
+        df.repartition(2).write.parquet(str(tmp_path / name))
+    sqt = spark.readStream.schema(qt.schema).option(
+        "maxFilesPerTrigger", 1).parquet(str(tmp_path / "qt"))
+    sqv = spark.readStream.schema(qv.schema).option(
+        "maxFilesPerTrigger", 1).parquet(str(tmp_path / "qv"))
+    bm_drained = run_available_now(
+        streaming_bm25_against_index(spark, sqt, bm_path),
+        output_mode="append",
+    )
+    ann_drained = run_available_now(
+        streaming_ann_against_index(spark, sqv, ivf_path, n_probe=4),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, final_hybrid_rrf(
+        bm_drained, ann_drained, k=10, k_arm=10).collect()))
+
+    bm = lt.bm25_topk_indexed(spark, bm_path, qt, k=10).select(
+        "q_id", "doc_id", "rank")
+    an = lt.ann_topk_ivf_indexed(
+        spark, ivf_path, qv, k=10, n_probe=4
+    ).select(
+        F.col("query_id").alias("q_id"),
+        F.col("neighbor_id").alias("doc_id"), "rank",
+    )
+    want = sorted(map(tuple, rrf_fuse(
+        [bm, an], query_id="q_id", id_col="doc_id", k=10).collect()))
+    assert got == want and got
