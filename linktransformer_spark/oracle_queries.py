@@ -5793,6 +5793,47 @@ def stream_search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stream_ann_pq_indexed",
+    _ann_ivfpq_rerank_sql(
+        k=5, retrieve_k=40, n_cells=4, n_probe=3, m=16, n_codes=64
+    ),
+)
+def stream_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic search against the r90 SERVING index: a
+    stream of query vectors probed + ADC-scored statelessly
+    (streaming_pq_against_index — the serve path's own left-assoc
+    kernels per Arrow batch), drain-time shortlist + exact re-rank
+    (final_pq_topk — the declarative _shortlist_and_rerank tail).
+    Same SQL oracle and pinned knobs as ann_serve_r90 — stream, batch
+    serve, and recipe mirror are all bit-identical."""
+    import tempfile
+
+    from .operators.serving import save_pq_index
+    from .streaming import (
+        final_pq_topk, read_stream_table, run_available_now,
+        streaming_pq_against_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_pq_sidx_{tag}"
+    save_pq_index(emb, path, n_cells=4, m=16, n_codes=64)
+    qs = read_stream_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    drained = run_available_now(
+        streaming_pq_against_index(spark, qs, path, n_probe=3),
+        output_mode="append",
+    )
+    q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    out = final_pq_topk(spark, drained, path, q, k=5, retrieve_k=40)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A/B readout (operators/eventpipe.py ab_test) — two-proportion z per
 # event type; variant derived deterministically from the props key

@@ -1724,3 +1724,171 @@ def final_hybrid_rrf(
     )
     return rrf_fuse([bm, an], query_id=query_id, id_col=id_col,
                     k_rrf=k_rrf, k=k)
+
+
+def streaming_pq_against_index(
+    spark: SparkSession,
+    stream_queries: DataFrame,
+    index_path: str,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    n_probe: int | str = "auto",
+) -> DataFrame:
+    """Real-time semantic search against the r90 SERVING index
+    (:func:`~linktransformer_spark.operators.serving.save_pq_index`):
+    a stream of query vectors probed against the stored PQ codes —
+    ADC-scored CANDIDATES out, STATELESS end to end; shortlist +
+    exact re-rank happen at drain time (:func:`final_pq_topk`), which
+    equals the batch ``ann_topk_pq_indexed`` row for row under the
+    same knobs, so the same SQL oracle checks both.
+
+    Plan shape: stage 1 normalizes each Arrow batch of queries and
+    picks its ``n_probe`` cells with the serve path's own kernels
+    (``_np_normalize`` / ``_np_probe_mask`` — left-assoc folds, tie
+    (dot DESC, cell ASC)); the (query, cell) fan-out stream-static
+    joins the stored code rows (tombstones anti-joined exactly like
+    the batch serve); stage 2 ADC-scores each joined Arrow batch with
+    the per-query lookup table, folding the m subspace terms in
+    subspace order — bit-equal to the declarative ivf_pq fold. The
+    emitted candidate superset (every probed row, not the batch
+    path's per-partition top-retrieve_k pruning) yields the identical
+    global shortlist at drain.
+
+    Scale note: as with every stream-static serve here, the static
+    side re-reads per micro-batch and the batch path's probed-cell
+    partition filter cannot be collected from a stream — keep the
+    cells relation hot for high-frequency triggers."""
+    import numpy as np
+
+    from ..operators.serving import (
+        _load_pq_model, _np_normalize, _np_probe_mask, _read_pq_meta,
+        resolve_serving_params,
+    )
+    from ..operators.tombstones import anti_tombstones
+
+    meta = _read_pq_meta(spark, index_path)
+    C, book = _load_pq_model(spark, index_path, meta)
+    p = resolve_serving_params(
+        int(meta["n_rows"]), int(meta["dim"]), 10,
+        n_cells=int(meta["n_cells"]), n_probe=n_probe,
+        m=int(meta["m"]), n_codes=int(meta["n_codes"]),
+    )
+    npb = p["n_probe"]
+    bC = spark.sparkContext.broadcast(C)
+    bB = spark.sparkContext.broadcast(book)
+    vc, qc = vector_col, query_id
+
+    def assign(batches):
+        import pandas as pd
+
+        Cm = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _np_normalize(
+                np.array(pdf[vc].tolist(), dtype=np.float64)
+            )
+            mask = _np_probe_mask(Q, Cm, npb)
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame({
+                "_qid": pdf[qc].to_numpy(dtype=np.int64)[qi],
+                "cell": ci.astype("int32"),
+                "_qv": [list(Q[r]) for r in qi],
+            })
+
+    assigned = stream_queries.select(query_id, vector_col).mapInPandas(
+        assign, schema="_qid long, cell int, _qv array<double>"
+    )
+    id_col = str(meta["id_col"])
+    stored = spark.read.parquet(f"{index_path}/cells").select(
+        "cell",
+        F.col(id_col).cast("long").alias("_cid"),
+        F.col("codes").alias("_codes"),
+    )
+    stored = anti_tombstones(stored, spark, index_path, "_cid", id_col)
+    joined = assigned.join(stored, "cell")
+
+    def adc(batches):
+        import pandas as pd
+
+        bk = bB.value
+        n_codes, m, ds = bk.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["_qid"].to_numpy(dtype=np.int64)
+            uq, first, inv = np.unique(
+                qids, return_index=True, return_inverse=True
+            )
+            Qu = np.array(
+                [pdf["_qv"].iloc[int(i)] for i in first],
+                dtype=np.float64,
+            )
+            # per-unique-query LUT, left-assoc subvector dots
+            lut = np.empty((len(uq), m, n_codes), dtype=np.float64)
+            for sub in range(m):
+                acc = np.zeros((len(uq), n_codes), dtype=np.float64)
+                Xs = Qu[:, sub * ds:(sub + 1) * ds]
+                Bs = bk[:, sub, :]
+                for t in range(ds):
+                    acc = acc + Xs[:, t:t + 1] * Bs[None, :, t]
+                lut[:, sub, :] = acc
+            codes = np.array(pdf["_codes"].tolist(), dtype=np.int64)
+            score = np.zeros(len(pdf), dtype=np.float64)
+            # fold the m subspace terms in subspace order (the
+            # declarative ivf_pq fold's accumulation order)
+            for sub in range(m):
+                score = score + lut[inv, sub, codes[:, sub]]
+            yield pd.DataFrame({
+                "_qid": qids,
+                "_cid": pdf["_cid"].to_numpy(dtype=np.int64),
+                "_adc": score,
+            })
+
+    return joined.mapInPandas(
+        adc, schema="_qid long, _cid long, _adc double"
+    )
+
+
+def final_pq_topk(
+    spark: SparkSession,
+    drained: DataFrame,
+    index_path: str,
+    queries: DataFrame,
+    vector_col: str = "embedding",
+    query_id: str = "vec_id",
+    k: int = 10,
+    retrieve_k: int | str = "auto",
+) -> DataFrame:
+    """Drain-time finalizer for :func:`streaming_pq_against_index`:
+    global per-query top-``retrieve_k`` ADC shortlist, exact re-rank
+    against the index's stored true vectors (tombstones anti-joined),
+    final top-``k`` — the declarative ``_shortlist_and_rerank`` tail,
+    i.e. the SQL-checkable twin of the batch serve."""
+    from ..functions import similarity as S
+    from ..operators.serving import (
+        _read_pq_meta, _shortlist_and_rerank, resolve_serving_params,
+    )
+    from ..operators.tombstones import anti_tombstones
+
+    meta = _read_pq_meta(spark, index_path)
+    p = resolve_serving_params(
+        int(meta["n_rows"]), int(meta["dim"]), k,
+        n_cells=int(meta["n_cells"]), m=int(meta["m"]),
+        n_codes=int(meta["n_codes"]), retrieve_k=retrieve_k,
+    )
+    id_col = str(meta["id_col"])
+    vec_col = str(meta["vector_col"])
+    qn = queries.select(
+        F.col(query_id).cast("long").alias("_qid"),
+        S.l2_normalize(F.col(vector_col)).alias("_qv"),
+    )
+    cn = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).cast("long").alias("_cid"),
+        F.col(vec_col).alias("_cv"),  # stored normalized at build
+    )
+    cn = anti_tombstones(cn, spark, index_path, "_cid", id_col)
+    cand = drained.select("_qid", "_cid", "_adc")
+    return _shortlist_and_rerank(
+        cand, F.broadcast(qn), cn, k, p["retrieve_k"]
+    )

@@ -811,3 +811,41 @@ def test_final_hybrid_rrf_equals_batch_arm_fusion(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, rrf_fuse(
         [bm, an], query_id="q_id", id_col="doc_id", k=10).collect()))
     assert got == want and got
+
+
+def test_streaming_pq_against_index_equals_batch(spark, sf_dir, tmp_path):
+    """Multi-micro-batch streaming serve of the r90 PQ index must
+    equal the batch indexed serve exactly (same probe kernels, same
+    ADC fold order, same drain shortlist + exact re-rank), including
+    tombstone masking."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import (
+        final_pq_topk, run_available_now, streaming_pq_against_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+    lt.delete_from_pq_index(
+        emb.filter(F.col("vec_id") % 9 == 4).select("vec_id"), path
+    )
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    src = str(tmp_path / "qstream")
+    q.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        streaming_pq_against_index(spark, sdf, path, n_probe=3),
+        output_mode="append",
+    )
+    got = {(r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+           for r in final_pq_topk(spark, drained, path, q, k=5,
+                                  retrieve_k=40).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+            for r in lt.ann_topk_pq_indexed(spark, path, q, k=5, n_probe=3,
+                                            retrieve_k=40).collect()}
+    assert got == want and got
+    assert not any(n % 9 == 4 for _, n, *_ in got)
