@@ -5823,7 +5823,8 @@ def stream_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 50
     )
     drained = run_available_now(
-        streaming_pq_against_index(spark, qs, path, n_probe=3),
+        streaming_pq_against_index(spark, qs, path, n_probe=3, k=5,
+                                   retrieve_k=40),
         output_mode="append",
     )
     q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")

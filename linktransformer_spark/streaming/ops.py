@@ -1616,6 +1616,16 @@ def streaming_bm25_against_index(
     a stream — persist the postings relation hot for high-frequency
     triggers, or route very fat query batches through the batch serve.
 
+    DRAIN-VOLUME note: the emitted relation is one row per
+    (query, doc, term) — the sum of the query terms' posting lists.
+    On a heavy-tailed vocabulary that is dominated by the df~N head
+    terms, which contribute near-zero BM25 signal but almost all the
+    volume (measured: 500 queries against the degenerate 31-word
+    bench corpus drain 13.7M contribution rows). Production streams
+    should ALWAYS set ``max_df_ratio`` — it prunes exactly that head
+    before the posting join, bounding drained volume by the tail
+    terms' df.
+
     Tombstones (:func:`~linktransformer_spark.operators.search.delete_from_bm25_index`)
     are honored exactly like the batch serve: deleted docs never emit
     contributions, so survivors take the freed rank slots at drain."""
@@ -1733,6 +1743,8 @@ def streaming_pq_against_index(
     vector_col: str = "embedding",
     query_id: str = "vec_id",
     n_probe: int | str = "auto",
+    k: int = 10,
+    retrieve_k: int | str = "auto",
 ) -> DataFrame:
     """Real-time semantic search against the r90 SERVING index
     (:func:`~linktransformer_spark.operators.serving.save_pq_index`):
@@ -1749,10 +1761,18 @@ def streaming_pq_against_index(
     joins the stored code rows (tombstones anti-joined exactly like
     the batch serve); stage 2 ADC-scores each joined Arrow batch with
     the per-query lookup table, folding the m subspace terms in
-    subspace order — bit-equal to the declarative ivf_pq fold. The
-    emitted candidate superset (every probed row, not the batch
-    path's per-partition top-retrieve_k pruning) yields the identical
-    global shortlist at drain.
+    subspace order — bit-equal to the declarative ivf_pq fold — and
+    keeps, per query, only that Arrow batch's top-``retrieve_k`` by
+    (adc DESC, id ASC). Batch-local pruning preserves the drain's
+    global shortlist exactly (any dropped row had >= retrieve_k rows
+    in its own batch strictly preferred, so its global rank exceeds
+    retrieve_k — the batch serve's per-partition pruning argument)
+    while bounding drained volume at retrieve_k x batches per query
+    instead of the probed superset (measured: 2000 queries against
+    the sf0.1 auto-knob index drained 4M unpruned rows vs <=
+    2000 x retrieve_k pruned). Pass the SAME ``k``/``retrieve_k`` you
+    will give :func:`final_pq_topk` — the finalizer's retrieve_k must
+    not exceed the stream's pruning width.
 
     Scale note: as with every stream-static serve here, the static
     side re-reads per micro-batch and the batch path's probed-cell
@@ -1769,11 +1789,13 @@ def streaming_pq_against_index(
     meta = _read_pq_meta(spark, index_path)
     C, book = _load_pq_model(spark, index_path, meta)
     p = resolve_serving_params(
-        int(meta["n_rows"]), int(meta["dim"]), 10,
+        int(meta["n_rows"]), int(meta["dim"]), k,
         n_cells=int(meta["n_cells"]), n_probe=n_probe,
         m=int(meta["m"]), n_codes=int(meta["n_codes"]),
+        retrieve_k=retrieve_k,
     )
     npb = p["n_probe"]
+    rk = p["retrieve_k"]
     bC = spark.sparkContext.broadcast(C)
     bB = spark.sparkContext.broadcast(book)
     vc, qc = vector_col, query_id
@@ -1799,6 +1821,15 @@ def streaming_pq_against_index(
     assigned = stream_queries.select(query_id, vector_col).mapInPandas(
         assign, schema="_qid long, cell int, _qv array<double>"
     )
+    # fan the TINY (query, cell) relation out to cluster parallelism
+    # BEFORE the join: the stream-static join's output inherits the
+    # stream side's partitioning (often a handful of source files per
+    # micro-batch), which would run the candidate scoring stage on a
+    # few cores; shuffling here moves |queries| x n_probe narrow rows
+    # instead of the candidate fan-out (measured 2x serve wall)
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     id_col = str(meta["id_col"])
     stored = spark.read.parquet(f"{index_path}/cells").select(
         "cell",
@@ -1808,11 +1839,36 @@ def streaming_pq_against_index(
     stored = anti_tombstones(stored, spark, index_path, "_cid", id_col)
     joined = assigned.join(stored, "cell")
 
-    def adc(batches):
+    def _topk_per_query(qids, cids, score):
+        """Per-query top-rk indices by (adc DESC, id ASC)."""
+        order = np.lexsort((cids, -score, qids))
+        qs_ = qids[order]
+        keep_parts = []
+        start = 0
+        n = len(order)
+        for i in range(1, n + 1):
+            if i == n or qs_[i] != qs_[start]:
+                keep_parts.append(order[start:start + min(rk, i - start)])
+                start = i
+        if not keep_parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(keep_parts)
+
+    def adc_local(batches):
+        """Score + prune BEFORE any exchange: the wide (qv, codes)
+        columns die here, so the shuffle below carries only ~24-byte
+        rows. LUTs are CACHED per query id across the partition's
+        Arrow batches (a query's candidates arrive fragmented — the
+        cache bounds LUT work at one build per query per partition;
+        memory m*n_codes doubles per distinct query, bounded by the
+        query stream) and the pruned pieces accumulate to one
+        partition-level top-rk emission."""
         import pandas as pd
 
         bk = bB.value
         n_codes, m, ds = bk.shape
+        lut_cache = {}
+        acc_q, acc_c, acc_s = [], [], []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1820,33 +1876,82 @@ def streaming_pq_against_index(
             uq, first, inv = np.unique(
                 qids, return_index=True, return_inverse=True
             )
-            Qu = np.array(
-                [pdf["_qv"].iloc[int(i)] for i in first],
-                dtype=np.float64,
-            )
-            # per-unique-query LUT, left-assoc subvector dots
-            lut = np.empty((len(uq), m, n_codes), dtype=np.float64)
-            for sub in range(m):
-                acc = np.zeros((len(uq), n_codes), dtype=np.float64)
-                Xs = Qu[:, sub * ds:(sub + 1) * ds]
-                Bs = bk[:, sub, :]
-                for t in range(ds):
-                    acc = acc + Xs[:, t:t + 1] * Bs[None, :, t]
-                lut[:, sub, :] = acc
+            missing = [i for i, qv in enumerate(uq)
+                       if int(qv) not in lut_cache]
+            if missing:
+                Qu = np.array(
+                    [pdf["_qv"].iloc[int(first[i])] for i in missing],
+                    dtype=np.float64,
+                )
+                # per-query LUT, left-assoc subvector dots
+                lut_new = np.empty((len(missing), m, n_codes),
+                                   dtype=np.float64)
+                for sub in range(m):
+                    a = np.zeros((len(missing), n_codes),
+                                 dtype=np.float64)
+                    Xs = Qu[:, sub * ds:(sub + 1) * ds]
+                    Bs = bk[:, sub, :]
+                    for t in range(ds):
+                        a = a + Xs[:, t:t + 1] * Bs[None, :, t]
+                    lut_new[:, sub, :] = a
+                for j, i in enumerate(missing):
+                    lut_cache[int(uq[i])] = lut_new[j]
+            lut = np.stack([lut_cache[int(qv)] for qv in uq])
             codes = np.array(pdf["_codes"].tolist(), dtype=np.int64)
             score = np.zeros(len(pdf), dtype=np.float64)
             # fold the m subspace terms in subspace order (the
             # declarative ivf_pq fold's accumulation order)
             for sub in range(m):
                 score = score + lut[inv, sub, codes[:, sub]]
+            cids = pdf["_cid"].to_numpy(dtype=np.int64)
+            keep = _topk_per_query(qids, cids, score)
+            acc_q.append(qids[keep])
+            acc_c.append(cids[keep])
+            acc_s.append(score[keep])
+        if acc_q:
+            qids = np.concatenate(acc_q)
+            cids = np.concatenate(acc_c)
+            score = np.concatenate(acc_s)
+            keep = _topk_per_query(qids, cids, score)
             yield pd.DataFrame({
-                "_qid": qids,
-                "_cid": pdf["_cid"].to_numpy(dtype=np.int64),
-                "_adc": score,
+                "_qid": qids[keep],
+                "_cid": cids[keep],
+                "_adc": score[keep],
             })
 
-    return joined.mapInPandas(
-        adc, schema="_qid long, _cid long, _adc double"
+    def reduce_topk(batches):
+        """After the _qid co-location: reduce each partition's pruned
+        pieces to the per-query top-rk and emit ONCE — each query then
+        adds at most rk rows per micro-batch to the sink."""
+        import pandas as pd
+
+        acc_q, acc_c, acc_s = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc_q.append(pdf["_qid"].to_numpy(dtype=np.int64))
+            acc_c.append(pdf["_cid"].to_numpy(dtype=np.int64))
+            acc_s.append(pdf["_adc"].to_numpy(dtype=np.float64))
+        if acc_q:
+            qids = np.concatenate(acc_q)
+            cids = np.concatenate(acc_c)
+            score = np.concatenate(acc_s)
+            keep = _topk_per_query(qids, cids, score)
+            yield pd.DataFrame({
+                "_qid": qids[keep],
+                "_cid": cids[keep],
+                "_adc": score[keep],
+            })
+
+    narrow = joined.mapInPandas(
+        adc_local, schema="_qid long, _cid long, _adc double"
+    )
+    # co-locate each query's (already narrow, already batch-pruned)
+    # candidates so the final reduce bounds its sink emission at rk
+    # per query per micro-batch (one stateless exchange of ~24-byte
+    # rows)
+    return narrow.repartition("_qid").mapInPandas(
+        reduce_topk, schema="_qid long, _cid long, _adc double"
     )
 
 

@@ -838,7 +838,8 @@ def test_streaming_pq_against_index_equals_batch(spark, sf_dir, tmp_path):
         .parquet(src)
     )
     drained = run_available_now(
-        streaming_pq_against_index(spark, sdf, path, n_probe=3),
+        streaming_pq_against_index(spark, sdf, path, n_probe=3, k=5,
+                                   retrieve_k=40),
         output_mode="append",
     )
     got = {(r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))

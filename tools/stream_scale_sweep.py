@@ -104,6 +104,58 @@ def drains(spark):
         )
         return run_available_now(out, output_mode="append")
 
+    _bm_idx = {}
+
+    def stream_bm25_indexed(sf_dir):
+        # FIXED ~500-query stream vs a 10x impact index (built once
+        # per sf) — the serving contract: wall must track the query
+        # stream, not the corpus; postings re-read per micro-batch
+        # (the documented stream-static trade)
+        import tempfile
+
+        from linktransformer_spark.functions import similarity as S
+        from linktransformer_spark.streaming.ops import (
+            streaming_bm25_against_index,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _bm_idx:
+            path = tempfile.mkdtemp(prefix="lt_ss_bm_")
+            lt.save_bm25_index(docs, path)
+            _bm_idx[sf_dir] = path
+        q = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 500
+        ).select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(
+                F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+            ).alias("q_text"),
+        )
+        out = streaming_bm25_against_index(spark, q, _bm_idx[sf_dir])
+        return run_available_now(out, output_mode="append")
+
+    _pq_idx = {}
+
+    def stream_pq_indexed(sf_dir):
+        # FIXED 2000-query stream vs a 10x r90 serving index
+        # (auto knobs at build)
+        import tempfile
+
+        from linktransformer_spark.streaming.ops import (
+            streaming_pq_against_index,
+        )
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        if sf_dir not in _pq_idx:
+            path = tempfile.mkdtemp(prefix="lt_ss_pq_")
+            lt.save_pq_index(emb, path)
+            _pq_idx[sf_dir] = path
+        q = read_stream_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 2000
+        )
+        out = streaming_pq_against_index(spark, q, _pq_idx[sf_dir])
+        return run_available_now(out, output_mode="append")
+
     def stream_contamination(sf_dir):
         from linktransformer_spark.streaming.ops import (
             streaming_contamination,
@@ -167,6 +219,8 @@ def drains(spark):
         "stream_semdedup_against": stream_semdedup_against,
         "stream_funnel": stream_funnel,
         "stream_ann_ivf_indexed": stream_ann_ivf_indexed,
+        "stream_bm25_indexed": stream_bm25_indexed,
+        "stream_pq_indexed": stream_pq_indexed,
         "stream_contamination": stream_contamination,
         "stream_retention": stream_retention,
         "stream_transitions": stream_transitions,
