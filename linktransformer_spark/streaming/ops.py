@@ -1759,20 +1759,25 @@ def streaming_pq_against_index(
     (``_np_normalize`` / ``_np_probe_mask`` — left-assoc folds, tie
     (dot DESC, cell ASC)); the (query, cell) fan-out stream-static
     joins the stored code rows (tombstones anti-joined exactly like
-    the batch serve); stage 2 ADC-scores each joined Arrow batch with
-    the per-query lookup table, folding the m subspace terms in
-    subspace order — bit-equal to the declarative ivf_pq fold — and
-    keeps, per query, only that Arrow batch's top-``retrieve_k`` by
-    (adc DESC, id ASC). Batch-local pruning preserves the drain's
-    global shortlist exactly (any dropped row had >= retrieve_k rows
-    in its own batch strictly preferred, so its global rank exceeds
-    retrieve_k — the batch serve's per-partition pruning argument)
-    while bounding drained volume at retrieve_k x batches per query
-    instead of the probed superset (measured: 2000 queries against
-    the sf0.1 auto-knob index drained 4M unpruned rows vs <=
-    2000 x retrieve_k pruned). Pass the SAME ``k``/``retrieve_k`` you
-    will give :func:`final_pq_topk` — the finalizer's retrieve_k must
-    not exceed the stream's pruning width.
+    the batch serve); stage 2 ADC-scores the candidates with per-query
+    lookup tables (cached per partition — a query's candidates arrive
+    fragmented), folding the m subspace terms in subspace order —
+    bit-equal to the declarative ivf_pq fold — and prunes each
+    partition to its per-query top-``retrieve_k`` by (adc DESC,
+    id ASC) BEFORE any exchange, so the ``_qid`` co-location shuffle
+    carries ~24-byte rows instead of (qv, codes) candidates; a final
+    per-query reduce bounds the sink at retrieve_k rows per query per
+    micro-batch. Pruning is score-invariant and preserves the drain's
+    global shortlist exactly: any dropped row had >= retrieve_k rows
+    in its own scope strictly preferred, so its global rank exceeds
+    retrieve_k — the batch serve's per-partition pruning argument.
+    Measured (PLANS.md round-10 addendum 4): the naive probed-
+    superset drain was 4M rows / 60.8s at sf0.1 and died at 10x; this
+    plan drains queries x retrieve_k rows at 10.6s (sf0.1) / 26.4s
+    (sf1) — 2.5x wall for 10x data, the batch serve's scaling class.
+    Pass the SAME ``k``/``retrieve_k`` you will give
+    :func:`final_pq_topk` — the finalizer's retrieve_k must not
+    exceed the stream's pruning width.
 
     Scale note: as with every stream-static serve here, the static
     side re-reads per micro-batch and the batch path's probed-cell
