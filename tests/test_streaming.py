@@ -850,3 +850,57 @@ def test_streaming_pq_against_index_equals_batch(spark, sf_dir, tmp_path):
                                             retrieve_k=40).collect()}
     assert got == want and got
     assert not any(n % 9 == 4 for _, n, *_ in got)
+
+
+def test_streaming_serve_empty_query_stream(spark, sf_dir, tmp_path):
+    """An EMPTY query stream must drain to zero rows and every
+    finalizer must return an empty, correctly-shaped frame — not
+    crash (the zero-batch mapInPandas / empty-window edge)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import (
+        final_bm25_topk, final_hybrid_rrf, final_pq_topk,
+        run_available_now, streaming_bm25_against_index,
+        streaming_pq_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm_path, pq_path = str(tmp_path / "bm"), str(tmp_path / "pq")
+    lt.save_bm25_index(docs.limit(100), bm_path)
+    lt.save_pq_index(emb.limit(200), pq_path, n_cells=4, m=8,
+                     n_codes=16)
+
+    qt = docs.filter(F.col("doc_id") < 0).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    qv = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding")
+    st, sv = str(tmp_path / "qt"), str(tmp_path / "qv")
+    qt.write.parquet(st)
+    qv.write.parquet(sv)
+    sqt = spark.readStream.schema(qt.schema).parquet(st)
+    sqv = spark.readStream.schema(qv.schema).parquet(sv)
+
+    bm_drained = run_available_now(
+        streaming_bm25_against_index(spark, sqt, bm_path),
+        output_mode="append",
+    )
+    pq_drained = run_available_now(
+        streaming_pq_against_index(spark, sqv, pq_path, n_probe=2),
+        output_mode="append",
+    )
+    assert bm_drained.count() == 0 and pq_drained.count() == 0
+    out_bm = final_bm25_topk(bm_drained, k=5)
+    assert out_bm.count() == 0
+    assert out_bm.columns == ["q_id", "doc_id", "rank", "score",
+                              "n_terms"]
+    out_pq = final_pq_topk(spark, pq_drained, pq_path, qv, k=5)
+    assert out_pq.count() == 0
+    assert out_pq.columns == ["query_id", "neighbor_id", "rank",
+                              "score"]
+    out_h = final_hybrid_rrf(bm_drained, pq_drained.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("neighbor_id"),
+        F.lit(1).alias("rank"),
+        F.col("_adc").alias("score"),
+    ), k=5)
+    assert out_h.count() == 0
