@@ -459,3 +459,45 @@ def test_bm25_tombstone_keeps_bucket_pruning(spark, sf_dir, tmp_path):
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti, plan
     assert all("HashJoin" in l or "MergeJoin" in l for l in anti), anti
+
+
+def test_hybrid_indexed_keeps_both_arms_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    """The one-call hybrid serve must keep EACH arm's pruned scan in
+    the fused plan: the BM25 postings scan planned with a bucket
+    partition filter, the PQ cells scan with a probed-cell partition
+    filter — and no nested-loop/cartesian anywhere (fusion is a hash
+    aggregate over two bounded lists)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm_path, pq_path = str(tmp_path / "bm"), str(tmp_path / "pq")
+    lt.save_bm25_index(docs, bm_path)
+    lt.save_pq_index(emb, pq_path, n_cells=8, m=8, n_codes=16)
+    queries = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(
+                F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+            ).alias("q_text"),
+        )
+        .join(emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+              "q_id")
+    )
+    out = lt.hybrid_topk_indexed(
+        spark, bm_path, pq_path, queries, k=10, k_arm=10, n_probe=3,
+        retrieve_k=40,
+    )
+    plan = plan_of(out)
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in pf and ("INSET" in pf or "IN " in pf or "=" in pf)
+               for pf in pfs), plan
+    assert any("cell" in pf and ("INSET" in pf or "IN " in pf or "=" in pf)
+               for pf in pfs), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
