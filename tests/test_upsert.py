@@ -422,3 +422,48 @@ class TestRebalancePq:
         got = lt.ann_topk_pq_indexed(spark, path, q, k=5, n_probe=16)
         deleted = {r.vec_id for r in dels.collect()}
         assert not deleted & {r.neighbor_id for r in got.collect()}
+
+
+def test_maintenance_chain_rebalance_append_upsert_serve(
+    spark, emb, tmp_path
+):
+    """The maintenance operators must COMPOSE: build -> rebalance
+    (topology grows) -> append (encodes against the post-rebalance
+    centroids) -> upsert (targeted rewrite + untombstone) -> delete ->
+    all-probe serve == exact top-k over the end-state corpus (IVF is
+    per-row state, so full probing is exact whatever the geometry)."""
+    path = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") < 400)
+    lt.save_ivf_index(base, path, n_cells=16)
+    st = lt.rebalance_ivf_index(
+        spark, path, max_over_mean=1.05, split_factor=2
+    ).collect()[0]
+    assert st.n_hot_cells > 0
+    appended = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 480)
+    )
+    lt.append_to_ivf_index(appended, path)
+    batch = emb.filter(F.col("vec_id") % 10 == 3).filter(
+        F.col("vec_id") < 480
+    ).select("vec_id", F.reverse("embedding").alias("embedding"))
+    lt.upsert_ivf_index(batch, path)
+    dels = spark.createDataFrame([(7,), (13,)], "vec_id long")
+    lt.delete_from_ivf_index(dels, path)
+
+    end_state = (
+        emb.filter(F.col("vec_id") < 480)
+        .filter(F.col("vec_id") % 10 != 3)
+        .select("vec_id", "embedding")
+        .unionByName(batch)
+        .filter(~F.col("vec_id").isin(7, 13))
+    )
+    n_cells = int(spark.read.json(f"{path}/meta").collect()[0]["n_cells"])
+    q = emb.filter(F.col("vec_id") < 20)
+    got = lt.ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=n_cells)
+    want = lt.ann_topk(q, end_state, vector_col="embedding", k=5,
+                       mode="exact_cross")
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
