@@ -904,3 +904,40 @@ def test_streaming_serve_empty_query_stream(spark, sf_dir, tmp_path):
         F.col("_adc").alias("score"),
     ), k=5)
     assert out_h.count() == 0
+
+
+def test_streaming_pq_pruning_under_total_ties(spark, tmp_path):
+    """Adversarial tie shape: every corpus vector IDENTICAL, so every
+    ADC score ties and the per-scope top-retrieve_k pruning must
+    resolve purely on the (score DESC, id ASC) tie-break at every
+    boundary — stream must equal batch exactly (smallest ids win)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import (
+        final_pq_topk, run_available_now, streaming_pq_against_index,
+    )
+
+    v = [float((j * 3) % 7 - 3) for j in range(16)]
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "pq")
+    lt.save_pq_index(emb, path, n_cells=4, m=4, n_codes=8)
+    q = emb.filter(F.col("vec_id") < 10)
+    src = str(tmp_path / "qs")
+    q.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    drained = run_available_now(
+        streaming_pq_against_index(spark, sdf, path, n_probe=2, k=5,
+                                   retrieve_k=20),
+        output_mode="append",
+    )
+    got = sorted(map(tuple, final_pq_topk(
+        spark, drained, path, q, k=5, retrieve_k=20).collect()))
+    want = sorted(map(tuple, lt.ann_topk_pq_indexed(
+        spark, path, q, k=5, n_probe=2, retrieve_k=20).collect()))
+    assert got == want and got
+    # ties resolve to the smallest ids everywhere
+    assert all(r[1] in range(5) for r in got)
