@@ -509,6 +509,64 @@ def main() -> None:
             f"# merge_auto_recall: {recall['merge_auto_recall']}",
             file=sys.stderr,
         )
+
+        # merge-route recall on REALISTIC keys (round-11 verdict item
+        # 3): the TPC-H digit-name shape above is a measured
+        # near-worst-but-flattering LSH case (all non-digit n-grams
+        # collide); this twin uses the Zipf syllable-vocab titles with
+        # PERTURBED-left / original-right pairs (drop last token /
+        # swap first for a stopword — each left row has exactly ONE
+        # true near match), k=1, the matching-task readout. PLANS.md
+        # round-10: 0.84 single-table, 0.96-0.99 at 2-3 LSH tables.
+        from tools.gen_scale_data import gen_zipf_documents
+
+        zpd = gen_zipf_documents(3000).to_pandas()
+        zdocs = spark.createDataFrame(zpd).filter(
+            F.col("doc_id") >= 2000
+        ).localCheckpoint(eager=True)
+        tw = F.split(F.col("title"), " ")
+        zl = (
+            zdocs.select(
+                F.col("doc_id").alias("lid"),
+                F.array_join(
+                    F.slice(tw, 1, F.size(tw) - 1), " "
+                ).alias("lkey"),
+            )
+            .unionByName(
+                zdocs.select(
+                    (F.col("doc_id") + 1000).alias("lid"),
+                    F.concat(
+                        F.lit("the "),
+                        F.array_join(F.slice(tw, 2, 99), " "),
+                    ).alias("lkey"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        zr = zdocs.select(
+            F.col("doc_id").alias("rid"), F.col("title").alias("rkey")
+        ).localCheckpoint(eager=True)
+        zkw = dict(left_on="lkey", right_on="rkey", model="hash-ngram",
+                   k=1, left_id_col="lid", right_id_col="rid")
+        zex = (
+            lt.merge_knn(zl, zr, mode="exact_cross", **zkw)
+            .select("lid", "rid")
+            .localCheckpoint(eager=True)
+        )
+        n_zex = zex.count()
+        spark.conf.set(AUTO_LSH_CONF, "1")
+        try:
+            zlsh = lt.merge_knn(zl, zr, mode="auto", **zkw).select(
+                "lid", "rid"
+            )
+            hit_z = zex.join(zlsh, ["lid", "rid"]).count()
+        finally:
+            spark.conf.unset(AUTO_LSH_CONF)
+        recall["merge_zipf_recall"] = round(hit_z / max(n_zex, 1), 4)
+        print(
+            f"# merge_zipf_recall: {recall['merge_zipf_recall']}",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001 — recall is telemetry, not a gate
         print(f"# recall tracking failed: {e}", file=sys.stderr)
 

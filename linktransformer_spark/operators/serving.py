@@ -403,7 +403,9 @@ def _resolve_parts(spark, n: int, rows_per_task: int) -> int:
 def _collect_query_batch(queries, query_id, vector_col, max_query_batch):
     rows = (
         queries.select(
-            F.col(query_id).cast("long").alias("_qid"), F.col(vector_col)
+            F.col(query_id).cast("long").alias("_qid"),
+            F.col(query_id).isNull().alias("_src_null"),
+            F.col(vector_col),
         )
         .limit(max_query_batch + 1)
         .collect()
@@ -414,6 +416,18 @@ def _collect_query_batch(queries, query_id, vector_col, max_query_batch):
             "query side is the bounded, closure-shipped side (same "
             "contract as broadcast_knn's right side); split the batch "
             "or raise max_query_batch"
+        )
+    # the non-ANSI long cast nulls an unconvertible id (e.g. a string)
+    # SILENTLY — those queries would vanish from the result with no
+    # signal; the batch is already collected, so the check is free
+    nbad = sum(1 for r in rows if r["_qid"] is None and not r["_src_null"])
+    nnull = sum(1 for r in rows if r["_src_null"])
+    if nbad or nnull:
+        raise ValueError(
+            f"serving query batch: {nbad} id(s) in {query_id!r} do not "
+            f"cast to long and {nnull} are NULL — those queries would "
+            "silently drop from the result; fix the id column (add a "
+            "surrogate id via ids.with_row_id if needed)"
         )
     return rows
 

@@ -122,26 +122,37 @@ def write_tombstones(ids: DataFrame, index_path: str, src_col: str,
     mis-resolve later. One parquet-footer schema read, no data scan.
 
     An id the non-ANSI cast cannot convert (e.g. ``'abc'`` against a
-    long-id index) raises instead of writing a silent null: a null
-    tombstone never anti-join-matches anything, so the requested
-    delete would silently not happen — unacceptable on a
-    compliance-delete path."""
+    long-id index) raises instead of writing a silent null, and so
+    does an id that is ALREADY null in the batch: a null tombstone
+    never anti-join-matches anything, so the requested delete would
+    silently not happen — unacceptable on a compliance-delete path
+    (same stance as upsert's ``_distinct_ids``)."""
     sel = F.col(src_col)
     if stored_rel is not None:
         rel_schema = ids.sparkSession.read.parquet(
             f"{index_path}/{stored_rel}"
         ).schema
         sel = sel.cast(rel_schema[stored_col].dataType)
-        nbad = ids.filter(
-            sel.isNull() & F.col(src_col).isNotNull()
-        ).count()
-        if nbad:
-            raise ValueError(
-                f"{nbad} delete id(s) in {src_col!r} do not cast to "
-                f"the index's stored id type "
-                f"{rel_schema[stored_col].dataType.simpleString()} — a "
-                "null tombstone deletes nothing; fix the id column"
-            )
+    # one aggregation pass covers both failure classes: a source null
+    # (a delete request without an id) and a cast-produced null (an id
+    # the index's stored type cannot represent)
+    nnull, nbad = ids.agg(
+        F.count(F.when(F.col(src_col).isNull(), F.lit(1))).alias("nnull"),
+        F.count(
+            F.when(sel.isNull() & F.col(src_col).isNotNull(), F.lit(1))
+        ).alias("nbad"),
+    ).first()
+    if nnull:
+        raise ValueError(
+            f"{nnull} delete id(s) in {src_col!r} are NULL — a null "
+            "tombstone deletes nothing; drop or fix those rows first"
+        )
+    if nbad:
+        raise ValueError(
+            f"{nbad} delete id(s) in {src_col!r} do not cast to "
+            f"the index's stored id type — a "
+            "null tombstone deletes nothing; fix the id column"
+        )
     (
         ids.select(sel.alias(stored_col))
         .distinct()

@@ -36,8 +36,16 @@ The swap itself (delete old + rename tmp) is not transactional: a
 crash between the two leaves the relation missing — re-run the upsert
 or restore from the staged tmp dir. Deployments needing a commit
 point should keep using purge-to-new-path + atomic rename.
+
+In-place mutation is SINGLE-WRITER: every upsert (and the ann
+rebalance pair) takes :func:`index_write_lock` — an atomic
+create-fails-if-exists marker under the index path — so a second
+concurrent writer raises instead of silently interleaving staged
+swaps. Readers are unaffected (they never look at the marker).
 """
 from __future__ import annotations
+
+import contextlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,12 +56,48 @@ from .tombstones import (
 )
 
 _TMP_SUFFIX = "._lt_upsert_tmp"
+_LOCK_NAME = "._lt_writer_lock"
 
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
+
+
+@contextlib.contextmanager
+def index_write_lock(spark: SparkSession, path: str):
+    """SINGLE-WRITER guard for in-place index mutation (every
+    ``upsert_*`` and ``rebalance_*``). These operators stage to a
+    FIXED sibling suffix and swap partition directories in place —
+    two concurrent writers on one index path would interleave their
+    staging/swap steps and corrupt the index silently, so the second
+    writer must fail loudly instead.
+
+    Mechanism: an atomic create-fails-if-exists marker file
+    ``{path}/._lt_writer_lock`` (``FileSystem.createNewFile`` — atomic
+    on HDFS and local FS; on object stores without atomic create the
+    guard is best-effort, same caveat as the rename-based swaps).
+    The marker is removed on exit, including on operator failure. A
+    crash BETWEEN create and cleanup leaves a stale marker: the error
+    message says to delete it manually once no writer is running —
+    readers never look at it, so a stale lock only blocks writers."""
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    lock = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}")
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"index at {path} is locked by another in-place writer "
+            f"({_LOCK_NAME} exists). In-place mutation is "
+            "single-writer; wait for the other upsert/rebalance to "
+            "finish. If a previous writer CRASHED, verify nothing is "
+            "running and delete the marker file to clear the stale "
+            "lock."
+        )
+    try:
+        yield
+    finally:
+        fs.delete(lock, False)
 
 
 def _swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
@@ -228,10 +272,12 @@ def upsert_ivf_index(
     stored = str(meta["id_col"])
     dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
     ids = _distinct_ids(batch, corpus_id or stored, dtype)
-    _rewrite_partitions_minus_ids(spark, f"{path}/cells", "cell", ids, stored)
-    _untombstone(spark, path, ids, stored)
-    append_to_ivf_index(batch, path, vector_col=vector_col,
-                        corpus_id=corpus_id)
+    with index_write_lock(spark, path):
+        _rewrite_partitions_minus_ids(spark, f"{path}/cells", "cell",
+                                      ids, stored)
+        _untombstone(spark, path, ids, stored)
+        append_to_ivf_index(batch, path, vector_col=vector_col,
+                            corpus_id=corpus_id)
     refresh_index_path(spark, path)
 
 
@@ -253,15 +299,16 @@ def upsert_pq_index(
     stored = str(meta["id_col"])
     dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
     ids = _distinct_ids(batch, corpus_id or stored, dtype)
-    n_removed = _rewrite_partitions_minus_ids(
-        spark, f"{path}/cells", "cell", ids, stored
-    )
-    if n_removed:
-        _write_pq_meta(spark, path, meta,
-                       max(0, int(meta["n_rows"]) - n_removed))
-    _untombstone(spark, path, ids, stored)
-    append_to_pq_index(batch, path, vector_col=vector_col,
-                       corpus_id=corpus_id)
+    with index_write_lock(spark, path):
+        n_removed = _rewrite_partitions_minus_ids(
+            spark, f"{path}/cells", "cell", ids, stored
+        )
+        if n_removed:
+            _write_pq_meta(spark, path, meta,
+                           max(0, int(meta["n_rows"]) - n_removed))
+        _untombstone(spark, path, ids, stored)
+        append_to_pq_index(batch, path, vector_col=vector_col,
+                           corpus_id=corpus_id)
     refresh_index_path(spark, path)
 
 
@@ -285,11 +332,12 @@ def upsert_bm25_index(
     stored = str(meta["id_col"])
     dtype = spark.read.parquet(f"{path}/postings").schema[stored].dataType
     ids = _distinct_ids(batch, id_col or stored, dtype)
-    _rewrite_partitions_minus_ids(
-        spark, f"{path}/postings", "bucket", ids, stored
-    )
-    _untombstone(spark, path, ids, stored)
-    append_to_bm25_index(batch, path, text_col=text_col)
+    with index_write_lock(spark, path):
+        _rewrite_partitions_minus_ids(
+            spark, f"{path}/postings", "bucket", ids, stored
+        )
+        _untombstone(spark, path, ids, stored)
+        append_to_bm25_index(batch, path, text_col=text_col)
     refresh_index_path(spark, path)
 
 
@@ -317,13 +365,14 @@ def upsert_minhash_index(
         raise ValueError("upsert_minhash_index requires on")
     dtype = spark.read.parquet(f"{path}/bands").schema["_id"].dataType
     ids = _distinct_ids(batch, id_col, dtype)
-    for rel in ("bands", "shingles"):
-        _rewrite_relation_minus_ids(spark, f"{path}/{rel}", ids, "_id")
-    _untombstone(spark, path, ids, "_id")
-    save_minhash_index(
-        batch, path, on=on, id_col=id_col,
-        num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
-        shingle=int(meta["shingle"]), word=bool(meta["word"]),
-        mode="append",
-    )
+    with index_write_lock(spark, path):
+        for rel in ("bands", "shingles"):
+            _rewrite_relation_minus_ids(spark, f"{path}/{rel}", ids, "_id")
+        _untombstone(spark, path, ids, "_id")
+        save_minhash_index(
+            batch, path, on=on, id_col=id_col,
+            num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
+            shingle=int(meta["shingle"]), word=bool(meta["word"]),
+            mode="append",
+        )
     refresh_index_path(spark, path)

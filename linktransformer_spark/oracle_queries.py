@@ -5026,8 +5026,12 @@ def stream_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     term) impact contributions (stream-static join; per-row
     array_distinct replaces the batch path's global (q, term)
     distinct), the drain finalizer runs the identical order-pinned
-    fold + rank. Same SQL oracle as search_bm25_documents and
-    search_bm25_indexed — all three bit-identical."""
+    fold + rank. ``prune_topk=5`` exercises the production
+    score-bounded drain (sink capped at queries x 5 docs; the prune's
+    fold is the finalizer's exact float order, so the final top-5 is
+    bit-identical to the unpruned drain). Same SQL oracle as
+    search_bm25_documents and search_bm25_indexed — all three
+    bit-identical."""
     import tempfile
 
     from .functions import similarity as S
@@ -5050,7 +5054,7 @@ def stream_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_text"),
     )
     drained = run_available_now(
-        streaming_bm25_against_index(spark, qs, path),
+        streaming_bm25_against_index(spark, qs, path, prune_topk=5),
         output_mode="append",
     )
     out = final_bm25_topk(drained, k=5)
@@ -5779,7 +5783,10 @@ def stream_search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") % 50 == 0
     )
     bm_drained = run_available_now(
-        streaming_bm25_against_index(spark, qt, bm_path),
+        # prune_topk == k_arm: the lexical arm's sink is bounded at
+        # queries x 10 docs, final rank bit-identical (the prune's
+        # fold is the drain fold)
+        streaming_bm25_against_index(spark, qt, bm_path, prune_topk=10),
         output_mode="append",
     )
     ann_drained = run_available_now(
@@ -7350,6 +7357,55 @@ def ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     upsert_ivf_index(batch, path)
+    q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )
+
+
+@_q("stream_ann_ivf_upserted", _ivf_upsert_sql())
+def stream_ann_ivf_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming index maintenance
+    (streaming/ops.run_upsert_stream): the ann_ivf_upsert lifecycle
+    with the upsert batch arriving as a MULTI-MICRO-BATCH stream —
+    one upsert_ivf_index call per micro-batch via foreachBatch, each
+    under the single-writer lock. The stream's ids are unique, so the
+    final index state equals the one-call upsert over the union, and
+    the SAME one-shot SQL oracle checks the post-drain serve."""
+    import tempfile
+
+    from .operators.ann import (
+        ann_topk_ivf_indexed, delete_from_ivf_index, save_ivf_index,
+    )
+    from .streaming import run_upsert_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _idx_tag(sf_dir)
+    path = f"{tempfile.gettempdir()}/lt_ivf_supidx_{tag}"
+    save_ivf_index(emb, path, n_cells=16)
+    delete_from_ivf_index(
+        emb.filter((F.col("vec_id") % 20 == 3) | (F.col("vec_id") % 25 == 9))
+        .select("vec_id"),
+        path,
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 3)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 7).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    src = f"{tempfile.gettempdir()}/lt_ivf_supbatch_{tag}"
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_upsert_stream(sdf, path, "ivf")
     q = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
     out = ann_topk_ivf_indexed(spark, path, q, k=5, n_probe=4)
     return out.select(

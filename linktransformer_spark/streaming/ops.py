@@ -98,6 +98,74 @@ def run_available_now(
     return spark.createDataFrame(rows, schema=schema)
 
 
+def run_upsert_stream(
+    stream_batch: DataFrame,
+    index_path: str,
+    family: str,
+    timeout_sec: int = 600,
+    **upsert_kwargs,
+) -> int:
+    """CDC-style index maintenance: drain a STREAM of upsert rows into
+    a stored index, one :mod:`~linktransformer_spark.operators.upsert`
+    call per micro-batch (``foreachBatch`` — the documented Structured
+    Streaming recipe for sinks that need batch-only writers). Returns
+    the number of non-empty micro-batches applied.
+
+    ``family`` picks the index: ``'ivf'`` / ``'pq'`` / ``'bm25'`` /
+    ``'minhash'``; ``upsert_kwargs`` pass through to that family's
+    upsert (``vector_col=...``, ``text_col=...``, ...).
+
+    Semantics: micro-batches apply SEQUENTIALLY in stream order
+    (Structured Streaming runs one epoch at a time), each under the
+    single-writer lock, each with the full upsert contract — in-batch
+    duplicate/null/uncastable ids raise and kill the stream. An id
+    upserted in two DIFFERENT micro-batches is well-defined: the later
+    batch replaces the earlier version (exactly repeated one-call
+    upserts). The final index state therefore equals ONE upsert of the
+    stream's last-version-per-id rows — for unique-id streams, exactly
+    the one-call upsert over the union, so the batch upsert oracles
+    check this path end to end.
+
+    Scale note: per-micro-batch work is the upsert's (bounded by the
+    batch's affected partitions, never the index), so prefer FEWER,
+    FATTER micro-batches — per-epoch fixed costs (lock, meta reads,
+    staging swap) amortize over the batch. The trigger is availableNow
+    (drain everything, then stop): a production continuous deployment
+    would set its own trigger interval upstream; the upsert path is
+    identical."""
+    from ..operators import upsert as U
+
+    fns = {
+        "ivf": U.upsert_ivf_index,
+        "pq": U.upsert_pq_index,
+        "bm25": U.upsert_bm25_index,
+        "minhash": U.upsert_minhash_index,
+    }
+    if family not in fns:
+        raise ValueError(
+            f"unknown index family {family!r} — one of {sorted(fns)}"
+        )
+    fn = fns[family]
+    applied = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fn(batch_df, index_path, **upsert_kwargs)
+        applied["n"] += 1
+
+    q = (
+        stream_batch.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return applied["n"]
+
+
 def streaming_hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Windowed aggregation with watermark — the streaming twin of the
     batch events_hourly_agg query. Partial aggregation happens in the
@@ -649,10 +717,17 @@ def streaming_semdedup_against(
     import numpy as np
 
     from ..functions import similarity as S
+    from ..ids import require_integral_id
     from ..operators.ann import (
         _assign_cells_declarative, ivf_seed_centroids, resolve_n_cells,
     )
 
+    # both sides' ids coerce to long (stream side numpy int64, static
+    # side a non-ANSI Column cast) — a string id would error opaquely
+    # on an executor or null out silently; fail loudly at definition
+    require_integral_id(stream_new, id_col, "streaming_semdedup_against")
+    require_integral_id(static_corpus, id_col,
+                        "streaming_semdedup_against")
     c = static_corpus.select(
         F.col(id_col).cast("long").alias("_dst"),
         S.l2_normalize(F.col(vector_col)).alias("_cv"),
@@ -1591,6 +1666,7 @@ def streaming_bm25_against_index(
     query_id: str = "q_id",
     query_col: str = "q_text",
     max_df_ratio: float | None = None,
+    prune_topk: int | None = None,
 ) -> DataFrame:
     """Real-time keyword search: a STREAM of query texts scored
     against a :func:`~linktransformer_spark.operators.search.save_bm25_index`
@@ -1626,6 +1702,25 @@ def streaming_bm25_against_index(
     before the posting join, bounding drained volume by the tail
     terms' df.
 
+    ``prune_topk`` bounds the drain SUB-LINEARLY in the corpus: with
+    it set, the joined contributions co-locate per query (one
+    stateless exchange) and an Arrow stage computes each (query, doc)
+    score with the finalizer's EXACT order-pinned fold (token-sorted,
+    left-assoc float64 from 0.0), then emits only the contribution
+    rows of each query's top-``prune_topk`` docs (score DESC, doc ASC
+    — the finalizer's tie-break). The emitted schema and the
+    :func:`final_bm25_topk` contract are unchanged, and because the
+    prune's scores are bit-equal to the drain fold, the final top-k
+    (any ``k <= prune_topk``) is IDENTICAL row for row — the sink is
+    just bounded at queries x prune_topk x |query terms| rows instead
+    of the posting-list sum. Requires each query id's tokens to
+    arrive in ONE stream row (the documented contract — a query
+    split across rows would prune against partial scores). The
+    score-then-shuffle trade is the PQ path's: the exchange carries
+    the full contribution set once, but the partition-level fold must
+    hold its partition's share in memory — size
+    ``spark.sql.shuffle.partitions`` accordingly.
+
     Tombstones (:func:`~linktransformer_spark.operators.search.delete_from_bm25_index`)
     are honored exactly like the batch serve: deleted docs never emit
     contributions, so survivors take the freed rank slots at drain."""
@@ -1657,7 +1752,73 @@ def streaming_bm25_against_index(
         F.col("impact").alias("_c"),
     )
     postings = anti_tombstones(postings, spark, index_path, "_d", id_col)
-    return qterms.join(postings, "_tok").select("_q", "_d", "_tok", "_c")
+    contrib = qterms.join(postings, "_tok").select("_q", "_d", "_tok", "_c")
+    if prune_topk is None:
+        return contrib
+    if prune_topk < 1:
+        raise ValueError("prune_topk must be >= 1")
+    return _prune_bm25_contributions(contrib, prune_topk)
+
+
+def _prune_bm25_contributions(contrib: DataFrame, prune_topk: int):
+    """Per-query top-``prune_topk`` doc prune over a contribution
+    relation, emitting the SURVIVING CONTRIBUTION ROWS unchanged (same
+    schema — :func:`final_bm25_topk` runs unmodified on the sink).
+
+    Exactness: each (query, doc) score is computed with the drain
+    fold's bit-identical float order — rows sorted (query, doc, token)
+    then accumulated left-assoc in float64 from 0.0, the
+    ``F.aggregate(array_sort(...))`` order — and docs rank (score
+    DESC, doc ASC), the finalizer's tie-break. Any doc pruned has
+    ``prune_topk`` docs strictly preferred under that exact order, so
+    it cannot appear in any final top-k with k <= prune_topk."""
+    import numpy as np
+
+    topn = prune_topk
+
+    def prune(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True)
+        # token-sorted within (q, d): the finalizer's array_sort order
+        df = df.sort_values(["_q", "_d", "_tok"],
+                            kind="mergesort").reset_index(drop=True)
+        q = df["_q"].to_numpy()
+        d = df["_d"].to_numpy()
+        c = df["_c"].to_numpy(dtype=np.float64)
+        n = len(df)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (q[1:] != q[:-1]) | (d[1:] != d[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        sums = np.empty(len(starts), dtype=np.float64)
+        for gi in range(len(starts)):
+            acc = 0.0
+            for j in range(starts[gi], ends[gi]):
+                acc += c[j]
+            sums[gi] = acc
+        gdf = pd.DataFrame(
+            {"q": q[starts], "d": d[starts], "s": sums}
+        ).sort_values(["q", "s", "d"], ascending=[True, False, True],
+                      kind="mergesort")
+        keep_group = (gdf.groupby("q", sort=False).cumcount() < topn)
+        flags = np.zeros(len(starts), dtype=bool)
+        flags[gdf.index.to_numpy()[keep_group.to_numpy()]] = True
+        mask = np.repeat(flags, ends - starts)
+        out = df[mask]
+        if len(out):
+            yield out
+
+    # one stateless exchange co-locates each query's contributions;
+    # the shuffle still carries the full joined volume (distributed,
+    # executor-to-executor) — what the prune bounds is the SINK, the
+    # measured cliff (drained rows landing on the driver). The output
+    # schema is the input's — the prune only drops rows.
+    return contrib.repartition("_q").mapInPandas(prune, schema=contrib.schema)
 
 
 def final_bm25_topk(
@@ -1670,9 +1831,18 @@ def final_bm25_topk(
     the batch ``_retrieve`` tail over the drained contribution sink —
     order-pinned fold (terms in token order, left-assoc from 0.0),
     top-k rank window, the ``bm25_topk_indexed`` output shape
-    (query, doc, rank, score, n_terms)."""
+    (query, doc, rank, score, n_terms).
+
+    The fold first dedupes ``(_q, _tok, _d)``: the batch path's
+    (query, term) distinct is GLOBAL, while the stream dedupes tokens
+    per stream row — so a query id arriving in more than one stream
+    row would otherwise contribute each shared term twice and
+    double-count the score. Duplicate contribution rows are fully
+    identical (same stored impact), so any-winner dedupe restores the
+    batch semantics exactly."""
     from pyspark.sql import Window
 
+    drained = drained.dropDuplicates(["_q", "_tok", "_d"])
     scored = drained.groupBy("_q", "_d").agg(
         F.count("*").alias("_nt"),
         F.aggregate(
@@ -1782,15 +1952,30 @@ def streaming_pq_against_index(
     Scale note: as with every stream-static serve here, the static
     side re-reads per micro-batch and the batch path's probed-cell
     partition filter cannot be collected from a stream — keep the
-    cells relation hot for high-frequency triggers."""
+    cells relation hot for high-frequency triggers.
+
+    CONTRACT: query ids must be integral (checked at definition) and
+    UNIQUE per stream — the per-partition LUT cache is keyed by id, so
+    a duplicate id with a different vector would score against the
+    wrong LUT. Duplicates are detected (same Arrow batch at assign
+    time; same scoring partition at ADC time) and raise; a duplicate
+    that never collides cannot be caught statelessly — dedupe the
+    query stream upstream."""
     import numpy as np
 
+    from ..ids import require_integral_id
     from ..operators.serving import (
         _load_pq_model, _np_normalize, _np_probe_mask, _read_pq_meta,
         resolve_serving_params,
     )
     from ..operators.tombstones import anti_tombstones
 
+    # query ids ride the plan as numpy int64 — a string id would die
+    # with an opaque executor error, a float id would TRUNCATE
+    # silently; fail loudly at definition (same stance as the other
+    # streaming ingest entries)
+    require_integral_id(stream_queries, query_id,
+                        "streaming_pq_against_index")
     meta = _read_pq_meta(spark, index_path)
     C, book = _load_pq_model(spark, index_path, meta)
     p = resolve_serving_params(
@@ -1812,6 +1997,21 @@ def streaming_pq_against_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # unique-query-id contract (the ADC stage's LUT cache is
+            # keyed by id): duplicates inside one Arrow batch with
+            # DIFFERENT vectors raise here deterministically; the ADC
+            # stage re-checks across batches where candidates collide
+            qn = pdf[qc].to_numpy(dtype=np.int64)
+            uq0, cnt0 = np.unique(qn, return_counts=True)
+            for dup in uq0[cnt0 > 1]:
+                rows = pdf[vc][qn == dup].tolist()
+                if any(list(v) != list(rows[0]) for v in rows[1:]):
+                    raise ValueError(
+                        f"streaming_pq_against_index: query id "
+                        f"{int(dup)} arrived with two different "
+                        "vectors — query ids must be unique per "
+                        "stream"
+                    )
             Q = _np_normalize(
                 np.array(pdf[vc].tolist(), dtype=np.float64)
             )
@@ -1867,12 +2067,20 @@ def streaming_pq_against_index(
         cache bounds LUT work at one build per query per partition;
         memory m*n_codes doubles per distinct query, bounded by the
         query stream) and the pruned pieces accumulate to one
-        partition-level top-rk emission."""
+        partition-level top-rk emission.
+
+        The cache is keyed by query id, so the stream contract is
+        ONE vector per query id: a duplicate id carrying a DIFFERENT
+        vector would otherwise silently ADC-score against the first
+        arrival's LUT. Each batch compares its first-seen vector per
+        cached id against the cached vector and raises on mismatch
+        (cheap: dim-length compare per distinct query per batch)."""
         import pandas as pd
 
         bk = bB.value
         n_codes, m, ds = bk.shape
         lut_cache = {}
+        qv_cache = {}
         acc_q, acc_c, acc_s = [], [], []
         for pdf in batches:
             if len(pdf) == 0:
@@ -1881,6 +2089,20 @@ def streaming_pq_against_index(
             uq, first, inv = np.unique(
                 qids, return_index=True, return_inverse=True
             )
+            for i, qv in enumerate(uq):
+                cached = qv_cache.get(int(qv))
+                if cached is not None and not np.array_equal(
+                    cached,
+                    np.asarray(pdf["_qv"].iloc[int(first[i])],
+                               dtype=np.float64),
+                ):
+                    raise ValueError(
+                        f"streaming_pq_against_index: query id "
+                        f"{int(qv)} arrived with two different "
+                        "vectors — query ids must be unique per "
+                        "stream (the per-partition LUT cache is "
+                        "keyed by id)"
+                    )
             missing = [i for i, qv in enumerate(uq)
                        if int(qv) not in lut_cache]
             if missing:
@@ -1901,6 +2123,7 @@ def streaming_pq_against_index(
                     lut_new[:, sub, :] = a
                 for j, i in enumerate(missing):
                     lut_cache[int(uq[i])] = lut_new[j]
+                    qv_cache[int(uq[i])] = Qu[j]
             lut = np.stack([lut_cache[int(qv)] for qv in uq])
             codes = np.array(pdf["_codes"].tolist(), dtype=np.int64)
             score = np.zeros(len(pdf), dtype=np.float64)

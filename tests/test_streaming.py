@@ -5,6 +5,7 @@ test_oracle_queries; here we exercise the production-only variants and
 invariants that have no SQL twin.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from linktransformer_spark.streaming import (
@@ -726,6 +727,59 @@ def test_streaming_bm25_against_index_equals_batch(spark, sf_dir, tmp_path):
     assert not any(d % 10 == 3 for _, d, *_ in got)
 
 
+def test_streaming_bm25_prune_topk_equals_batch(spark, sf_dir, tmp_path):
+    """The score-bounded drain prune must (a) leave the final top-k
+    BIT-IDENTICAL to the unpruned drain and the batch serve (the
+    prune's fold is the finalizer's exact float order, ties included),
+    and (b) actually bound the drained sink at queries x prune_topk
+    docs."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.streaming import (
+        final_bm25_topk, run_available_now, streaming_bm25_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm_pr")
+    lt.save_bm25_index(docs, path)
+    lt.delete_from_bm25_index(
+        docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"), path
+    )
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    nq = q.count()
+    src = str(tmp_path / "qstream_pr")
+    q.repartition(3).write.parquet(src)
+
+    def drain(**kw):
+        sdf = (
+            spark.readStream.schema(q.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_available_now(
+            streaming_bm25_against_index(spark, sdf, path, **kw),
+            output_mode="append",
+        )
+
+    raw = drain()
+    pruned = drain(prune_topk=5)
+    # (b) bounded sink: distinct (q, d) pairs <= queries x prune_topk
+    n_docs_pruned = pruned.select("_q", "_d").distinct().count()
+    assert n_docs_pruned <= nq * 5
+    assert pruned.count() < raw.count()
+    # (a) identical final ranking, full float precision
+    got = sorted(map(tuple, final_bm25_topk(pruned, k=5).collect()))
+    want_stream = sorted(map(tuple, final_bm25_topk(raw, k=5).collect()))
+    want_batch = sorted(map(tuple, lt.bm25_topk_indexed(
+        spark, path, q, k=5).collect()))
+    assert got == want_stream == want_batch and got
+
+
 def test_streaming_bm25_max_df_ratio_equals_batch(spark, sf_dir, tmp_path):
     """The stopword-impact pruning semi-join must behave identically
     stream-static."""
@@ -852,6 +906,58 @@ def test_streaming_pq_against_index_equals_batch(spark, sf_dir, tmp_path):
     assert not any(n % 9 == 4 for _, n, *_ in got)
 
 
+def test_run_upsert_stream_equals_one_call(spark, sf_dir, tmp_path):
+    """CDC-style streaming maintenance: a multi-micro-batch stream of
+    upsert rows (unique ids) through run_upsert_stream must leave the
+    PQ index bit-identical in serve to the ONE-CALL upsert of the same
+    batch (sequential per-epoch upserts under the writer lock)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import run_upsert_stream
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 3)
+        .select("vec_id", F.reverse("embedding").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 7).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    paths = {}
+    for mode in ("stream", "onecall"):
+        path = str(tmp_path / f"pq_{mode}")
+        lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+        lt.delete_from_pq_index(
+            emb.filter(F.col("vec_id") % 20 == 3).select("vec_id"), path
+        )
+        paths[mode] = path
+    src = str(tmp_path / "upstream")
+    batch.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    n_batches = run_upsert_stream(sdf, paths["stream"], "pq")
+    assert n_batches >= 2  # genuinely multi-micro-batch
+    lt.upsert_pq_index(batch, paths["onecall"])
+    q = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    got = {}
+    for mode, path in paths.items():
+        got[mode] = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["score"], 9))
+            for r in lt.ann_topk_pq_indexed(
+                spark, path, q, k=5, n_probe=4, retrieve_k=40
+            ).collect()
+        )
+    assert got["stream"] == got["onecall"] and got["stream"]
+
+    with pytest.raises(ValueError, match="unknown index family"):
+        run_upsert_stream(sdf, paths["stream"], "bogus")
+
+
 def test_streaming_serve_empty_query_stream(spark, sf_dir, tmp_path):
     """An EMPTY query stream must drain to zero rows and every
     finalizer must return an empty, correctly-shaped frame — not
@@ -881,7 +987,7 @@ def test_streaming_serve_empty_query_stream(spark, sf_dir, tmp_path):
     sqv = spark.readStream.schema(qv.schema).parquet(sv)
 
     bm_drained = run_available_now(
-        streaming_bm25_against_index(spark, sqt, bm_path),
+        streaming_bm25_against_index(spark, sqt, bm_path, prune_topk=5),
         output_mode="append",
     )
     pq_drained = run_available_now(

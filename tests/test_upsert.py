@@ -371,6 +371,81 @@ class TestRebalanceIvf:
         with pytest.raises(ValueError, match="max_over_mean"):
             lt.rebalance_ivf_index(spark, path, max_over_mean=0)
 
+    def test_refine_recovers_recall_at_fixed_probe(self, spark, tmp_path):
+        """The round-10 drift table showed the SEEDED split trading
+        recall@10 at fixed n_probe. refine=N (Lloyd over each hot
+        cell's own members) must meet-or-beat the seeded split's
+        recall on the same drifted index at the same probe budget —
+        deterministic end to end (fixed rng, fixed-iteration Lloyd,
+        first-max ties), so this is an exact gate, not a flaky
+        threshold. Measured on this corpus: 0.9105 seeded -> 0.9205
+        refined."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        K, DIM, N = 8, 32, 4000
+        centers = rng.normal(size=(K, DIM))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = np.where(rng.random(N) < 0.5,
+                          rng.integers(0, K - 2, N),
+                          rng.integers(K - 2, K, N))
+        pts = centers[assign] + 0.15 * rng.normal(size=(N, DIM))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        init = np.nonzero(assign < K - 2)[0]
+        drift = np.nonzero(assign >= K - 2)[0]
+
+        def mkdf(idx):
+            return spark.createDataFrame(
+                [(int(i), [float(x) for x in pts[i]]) for i in idx],
+                "vec_id long, embedding array<double>",
+            )
+
+        emb_all = mkdf(np.arange(N))
+        qidx = rng.choice(N, 200, replace=False)
+        exact = (
+            lt.ann_topk(mkdf(qidx), emb_all, k=10, mode="broadcast_knn")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+        n_ex = exact.count()
+        rec = {}
+        for refine in (0, 4):
+            path = str(tmp_path / f"ivf_refine{refine}")
+            lt.save_ivf_index(mkdf(init), path, n_cells=8)
+            lt.append_to_ivf_index(mkdf(drift), path)
+            st = lt.rebalance_ivf_index(
+                spark, path, max_over_mean=2.0, refine=refine
+            ).first()
+            assert st["n_hot_cells"] > 0
+            got = lt.ann_topk_ivf_indexed(
+                spark, path, mkdf(qidx), k=10, n_probe=3
+            ).select("query_id", "neighbor_id")
+            rec[refine] = exact.join(
+                got, ["query_id", "neighbor_id"]
+            ).count() / n_ex
+        assert rec[4] >= rec[0] > 0.5
+
+    def test_refine_pq_serves(self, spark, emb, tmp_path):
+        """PQ twin smoke: the refined rebalance leaves a servable
+        index with dense cell ids (the positional centroid matrix
+        contract) and the stored row multiset intact."""
+        path = str(tmp_path / "pq_refine")
+        lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+        n0 = spark.read.parquet(f"{path}/cells").count()
+        st = lt.rebalance_pq_index(
+            spark, path, max_over_mean=0.5, refine=3
+        ).first()
+        assert st["n_hot_cells"] > 0
+        cent = spark.read.parquet(f"{path}/centroids")
+        assert sorted(r["cell"] for r in cent.collect()) == list(
+            range(st["n_cells_after"])
+        )
+        assert spark.read.parquet(f"{path}/cells").count() == n0
+        q = emb.filter(F.col("vec_id") < 20)
+        out = lt.ann_topk_pq_indexed(spark, path, q, k=5,
+                                     n_probe=st["n_cells_after"])
+        assert out.count() == 20 * 5
+
 
 class TestRebalancePq:
     """rebalance_pq_index — the r90 serving-index twin. Oracle parity

@@ -1,0 +1,219 @@
+"""Round-11 consistency guards:
+
+- single-writer lock for in-place index mutation (upsert/rebalance) —
+  a second concurrent writer raises instead of silently interleaving
+  staged partition swaps (operators/upsert.index_write_lock);
+- null delete ids raise (a null tombstone anti-join-matches nothing, so
+  the requested compliance delete would silently not happen);
+- rebalance raises on duplicate stored ids (the reassignment groups by
+  id, so a duplicate would silently collapse to one winner);
+- the streaming BM25 drain finalizer dedupes duplicate contribution
+  rows (a query id arriving in two stream rows must not double-count);
+- streaming serve/ingest entries reject non-integral ids at definition
+  (they coerce ids to int64 internally — silent truncation otherwise);
+- a duplicate streaming query id carrying a DIFFERENT vector raises
+  (the PQ serve's LUT cache is keyed by id).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+from linktransformer_spark.operators.upsert import (
+    _LOCK_NAME, index_write_lock,
+)
+
+SF = "/root/testdata/sf0.001"
+PID = os.getpid()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_write_lock_excludes_second_writer(spark, tmp_path):
+    path = str(tmp_path / f"idx_{PID}")
+    os.makedirs(path, exist_ok=True)
+    with index_write_lock(spark, path):
+        assert os.path.exists(f"{path}/{_LOCK_NAME}")
+        with pytest.raises(RuntimeError, match="locked by another"):
+            with index_write_lock(spark, path):
+                pass
+    # released on clean exit — a new writer acquires
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    with index_write_lock(spark, path):
+        pass
+
+
+def test_write_lock_released_on_writer_failure(spark, tmp_path):
+    path = str(tmp_path / f"idx_{PID}")
+    os.makedirs(path, exist_ok=True)
+    with pytest.raises(ValueError, match="boom"):
+        with index_write_lock(spark, path):
+            raise ValueError("boom")
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
+def test_upsert_respects_stale_lock(spark, emb, tmp_path):
+    """A leftover marker (crashed writer) blocks the next upsert with
+    remediation guidance; removing it unblocks."""
+    path = str(tmp_path / f"ivf_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=8)
+    batch = emb.filter(F.col("vec_id") % 50 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    open(f"{path}/{_LOCK_NAME}", "w").close()
+    with pytest.raises(RuntimeError, match="delete the marker"):
+        lt.upsert_ivf_index(batch, path)
+    os.remove(f"{path}/{_LOCK_NAME}")
+    lt.upsert_ivf_index(batch, path)  # unblocked
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
+def test_rebalance_respects_lock(spark, emb, tmp_path):
+    path = str(tmp_path / f"pq_{PID}")
+    lt.save_pq_index(emb, path, n_cells=8, m=8, n_codes=16)
+    open(f"{path}/{_LOCK_NAME}", "w").close()
+    with pytest.raises(RuntimeError, match="locked by another"):
+        lt.rebalance_pq_index(spark, path, max_over_mean=0.01)
+    os.remove(f"{path}/{_LOCK_NAME}")
+
+
+def test_delete_null_ids_raise(spark, emb, tmp_path):
+    path = str(tmp_path / f"ivf_del_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=8)
+    ids = spark.createDataFrame(
+        [(3,), (None,)], "vec_id bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        lt.delete_from_ivf_index(ids, path)
+    # the valid id alone still deletes
+    lt.delete_from_ivf_index(ids.filter(F.col("vec_id").isNotNull()), path)
+    got = lt.ann_topk_ivf_indexed(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=3, n_probe=8
+    )
+    assert not any(r["neighbor_id"] == 3 for r in got.collect())
+
+
+def test_rebalance_duplicate_stored_ids_raise(spark, emb, tmp_path):
+    """A raw append of an EXISTING id (the anomaly upsert exists to
+    prevent) must make rebalance fail loudly, not silently drop one of
+    the two stored rows during the group-by-id reassignment."""
+    path = str(tmp_path / f"ivf_dup_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=4)
+    lt.append_to_ivf_index(
+        emb.filter(F.col("vec_id") == 5).select("vec_id", "embedding"),
+        path,
+    )
+    # max_over_mean tiny -> every cell with >= 2 rows is hot, so the
+    # duplicate's cell is in the rewrite set
+    with pytest.raises(ValueError, match="duplicate"):
+        lt.rebalance_ivf_index(spark, path, max_over_mean=0.01)
+
+
+def test_rebalance_leaves_no_aside_dir(spark, emb, tmp_path):
+    """The rename-aside centroids swap must clean up its .old dir on
+    success and leave a servable index."""
+    path = str(tmp_path / f"ivf_rb_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=4)
+    stats = lt.rebalance_ivf_index(spark, path, max_over_mean=0.5).first()
+    assert stats["n_hot_cells"] > 0
+    assert not os.path.exists(f"{path}/centroids._lt_old")
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    q = emb.filter(F.col("vec_id") < 10)
+    assert lt.ann_topk_ivf_indexed(spark, path, q, k=3,
+                                   n_probe=stats["n_cells_after"]).count() > 0
+
+
+def test_final_bm25_topk_dedupes_duplicate_query_rows(spark):
+    """The batch path's (query, term) distinct is global; a query id
+    arriving in two stream rows emits its shared contributions twice —
+    the finalizer must count each (query, term, doc) once."""
+    from linktransformer_spark.streaming import final_bm25_topk
+
+    drained = spark.createDataFrame(
+        [
+            (1, 10, "alpha", 0.5),
+            (1, 10, "alpha", 0.5),   # second stream row, same query id
+            (1, 10, "beta", 0.3),
+            (1, 11, "alpha", 0.2),
+        ],
+        "_q long, _d long, _tok string, _c double",
+    )
+    rows = {(r["q_id"], r["doc_id"]): (r["score"], r["n_terms"])
+            for r in final_bm25_topk(drained, k=5).collect()}
+    assert rows[(1, 10)] == (0.8, 2)
+    assert rows[(1, 11)] == (0.2, 1)
+
+
+def test_streaming_pq_rejects_non_integral_query_id(spark, emb, tmp_path):
+    from linktransformer_spark.streaming import streaming_pq_against_index
+
+    path = str(tmp_path / f"pq_sid_{PID}")
+    lt.save_pq_index(emb, path, n_cells=4, m=8, n_codes=16)
+    src = str(tmp_path / "q_sid")
+    emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "vec_id string, embedding array<double>"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="integral"):
+        streaming_pq_against_index(spark, sdf, path)
+
+
+def test_streaming_semdedup_rejects_non_integral_id(spark, emb, tmp_path):
+    from linktransformer_spark.streaming import streaming_semdedup_against
+
+    src = str(tmp_path / "sd_sid")
+    emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    ).write.parquet(src)
+    sdf = spark.readStream.schema(
+        "vec_id string, embedding array<double>"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="integral"):
+        streaming_semdedup_against(sdf, emb, id_col="vec_id")
+
+
+def test_streaming_pq_duplicate_qid_different_vector_raises(
+    spark, emb, tmp_path
+):
+    """Same query id, two different vectors, one source file (one
+    Arrow batch at assign time) — the contract check must kill the
+    stream instead of silently scoring against the wrong LUT."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from linktransformer_spark.streaming import (
+        run_available_now, streaming_pq_against_index,
+    )
+
+    path = str(tmp_path / f"pq_dup_{PID}")
+    lt.save_pq_index(emb, path, n_cells=4, m=8, n_codes=16)
+    twice = (
+        emb.filter(F.col("vec_id").isin(1, 2))
+        .select(F.lit(99).cast("long").alias("vec_id"), "embedding")
+        .coalesce(1)
+    )
+    src = str(tmp_path / "q_dup")
+    twice.write.parquet(src)
+    sdf = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    with pytest.raises(
+        (StreamingQueryException, Py4JJavaError),
+        match="two different vectors",
+    ):
+        run_available_now(
+            streaming_pq_against_index(spark, sdf, path, n_probe=2),
+            output_mode="append",
+        )

@@ -181,6 +181,35 @@ def main():
                          round(frac, 4), round(rec, 4), round(wall, 2)))
             break
 
+    # refine=N twin (round-11): same drifted index, Lloyd-refined
+    # children — the recall-at-fixed-probe recovery path
+    path2 = tempfile.mkdtemp(prefix="lt_rebal_sweep_rf_")
+    lt.save_ivf_index(initial, path2, n_cells=N_CELLS)
+    lt.append_to_ivf_index(appended, path2)
+    for pass_no in (1, 2):
+        t0 = time.time()
+        rb = lt.rebalance_ivf_index(spark, path2, max_over_mean=2.0,
+                                    split_factor=2, refine=4).collect()[0]
+        print(f"refine rebalance{pass_no}: hot={rb.n_hot_cells} "
+              f"new={rb.n_new_cells} moved={rb.rows_moved} "
+              f"wall {time.time()-t0:.1f}s")
+        st = lt.index_cell_stats(spark, path2).collect()[0]
+        rec, wall = recall_and_wall(spark, path2, q, exact_pairs, N_PROBE)
+        frac = probed_fraction(spark, path2, q)
+        rows.append((f"rebalanced x{pass_no} (refine=4)", st.n_cells,
+                     round(st.max_over_mean, 2), round(frac, 4),
+                     round(rec, 4), round(wall, 2)))
+
+    for np_ in range(N_PROBE + 1, N_PROBE + 8):
+        frac = probed_fraction_at(spark, path2, q, np_)
+        if frac >= target or np_ == N_PROBE + 7:
+            rec, wall = recall_and_wall(spark, path2, q, exact_pairs, np_)
+            st = lt.index_cell_stats(spark, path2).collect()[0]
+            rows.append((f"refined x2 @ n_probe={np_} (equal budget)",
+                         st.n_cells, round(st.max_over_mean, 2),
+                         round(frac, 4), round(rec, 4), round(wall, 2)))
+            break
+
     print("\n| state | n_cells | max_over_mean | probed_frac | "
           "recall@10 | serve_s |")
     print("|---|---|---|---|---|---|")
