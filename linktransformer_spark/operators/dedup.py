@@ -1301,26 +1301,22 @@ def near_dup_pairs_semdedup(
     if not salted:
         # within-cell pairs as the Arrow numpy self-cogroup (bit-equal
         # to the join + fold — knn_join.bucket_dot_self_pairs; the
-        # round-10 interpreted-floor fix). The salted form below keeps
-        # the join: its triangle salt-cell pair rule (_salt_pair_cond)
-        # is a per-pair predicate over BOTH rows' salt groups, which
-        # the group-local kernel cannot see.
+        # round-10 interpreted-floor fix).
         return KJ.bucket_dot_self_pairs(
             assigned.select("cell", "_id", "_v"), "cell", "_id", "_v",
             threshold,
         ).select("src", "dst", "cell", "cosine")
-    l = assigned.alias("l")
-    r = assigned.alias("r")
-    cond = (F.col("l.cell") == F.col("r.cell")) & (
-        F.col("l._id") < F.col("r._id")
-    ) & _salt_pair_cond()
-    return (
-        l.join(r, cond)
-        .withColumn("cosine", S.dot(F.col("l._v"), F.col("r._v")))
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("l._id").alias("src"), F.col("r._id").alias("dst"),
-                F.col("l.cell").alias("cell"), "cosine")
-    )
+    # salted twin (round-11): group by (cell, _salt) — the triangle
+    # pair rule's two operands both live inside the salt cell, so the
+    # group-local kernel evaluates it exactly (off-diagonal cells
+    # require cross-_sg endpoints; every uncapped pair emitted once).
+    # Measured on the hot 100k clustered corpus: the interpreted
+    # salted join ran 87.7s vs 23.3s for drop mode; the kernel form
+    # is the same Arrow fold the unsalted path moved to in round 10.
+    return KJ.bucket_dot_self_pairs_salted(
+        assigned.select("cell", "_id", "_v", "_salt", "_sg"),
+        "cell", "_id", "_v", threshold, salt_base=_SALT_BASE,
+    ).select("src", "dst", "cell", "cosine")
 
 
 def semantic_dedup(

@@ -415,6 +415,87 @@ def bucket_dot_self_pairs(
     return assigned.groupBy(group_col).applyInPandas(fn, schema=out_schema)
 
 
+def bucket_dot_self_pairs_salted(
+    assigned: DataFrame,
+    group_col: str,
+    id_col: str,
+    emb_col: str,
+    threshold: float,
+    salt_base: int = 1 << 20,
+    flops_per_chunk: int = 4_000_000,
+) -> DataFrame:
+    """The SALTED twin of :func:`bucket_dot_self_pairs`: within each
+    ``(group_col, _salt)`` salt CELL, emit every (src < dst) pair with
+    left-assoc dot >= ``threshold`` under the triangle-salt pair rule
+    — in an OFF-DIAGONAL cell (i != j in ``_salt = i*salt_base + j``)
+    the endpoints must come from the two different sub-groups
+    (``_sg``), so every uncapped pair is emitted exactly once (the
+    ``_salt_pair_cond`` join's own guarantee; both operands of that
+    per-pair predicate live INSIDE the salt cell, which is what makes
+    the group-local kernel legal). Bit-equal to the salted self-join +
+    interpreted ``S.dot`` fold (same accumulation rules, same strict
+    ``<`` id order); per-group residency is bounded at ~2*cap rows by
+    the caller's :func:`~.dedup._cap_buckets` salt sizing."""
+    itype = assigned.schema[id_col].dataType.simpleString()
+    gtype = assigned.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"src {itype}, dst {itype}, {group_col} {gtype}, cosine double"
+    )
+    thr = float(threshold)
+    base = int(salt_base)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame({
+                "src": pdf[id_col].iloc[:0],
+                "dst": pdf[id_col].iloc[:0],
+                group_col: pdf[group_col].iloc[:0],
+                "cosine": np.empty(0, dtype=np.float64),
+            })
+
+        n = len(pdf)
+        if n < 2:
+            return empty()
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        V = np.array(pdf[emb_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        sg = pdf["_sg"].to_numpy(dtype=np.int64)
+        salt = int(pdf["_salt"].iloc[0])
+        diag = (salt // base) == (salt % base)
+        gval = pdf[group_col].iloc[0]
+        chunk = max(1, min(4096, flops_per_chunk // n))
+        parts = []
+        for s0 in range(0, n, chunk):
+            Vc = V[s0:s0 + chunk]
+            acc = np.zeros((Vc.shape[0], n), dtype=np.float64)
+            for j in range(V.shape[1]):
+                acc += Vc[:, j:j + 1] * V[:, j]
+            li, ri = np.nonzero(acc >= thr)
+            keep = ids[s0 + li] < ids[ri]
+            if not diag:
+                keep &= sg[s0 + li] != sg[ri]
+            li, ri = li[keep], ri[keep]
+            if len(li):
+                parts.append(pd.DataFrame({
+                    "src": ids[s0 + li],
+                    "dst": ids[ri],
+                    group_col: gval,
+                    "cosine": acc[li, ri],
+                }))
+        if not parts:
+            return empty()
+        return pd.concat(parts, ignore_index=True)
+
+    return assigned.groupBy(group_col, "_salt").applyInPandas(
+        fn, schema=out_schema
+    )
+
+
 def bucket_dot_rescored_pairs(
     lb: DataFrame,
     rb: DataFrame,

@@ -249,18 +249,19 @@ def test_semdedup_pairs_stage_is_cell_cogroup_never_nested_loop(
     # the cogroup's grouping shuffle is on the cell key
     assert "Exchange hashpartitioning(cell" in plan
 
-    # salted form: the pair stage stays an equi-join on (cell, salt
-    # groups) — hash or sort-merge, never nested-loop
+    # salted form (round-11): the pair stage is the salt-cell cogroup
+    # kernel — FlatMapGroupsInPandas grouped on (cell, _salt), never a
+    # nested-loop; the triangle pair rule runs inside the kernel
     plan_s = plan_of(lt.near_dup_pairs_semdedup(
         emb, "embedding", "vec_id", threshold=0.3, n_cells=16,
         max_cell_size=64, hot_cell="salt",
     ))
     assert "CartesianProduct" not in plan_s
-    joins = [ln for ln in plan_s.splitlines() if "Join" in ln]
-    pair_joins = [ln for ln in joins
-                  if "cell" in ln and ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
-                                       or "BroadcastHashJoin" in ln)]
-    assert pair_joins, f"no equi-join on cell found in:\n{plan_s[:4000]}"
+    assert "FlatMapGroupsInPandas" in plan_s, (
+        f"no salt-cell cogroup stage found in:\n{plan_s[:4000]}"
+    )
+    assert "Exchange hashpartitioning(cell" in plan_s
+    assert "_salt" in plan_s
 
 
 def test_q6_pushes_all_predicates_no_join(spark, sf_dir):
