@@ -134,6 +134,33 @@ def drains(spark):
         out = streaming_bm25_against_index(spark, q, _bm_idx[sf_dir])
         return run_available_now(out, output_mode="append")
 
+    def stream_bm25_pruned(sf_dir):
+        # the round-11 production form: same fixed query stream, the
+        # score-bounded drain — sink ~constant in the corpus
+        import tempfile
+
+        from linktransformer_spark.functions import similarity as S
+        from linktransformer_spark.streaming.ops import (
+            streaming_bm25_against_index,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        if sf_dir not in _bm_idx:
+            path = tempfile.mkdtemp(prefix="lt_ss_bm_")
+            lt.save_bm25_index(docs, path)
+            _bm_idx[sf_dir] = path
+        q = read_stream_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 500
+        ).select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(
+                F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+            ).alias("q_text"),
+        )
+        out = streaming_bm25_against_index(spark, q, _bm_idx[sf_dir],
+                                           prune_topk=5)
+        return run_available_now(out, output_mode="append")
+
     _pq_idx = {}
 
     def stream_pq_indexed(sf_dir):
@@ -220,6 +247,7 @@ def drains(spark):
         "stream_funnel": stream_funnel,
         "stream_ann_ivf_indexed": stream_ann_ivf_indexed,
         "stream_bm25_indexed": stream_bm25_indexed,
+        "stream_bm25_pruned": stream_bm25_pruned,
         "stream_pq_indexed": stream_pq_indexed,
         "stream_contamination": stream_contamination,
         "stream_retention": stream_retention,
