@@ -5010,7 +5010,10 @@ def stream_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 50
     )
     drained = run_available_now(
-        streaming_ann_against_index(spark, qs, path, n_probe=4),
+        # prune_topk == k: sink bounded at queries x 5 (the round-11
+        # candidate prune; ranking bit-identical under the same oracle)
+        streaming_ann_against_index(spark, qs, path, n_probe=4,
+                                    prune_topk=5),
         output_mode="append",
     )
     out = final_ann_topk(drained, k=5)
@@ -5790,7 +5793,8 @@ def stream_search_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     ann_drained = run_available_now(
-        streaming_ann_against_index(spark, qv, ivf_path, n_probe=4),
+        streaming_ann_against_index(spark, qv, ivf_path, n_probe=4,
+                                    prune_topk=10),
         output_mode="append",
     )
     out = final_hybrid_rrf(bm_drained, ann_drained, k=10, k_arm=10)

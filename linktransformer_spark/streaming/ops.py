@@ -1058,6 +1058,56 @@ def final_attach(drained: DataFrame, new_records: DataFrame,
     )
 
 
+def _prune_candidate_topk(cands: DataFrame, topn: int) -> DataFrame:
+    """Per-query exact top-``topn`` prune over a ROW-LOCAL-scored
+    candidate relation (query_id, neighbor_id, score) — bounds a
+    streaming serve's sink at queries x topn rows without changing any
+    final top-k with k <= topn: selection order (score DESC,
+    neighbor_id ASC) is exactly the drain finalizer's window order, so
+    every dropped row has >= topn rows strictly preferred in its own
+    scope and can never enter the global top-k. Scores pass through
+    untouched (Arrow round-trip is exact), so the drain stays
+    bit-identical. Per-Arrow-batch pre-prune + one partition-level
+    reduce keeps the stage's memory at ~topn rows per query per
+    partition (the PQ path's accumulate-pruned shape); the
+    ``query_id`` repartition is the one stateless exchange, carrying
+    narrow rows only."""
+    if topn < 1:
+        raise ValueError("prune_topk must be >= 1")
+
+    def prune(batches):
+        import numpy as np
+        import pandas as pd
+
+        def topsel(df):
+            q = df["query_id"].to_numpy(dtype=np.int64)
+            s = df["score"].to_numpy(dtype=np.float64)
+            n_ = df["neighbor_id"].to_numpy()
+            order = np.lexsort((n_, -s, q))
+            qs_ = q[order]
+            keep = []
+            start = 0
+            m = len(order)
+            for i in range(1, m + 1):
+                if i == m or qs_[i] != qs_[start]:
+                    keep.append(order[start:start + min(topn, i - start)])
+                    start = i
+            if not keep:
+                return df.iloc[:0]
+            return df.iloc[np.concatenate(keep)]
+
+        pieces = [topsel(pdf) for pdf in batches if len(pdf)]
+        pieces = [p for p in pieces if len(p)]
+        if pieces:
+            out = topsel(pd.concat(pieces, ignore_index=True))
+            if len(out):
+                yield out
+
+    return cands.repartition("query_id").mapInPandas(
+        prune, schema=cands.schema
+    )
+
+
 def streaming_ann_against_index(
     spark: SparkSession,
     stream_queries: DataFrame,
@@ -1065,6 +1115,7 @@ def streaming_ann_against_index(
     vector_col: str = "embedding",
     query_id: str = "vec_id",
     n_probe: int = 4,
+    prune_topk: int | None = None,
 ) -> DataFrame:
     """Real-time semantic search: a STREAM of query vectors probed
     against a :func:`~linktransformer_spark.operators.ann.save_ivf_index`
@@ -1085,6 +1136,14 @@ def streaming_ann_against_index(
     micro-batch and cannot partition-prune on cells it has not seen —
     persist the cells relation hot (or restrict to a known cell
     domain) for high-frequency triggers.
+
+    ``prune_topk`` bounds the drained sink at queries x prune_topk
+    rows (instead of queries x probed-cell rows — linear in the corpus
+    at a fixed probe fraction) via :func:`_prune_candidate_topk`; the
+    final :func:`final_ann_topk` (k <= prune_topk) is bit-identical.
+    Requires each query id to appear in ONE stream row (a duplicate
+    would prune against partial candidate sets — the same documented
+    contract as the BM25 and PQ serves).
     """
     import numpy as np
 
@@ -1163,11 +1222,14 @@ def streaming_ann_against_index(
     stored = anti_tombstones(
         stored, spark, index_path, "neighbor_id", str(meta["id_col"])
     )
-    return (
+    cands = (
         assigned.join(stored, "cell")
         .withColumn("score", S.dot(F.col("_qv"), F.col("_cv")))
         .select(F.col("_qid").alias("query_id"), "neighbor_id", "score")
     )
+    if prune_topk is None:
+        return cands
+    return _prune_candidate_topk(cands, prune_topk)
 
 
 def final_ann_topk(drained: DataFrame, k: int = 10) -> DataFrame:

@@ -416,6 +416,25 @@ def test_streaming_ann_against_index_equals_batch(spark, sf_dir, tmp_path):
                                              n_probe=4).collect()}
     assert got == want and got
 
+    # pruned drain: sink bounded at queries x prune_topk, final top-k
+    # bit-identical (same window order inside the prune)
+    sdf2 = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pruned = run_available_now(
+        streaming_ann_against_index(spark, sdf2, path, n_probe=4,
+                                    prune_topk=5),
+        output_mode="append",
+    )
+    assert pruned.count() <= q.count() * 5
+    assert pruned.count() < drained.count()
+    got_p = {(r["query_id"], r["neighbor_id"], r["rank"],
+              round(r["score"], 9))
+             for r in final_ann_topk(pruned, k=5).collect()}
+    assert got_p == want
+
 
 def test_streaming_ab_counts_multibatch_equals_batch(spark, sf_dir, tmp_path):
     """Counter state accumulated across micro-batches + drain z-test
