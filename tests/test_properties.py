@@ -839,3 +839,117 @@ def test_bucket_dot_self_pairs_equals_join_fold(spark, rows, thr):
     assert sorted((g.src, g.dst, g.cell, g.cosine) for g in got) == sorted(
         (w.src, w.dst, w.cell, w.cosine) for w in want
     )
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.lists(
+                st.sampled_from([0.0, 0.5, -0.5, 1.0, 0.25]),
+                min_size=6, max_size=6,
+            ),
+        ),
+        min_size=2, max_size=30,
+    ),
+    st.integers(1, 6),
+)
+def test_salted_semdedup_kernel_equals_uncapped_property(spark, rows, cap):
+    """Round-11 invariant behind the salt-cell cogroup kernel: for ANY
+    vector corpus and ANY cap, hot_cell='salt' emits exactly the
+    uncapped within-cell pair set (quantized vector pool forces exact
+    duplicates -> hot cells -> multi-sub-group salting at tiny caps)."""
+    from linktransformer_spark.operators.dedup import (
+        near_dup_pairs_semdedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, (_, v) in enumerate(rows)],
+        "vec_id long, emb array<double>",
+    )
+    kw = dict(threshold=0.3, n_cells=3)
+    unc = near_dup_pairs_semdedup(df, "emb", "vec_id", **kw).collect()
+    salt = near_dup_pairs_semdedup(
+        df, "emb", "vec_id", max_cell_size=cap, hot_cell="salt", **kw
+    ).collect()
+    key = lambda rs: sorted((r.src, r.dst, r.cell, r.cosine) for r in rs)
+    assert key(salt) == key(unc)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30),
+                  st.sampled_from("abcdef"),
+                  st.sampled_from([0.25, 0.5, 1.0, 2.0])),
+        min_size=1, max_size=60, unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+    st.integers(1, 4),
+)
+def test_bm25_prune_preserves_final_topk_property(spark, rows, topn):
+    """Round-11 invariant behind streaming prune_topk: for ANY
+    contribution relation (unique (q, d, term) — the documented
+    unique-query-id contract) and ANY prune width, the pruned drain's
+    final top-k (k <= prune width) is IDENTICAL to the raw drain's —
+    scores at full float precision, n_terms included. The quantized
+    impact pool forces score TIES, exercising the (score DESC, doc
+    ASC) boundary the prune must reproduce exactly."""
+    from linktransformer_spark.streaming.ops import (
+        _prune_bm25_contributions, final_bm25_topk,
+    )
+
+    contrib = spark.createDataFrame(
+        [(q, d, t, c) for q, d, t, c in rows],
+        "_q long, _d long, _tok string, _c double",
+    )
+    k = topn  # the widest legal finalizer
+    raw = final_bm25_topk(contrib, k=k).collect()
+    pruned_rel = _prune_bm25_contributions(contrib, topn)
+    pruned = final_bm25_topk(pruned_rel, k=k).collect()
+    key = lambda rs: sorted(
+        (r.q_id, r.doc_id, r.rank, r.score, r.n_terms) for r in rs
+    )
+    assert key(pruned) == key(raw)
+    # the prune's whole point: never more than topn docs per query
+    n_docs = pruned_rel.select("_q", "_d").distinct().count()
+    n_q = contrib.select("_q").distinct().count()
+    assert n_docs <= n_q * topn
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 40),
+                  st.sampled_from([0.1, 0.5, 0.9, -0.2])),
+        min_size=1, max_size=80, unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(1, 5),
+)
+def test_ann_candidate_prune_preserves_final_topk_property(
+    spark, rows, topn
+):
+    """Same invariant for the row-local-scored candidate prune
+    (streaming IVF ANN): pruned final top-k == raw final top-k at full
+    precision for ANY candidate relation and ANY prune width; the
+    quantized score pool forces ties at the selection boundary."""
+    from linktransformer_spark.streaming.ops import (
+        _prune_candidate_topk, final_ann_topk,
+    )
+
+    cands = spark.createDataFrame(
+        [(q, n, s) for q, n, s in rows],
+        "query_id long, neighbor_id long, score double",
+    )
+    raw = final_ann_topk(cands, k=topn).collect()
+    pruned_rel = _prune_candidate_topk(cands, topn)
+    pruned = final_ann_topk(pruned_rel, k=topn).collect()
+    key = lambda rs: sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.score) for r in rs
+    )
+    assert key(pruned) == key(raw)
+    assert pruned_rel.count() <= cands.select(
+        "query_id").distinct().count() * topn

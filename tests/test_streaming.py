@@ -977,6 +977,75 @@ def test_run_upsert_stream_equals_one_call(spark, sf_dir, tmp_path):
         run_upsert_stream(sdf, paths["stream"], "bogus")
 
 
+def test_run_upsert_stream_bm25_and_minhash(spark, sf_dir, tmp_path):
+    """The other two families through the streaming sink: each must
+    equal its one-call upsert on serve (BM25 under the frozen-stats
+    append contract; MinHash under the relation-wide rewrite)."""
+    import linktransformer_spark as lt
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.streaming import run_upsert_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select("doc_id", F.upper("text").alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 90000).alias("doc_id"), "text"
+            )
+        )
+    )
+    src = str(tmp_path / "upstream_docs")
+    batch.repartition(3).write.parquet(src)
+
+    # BM25
+    paths = {}
+    for mode in ("stream", "onecall"):
+        p = str(tmp_path / f"bm_{mode}")
+        lt.save_bm25_index(docs, p)
+        paths[mode] = p
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assert run_upsert_stream(sdf, paths["stream"], "bm25") >= 2
+    lt.upsert_bm25_index(batch, paths["onecall"])
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(S.word_tokens(F.col("text")), 1, 8), " "
+        ).alias("q_text"),
+    )
+    got = {m: sorted(map(tuple, lt.bm25_topk_indexed(
+        spark, p, q, k=5).collect())) for m, p in paths.items()}
+    assert got["stream"] == got["onecall"] and got["stream"]
+
+    # MinHash
+    mpaths = {}
+    for mode in ("stream", "onecall"):
+        p = str(tmp_path / f"mh_{mode}")
+        lt.save_minhash_index(docs, p, on="text", id_col="doc_id")
+        mpaths[mode] = p
+    sdf2 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assert run_upsert_stream(sdf2, mpaths["stream"], "minhash",
+                             on="text", id_col="doc_id") >= 2
+    lt.upsert_minhash_index(batch, mpaths["onecall"], on="text",
+                            id_col="doc_id")
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    got = {m: sorted(
+        (r.src, r.dst, round(r.jaccard, 9))
+        for r in lt.near_dup_pairs_minhash_against_index(
+            probe, p, on="text", id_col="doc_id", threshold=0.4
+        ).collect()
+    ) for m, p in mpaths.items()}
+    assert got["stream"] == got["onecall"] and got["stream"]
+
+
 def test_streaming_serve_empty_query_stream(spark, sf_dir, tmp_path):
     """An EMPTY query stream must drain to zero rows and every
     finalizer must return an empty, correctly-shaped frame — not
