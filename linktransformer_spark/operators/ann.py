@@ -1279,8 +1279,12 @@ def save_ivf_index(
     if mode not in ("seeded", "kmeans"):
         raise ValueError("mode must be seeded|kmeans")
     spark = corpus.sparkSession
-    # a rebuild at the same path must not inherit tombstones
+    # a rebuild at the same path must not inherit tombstones, nor a
+    # crashed writer's stale lock marker
+    from .upsert import clear_writer_lock
+
     clear_tombstones(spark, path)
+    clear_writer_lock(spark, path)
     c = KJ.ensure_parallelism(corpus).select(
         F.col(corpus_id).cast("long").alias(corpus_id),
         S.l2_normalize(F.col(vector_col)).alias(vector_col),
@@ -1536,7 +1540,25 @@ def append_to_ivf_index(
     the build-time corpus (cells imbalance -> recall per probe drops);
     monitor cell sizes and rebuild when skewed — the standard IVF
     maintenance trade. Column names default to the ones recorded in
-    the index meta."""
+    the index meta.
+
+    Takes the :func:`~.upsert.index_write_lock` (reentrant under an
+    upsert): an append's new files landing in a cell partition while a
+    concurrent rebalance/upsert swaps that directory would silently
+    vanish."""
+    from .upsert import index_write_lock
+
+    spark = new.sparkSession
+    with index_write_lock(spark, path):
+        _append_to_ivf_index_locked(new, path, vector_col, corpus_id)
+
+
+def _append_to_ivf_index_locked(
+    new: DataFrame,
+    path: str,
+    vector_col: str | None = None,
+    corpus_id: str | None = None,
+) -> None:
     spark = new.sparkSession
     meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
     if int(meta["version"]) != _IVF_INDEX_VERSION:
@@ -1654,19 +1676,28 @@ def _rebalance_cells(
         raise ValueError("split_factor must be >= 2")
     if max_over_mean <= 0:
         raise ValueError("max_over_mean must be > 0")
+    if refine < 0:
+        raise ValueError("refine must be >= 0 (Lloyd iteration count)")
+    if refine and refine_sample < split_factor:
+        raise ValueError(
+            f"refine_sample must be >= split_factor ({split_factor}) — "
+            "each hot cell's Lloyd sample has to cover its children"
+        )
     cells = spark.read.parquet(f"{path}/cells")
     counts = cells.groupBy(F.col("cell").cast("int").alias("cell")).agg(
         F.count(F.lit(1)).alias("_n")
     )
     total = counts.agg(F.sum("_n")).first()[0] or 0
     mean = float(total) / float(n_cells0) if n_cells0 else 0.0
-    hot = sorted(
-        r["cell"]
-        for r in counts.filter(
-            (F.col("_n") > F.lit(float(max_over_mean) * mean))
-            & (F.col("_n") >= split_factor)
-        ).select("cell").collect()
-    )
+    hot_rows = counts.filter(
+        (F.col("_n") > F.lit(float(max_over_mean) * mean))
+        & (F.col("_n") >= split_factor)
+    ).select("cell", "_n").collect()
+    hot = sorted(r["cell"] for r in hot_rows)
+    # the hot cells' total row count, from the counts already in hand —
+    # the duplicate-id guard below needs it and a members.count() would
+    # re-scan the largest partitions in the index for nothing
+    n_members = sum(int(r["_n"]) for r in hot_rows)
     if not hot:
         return 0, 0, 0, n_cells0
 
@@ -1780,7 +1811,6 @@ def _rebalance_cells(
         F.col("_m.e").alias(vec_col),
         *[F.col(f"_m.c{i}").alias(c) for i, c in enumerate(carry_cols)],
     )
-    n_members = members.count()
     n_reassigned, moved = reassigned.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(
@@ -1927,14 +1957,14 @@ def rebalance_ivf_index(
     from .tombstones import refresh_index_path
     from .upsert import index_write_lock
 
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
-    n_cells0 = int(meta["n_cells"])
     with index_write_lock(spark, path):
+        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        if int(meta["version"]) != _IVF_INDEX_VERSION:
+            raise ValueError(
+                f"ivf index at {path} has version {meta['version']}, "
+                f"this build reads version {_IVF_INDEX_VERSION}"
+            )
+        n_cells0 = int(meta["n_cells"])
         n_hot, n_new, moved, n_after = _rebalance_cells(
             spark, path, str(meta["id_col"]), str(meta["vector_col"]), [],
             n_cells0, max_over_mean, split_factor,
@@ -1974,9 +2004,12 @@ def rebalance_pq_index(
     from .serving import _read_pq_meta, _write_pq_meta
     from .upsert import index_write_lock
 
-    meta = _read_pq_meta(spark, path)
-    n_cells0 = int(meta["n_cells"])
     with index_write_lock(spark, path):
+        # meta is read and written back — read it inside the lock so a
+        # writer serialized behind a concurrent upsert sees the fresh
+        # n_rows, not a stale pre-upsert value
+        meta = _read_pq_meta(spark, path)
+        n_cells0 = int(meta["n_cells"])
         n_hot, n_new, moved, n_after = _rebalance_cells(
             spark, path, str(meta["id_col"]), str(meta["vector_col"]),
             ["codes"], n_cells0, max_over_mean, split_factor,

@@ -1407,12 +1407,22 @@ def save_minhash_index(
     )
     from .tombstones import clear_tombstones, refresh_index_path
 
+    from .upsert import clear_writer_lock, index_write_lock
+
     if mode == "overwrite":
-        # a rebuild must not inherit tombstones; an append keeps them
-        # (appending never resurrects a deleted id — see tombstones.py)
+        # a rebuild must not inherit tombstones (appending never
+        # resurrects a deleted id — see tombstones.py) nor a crashed
+        # writer's stale lock marker
         clear_tombstones(spark, path)
-    banded.write.mode(mode).parquet(f"{path}/bands")
-    sh.write.mode(mode).parquet(f"{path}/shingles")
+        clear_writer_lock(spark, path)
+        banded.write.mode(mode).parquet(f"{path}/bands")
+        sh.write.mode(mode).parquet(f"{path}/shingles")
+    else:
+        # append mode is the minhash family's public append path —
+        # locked (reentrant under upsert) like every append_to_*
+        with index_write_lock(spark, path):
+            banded.write.mode(mode).parquet(f"{path}/bands")
+            sh.write.mode(mode).parquet(f"{path}/shingles")
     # meta is always a single authoritative row, even on append
     spark.createDataFrame(
         [tuple(meta[k] for k in sorted(meta))],

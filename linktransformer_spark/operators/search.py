@@ -359,8 +359,12 @@ def save_bm25_index(
         docs, text_col=text_col, id_col=id_col, k1=k1, b=b, n_buckets=n_buckets
     )
     # a rebuild must not inherit tombstones from a previous index at
-    # the same path — the postings it masks no longer exist
+    # the same path — the postings it masks no longer exist; same for
+    # a crashed writer's stale lock marker
+    from .upsert import clear_writer_lock
+
     clear_tombstones(docs.sparkSession, path)
+    clear_writer_lock(docs.sparkSession, path)
     # one file per (shuffle partition, bucket) would explode the file
     # count; cluster rows by bucket first so each bucket writes from
     # few tasks. repartition(bucket) hashes the low-cardinality bucket
@@ -567,14 +571,21 @@ def append_to_bm25_index(
     appended tail is a material fraction of the corpus; ``dfreq/`` and
     ``meta/`` deliberately stay frozen between compactions so that ALL
     segments share one reference frame.
+
+    Takes the :func:`~.upsert.index_write_lock` (reentrant under an
+    upsert): delta files landing in a bucket partition while a
+    concurrent upsert swaps that directory would silently vanish.
     """
     from .tombstones import refresh_index_path
+    from .upsert import index_write_lock
 
     spark = new_docs.sparkSession
-    delta = bm25_delta_postings(spark, index_path, new_docs, text_col=text_col)
-    delta.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{index_path}/postings")
+    with index_write_lock(spark, index_path):
+        delta = bm25_delta_postings(spark, index_path, new_docs,
+                                    text_col=text_col)
+        delta.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{index_path}/postings")
     refresh_index_path(spark, index_path)
 
 

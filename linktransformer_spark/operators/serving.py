@@ -655,8 +655,10 @@ def save_pq_index(
     enc = _encode_cells(corpus, corpus_id, vector_col, C, book,
                         _resolve_parts(spark, n, rows_per_task))
     from .tombstones import clear_tombstones
+    from .upsert import clear_writer_lock
 
     clear_tombstones(spark, path)
+    clear_writer_lock(spark, path)
     enc.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
@@ -750,7 +752,22 @@ def append_to_pq_index(
     cells-balance and ADC tightness — monitor cell sizes and rebuild,
     the standard IVF-PQ maintenance trade. Ids must be unique across
     batches; a tombstoned id (:func:`delete_from_pq_index`) stays
-    masked even if re-appended, until a purge clears the tombstones."""
+    masked even if re-appended, until a purge clears the tombstones.
+
+    Takes the :func:`~.upsert.index_write_lock` (reentrant under an
+    upsert): the append's new files and the meta rewrite would be
+    silently lost under a concurrent rebalance/upsert swap."""
+    from .tombstones import refresh_index_path
+    from .upsert import index_write_lock
+
+    spark = new.sparkSession
+    with index_write_lock(spark, path):
+        _append_to_pq_index_locked(new, path, vector_col, corpus_id,
+                                   rows_per_task)
+
+
+def _append_to_pq_index_locked(new, path, vector_col, corpus_id,
+                               rows_per_task):
     from .tombstones import refresh_index_path
 
     spark = new.sparkSession

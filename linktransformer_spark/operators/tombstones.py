@@ -126,7 +126,21 @@ def write_tombstones(ids: DataFrame, index_path: str, src_col: str,
     does an id that is ALREADY null in the batch: a null tombstone
     never anti-join-matches anything, so the requested delete would
     silently not happen — unacceptable on a compliance-delete path
-    (same stance as upsert's ``_distinct_ids``)."""
+    (same stance as upsert's ``_distinct_ids``).
+
+    Takes the :func:`~.upsert.index_write_lock` (reentrant): a delete
+    batch appended between a concurrent upsert's ``deletes/`` staging
+    and swap would silently vanish — a lost compliance delete."""
+    from .upsert import index_write_lock
+
+    with index_write_lock(ids.sparkSession, index_path):
+        _write_tombstones_locked(ids, index_path, src_col, stored_col,
+                                 stored_rel)
+
+
+def _write_tombstones_locked(ids: DataFrame, index_path: str,
+                             src_col: str, stored_col: str,
+                             stored_rel: str | None = None) -> None:
     sel = F.col(src_col)
     if stored_rel is not None:
         rel_schema = ids.sparkSession.read.parquet(

@@ -37,11 +37,14 @@ crash between the two leaves the relation missing — re-run the upsert
 or restore from the staged tmp dir. Deployments needing a commit
 point should keep using purge-to-new-path + atomic rename.
 
-In-place mutation is SINGLE-WRITER: every upsert (and the ann
-rebalance pair) takes :func:`index_write_lock` — an atomic
-create-fails-if-exists marker under the index path — so a second
-concurrent writer raises instead of silently interleaving staged
-swaps. Readers are unaffected (they never look at the marker).
+Index mutation is SINGLE-WRITER: every upsert, rebalance, append and
+tombstone write takes :func:`index_write_lock` — a
+create-fails-if-exists marker under the index path, reentrant within
+one driver process — so a second concurrent writer raises instead of
+silently interleaving staged swaps (or losing an append's files / a
+delete's tombstone batch under a concurrent swap). Readers are
+unaffected (they never look at the marker); ``save_*`` full rebuilds
+clear a crashed writer's stale marker like they clear tombstones.
 """
 from __future__ import annotations
 
@@ -65,39 +68,74 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
 
 
+# paths whose lock THIS process currently holds — makes the lock
+# reentrant within one driver, so upsert_* (which holds it) can call
+# the also-locked append_to_* / write_tombstones without deadlocking
+_HELD: set = set()
+
+
 @contextlib.contextmanager
 def index_write_lock(spark: SparkSession, path: str):
-    """SINGLE-WRITER guard for in-place index mutation (every
-    ``upsert_*`` and ``rebalance_*``). These operators stage to a
-    FIXED sibling suffix and swap partition directories in place —
-    two concurrent writers on one index path would interleave their
-    staging/swap steps and corrupt the index silently, so the second
-    writer must fail loudly instead.
+    """SINGLE-WRITER guard for index mutation: every ``upsert_*`` and
+    ``rebalance_*`` (staged partition swaps), every ``append_to_*``
+    (new files into partition dirs a concurrent swap would delete),
+    and every tombstone write (a delete landing between an upsert's
+    ``deletes/`` stage and swap would silently vanish — a lost
+    compliance delete). Two concurrent writers on one index path would
+    otherwise interleave and corrupt it silently, so the second writer
+    fails loudly instead. Reentrant within one driver process (an
+    upsert's internal append re-enters without re-acquiring); readers
+    never look at the marker.
 
-    Mechanism: an atomic create-fails-if-exists marker file
+    Mechanism: a create-fails-if-exists marker file
     ``{path}/._lt_writer_lock`` (``FileSystem.createNewFile`` — atomic
-    on HDFS and local FS; on object stores without atomic create the
-    guard is best-effort, same caveat as the rename-based swaps).
-    The marker is removed on exit, including on operator failure. A
-    crash BETWEEN create and cleanup leaves a stale marker: the error
-    message says to delete it manually once no writer is running —
-    readers never look at it, so a stale lock only blocks writers."""
+    on HDFS; on the local filesystem Hadoop's shim is check-then-act,
+    so a near-simultaneous acquire can either interleave (tiny window)
+    or surface the create-time FileAlreadyExistsException, which is
+    caught and mapped to the same error; on object stores without
+    atomic create the guard is best-effort, same caveat as the
+    rename-based swaps). The marker is removed on exit, including on
+    operator failure, and a full ``save_*`` rebuild clears a stale one
+    (:func:`clear_writer_lock`, the ``clear_tombstones`` analogue). A
+    crash between create and cleanup leaves a stale marker: the error
+    message says to delete it manually once no writer is running."""
+    norm = path.rstrip("/")
+    if norm in _HELD:
+        yield
+        return
     fs, _ = _fs(spark, path)
     jvm = spark.sparkContext._jvm
     lock = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}")
-    if not fs.createNewFile(lock):
+    try:
+        created = fs.createNewFile(lock)
+    except Exception:  # create-time FileAlreadyExistsException et al.
+        created = False
+    if not created:
         raise RuntimeError(
             f"index at {path} is locked by another in-place writer "
-            f"({_LOCK_NAME} exists). In-place mutation is "
-            "single-writer; wait for the other upsert/rebalance to "
-            "finish. If a previous writer CRASHED, verify nothing is "
-            "running and delete the marker file to clear the stale "
-            "lock."
+            f"({_LOCK_NAME} exists). Index mutation is "
+            "single-writer; wait for the other "
+            "upsert/rebalance/append/delete to finish. If a previous "
+            "writer CRASHED, verify nothing is running and delete the "
+            "marker file to clear the stale lock."
         )
+    _HELD.add(norm)
     try:
         yield
     finally:
+        _HELD.discard(norm)
         fs.delete(lock, False)
+
+
+def clear_writer_lock(spark: SparkSession, path: str) -> None:
+    """Remove a (stale) writer-lock marker — called by every
+    ``save_*`` full rebuild, exactly like ``clear_tombstones``: a
+    rebuilt index must not inherit a crashed writer's lock."""
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}"), False
+    )
 
 
 def _swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
@@ -263,16 +301,19 @@ def upsert_ivf_index(
     from .ann import _IVF_INDEX_VERSION, append_to_ivf_index
 
     spark = batch.sparkSession
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
-    stored = str(meta["id_col"])
-    dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
-    ids = _distinct_ids(batch, corpus_id or stored, dtype)
+    # every read happens INSIDE the lock: a writer serialized behind a
+    # concurrent rebalance must see the post-rebalance meta/schema,
+    # not stale pre-lock values
     with index_write_lock(spark, path):
+        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        if int(meta["version"]) != _IVF_INDEX_VERSION:
+            raise ValueError(
+                f"ivf index at {path} has version {meta['version']}, "
+                f"this build reads version {_IVF_INDEX_VERSION}"
+            )
+        stored = str(meta["id_col"])
+        dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
+        ids = _distinct_ids(batch, corpus_id or stored, dtype)
         _rewrite_partitions_minus_ids(spark, f"{path}/cells", "cell",
                                       ids, stored)
         _untombstone(spark, path, ids, stored)
@@ -295,11 +336,14 @@ def upsert_pq_index(
     from .serving import _read_pq_meta, _write_pq_meta, append_to_pq_index
 
     spark = batch.sparkSession
-    meta = _read_pq_meta(spark, path)
-    stored = str(meta["id_col"])
-    dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
-    ids = _distinct_ids(batch, corpus_id or stored, dtype)
+    # meta is read AND written back here, so it must be read inside
+    # the lock: a stale pre-rebalance n_cells written back would hide
+    # the rebalance's new cells from every subsequent serve
     with index_write_lock(spark, path):
+        meta = _read_pq_meta(spark, path)
+        stored = str(meta["id_col"])
+        dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
+        ids = _distinct_ids(batch, corpus_id or stored, dtype)
         n_removed = _rewrite_partitions_minus_ids(
             spark, f"{path}/cells", "cell", ids, stored
         )
@@ -328,11 +372,13 @@ def upsert_bm25_index(
     from .search import _read_bm25_meta, append_to_bm25_index
 
     spark = batch.sparkSession
-    meta = _read_bm25_meta(spark, path)
-    stored = str(meta["id_col"])
-    dtype = spark.read.parquet(f"{path}/postings").schema[stored].dataType
-    ids = _distinct_ids(batch, id_col or stored, dtype)
     with index_write_lock(spark, path):
+        meta = _read_bm25_meta(spark, path)
+        stored = str(meta["id_col"])
+        dtype = spark.read.parquet(
+            f"{path}/postings"
+        ).schema[stored].dataType
+        ids = _distinct_ids(batch, id_col or stored, dtype)
         _rewrite_partitions_minus_ids(
             spark, f"{path}/postings", "bucket", ids, stored
         )
@@ -358,14 +404,14 @@ def upsert_minhash_index(
     from .dedup import _load_index_meta, save_minhash_index
 
     spark = batch.sparkSession
-    meta = _load_index_meta(spark, path)
     if id_col is None:
         raise ValueError("upsert_minhash_index requires id_col")
     if on is None:
         raise ValueError("upsert_minhash_index requires on")
-    dtype = spark.read.parquet(f"{path}/bands").schema["_id"].dataType
-    ids = _distinct_ids(batch, id_col, dtype)
     with index_write_lock(spark, path):
+        meta = _load_index_meta(spark, path)
+        dtype = spark.read.parquet(f"{path}/bands").schema["_id"].dataType
+        ids = _distinct_ids(batch, id_col, dtype)
         for rel in ("bands", "shingles"):
             _rewrite_relation_minus_ids(spark, f"{path}/{rel}", ids, "_id")
         _untombstone(spark, path, ids, "_id")

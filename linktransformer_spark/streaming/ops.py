@@ -160,9 +160,21 @@ def run_upsert_stream(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+    if not finished:
+        # unlike a timed-out READ drain (which just returns fewer
+        # rows), a timed-out upsert drain has already COMMITTED a
+        # prefix of the micro-batches — returning normally would
+        # report a partially-applied CDC upsert as success
+        raise TimeoutError(
+            f"upsert stream did not drain within {timeout_sec}s — "
+            f"{applied['n']} micro-batch(es) were already applied to "
+            f"{index_path}; the remaining input is NOT applied. "
+            "Re-run with a larger timeout_sec (re-upserting the same "
+            "ids is idempotent) or feed fewer, fatter micro-batches."
+        )
     return applied["n"]
 
 
@@ -2148,23 +2160,39 @@ def streaming_pq_against_index(
             if len(pdf) == 0:
                 continue
             qids = pdf["_qid"].to_numpy(dtype=np.int64)
-            uq, first, inv = np.unique(
-                qids, return_index=True, return_inverse=True
+            # numpy's fixed return order: values, indices, inverse,
+            # counts (kwarg order does not matter)
+            uq, first, inv, counts = np.unique(
+                qids, return_index=True, return_inverse=True,
+                return_counts=True,
             )
             for i, qv in enumerate(uq):
-                cached = qv_cache.get(int(qv))
-                if cached is not None and not np.array_equal(
-                    cached,
-                    np.asarray(pdf["_qv"].iloc[int(first[i])],
-                               dtype=np.float64),
-                ):
-                    raise ValueError(
-                        f"streaming_pq_against_index: query id "
-                        f"{int(qv)} arrived with two different "
-                        "vectors — query ids must be unique per "
-                        "stream (the per-partition LUT cache is "
-                        "keyed by id)"
-                    )
+                ref = qv_cache.get(int(qv))
+                if ref is None and counts[i] == 1:
+                    continue
+                if ref is None:
+                    ref = np.asarray(pdf["_qv"].iloc[int(first[i])],
+                                     dtype=np.float64)
+                # check EVERY occurrence in this batch against the
+                # reference vector — a duplicate id whose two versions
+                # first meet inside one ADC Arrow batch (interleaved by
+                # the round-robin fan-out) must raise here, not score
+                # against the first version's LUT
+                rows_i = (np.nonzero(qids == qv)[0]
+                          if counts[i] > 1 else [int(first[i])])
+                for ri in rows_i:
+                    if not np.array_equal(
+                        ref,
+                        np.asarray(pdf["_qv"].iloc[int(ri)],
+                                   dtype=np.float64),
+                    ):
+                        raise ValueError(
+                            f"streaming_pq_against_index: query id "
+                            f"{int(qv)} arrived with two different "
+                            "vectors — query ids must be unique per "
+                            "stream (the per-partition LUT cache is "
+                            "keyed by id)"
+                        )
             missing = [i for i, qv in enumerate(uq)
                        if int(qv) not in lut_cache]
             if missing:

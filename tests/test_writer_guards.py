@@ -39,18 +39,29 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
 
 
-def test_write_lock_excludes_second_writer(spark, tmp_path):
+def test_write_lock_reentrant_and_excludes_foreign_writer(spark, tmp_path):
+    """In-process re-entry yields without re-acquiring (an upsert
+    holds the lock and calls the also-locked append internally) and
+    the INNER exit must not release the outer hold; a FOREIGN marker
+    (another process's writer) raises."""
     path = str(tmp_path / f"idx_{PID}")
     os.makedirs(path, exist_ok=True)
     with index_write_lock(spark, path):
         assert os.path.exists(f"{path}/{_LOCK_NAME}")
-        with pytest.raises(RuntimeError, match="locked by another"):
-            with index_write_lock(spark, path):
-                pass
+        with index_write_lock(spark, path):  # reentrant — no raise
+            pass
+        # the inner exit did NOT release the outer hold
+        assert os.path.exists(f"{path}/{_LOCK_NAME}")
     # released on clean exit — a new writer acquires
     assert not os.path.exists(f"{path}/{_LOCK_NAME}")
     with index_write_lock(spark, path):
         pass
+    # a marker this process does not hold (a foreign writer) excludes
+    open(f"{path}/{_LOCK_NAME}", "w").close()
+    with pytest.raises(RuntimeError, match="locked by another"):
+        with index_write_lock(spark, path):
+            pass
+    os.remove(f"{path}/{_LOCK_NAME}")
 
 
 def test_write_lock_released_on_writer_failure(spark, tmp_path):
@@ -85,6 +96,48 @@ def test_rebalance_respects_lock(spark, emb, tmp_path):
     with pytest.raises(RuntimeError, match="locked by another"):
         lt.rebalance_pq_index(spark, path, max_over_mean=0.01)
     os.remove(f"{path}/{_LOCK_NAME}")
+
+
+def test_append_and_delete_respect_lock(spark, emb, tmp_path):
+    """The lock covers EVERY index writer: an append's new partition
+    files or a delete's tombstone batch landing during a concurrent
+    upsert/rebalance swap would silently vanish, so both must raise
+    under a held lock — and still work under their OWN lock (the
+    reentrancy that lets upsert call append internally)."""
+    path = str(tmp_path / f"ivf_ad_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=8)
+    open(f"{path}/{_LOCK_NAME}", "w").close()
+    batch = emb.filter(F.col("vec_id") % 50 == 1).select(
+        (F.col("vec_id") + 70000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(RuntimeError, match="locked by another"):
+        lt.append_to_ivf_index(batch, path)
+    with pytest.raises(RuntimeError, match="locked by another"):
+        lt.delete_from_ivf_index(
+            emb.filter(F.col("vec_id") == 3).select("vec_id"), path
+        )
+    os.remove(f"{path}/{_LOCK_NAME}")
+    lt.append_to_ivf_index(batch, path)
+    lt.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") == 3).select("vec_id"), path
+    )
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
+def test_save_rebuild_clears_stale_lock(spark, emb, tmp_path):
+    """A full rebuild at the same path must not inherit a crashed
+    writer's lock marker (the clear_tombstones analogue)."""
+    path = str(tmp_path / f"ivf_sl_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=8)
+    open(f"{path}/{_LOCK_NAME}", "w").close()
+    lt.save_ivf_index(emb, path, n_cells=8)
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    # the rebuilt index accepts writers again
+    lt.upsert_ivf_index(
+        emb.filter(F.col("vec_id") % 50 == 3)
+        .select("vec_id", F.reverse("embedding").alias("embedding")),
+        path,
+    )
 
 
 def test_delete_null_ids_raise(spark, emb, tmp_path):
