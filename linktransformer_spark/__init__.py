@@ -22,6 +22,7 @@ from .operators.ann import (
     rebalance_ivf_index, rebalance_pq_index, save_ivf_index,
     ivf_train_centroids, knn_classify, knn_label_eval,
 )
+from .operators.txn import pending_commit_exists, recover_index
 from .operators.upsert import (
     upsert_bm25_index, upsert_ivf_index, upsert_minhash_index,
     upsert_pq_index,
@@ -239,8 +240,10 @@ __all__ = [
     "delete_from_minhash_index",
     "delete_from_pq_index",
     "index_cell_stats",
+    "pending_commit_exists",
     "rebalance_ivf_index",
     "rebalance_pq_index",
+    "recover_index",
     "purge_ivf_index",
     "purge_minhash_index",
     "purge_pq_index",

@@ -1248,6 +1248,22 @@ def srp_project(
 _IVF_INDEX_VERSION = 1
 
 
+def _read_ivf_meta(spark, path: str) -> dict:
+    """Open a :func:`save_ivf_index` directory: refuse a torn index
+    (pending commit journal from a crashed writer — serving would mix
+    old and new directory states), then read and version-check meta."""
+    from .txn import assert_no_pending_commit
+
+    assert_no_pending_commit(spark, path)
+    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+    if int(meta["version"]) != _IVF_INDEX_VERSION:
+        raise ValueError(
+            f"ivf index at {path} has version {meta['version']}, "
+            f"this build reads version {_IVF_INDEX_VERSION}"
+        )
+    return meta
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1281,10 +1297,12 @@ def save_ivf_index(
     spark = corpus.sparkSession
     # a rebuild at the same path must not inherit tombstones, nor a
     # crashed writer's stale lock marker
+    from .txn import clear_commit_journal
     from .upsert import clear_writer_lock
 
     clear_tombstones(spark, path)
     clear_writer_lock(spark, path)
+    clear_commit_journal(spark, path)
     c = KJ.ensure_parallelism(corpus).select(
         F.col(corpus_id).cast("long").alias(corpus_id),
         S.l2_normalize(F.col(vector_col)).alias(vector_col),
@@ -1329,12 +1347,7 @@ def delete_from_ivf_index(
     from .tombstones import refresh_index_path, write_tombstones
 
     spark = ids.sparkSession
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
+    meta = _read_ivf_meta(spark, path)
     stored = str(meta["id_col"])
     write_tombstones(ids, path, id_col or stored, stored, stored_rel="cells")
     refresh_index_path(spark, path)
@@ -1355,12 +1368,7 @@ def purge_ivf_index(spark, path: str, out_path: str) -> None:
         anti_tombstones, clear_tombstones, refresh_index_path,
     )
 
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
+    meta = _read_ivf_meta(spark, path)
     from .tombstones import require_distinct_out
 
     require_distinct_out(path, out_path, "purge_ivf_index")
@@ -1402,12 +1410,7 @@ def ann_topk_ivf_indexed(
         raise ValueError("k must be >= 1")
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
+    meta = _read_ivf_meta(spark, path)
     cent = spark.read.parquet(f"{path}/centroids").select(
         "cell", F.col("centroid").alias("_cent_emb")
     )
@@ -1560,12 +1563,7 @@ def _append_to_ivf_index_locked(
     corpus_id: str | None = None,
 ) -> None:
     spark = new.sparkSession
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
+    meta = _read_ivf_meta(spark, path)
     id_col = corpus_id or str(meta["id_col"])
     vec_col = vector_col or str(meta["vector_col"])
     cent = spark.read.parquet(f"{path}/centroids").select(
@@ -1619,6 +1617,9 @@ def index_cell_stats(spark, path: str) -> DataFrame:
     Counts only — the scan reads the partition column and row counts,
     never the vectors. Tombstoned rows still count: they still occupy
     the probed scan, which is exactly what this observable prices."""
+    from .txn import assert_no_pending_commit
+
+    assert_no_pending_commit(spark, path)  # family-agnostic (IVF or PQ)
     meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
     n_cells = int(meta["n_cells"])
     per = (
@@ -1699,7 +1700,7 @@ def _rebalance_cells(
     # re-scan the largest partitions in the index for nothing
     n_members = sum(int(r["_n"]) for r in hot_rows)
     if not hot:
-        return 0, 0, 0, n_cells0
+        return 0, 0, 0, n_cells0, None, None
 
     hi = {h: i for i, h in enumerate(hot)}
     members = cells.filter(F.col("cell").isin(hot)).select(
@@ -1830,20 +1831,27 @@ def _rebalance_cells(
             "rebalancing"
         )
 
-    # stage, then swap only the affected partition directories
-    tmp = f"{path}/cells" + _TMP_SUFFIX
+    # STAGE everything aside — cells partitions and centroids — and
+    # hand the swap plan back to the caller, which stages meta and
+    # commits all three relations under ONE journal (txn.commit_swaps):
+    # cells/, centroids/ and meta/ must change together, and the old
+    # per-directory delete-then-rename loop could strand moved rows of
+    # un-swapped children on a mid-loop crash (silent row loss). With
+    # the journal, every crash point serves exactly old or new.
+    tmp_rel = "cells" + _TMP_SUFFIX
+    tmp = f"{path}/{tmp_rel}"
     reassigned.select(id_col, vec_col, *carry_cols, "cell").repartition(
         "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(tmp)
     fs, _ = _fs(spark, f"{path}/cells")
     jvm = spark.sparkContext._jvm
+    entries = []
     for v in list(hot) + new_ids:
-        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/cell={v}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/cells/cell={v}")
-        fs.delete(dst, True)
-        if fs.exists(src):
-            fs.rename(src, dst)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        src_rel = f"{tmp_rel}/cell={v}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{src_rel}")):
+            entries.append(("swap", src_rel, f"cells/cell={v}"))
+        else:
+            entries.append(("delete", f"cells/cell={v}"))
 
     cent = spark.read.parquet(f"{path}/centroids")
     new_cent = cent.filter(~F.col("cell").isin(hot)).unionByName(
@@ -1853,24 +1861,15 @@ def _rebalance_cells(
             "cell int, centroid array<double>",
         )
     )
-    # rename-aside swap: the delete-then-rename order would leave a
-    # crash window with NO centroids/ at all (and the meta rewrite
-    # after us widens the blast radius — cells/, centroids/ and meta/
-    # must change together). With aside-then-rename, every crash
-    # point leaves either the old relation in place or the new one
-    # committed; a stray `centroids._lt_old` dir is the repair signal
-    # (single-writer assumption documented on rebalance_*_index).
-    tmp_c = f"{path}/centroids" + _TMP_SUFFIX
-    new_cent.coalesce(1).write.mode("overwrite").parquet(tmp_c)
-    pc = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids")
-    p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/centroids._lt_old")
-    fs.delete(p_old, True)
-    fs.rename(pc, p_old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_c), pc)
-    fs.delete(p_old, True)
+    tmp_c_rel = "centroids" + _TMP_SUFFIX
+    new_cent.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{tmp_c_rel}"
+    )
+    entries.append(("swap", tmp_c_rel, "centroids"))
 
     n_after = n_cells0 + len(hot) * (split_factor - 1)
-    return len(hot), len(new_ids), int(moved), n_after
+    return (len(hot), len(new_ids), int(moved), n_after, entries,
+            [tmp_rel, tmp_c_rel])
 
 
 def _rebalance_stats(spark, n_hot, n_new, moved, before, after):
@@ -1947,36 +1946,39 @@ def rebalance_ivf_index(
 
     SINGLE-WRITER: rebalance mutates cells/, centroids/ and meta/
     in place (guarded by the :func:`~.upsert.index_write_lock` marker
-    — a concurrent upsert/rebalance raises). Crash repair: cells/
-    partition swaps are per-directory (re-run the rebalance);
-    centroids/ swaps rename-aside, so a leftover ``centroids._lt_old``
-    directory plus a missing ``centroids/`` means restore the old dir
-    by renaming it back; a ``meta.n_cells`` smaller than the centroid
-    relation only hides the new cells until the meta rewrite is
-    re-run."""
+    — a concurrent upsert/rebalance raises). CRASH-TRANSACTIONAL: all
+    three relations stage aside and commit under ONE journal
+    (:func:`~.txn.commit_swaps`) — a crash at any point serves exactly
+    the old index (journal never written) or is rolled forward to
+    exactly the new one by
+    :func:`~linktransformer_spark.recover_index`; readers raise on a
+    pending journal instead of serving a torn mix."""
     from .tombstones import refresh_index_path
+    from .txn import commit_swaps
     from .upsert import index_write_lock
 
     with index_write_lock(spark, path):
-        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-        if int(meta["version"]) != _IVF_INDEX_VERSION:
-            raise ValueError(
-                f"ivf index at {path} has version {meta['version']}, "
-                f"this build reads version {_IVF_INDEX_VERSION}"
-            )
+        meta = _read_ivf_meta(spark, path)
         n_cells0 = int(meta["n_cells"])
-        n_hot, n_new, moved, n_after = _rebalance_cells(
+        n_hot, n_new, moved, n_after, entries, cleanup = _rebalance_cells(
             spark, path, str(meta["id_col"]), str(meta["vector_col"]), [],
             n_cells0, max_over_mean, split_factor,
             refine=refine, refine_sample=refine_sample,
         )
         if n_hot:
+            # stage meta aside and commit cells/ + centroids/ + meta/
+            # under ONE journal — the three relations change together
             spark.createDataFrame(
                 [(_IVF_INDEX_VERSION, int(n_after), str(meta["mode"]),
                   str(meta["id_col"]), str(meta["vector_col"]))],
                 "version int, n_cells int, mode string, id_col string, "
                 "vector_col string",
-            ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+            ).coalesce(1).write.mode("overwrite").json(
+                f"{path}/meta._lt_stage"
+            )
+            entries.append(("swap", "meta._lt_stage", "meta"))
+            commit_swaps(spark, path, entries,
+                         cleanup=cleanup + ["meta._lt_stage"])
             refresh_index_path(spark, path)
     return _rebalance_stats(spark, n_hot, n_new, moved, n_cells0, n_after)
 
@@ -2002,6 +2004,7 @@ def rebalance_pq_index(
     index automatically probes proportionally more cells."""
     from .tombstones import refresh_index_path
     from .serving import _read_pq_meta, _write_pq_meta
+    from .txn import commit_swaps
     from .upsert import index_write_lock
 
     with index_write_lock(spark, path):
@@ -2010,13 +2013,17 @@ def rebalance_pq_index(
         # n_rows, not a stale pre-upsert value
         meta = _read_pq_meta(spark, path)
         n_cells0 = int(meta["n_cells"])
-        n_hot, n_new, moved, n_after = _rebalance_cells(
+        n_hot, n_new, moved, n_after, entries, cleanup = _rebalance_cells(
             spark, path, str(meta["id_col"]), str(meta["vector_col"]),
             ["codes"], n_cells0, max_over_mean, split_factor,
             refine=refine, refine_sample=refine_sample,
         )
         if n_hot:
             meta["n_cells"] = int(n_after)
-            _write_pq_meta(spark, path, meta, int(meta["n_rows"]))
+            _write_pq_meta(spark, path, meta, int(meta["n_rows"]),
+                           rel="meta._lt_stage")
+            entries.append(("swap", "meta._lt_stage", "meta"))
+            commit_swaps(spark, path, entries,
+                         cleanup=cleanup + ["meta._lt_stage"])
             refresh_index_path(spark, path)
     return _rebalance_stats(spark, n_hot, n_new, moved, n_cells0, n_after)

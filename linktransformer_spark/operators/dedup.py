@@ -1407,6 +1407,7 @@ def save_minhash_index(
     )
     from .tombstones import clear_tombstones, refresh_index_path
 
+    from .txn import clear_commit_journal
     from .upsert import clear_writer_lock, index_write_lock
 
     if mode == "overwrite":
@@ -1415,6 +1416,7 @@ def save_minhash_index(
         # writer's stale lock marker
         clear_tombstones(spark, path)
         clear_writer_lock(spark, path)
+        clear_commit_journal(spark, path)
         banded.write.mode(mode).parquet(f"{path}/bands")
         sh.write.mode(mode).parquet(f"{path}/shingles")
     else:
@@ -1435,6 +1437,9 @@ def save_minhash_index(
 
 
 def _load_index_meta(spark, path: str) -> dict:
+    from .txn import assert_no_pending_commit
+
+    assert_no_pending_commit(spark, path)
     row = spark.read.json(f"{path}/meta").collect()[0].asDict()
     if int(row["version"]) != _INDEX_VERSION:
         raise ValueError(

@@ -361,10 +361,12 @@ def save_bm25_index(
     # a rebuild must not inherit tombstones from a previous index at
     # the same path — the postings it masks no longer exist; same for
     # a crashed writer's stale lock marker
+    from .txn import clear_commit_journal
     from .upsert import clear_writer_lock
 
     clear_tombstones(docs.sparkSession, path)
     clear_writer_lock(docs.sparkSession, path)
+    clear_commit_journal(docs.sparkSession, path)
     # one file per (shuffle partition, bucket) would explode the file
     # count; cluster rows by bucket first so each bucket writes from
     # few tasks. repartition(bucket) hashes the low-cardinality bucket
@@ -394,6 +396,9 @@ def _read_bm25_meta(
     compaction pass ``min_version=3`` (they need every segment to
     carry raw tf/dl, and appending tf/dl-less rows to a v3 directory
     would poison later compactions)."""
+    from .txn import assert_no_pending_commit
+
+    assert_no_pending_commit(spark, index_path)
     try:
         meta = spark.read.json(f"{index_path}/meta").collect()[0].asDict()
     except Exception as e:  # noqa: BLE001 — any unreadable meta is fatal

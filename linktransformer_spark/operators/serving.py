@@ -655,10 +655,12 @@ def save_pq_index(
     enc = _encode_cells(corpus, corpus_id, vector_col, C, book,
                         _resolve_parts(spark, n, rows_per_task))
     from .tombstones import clear_tombstones
+    from .txn import clear_commit_journal
     from .upsert import clear_writer_lock
 
     clear_tombstones(spark, path)
     clear_writer_lock(spark, path)
+    clear_commit_journal(spark, path)
     enc.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
@@ -688,6 +690,9 @@ def save_pq_index(
 
 
 def _read_pq_meta(spark: SparkSession, path: str) -> dict:
+    from .txn import assert_no_pending_commit
+
+    assert_no_pending_commit(spark, path)
     meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
     if int(meta["version"]) != _PQ_INDEX_VERSION:
         raise ValueError(
@@ -714,7 +719,7 @@ def _load_pq_model(spark: SparkSession, path: str, meta: dict):
 
 
 def _write_pq_meta(spark: SparkSession, path: str, meta: dict,
-                   n_rows: int) -> None:
+                   n_rows: int, rel: str = "meta") -> None:
     spark.createDataFrame(
         [(
             _PQ_INDEX_VERSION, int(meta["n_cells"]), int(meta["m"]),
@@ -723,7 +728,7 @@ def _write_pq_meta(spark: SparkSession, path: str, meta: dict,
         )],
         "version int, n_cells int, m int, n_codes int, dim int, "
         "id_col string, vector_col string, n_rows bigint",
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/{rel}")
 
 
 def append_to_pq_index(
@@ -883,12 +888,7 @@ def ann_topk_pq_indexed(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _PQ_INDEX_VERSION:
-        raise ValueError(
-            f"pq index at {path} has version {meta['version']}, "
-            f"this build reads version {_PQ_INDEX_VERSION}"
-        )
+    meta = _read_pq_meta(spark, path)
     p = resolve_serving_params(
         int(meta["n_rows"]), int(meta["dim"]), k,
         n_cells=int(meta["n_cells"]), n_probe=n_probe,

@@ -32,10 +32,16 @@ surviving rows to a sibling temp directory FIRST and only then swaps
 it over the old one, so a reader never races a half-written relation
 and the source is never read lazily while being overwritten (the
 failure the purge paths' ``require_distinct_out`` guard exists for).
-The swap itself (delete old + rename tmp) is not transactional: a
-crash between the two leaves the relation missing — re-run the upsert
-or restore from the staged tmp dir. Deployments needing a commit
-point should keep using purge-to-new-path + atomic rename.
+Each multi-directory swap runs under a COMMIT JOURNAL
+(:mod:`.txn`): the full swap plan lands in ``._lt_commit`` atomically
+before any live directory is touched, so a crash at any point either
+serves exactly the old state (journal never written) or is rolled
+FORWARD to exactly the new one by
+:func:`~linktransformer_spark.recover_index`; readers detect a
+pending journal at index open and raise instead of serving a torn
+mix. A crash BETWEEN an upsert's steps (rows removed, append not yet
+run) still reads as a committed delete — re-run the upsert to
+complete it (idempotent).
 
 Index mutation is SINGLE-WRITER: every upsert, rebalance, append and
 tombstone write takes :func:`index_write_lock` — a
@@ -49,6 +55,9 @@ clear a crashed writer's stale marker like they clear tombstones.
 from __future__ import annotations
 
 import contextlib
+import os
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,10 +77,36 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
 
 
-# paths whose lock THIS process currently holds — makes the lock
-# reentrant within one driver, so upsert_* (which holds it) can call
-# the also-locked append_to_* / write_tombstones without deadlocking
+# (thread ident, path) pairs whose lock THIS thread currently holds —
+# makes the lock reentrant within one driver THREAD, so upsert_*
+# (which holds it) can call the also-locked append_to_* /
+# write_tombstones without deadlocking. Thread-affine on purpose: a
+# second writer on ANOTHER thread of the same driver (two
+# run_upsert_stream queries, a notebook thread pool) must hit the
+# marker check and raise, not silently ride the reentrant fast path.
+_HELD_MU = threading.Lock()
 _HELD: set = set()
+
+
+def _read_lock_token(fs, lock) -> str | None:
+    """Best-effort read of the marker's holder token (pid:uuid). None
+    when unreadable/absent; '' for an empty (legacy/foreign) marker."""
+    try:
+        if not fs.exists(lock):
+            return None
+        stream = fs.open(lock)
+        try:
+            chars = []
+            for _ in range(128):
+                b = stream.read()
+                if b < 0:
+                    break
+                chars.append(chr(b))
+            return "".join(chars)
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 @contextlib.contextmanager
@@ -98,33 +133,77 @@ def index_write_lock(spark: SparkSession, path: str):
     operator failure, and a full ``save_*`` rebuild clears a stale one
     (:func:`clear_writer_lock`, the ``clear_tombstones`` analogue). A
     crash between create and cleanup leaves a stale marker: the error
-    message says to delete it manually once no writer is running."""
+    message says to delete it manually once no writer is running.
+
+    The marker carries the holder's identity (``pid:uuid``); release
+    deletes the marker only when it still carries OUR token. Without
+    that check, a ``save_*`` rebuild clearing a LIVE writer's marker
+    would let that writer's exit delete a NEWER writer's marker,
+    cascading lock loss across three writers. Reentrancy is
+    THREAD-affine (``threading.get_ident()``), so a concurrent writer
+    on another thread of the same driver raises like any foreign
+    writer instead of silently entering."""
     norm = path.rstrip("/")
-    if norm in _HELD:
+    key = (threading.get_ident(), norm)
+    with _HELD_MU:
+        if key in _HELD:
+            reentrant = True
+        else:
+            reentrant = False
+    if reentrant:
         yield
         return
     fs, _ = _fs(spark, path)
     jvm = spark.sparkContext._jvm
     lock = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}")
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     try:
-        created = fs.createNewFile(lock)
+        # create(overwrite=False) raises if the marker exists — the
+        # same atomicity class as createNewFile, but lets us stamp the
+        # holder token into the marker in one open
+        out = fs.create(lock, False)
+        try:
+            out.write(bytearray(token.encode("ascii")))
+        finally:
+            out.close()
+        created = True
     except Exception:  # create-time FileAlreadyExistsException et al.
         created = False
     if not created:
+        age = ""
+        try:
+            import time
+
+            mtime = fs.getFileStatus(lock).getModificationTime() / 1000.0
+            holder = _read_lock_token(fs, lock) or "unknown"
+            age = (
+                f" Holder {holder!r}, marker age "
+                f"{time.time() - mtime:.0f}s."
+            )
+        except Exception:
+            pass
         raise RuntimeError(
             f"index at {path} is locked by another in-place writer "
-            f"({_LOCK_NAME} exists). Index mutation is "
+            f"({_LOCK_NAME} exists).{age} Index mutation is "
             "single-writer; wait for the other "
             "upsert/rebalance/append/delete to finish. If a previous "
-            "writer CRASHED, verify nothing is running and delete the "
-            "marker file to clear the stale lock."
+            "writer CRASHED, verify nothing is running and run "
+            "recover_index(spark, path) (clears the stale marker and "
+            "rolls forward any interrupted commit)."
         )
-    _HELD.add(norm)
+    with _HELD_MU:
+        _HELD.add(key)
     try:
         yield
     finally:
-        _HELD.discard(norm)
-        fs.delete(lock, False)
+        with _HELD_MU:
+            _HELD.discard(key)
+        # delete only OUR marker: if a save_* rebuild cleared it and a
+        # newer writer has since created its own, deleting that one
+        # would silently un-lock the newer writer
+        holder = _read_lock_token(fs, lock)
+        if holder is None or holder == token:
+            fs.delete(lock, False)
 
 
 def clear_writer_lock(spark: SparkSession, path: str) -> None:
@@ -136,15 +215,6 @@ def clear_writer_lock(spark: SparkSession, path: str) -> None:
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}"), False
     )
-
-
-def _swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
-    """delete(final); rename(tmp, final). On object stores rename is a
-    copy — acceptable for the bounded relations this module stages."""
-    fs, pf = _fs(spark, final)
-    fs.delete(pf, True)
-    pt = _fs(spark, tmp)[1]
-    fs.rename(pt, pf)
 
 
 def _distinct_ids(batch: DataFrame, id_col: str, dtype) -> DataFrame:
@@ -197,67 +267,83 @@ def _distinct_ids(batch: DataFrame, id_col: str, dtype) -> DataFrame:
 
 def _rewrite_partitions_minus_ids(
     spark: SparkSession,
-    rel_path: str,
+    index_root: str,
+    rel: str,
     part_col: str,
     ids: DataFrame,
     stored_col: str,
 ) -> int:
-    """Physically drop ``ids`` from ``rel_path`` (a ``part_col``-
-    partitioned parquet relation) by rewriting ONLY the partitions
-    that contain them. Returns the number of rows removed.
+    """Physically drop ``ids`` from ``{index_root}/{rel}`` (a
+    ``part_col``-partitioned parquet relation) by rewriting ONLY the
+    partitions that contain them. Returns the number of rows removed.
 
     The affected-partition list is a bounded collect (<= the
     partition count); surviving rows of those partitions stage to a
-    sibling tmp dir, then each affected partition directory swaps —
-    a fully-emptied partition simply has no staged counterpart and is
-    deleted. Untouched partitions never read, never write."""
-    rel = spark.read.parquet(rel_path)
+    sibling tmp dir, then every affected partition directory swaps
+    under ONE commit journal (:func:`~.txn.commit_swaps`) — a crash at
+    any point serves exactly the old state (journal never written) or
+    rolls forward to exactly the new one. A fully-emptied partition
+    has no staged counterpart and journals as a delete. Untouched
+    partitions never read, never write."""
+    from .txn import commit_swaps
+
+    rel_path = f"{index_root}/{rel}"
+    reldf = spark.read.parquet(rel_path)
     idsb = F.broadcast(ids)
     affected = [
         r[0]
-        for r in rel.join(
-            idsb, rel[stored_col] == F.col("_lt_up_id"), "left_semi"
+        for r in reldf.join(
+            idsb, reldf[stored_col] == F.col("_lt_up_id"), "left_semi"
         ).select(part_col).distinct().collect()
     ]
     if not affected:
         return 0
-    hit = rel.filter(F.col(part_col).isin(affected))
+    hit = reldf.filter(F.col(part_col).isin(affected))
     n_removed = hit.join(
         idsb, hit[stored_col] == F.col("_lt_up_id"), "left_semi"
     ).count()
     kept = hit.join(
         idsb, hit[stored_col] == F.col("_lt_up_id"), "left_anti"
     )
-    tmp = rel_path.rstrip("/") + _TMP_SUFFIX
+    tmp_rel = rel.rstrip("/") + _TMP_SUFFIX
+    tmp = f"{index_root}/{tmp_rel}"
     kept.repartition(part_col).write.mode("overwrite").partitionBy(
         part_col
     ).parquet(tmp)
     fs, _ = _fs(spark, rel_path)
     jvm = spark.sparkContext._jvm
+    entries = []
     for v in affected:
-        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{part_col}={v}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{rel_path}/{part_col}={v}")
-        fs.delete(dst, True)
-        if fs.exists(src):
-            fs.rename(src, dst)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        src_rel = f"{tmp_rel}/{part_col}={v}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_root}/{src_rel}")):
+            entries.append(("swap", src_rel, f"{rel}/{part_col}={v}"))
+        else:
+            entries.append(("delete", f"{rel}/{part_col}={v}"))
+    commit_swaps(spark, index_root, entries, cleanup=(tmp_rel,))
     refresh_index_path(spark, rel_path)
     return int(n_removed)
 
 
 def _rewrite_relation_minus_ids(
-    spark: SparkSession, rel_path: str, ids: DataFrame, stored_col: str
+    spark: SparkSession, index_root: str, rel: str, ids: DataFrame,
+    stored_col: str,
 ) -> None:
     """Unpartitioned variant: stage the whole surviving relation, then
-    swap. I/O scales with the relation — the MinHash trade."""
-    rel = spark.read.parquet(rel_path)
-    kept = rel.join(
-        F.broadcast(ids), rel[stored_col] == F.col("_lt_up_id"),
+    one journaled swap (a bare delete+rename would leave the relation
+    MISSING on a crash in between). I/O scales with the relation — the
+    MinHash trade."""
+    from .txn import commit_swaps
+
+    rel_path = f"{index_root}/{rel}"
+    reldf = spark.read.parquet(rel_path)
+    kept = reldf.join(
+        F.broadcast(ids), reldf[stored_col] == F.col("_lt_up_id"),
         "left_anti",
     )
-    tmp = rel_path.rstrip("/") + _TMP_SUFFIX
-    kept.write.mode("overwrite").parquet(tmp)
-    _swap_dir(spark, tmp, rel_path)
+    tmp_rel = rel.rstrip("/") + _TMP_SUFFIX
+    kept.write.mode("overwrite").parquet(f"{index_root}/{tmp_rel}")
+    commit_swaps(spark, index_root, [("swap", tmp_rel, rel)],
+                 cleanup=(tmp_rel,))
     refresh_index_path(spark, rel_path)
 
 
@@ -268,6 +354,8 @@ def _untombstone(
     versions serve (plain append would stay masked). Runs AFTER the
     physical removal of the old rows — a crash in between leaves the
     ids deleted (consistent), never resurrected."""
+    from .txn import commit_swaps
+
     if not tombstones_exist(spark, path):
         return
     dels = read_tombstones(spark, path, stored_col)
@@ -280,9 +368,10 @@ def _untombstone(
     if kept.isEmpty():
         clear_tombstones(spark, path)
     else:
-        tmp = f"{path}/deletes{_TMP_SUFFIX}"
-        kept.write.mode("overwrite").parquet(tmp)
-        _swap_dir(spark, tmp, f"{path}/deletes")
+        tmp_rel = f"deletes{_TMP_SUFFIX}"
+        kept.write.mode("overwrite").parquet(f"{path}/{tmp_rel}")
+        commit_swaps(spark, path, [("swap", tmp_rel, "deletes")],
+                     cleanup=(tmp_rel,))
     refresh_index_path(spark, path)
 
 
@@ -298,23 +387,18 @@ def upsert_ivf_index(
     append against the frozen centroids. Serving afterwards equals a
     one-shot build over the modified corpus with the same centroids —
     per-row scoring state, no staleness (the IVF delete contract)."""
-    from .ann import _IVF_INDEX_VERSION, append_to_ivf_index
+    from .ann import _read_ivf_meta, append_to_ivf_index
 
     spark = batch.sparkSession
     # every read happens INSIDE the lock: a writer serialized behind a
     # concurrent rebalance must see the post-rebalance meta/schema,
     # not stale pre-lock values
     with index_write_lock(spark, path):
-        meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-        if int(meta["version"]) != _IVF_INDEX_VERSION:
-            raise ValueError(
-                f"ivf index at {path} has version {meta['version']}, "
-                f"this build reads version {_IVF_INDEX_VERSION}"
-            )
+        meta = _read_ivf_meta(spark, path)
         stored = str(meta["id_col"])
         dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
         ids = _distinct_ids(batch, corpus_id or stored, dtype)
-        _rewrite_partitions_minus_ids(spark, f"{path}/cells", "cell",
+        _rewrite_partitions_minus_ids(spark, path, "cells", "cell",
                                       ids, stored)
         _untombstone(spark, path, ids, stored)
         append_to_ivf_index(batch, path, vector_col=vector_col,
@@ -345,7 +429,7 @@ def upsert_pq_index(
         dtype = spark.read.parquet(f"{path}/cells").schema[stored].dataType
         ids = _distinct_ids(batch, corpus_id or stored, dtype)
         n_removed = _rewrite_partitions_minus_ids(
-            spark, f"{path}/cells", "cell", ids, stored
+            spark, path, "cells", "cell", ids, stored
         )
         if n_removed:
             _write_pq_meta(spark, path, meta,
@@ -380,7 +464,7 @@ def upsert_bm25_index(
         ).schema[stored].dataType
         ids = _distinct_ids(batch, id_col or stored, dtype)
         _rewrite_partitions_minus_ids(
-            spark, f"{path}/postings", "bucket", ids, stored
+            spark, path, "postings", "bucket", ids, stored
         )
         _untombstone(spark, path, ids, stored)
         append_to_bm25_index(batch, path, text_col=text_col)
@@ -413,7 +497,7 @@ def upsert_minhash_index(
         dtype = spark.read.parquet(f"{path}/bands").schema["_id"].dataType
         ids = _distinct_ids(batch, id_col, dtype)
         for rel in ("bands", "shingles"):
-            _rewrite_relation_minus_ids(spark, f"{path}/{rel}", ids, "_id")
+            _rewrite_relation_minus_ids(spark, path, rel, ids, "_id")
         _untombstone(spark, path, ids, "_id")
         save_minhash_index(
             batch, path, on=on, id_col=id_col,

@@ -7177,10 +7177,16 @@ def stream_er_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
     )
     cust_stream = read_stream_table(spark, sf_dir, "customer")
+    # prune_topk=1 bounds the drained sink at one row per record (a
+    # hot registry block otherwise inflates it linearly — measured,
+    # tools/attach_fanout_sweep.py); the prune keeps each record's
+    # best row under EXACTLY final_attach's selection order, so the
+    # oracle is unchanged and checks the pruned path end to end
     cand = streaming_attach_candidates(
         cust_stream, registry, on="c_name", id_col="c_custkey",
         sim_threshold=0.62,
         blocking_vars=[("c_nationkey", "s_nationkey")],
+        prune_topk=1,
     )
     drained = run_available_now(cand, output_mode="append")
     cust = _t(spark, sf_dir, "customer")

@@ -171,9 +171,14 @@ def run_upsert_stream(
         raise TimeoutError(
             f"upsert stream did not drain within {timeout_sec}s — "
             f"{applied['n']} micro-batch(es) were already applied to "
-            f"{index_path}; the remaining input is NOT applied. "
-            "Re-run with a larger timeout_sec (re-upserting the same "
-            "ids is idempotent) or feed fewer, fatter micro-batches."
+            f"{index_path}; the remaining input is NOT applied, and "
+            "the stop() may have interrupted an IN-FLIGHT micro-batch "
+            "mid-upsert — check the index for a leftover "
+            "._lt_upsert_tmp dir / pending-commit journal / stale "
+            "._lt_writer_lock marker and repair per the upsert module "
+            "docstring before re-running. Re-run with a larger "
+            "timeout_sec (re-upserting the same ids is idempotent) or "
+            "feed fewer, fatter micro-batches."
         )
     return applied["n"]
 
@@ -944,6 +949,7 @@ def streaming_attach_candidates(
     blocking: str = "exact",
     n_planes: int = 8,
     lsh_dim: int = 64,
+    prune_topk: int | None = None,
 ) -> DataFrame:
     """Streaming incremental entity resolution, candidate stage: a
     STREAM of new records scored against a static entity registry
@@ -959,7 +965,19 @@ def streaming_attach_candidates(
     :func:`final_attach`, the same candidates-then-finalize split as
     :func:`streaming_ann_against_index` / :func:`final_ann_topk`.
     ``blocking='lsh'`` requires an explicit ``n_planes`` int here
-    ('auto' sizes from a corpus count, and a stream has none)."""
+    ('auto' sizes from a corpus count, and a stream has none).
+
+    ``prune_topk`` bounds the drained sink at records x prune_topk
+    rows: without it the sink is one row per (record, entity) match,
+    so a HOT registry block (thousands of entities sharing a blocking
+    key or LSH bucket) inflates the drain linearly in the block size
+    (measured: tools/attach_fanout_sweep.py). The prune keeps each
+    record's top rows under EXACTLY :func:`final_attach`'s selection
+    order (score DESC, entity ASC, matched_key ASC), so the final
+    best-entity pick is bit-identical for any ``prune_topk >= 1`` —
+    the :func:`_prune_candidate_topk` contract with the attach
+    tie-break. Same caveat as the other pruned serves: each record id
+    must appear in ONE stream row."""
     from ..ids import require_integral_id
     from ..operators.entity import _norm_blocking, _sides
 
@@ -1025,7 +1043,7 @@ def streaming_attach_candidates(
         )
     else:
         cand = left.crossJoin(right)
-    return (
+    out = (
         cand.withColumn("score", score)
         .filter(F.col("score") >= F.lit(sim_threshold))
         .select(
@@ -1035,6 +1053,47 @@ def streaming_attach_candidates(
             F.col("_rkey").alias("matched_key"),
             "score",
         )
+    )
+    if prune_topk is None:
+        return out
+    return _prune_attach_topk(out, prune_topk)
+
+
+def _prune_attach_topk(cands: DataFrame, topn: int) -> DataFrame:
+    """:func:`_prune_candidate_topk`'s attach twin: per-record exact
+    top-``topn`` under the :func:`final_attach` selection order
+    (score DESC, entity ASC, matched_key ASC). The ``record_id``
+    repartition co-locates each record's candidates, so the kept rows
+    are the global top-``topn`` per record and the post-drain rank-1
+    pick is bit-identical for any ``topn >= 1``. Pandas sort (stable
+    mergesort over the full tie-break) instead of the ANN pruner's
+    numpy lexsort because ``matched_key`` is a string column."""
+    if topn < 1:
+        raise ValueError("prune_topk must be >= 1")
+
+    order_cols = ["record_id", "score", "entity_id", "matched_key"]
+    ascending = [True, False, True, True]
+
+    def prune(batches):
+        import pandas as pd
+
+        def topsel(df):
+            return (
+                df.sort_values(order_cols, ascending=ascending,
+                               kind="mergesort")
+                .groupby("record_id", sort=False)
+                .head(topn)
+            )
+
+        pieces = [topsel(pdf) for pdf in batches if len(pdf)]
+        pieces = [p for p in pieces if len(p)]
+        if pieces:
+            out = topsel(pd.concat(pieces, ignore_index=True))
+            if len(out):
+                yield out
+
+    return cands.repartition("record_id").mapInPandas(
+        prune, schema=cands.schema
     )
 
 
@@ -1155,22 +1214,20 @@ def streaming_ann_against_index(
     final :func:`final_ann_topk` (k <= prune_topk) is bit-identical.
     Requires each query id to appear in ONE stream row (a duplicate
     would prune against partial candidate sets — the same documented
-    contract as the BM25 and PQ serves).
+    contract as the BM25 and PQ serves). :func:`final_ann_topk`
+    mitigates the un-pruned duplicate case by collapsing identical
+    (query, neighbor, score) rows before ranking, so a duplicated id
+    degrades to partial candidates, never duplicate ranks.
     """
     import numpy as np
 
     from ..functions import similarity as S
     from ..operators import knn_join as KJ
-    from ..operators.ann import _IVF_INDEX_VERSION
+    from ..operators.ann import _read_ivf_meta
 
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
-    meta = spark.read.json(f"{index_path}/meta").collect()[0].asDict()
-    if int(meta["version"]) != _IVF_INDEX_VERSION:
-        raise ValueError(
-            f"ivf index at {index_path} has version {meta['version']}, "
-            f"this build reads version {_IVF_INDEX_VERSION}"
-        )
+    meta = _read_ivf_meta(spark, index_path)
     cent_rows = sorted(
         (r["cell"], list(r["centroid"]))
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
@@ -1247,9 +1304,18 @@ def streaming_ann_against_index(
 def final_ann_topk(drained: DataFrame, k: int = 10) -> DataFrame:
     """Top-k rank over a drained :func:`streaming_ann_against_index`
     candidate sink — (query_id, neighbor_id, rank, score), the batch
-    ``ann_topk_ivf_indexed`` output shape."""
+    ``ann_topk_ivf_indexed`` output shape.
+
+    A query id arriving in TWO stream rows (same vector — different
+    vectors raise upstream) drains its candidate set twice; without a
+    dedup the identical rows would occupy multiple rank slots and
+    corrupt that query's top-k. Identical (query, neighbor, score)
+    triples collapse exactly (the ``final_bm25_topk`` stance); under
+    ``prune_topk`` a duplicated id degrades to partial candidates
+    rather than duplicate ranks."""
     from pyspark.sql import Window
 
+    drained = drained.dropDuplicates(["query_id", "neighbor_id", "score"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
@@ -1741,6 +1807,7 @@ def streaming_bm25_against_index(
     query_col: str = "q_text",
     max_df_ratio: float | None = None,
     prune_topk: int | None = None,
+    prune_partitions: int | None = None,
 ) -> DataFrame:
     """Real-time keyword search: a STREAM of query texts scored
     against a :func:`~linktransformer_spark.operators.search.save_bm25_index`
@@ -1831,10 +1898,11 @@ def streaming_bm25_against_index(
         return contrib
     if prune_topk < 1:
         raise ValueError("prune_topk must be >= 1")
-    return _prune_bm25_contributions(contrib, prune_topk)
+    return _prune_bm25_contributions(contrib, prune_topk, prune_partitions)
 
 
-def _prune_bm25_contributions(contrib: DataFrame, prune_topk: int):
+def _prune_bm25_contributions(contrib: DataFrame, prune_topk: int,
+                              prune_partitions: int | None = None):
     """Per-query top-``prune_topk`` doc prune over a contribution
     relation, emitting the SURVIVING CONTRIBUTION ROWS unchanged (same
     schema — :func:`final_bm25_topk` runs unmodified on the sink).
@@ -1845,7 +1913,19 @@ def _prune_bm25_contributions(contrib: DataFrame, prune_topk: int):
     ``F.aggregate(array_sort(...))`` order — and docs rank (score
     DESC, doc ASC), the finalizer's tie-break. Any doc pruned has
     ``prune_topk`` docs strictly preferred under that exact order, so
-    it cannot appear in any final top-k with k <= prune_topk."""
+    it cannot appear in any final top-k with k <= prune_topk.
+
+    Residency: the fold concatenates its partition's share of the
+    joined contribution relation in pandas — exact fold order needs a
+    (q, d) group's rows together, and a stateless stream cannot
+    aggregate, so the floor is rows-per-partition. Measured at the sf1
+    decade (PLANS.md round 12): FAT queries (full document texts, no
+    stopword pruning) reach ~25M rows ~ 1 GB per partition at 1000
+    queries — that profile is what ``prune_partitions`` (width of the
+    per-query exchange, default spark.sql.shuffle.partitions) and
+    ``max_df_ratio`` (drops the high-df terms that contribute most of
+    the volume) exist for; short keyword queries stay orders of
+    magnitude under it."""
     import numpy as np
 
     topn = prune_topk
@@ -1892,7 +1972,13 @@ def _prune_bm25_contributions(contrib: DataFrame, prune_topk: int):
     # executor-to-executor) — what the prune bounds is the SINK, the
     # measured cliff (drained rows landing on the driver). The output
     # schema is the input's — the prune only drops rows.
-    return contrib.repartition("_q").mapInPandas(prune, schema=contrib.schema)
+    if prune_partitions is not None:
+        if prune_partitions < 1:
+            raise ValueError("prune_partitions must be >= 1")
+        exchanged = contrib.repartition(int(prune_partitions), "_q")
+    else:
+        exchanged = contrib.repartition("_q")
+    return exchanged.mapInPandas(prune, schema=contrib.schema)
 
 
 def final_bm25_topk(

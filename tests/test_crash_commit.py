@@ -1,0 +1,225 @@
+"""Round-12 crash-transactional index mutation.
+
+A rebalance must change ``cells/``, ``centroids/`` and ``meta/``
+together; an upsert rewrites many cell partitions. Both used to run
+their directory swaps as a bare loop — a crash mid-loop silently
+stranded the staged rows of un-swapped directories. Every multi-dir
+swap now commits through a journal (:mod:`..operators.txn`); these
+tests kill the writer at EVERY filesystem mutation point and prove:
+
+- crash BEFORE the commit point (op 0): the index serves exactly the
+  OLD state (journal never written, staged dirs are aside);
+- crash at ANY later point: readers refuse the torn index loudly
+  (pending-commit error), and :func:`recover_index` rolls FORWARD to
+  exactly the state an uninterrupted run produces — bit-identical
+  serve, same meta;
+- recovery is idempotent and also sweeps staging leftovers + the
+  crashed writer's stale lock marker.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import linktransformer_spark as lt
+from linktransformer_spark.operators import txn
+
+SF = "/root/testdata/sf0.001"
+PID = os.getpid()
+
+
+@pytest.fixture(autouse=True)
+def _disarm_crash_hook():
+    yield
+    txn._reset_fail(None)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+    )
+
+
+@pytest.fixture(scope="module")
+def base_ivf(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("crash") / f"ivf_base_{PID}")
+    lt.save_ivf_index(emb, path, n_cells=2)
+    return path
+
+
+def _serve(spark, path, emb, k=5):
+    """A deterministic serve fingerprint over the whole index state."""
+    q = emb.filter(F.col("vec_id") < 20)
+    rows = lt.ann_topk_ivf_indexed(
+        spark, path, q, k=k, n_probe=64
+    ).collect()
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 9))
+        for r in rows
+    )
+
+
+def _meta_n_cells(spark, path):
+    return int(
+        spark.read.json(f"{path}/meta").collect()[0]["n_cells"]
+    )
+
+
+def _copy(base, dst):
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(base, dst)
+    return dst
+
+
+def test_rebalance_killed_at_every_fs_op(spark, emb, base_ivf, tmp_path):
+    old_serve = _serve(spark, base_ivf, emb)
+    old_cells = _meta_n_cells(spark, base_ivf)
+
+    # the uninterrupted outcome, and the op count of its commit
+    clean = _copy(base_ivf, str(tmp_path / "clean"))
+    txn._reset_fail(10**9)
+    stats = lt.rebalance_ivf_index(spark, clean, max_over_mean=0.5).first()
+    n_ops = txn._OPS
+    txn._reset_fail(None)
+    assert stats["n_hot_cells"] > 0, "fixture must actually rebalance"
+    assert n_ops >= 4, "journal write + swaps + journal delete expected"
+    new_serve = _serve(spark, clean, emb)
+    new_cells = _meta_n_cells(spark, clean)
+    assert new_serve != old_serve or new_cells != old_cells
+
+    for kill_at in range(n_ops):
+        p = _copy(base_ivf, str(tmp_path / f"kill{kill_at}"))
+        txn._reset_fail(kill_at)
+        with pytest.raises(txn.InjectedCrash):
+            lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+        txn._reset_fail(None)
+        if kill_at == 0:
+            # crash before the commit point: journal never written,
+            # nothing live touched — serves exactly the OLD state
+            assert not lt.pending_commit_exists(spark, p)
+            assert _serve(spark, p, emb) == old_serve
+            assert _meta_n_cells(spark, p) == old_cells
+            # recovery just sweeps staging leftovers; still OLD
+            lt.recover_index(spark, p)
+            assert _serve(spark, p, emb) == old_serve
+        else:
+            # crash after the commit point: reader refuses the torn
+            # index; recovery rolls FORWARD to exactly the new state
+            assert lt.pending_commit_exists(spark, p)
+            with pytest.raises(RuntimeError, match="interrupted commit"):
+                _serve(spark, p, emb)
+            info = lt.recover_index(spark, p)
+            assert info["rolled_forward"]
+            assert _serve(spark, p, emb) == new_serve
+            assert _meta_n_cells(spark, p) == new_cells
+        # no staging garbage or stale lock survives recovery
+        leftovers = [
+            n for n in os.listdir(p)
+            if "._lt_" in n and n != "._lt_writer_lock"
+        ]
+        assert leftovers == [], leftovers
+        assert not os.path.exists(f"{p}/._lt_writer_lock")
+
+
+def test_recover_is_idempotent(spark, emb, base_ivf, tmp_path):
+    p = _copy(base_ivf, str(tmp_path / "idem"))
+    txn._reset_fail(3)  # mid-apply
+    with pytest.raises(txn.InjectedCrash):
+        lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+    txn._reset_fail(None)
+    lt.recover_index(spark, p)
+    first = _serve(spark, p, emb)
+    # a second recovery finds nothing to do and changes nothing
+    info = lt.recover_index(spark, p)
+    assert not info["rolled_forward"]
+    assert _serve(spark, p, emb) == first
+
+
+def test_writer_refuses_torn_index_until_recovered(
+    spark, emb, base_ivf, tmp_path
+):
+    """A re-run of the writer itself (not just a reader) must refuse a
+    pending commit — its first meta read goes through the same gate."""
+    p = _copy(base_ivf, str(tmp_path / "wref"))
+    txn._reset_fail(2)
+    with pytest.raises(txn.InjectedCrash):
+        lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+    txn._reset_fail(None)
+    with pytest.raises(RuntimeError, match="interrupted commit"):
+        lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+    batch = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(RuntimeError, match="interrupted commit"):
+        lt.upsert_ivf_index(batch, p)
+    lt.recover_index(spark, p)
+    lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+
+
+def test_upsert_killed_at_every_fs_op(spark, emb, base_ivf, tmp_path):
+    """The upsert's partition rewrite + untombstone swaps are each one
+    journaled commit; a crash BETWEEN its steps is the documented
+    partially-applied state that a re-run completes — so after crash +
+    recover + re-run, the index equals the uninterrupted upsert."""
+    # a tombstone on one upserted id makes the upsert exercise the
+    # untombstone journal too
+    seeded = _copy(base_ivf, str(tmp_path / "up_seed"))
+    lt.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") == 3).select("vec_id"), seeded
+    )
+    batch = emb.filter(F.col("vec_id") % 50 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+    clean = _copy(seeded, str(tmp_path / "up_clean"))
+    txn._reset_fail(10**9)
+    lt.upsert_ivf_index(batch, clean)
+    n_ops = txn._OPS
+    txn._reset_fail(None)
+    assert n_ops >= 4
+    new_serve = _serve(spark, clean, emb)
+
+    for kill_at in range(n_ops):
+        p = _copy(seeded, str(tmp_path / f"upk{kill_at}"))
+        txn._reset_fail(kill_at)
+        with pytest.raises(txn.InjectedCrash):
+            lt.upsert_ivf_index(batch, p)
+        txn._reset_fail(None)
+        if lt.pending_commit_exists(spark, p):
+            with pytest.raises(RuntimeError, match="interrupted commit"):
+                _serve(spark, p, emb)
+            lt.recover_index(spark, p)
+        # whatever step the crash hit, re-running the upsert lands the
+        # exact uninterrupted end state (idempotent replace-by-id)
+        lt.upsert_ivf_index(batch, p)
+        assert _serve(spark, p, emb) == new_serve
+
+
+def test_minhash_upsert_relation_swap_is_journaled(spark, tmp_path):
+    """The unpartitioned (MinHash) rewrite used to delete-then-rename —
+    a crash in between left the relation MISSING; now a mid-swap crash
+    recovers to the complete new relation."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(150)
+    base = str(tmp_path / f"mh_{PID}")
+    lt.save_minhash_index(docs, base, on="text", id_col="doc_id",
+                          num_hashes=16, bands=4)
+    batch = docs.limit(20)
+
+    clean = _copy(base, str(tmp_path / "mh_clean"))
+    lt.upsert_minhash_index(batch, clean, on="text", id_col="doc_id")
+    want_bands = spark.read.parquet(f"{clean}/bands").count()
+
+    p = _copy(base, str(tmp_path / "mh_kill"))
+    txn._reset_fail(2)  # inside the first relation's swap
+    with pytest.raises(txn.InjectedCrash):
+        lt.upsert_minhash_index(batch, p, on="text", id_col="doc_id")
+    txn._reset_fail(None)
+    assert lt.pending_commit_exists(spark, p)
+    lt.recover_index(spark, p)
+    # bands/ exists and is the post-rewrite relation; re-run completes
+    spark.catalog.refreshByPath(p)
+    assert os.path.isdir(f"{p}/bands")
+    lt.upsert_minhash_index(batch, p, on="text", id_col="doc_id")
+    assert spark.read.parquet(f"{p}/bands").count() == want_bands

@@ -482,3 +482,49 @@ def test_streaming_attach_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, final_attach(
         drained, new, on="name", id_col="rid").collect()))
     assert got == want
+
+
+def test_streaming_attach_pruned_matches_unpruned(spark, tmp_path):
+    """prune_topk bounds the drained attach sink at records x topn
+    without changing final_attach's best-entity pick — the prune keeps
+    each record's top rows under EXACTLY the finalizer's selection
+    order (score DESC, entity ASC, matched_key ASC). A hot registry
+    block (many near-identical entities behind one blocking key) makes
+    the unpruned sink fan out, so the drop is observable."""
+    from pyspark.sql import functions as F
+
+    from linktransformer_spark.streaming.ops import (
+        final_attach, run_available_now, streaming_attach_candidates,
+    )
+
+    # 40 entities in ONE block, all lev-similar to every record key
+    reg = spark.range(40).select(
+        F.col("id").alias("entity_id"),
+        F.format_string("acme widget depot %02d", F.col("id")).alias("key"),
+        F.lit(5).alias("blk"),
+    )
+    new = spark.range(12).select(
+        F.col("id").alias("rid"),
+        F.format_string("acme widget depot %02d", F.col("id")).alias("name"),
+        F.lit(5).alias("blk"),
+    )
+    kw = dict(on="name", id_col="rid", sim_threshold=0.6,
+              blocking_vars=[("blk", "blk")])
+    src = str(tmp_path / "src")
+    new.write.mode("overwrite").parquet(src)
+
+    def run(prune):
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        return run_available_now(
+            streaming_attach_candidates(stream, reg, prune_topk=prune, **kw)
+        )
+
+    raw = run(None)
+    pruned = run(1)
+    assert raw.count() > pruned.count()
+    assert pruned.count() <= new.count()
+    want = sorted(map(tuple, final_attach(
+        raw, new, on="name", id_col="rid").collect()))
+    got = sorted(map(tuple, final_attach(
+        pruned, new, on="name", id_col="rid").collect()))
+    assert got == want and got

@@ -15,14 +15,16 @@
   (the PQ serve's LUT cache is keyed by id).
 """
 
+import contextlib
 import os
+import threading
 
 import pytest
 from pyspark.sql import functions as F
 
 import linktransformer_spark as lt
 from linktransformer_spark.operators.upsert import (
-    _LOCK_NAME, index_write_lock,
+    _LOCK_NAME, clear_writer_lock, index_write_lock,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -64,6 +66,70 @@ def test_write_lock_reentrant_and_excludes_foreign_writer(spark, tmp_path):
     os.remove(f"{path}/{_LOCK_NAME}")
 
 
+def test_write_lock_reentrancy_is_thread_affine(spark, tmp_path):
+    """A second writer on ANOTHER thread of the same driver (two
+    run_upsert_stream queries, a notebook thread pool) must hit the
+    marker check and raise — process-global reentrancy would let it
+    silently enter and then delete the first writer's lock mid-swap."""
+    path = str(tmp_path / f"idx_thr_{PID}")
+    os.makedirs(path, exist_ok=True)
+    result: dict = {}
+
+    def other_thread_writer():
+        try:
+            with index_write_lock(spark, path):
+                result["entered"] = True
+        except RuntimeError as e:
+            result["raised"] = str(e)
+
+    with index_write_lock(spark, path):
+        t = threading.Thread(target=other_thread_writer)
+        t.start()
+        t.join(30)
+    assert "entered" not in result
+    assert "locked by another" in result["raised"]
+    # the failed cross-thread attempt must NOT have released our lock
+    # prematurely; after our clean exit a new writer acquires
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    with index_write_lock(spark, path):
+        pass
+
+
+def test_write_lock_release_spares_newer_writers_marker(spark, tmp_path):
+    """clear_writer_lock (every save_* rebuild) may clear a LIVE
+    writer's marker; that writer's exit must then NOT delete the
+    marker a NEWER writer has since created — holder identity in the
+    marker prevents the cascading lock loss."""
+    path = str(tmp_path / f"idx_tok_{PID}")
+    os.makedirs(path, exist_ok=True)
+    acquired = threading.Event()
+    release = threading.Event()
+    done: dict = {}
+
+    def newer_writer():
+        with index_write_lock(spark, path):
+            acquired.set()
+            release.wait(30)
+        done["exited"] = True
+
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(index_write_lock(spark, path))  # writer 1
+        clear_writer_lock(spark, path)  # a save_* rebuild clears it
+        t = threading.Thread(target=newer_writer)  # writer 2 acquires
+        t.start()
+        assert acquired.wait(30)
+    # writer 1 exited: writer 2's marker must survive
+    assert os.path.exists(f"{path}/{_LOCK_NAME}")
+    with pytest.raises(RuntimeError, match="locked by another"):
+        with index_write_lock(spark, path):
+            pass
+    release.set()
+    t.join(30)
+    assert done.get("exited")
+    # writer 2's own exit releases its marker normally
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
 def test_write_lock_released_on_writer_failure(spark, tmp_path):
     path = str(tmp_path / f"idx_{PID}")
     os.makedirs(path, exist_ok=True)
@@ -82,7 +148,7 @@ def test_upsert_respects_stale_lock(spark, emb, tmp_path):
         "vec_id", F.reverse("embedding").alias("embedding")
     )
     open(f"{path}/{_LOCK_NAME}", "w").close()
-    with pytest.raises(RuntimeError, match="delete the marker"):
+    with pytest.raises(RuntimeError, match="recover_index"):
         lt.upsert_ivf_index(batch, path)
     os.remove(f"{path}/{_LOCK_NAME}")
     lt.upsert_ivf_index(batch, path)  # unblocked
@@ -205,6 +271,33 @@ def test_final_bm25_topk_dedupes_duplicate_query_rows(spark):
             for r in final_bm25_topk(drained, k=5).collect()}
     assert rows[(1, 10)] == (0.8, 2)
     assert rows[(1, 11)] == (0.2, 1)
+
+
+def test_final_ann_topk_dedupes_duplicate_query_rows(spark):
+    """A query id arriving in two stream rows (same vector) drains its
+    candidate set twice — identical rows must not occupy multiple rank
+    slots (the final_bm25_topk dedup stance, mirrored)."""
+    from linktransformer_spark.streaming import final_ann_topk
+
+    drained = spark.createDataFrame(
+        [
+            (1, 10, 0.9),
+            (1, 10, 0.9),   # second stream row, same query id
+            (1, 11, 0.8),
+            (1, 11, 0.8),
+            (1, 12, 0.7),
+            (2, 10, 0.5),
+        ],
+        "query_id long, neighbor_id long, score double",
+    )
+    got = final_ann_topk(drained, k=2).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["score"])
+        )
+    assert sorted(by_q[1]) == [(1, 10, 0.9), (2, 11, 0.8)]
+    assert sorted(by_q[2]) == [(1, 10, 0.5)]
 
 
 def test_streaming_pq_rejects_non_integral_query_id(spark, emb, tmp_path):
