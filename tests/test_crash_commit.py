@@ -223,3 +223,38 @@ def test_minhash_upsert_relation_swap_is_journaled(spark, tmp_path):
     assert os.path.isdir(f"{p}/bands")
     lt.upsert_minhash_index(batch, p, on="text", id_col="doc_id")
     assert spark.read.parquet(f"{p}/bands").count() == want_bands
+
+
+def test_pq_rebalance_crash_recovers_to_new_state(spark, emb, tmp_path):
+    """The PQ rebalance shares _rebalance_cells but stages its own
+    meta (n_cells + frozen model fields) — a mid-apply crash must
+    recover to the exact uninterrupted end state, codes intact."""
+    base = str(tmp_path / f"pq_{PID}")
+    lt.save_pq_index(emb, base, n_cells=2, m=8, n_codes=16)
+
+    def serve(path):
+        q = emb.filter(F.col("vec_id") < 20)
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["score"], 9))
+            for r in lt.ann_topk_pq_indexed(spark, path, q, k=5).collect()
+        )
+
+    clean = _copy(base, str(tmp_path / "pq_clean"))
+    st = lt.rebalance_pq_index(spark, clean, max_over_mean=0.5).first()
+    assert st["n_hot_cells"] > 0
+    want = serve(clean)
+    want_cells = int(st["n_cells_after"])
+
+    p = _copy(base, str(tmp_path / "pq_kill"))
+    txn._reset_fail(4)  # mid-apply, after the commit point
+    with pytest.raises(txn.InjectedCrash):
+        lt.rebalance_pq_index(spark, p, max_over_mean=0.5)
+    txn._reset_fail(None)
+    assert lt.pending_commit_exists(spark, p)
+    with pytest.raises(RuntimeError, match="interrupted commit"):
+        serve(p)
+    info = lt.recover_index(spark, p)
+    assert info["rolled_forward"]
+    assert serve(p) == want
+    assert _meta_n_cells(spark, p) == want_cells
