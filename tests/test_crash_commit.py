@@ -258,3 +258,93 @@ def test_pq_rebalance_crash_recovers_to_new_state(spark, emb, tmp_path):
     assert info["rolled_forward"]
     assert serve(p) == want
     assert _meta_n_cells(spark, p) == want_cells
+
+
+# ---------------------------------------------------------------------------
+# Property: for ANY swap plan and ANY kill point, commit_swaps leaves the
+# tree recoverable to exactly the planned new state (or exactly the old
+# one when the crash precedes the commit point). Pure filesystem — no
+# index builds — so hypothesis can afford real example counts.
+
+import uuid as _uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _write_tree(root, rels: dict):
+    os.makedirs(root, exist_ok=True)
+    for rel, content in rels.items():
+        d = os.path.join(root, rel)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write(content)
+
+
+def _read_tree(root):
+    out = {}
+    for name in os.listdir(root):
+        d = os.path.join(root, name)
+        f = os.path.join(d, "data.txt")
+        if os.path.isdir(d) and os.path.exists(f):
+            out[name] = open(f).read()
+    return out
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    n_rels=st.integers(1, 5),
+)
+def test_commit_swaps_any_plan_any_killpoint(spark, tmp_path, data, n_rels):
+    from linktransformer_spark.operators.txn import (
+        commit_swaps, pending_commit_exists,
+    )
+
+    rels = [f"rel{i}" for i in range(n_rels)]
+    old = {r: f"old-{r}" for r in rels}
+    # each relation randomly: swapped to new content, deleted, or kept
+    actions = {
+        r: data.draw(st.sampled_from(["swap", "delete", "keep"]), label=r)
+        for r in rels
+    }
+    if all(a == "keep" for a in actions.values()):
+        actions[rels[0]] = "swap"
+
+    root = str(tmp_path / f"t_{_uuid.uuid4().hex[:10]}")
+    _write_tree(root, old)
+    entries, staged = [], {}
+    for r, a in actions.items():
+        if a == "swap":
+            staged[f"{r}._lt_upsert_tmp"] = f"new-{r}"
+            entries.append(("swap", f"{r}._lt_upsert_tmp", r))
+        elif a == "delete":
+            entries.append(("delete", r))
+    _write_tree(root, staged)
+    want_new = {
+        r: (f"new-{r}" if a == "swap" else old[r])
+        for r, a in actions.items() if a != "delete"
+    }
+
+    kill_at = data.draw(st.integers(0, 2 * len(entries) + 1), label="kill")
+    txn._reset_fail(kill_at)
+    crashed = False
+    try:
+        commit_swaps(spark, root, entries,
+                     cleanup=tuple(staged))
+    except txn.InjectedCrash:
+        crashed = True
+    txn._reset_fail(None)
+
+    if crashed and not pending_commit_exists(spark, root):
+        # pre-commit-point crash: old state intact
+        assert {k: v for k, v in _read_tree(root).items()
+                if "._lt_" not in k} == old
+    lt.recover_index(spark, root)
+    got = {k: v for k, v in _read_tree(root).items() if "._lt_" not in k}
+    if crashed and kill_at == 0:
+        assert got == old
+    else:
+        assert got == want_new
+    assert not pending_commit_exists(spark, root)

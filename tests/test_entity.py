@@ -528,3 +528,50 @@ def test_streaming_attach_pruned_matches_unpruned(spark, tmp_path):
     got = sorted(map(tuple, final_attach(
         pruned, new, on="name", id_col="rid").collect()))
     assert got == want and got
+
+
+def test_attach_prune_property_random_ties(spark):
+    """Property: for random candidate relations (duplicate scores,
+    shared keys, multi-block ties), per-record top-1 pruning under the
+    final_attach selection order never changes the final best-entity
+    pick. _prune_attach_topk is a plain DataFrame transform, so the
+    property drives it batch-side."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from linktransformer_spark.streaming.ops import (
+        _prune_attach_topk, final_attach,
+    )
+    from pyspark.sql import functions as F
+
+    cand_row = st.tuples(
+        st.integers(0, 6),                      # record_id
+        st.integers(0, 8),                      # entity_id
+        st.sampled_from(["aa", "ab", "ba"]),    # matched_key
+        st.sampled_from([0.25, 0.5, 0.5, 0.75, 1.0]),  # tie-heavy score
+    )
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(cand_row, min_size=1, max_size=40))
+    def run(rows):
+        cands = spark.createDataFrame(
+            [(r, f"k{r}", e, mk, s) for r, e, mk, s in rows],
+            "record_id long, key string, entity_id long, "
+            "matched_key string, score double",
+        )
+        new = spark.createDataFrame(
+            [(r, f"k{r}") for r in sorted({r for r, *_ in rows})],
+            "rid long, name string",
+        )
+        want = sorted(map(tuple, final_attach(
+            cands, new, on="name", id_col="rid").collect()))
+        pruned = _prune_attach_topk(cands, 1)
+        assert pruned.count() <= new.count() * len(
+            {(mk, s) for _, _, mk, s in rows}
+        ) and pruned.count() >= 0
+        got = sorted(map(tuple, final_attach(
+            pruned, new, on="name", id_col="rid").collect()))
+        assert got == want
+
+    run()
