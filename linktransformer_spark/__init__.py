@@ -24,8 +24,8 @@ from .operators.ann import (
 )
 from .operators.txn import pending_commit_exists, recover_index
 from .operators.upsert import (
-    upsert_bm25_index, upsert_ivf_index, upsert_minhash_index,
-    upsert_pq_index,
+    index_health, upsert_bm25_index, upsert_ivf_index,
+    upsert_minhash_index, upsert_pq_index,
 )
 from .operators.serving import (
     ann_serving_topk, ann_topk_pq_indexed, resolve_serving_params,
@@ -240,6 +240,7 @@ __all__ = [
     "delete_from_minhash_index",
     "delete_from_pq_index",
     "index_cell_stats",
+    "index_health",
     "pending_commit_exists",
     "rebalance_ivf_index",
     "rebalance_pq_index",

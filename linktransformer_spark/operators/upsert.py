@@ -45,8 +45,8 @@ complete it (idempotent).
 
 Index mutation is SINGLE-WRITER: every upsert, rebalance, append and
 tombstone write takes :func:`index_write_lock` — a
-create-fails-if-exists marker under the index path, reentrant within
-one driver process — so a second concurrent writer raises instead of
+create-fails-if-exists marker under the index path (holder-stamped,
+reentrant within one driver THREAD) — so a second concurrent writer raises instead of
 silently interleaving staged swaps (or losing an append's files / a
 delete's tombstone batch under a concurrent swap). Readers are
 unaffected (they never look at the marker); ``save_*`` full rebuilds
@@ -118,7 +118,7 @@ def index_write_lock(spark: SparkSession, path: str):
     ``deletes/`` stage and swap would silently vanish — a lost
     compliance delete). Two concurrent writers on one index path would
     otherwise interleave and corrupt it silently, so the second writer
-    fails loudly instead. Reentrant within one driver process (an
+    fails loudly instead. Reentrant within one driver THREAD (an
     upsert's internal append re-enters without re-acquiring); readers
     never look at the marker.
 
@@ -506,3 +506,64 @@ def upsert_minhash_index(
             mode="append",
         )
     refresh_index_path(spark, path)
+
+
+def index_health(spark: SparkSession, path: str) -> DataFrame:
+    """One-row durability/maintenance observable for any stored index
+    directory — the ops dashboard row the round-11/12 consistency work
+    implies (the "no silent state" stance): is a commit journal
+    pending (torn index — run
+    :func:`~linktransformer_spark.recover_index`), is a writer lock
+    held (and by whom, for how long), how many tombstones mask rows,
+    and how many staging leftovers clutter the directory. Family-
+    agnostic: reads only the durability artifacts, never the meta, so
+    it also answers on an index whose readers currently REFUSE to open
+    (that is its point). Metadata-only — a handful of filesystem
+    calls, no Spark job over index data."""
+    import time
+
+    from .tombstones import DELETES_DIR, tombstones_exist
+    from .txn import JOURNAL_NAME, pending_commit_exists
+
+    fs, _ = _fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    pending = pending_commit_exists(spark, path)
+    lock = P(f"{path}/{_LOCK_NAME}")
+    locked = bool(fs.exists(lock))
+    holder, age = None, None
+    if locked:
+        holder = _read_lock_token(fs, lock) or None
+        try:
+            age = float(
+                time.time()
+                - fs.getFileStatus(lock).getModificationTime() / 1000.0
+            )
+        except Exception:
+            age = None
+    n_tomb = 0
+    if tombstones_exist(spark, path):
+        try:
+            # family-agnostic: count distinct over whatever id column
+            # the deletes relation stores (no meta read by design)
+            dels = spark.read.parquet(f"{path}/{DELETES_DIR}")
+            n_tomb = dels.select(dels.columns[0]).distinct().count()
+        except Exception:
+            n_tomb = 0
+    leftovers = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(path))
+        if st.getPath().getName().endswith(("._lt_upsert_tmp", "._lt_stage"))
+        or st.getPath().getName() == f"{JOURNAL_NAME}.tmp"
+    )
+    return spark.createDataFrame(
+        [(
+            bool(pending), bool(locked), holder,
+            None if age is None else round(age, 1),
+            int(n_tomb), leftovers,
+            bool(pending or locked or leftovers),
+        )],
+        "pending_commit boolean, locked boolean, lock_holder string, "
+        "lock_age_sec double, n_tombstones bigint, "
+        "staging_leftovers array<string>, needs_attention boolean",
+    )

@@ -348,3 +348,82 @@ def test_commit_swaps_any_plan_any_killpoint(spark, tmp_path, data, n_rels):
     else:
         assert got == want_new
     assert not pending_commit_exists(spark, root)
+
+
+def test_stream_upsert_crash_mid_microbatch_recovers(
+    spark, emb, base_ivf, tmp_path
+):
+    """The realistic crash: a streaming CDC upsert dies INSIDE a
+    micro-batch's journaled swap. The stream errors out, the index is
+    torn-but-journaled, recover_index rolls the commit forward, and
+    re-running the SAME stream lands the exact uninterrupted end state
+    (repeated id upserts are idempotent)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from linktransformer_spark.streaming import run_upsert_stream
+
+    batch = emb.filter(F.col("vec_id") % 25 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    src = str(tmp_path / "up_stream_src")
+    batch.repartition(3).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    clean = _copy(base_ivf, str(tmp_path / "su_clean"))
+    run_upsert_stream(stream(), clean, "ivf")
+    want = _serve(spark, clean, emb)
+
+    p = _copy(base_ivf, str(tmp_path / "su_kill"))
+    txn._reset_fail(3)  # inside some micro-batch's journaled swap
+    with pytest.raises(
+        (StreamingQueryException, Py4JJavaError, RuntimeError)
+    ):
+        run_upsert_stream(stream(), p, "ivf")
+    txn._reset_fail(None)
+    # the crashed writer leaves a pending journal (post-commit-point
+    # kill) OR a clean prefix (pre-commit-point kill on batch 1);
+    # either way recovery + re-run lands the uninterrupted end state
+    if lt.pending_commit_exists(spark, p):
+        with pytest.raises(RuntimeError, match="interrupted commit"):
+            _serve(spark, p, emb)
+    lt.recover_index(spark, p)
+    run_upsert_stream(stream(), p, "ivf")
+    assert _serve(spark, p, emb) == want
+
+
+def test_index_health_observable(spark, emb, base_ivf, tmp_path):
+    """index_health reports the durability state WITHOUT opening the
+    index (no meta read) — so it answers on a torn index the readers
+    refuse, which is its point."""
+    from pyspark.sql import functions as F
+
+    p = _copy(base_ivf, str(tmp_path / "health"))
+    row = lt.index_health(spark, p).first()
+    assert row["pending_commit"] is False and row["locked"] is False
+    assert row["n_tombstones"] == 0 and row["needs_attention"] is False
+
+    lt.delete_from_ivf_index(
+        emb.filter(F.col("vec_id") < 3).select("vec_id"), p
+    )
+    assert lt.index_health(spark, p).first()["n_tombstones"] == 3
+
+    txn._reset_fail(2)
+    with pytest.raises(txn.InjectedCrash):
+        lt.rebalance_ivf_index(spark, p, max_over_mean=0.5)
+    txn._reset_fail(None)
+    row = lt.index_health(spark, p).first()
+    assert row["pending_commit"] is True
+    assert row["needs_attention"] is True
+    assert any("._lt_" in x for x in row["staging_leftovers"])
+    lt.recover_index(spark, p)
+    row = lt.index_health(spark, p).first()
+    assert row["pending_commit"] is False
+    assert row["staging_leftovers"] == []
+    assert row["needs_attention"] is False
