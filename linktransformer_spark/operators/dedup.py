@@ -1380,6 +1380,7 @@ def save_minhash_index(
         "shingle": shingle,
         "word": word,
     }
+    existing = None
     if mode == "append":
         # an append must extend the SAME family — mixed-family band
         # rows would silently join incompatible signatures
@@ -1425,11 +1426,19 @@ def save_minhash_index(
         with index_write_lock(spark, path):
             banded.write.mode(mode).parquet(f"{path}/bands")
             sh.write.mode(mode).parquet(f"{path}/shingles")
-    # meta is always a single authoritative row, even on append
-    spark.createDataFrame(
-        [tuple(meta[k] for k in sorted(meta))],
-        ", ".join(f"{k} {'boolean' if k == 'word' else 'int'}" for k in sorted(meta)),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    # meta is a single authoritative row. On an append to a validated
+    # existing index the content is IDENTICAL (the family equality
+    # check above), so skip the rewrite: an in-place overwrite of a
+    # LIVE index's meta is delete-then-write — a crash in between
+    # leaves the index unopenable for nothing.
+    if existing is None:
+        spark.createDataFrame(
+            [tuple(meta[k] for k in sorted(meta))],
+            ", ".join(
+                f"{k} {'boolean' if k == 'word' else 'int'}"
+                for k in sorted(meta)
+            ),
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
     # refresh LAST — after the meta overwrite, so a session that read
     # the previous meta cannot keep a stale listing for exactly the
     # relation this refresh covers

@@ -731,6 +731,20 @@ def _write_pq_meta(spark: SparkSession, path: str, meta: dict,
     ).coalesce(1).write.mode("overwrite").json(f"{path}/{rel}")
 
 
+def _commit_pq_meta(spark: SparkSession, path: str, meta: dict,
+                    n_rows: int) -> None:
+    """Stage + journal the meta rewrite of a LIVE pq index (the
+    append/upsert ``n_rows`` updates): a bare overwrite is
+    delete-then-write, and a crash in between leaves the index without
+    a meta — unopenable for nothing. The journaled single swap serves
+    old-or-new like every other in-place mutation."""
+    from .txn import commit_swaps
+
+    _write_pq_meta(spark, path, meta, n_rows, rel="meta._lt_stage")
+    commit_swaps(spark, path, [("swap", "meta._lt_stage", "meta")],
+                 cleanup=("meta._lt_stage",))
+
+
 def append_to_pq_index(
     new: DataFrame,
     path: str,
@@ -801,7 +815,7 @@ def _append_to_pq_index_locked(new, path, vector_col, corpus_id,
     enc.repartition("cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(f"{path}/cells")
-    _write_pq_meta(spark, path, meta, int(meta["n_rows"]) + n_new)
+    _commit_pq_meta(spark, path, meta, int(meta["n_rows"]) + n_new)
     refresh_index_path(spark, path)
 
 

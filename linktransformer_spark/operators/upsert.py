@@ -417,7 +417,7 @@ def upsert_pq_index(
     untombstone + frozen-model append); ``meta.n_rows`` nets out the
     removed rows so the informational count stays the ingested-live
     total."""
-    from .serving import _read_pq_meta, _write_pq_meta, append_to_pq_index
+    from .serving import _commit_pq_meta, _read_pq_meta, append_to_pq_index
 
     spark = batch.sparkSession
     # meta is read AND written back here, so it must be read inside
@@ -432,8 +432,8 @@ def upsert_pq_index(
             spark, path, "cells", "cell", ids, stored
         )
         if n_removed:
-            _write_pq_meta(spark, path, meta,
-                           max(0, int(meta["n_rows"]) - n_removed))
+            _commit_pq_meta(spark, path, meta,
+                            max(0, int(meta["n_rows"]) - n_removed))
         _untombstone(spark, path, ids, stored)
         append_to_pq_index(batch, path, vector_col=vector_col,
                            corpus_id=corpus_id)

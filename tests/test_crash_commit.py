@@ -427,3 +427,26 @@ def test_index_health_observable(spark, emb, base_ivf, tmp_path):
     assert row["pending_commit"] is False
     assert row["staging_leftovers"] == []
     assert row["needs_attention"] is False
+
+
+def test_pq_append_meta_rewrite_is_journaled(spark, emb, tmp_path):
+    """append/upsert rewrite a LIVE pq index's meta (n_rows) — a bare
+    overwrite crashing between delete and write left the index without
+    a meta. Kill between the journaled swap's delete and rename (the
+    exact old window: meta/ GONE on disk) and recover to the new."""
+    p = str(tmp_path / f"pq_meta_{PID}")
+    lt.save_pq_index(emb, p, n_cells=2, m=8, n_codes=16)
+    n0 = int(spark.read.json(f"{p}/meta").first()["n_rows"])
+    batch = emb.limit(10).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    txn._reset_fail(2)  # journal written, meta/ deleted, rename pending
+    with pytest.raises(txn.InjectedCrash):
+        lt.append_to_pq_index(batch, p)
+    txn._reset_fail(None)
+    assert not os.path.exists(f"{p}/meta")      # the old failure mode
+    assert lt.pending_commit_exists(spark, p)   # ...now journaled
+    lt.recover_index(spark, p)
+    assert int(spark.read.json(f"{p}/meta").first()["n_rows"]) == n0 + 10
+    q = emb.filter(F.col("vec_id") < 10)
+    assert lt.ann_topk_pq_indexed(spark, p, q, k=3).count() > 0
