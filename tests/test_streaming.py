@@ -797,6 +797,12 @@ def test_streaming_bm25_prune_topk_equals_batch(spark, sf_dir, tmp_path):
     want_batch = sorted(map(tuple, lt.bm25_topk_indexed(
         spark, path, q, k=5).collect()))
     assert got == want_stream == want_batch and got
+    # prune_partitions (the residency lever — widens the pruner's
+    # per-query exchange) must not change a single row
+    wide = drain(prune_topk=5, prune_partitions=7)
+    got_w = sorted(map(tuple, final_bm25_topk(wide, k=5).collect()))
+    assert got_w == want_batch
+    assert wide.select("_q", "_d").distinct().count() <= nq * 5
 
 
 def test_streaming_bm25_max_df_ratio_equals_batch(spark, sf_dir, tmp_path):
