@@ -29,6 +29,7 @@ division) -> bit-identical across engines.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1383,10 +1384,21 @@ def save_minhash_index(
     existing = None
     if mode == "append":
         # an append must extend the SAME family — mixed-family band
-        # rows would silently join incompatible signatures
+        # rows would silently join incompatible signatures. The
+        # pending-commit gate runs BEFORE the missing-meta fallback: a
+        # torn index (failed-but-not-killed writer left the journal
+        # pending with the lock released) must fail loudly here, not be
+        # treated as "no existing index" — an append against it would
+        # rewrite meta, and a later recover_index roll-forward would
+        # rename staged relations over the appended rows, silently
+        # dropping them. Same for a version-mismatch ValueError.
+        from .txn import assert_no_pending_commit
+
+        assert_no_pending_commit(spark, path)
         try:
             existing = _load_index_meta(spark, path)
-        except Exception:
+        except AnalysisException:
+            # no index at path yet — append degrades to a fresh build
             existing = None
         if existing is not None:
             for k in ("num_hashes", "bands", "shingle"):

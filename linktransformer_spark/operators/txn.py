@@ -156,12 +156,26 @@ def commit_swaps(
     jpath = P(f"{index_path}/{JOURNAL_NAME}")
     jtmp = P(f"{index_path}/{JOURNAL_NAME}.tmp")
     body = json.dumps({"v": 1, "entries": [list(e) for e in entries]})
+    # Last line of defense: every in-tree writer asserts no pending
+    # commit before mutating, but deleting a pre-existing journal here
+    # would silently destroy a prior crash's roll-forward plan and
+    # orphan that commit's half-applied swaps. A pending journal at
+    # this point is always a protocol violation — refuse, mirroring
+    # assert_no_pending_commit.
+    if fs.exists(jpath):
+        raise RuntimeError(
+            f"commit_swaps: a commit journal already exists at "
+            f"{index_path}/{JOURNAL_NAME} — a prior writer crashed "
+            "between its commit point and its swaps, and overwriting "
+            "the journal would orphan that commit's half-applied "
+            "state. Run linktransformer_spark.recover_index(spark, "
+            "path) (with no writer running) first, then retry."
+        )
     # op 0: the commit point — stage the journal and rename it into
     # place so it appears atomically (a crash before this serves the
     # old state exactly; the staged dirs are aside)
     _maybe_fail()
     _write_small_file(fs, jvm, jtmp, body)
-    fs.delete(jpath, False)
     if not fs.rename(jtmp, jpath):
         raise RuntimeError(
             f"could not commit journal at {index_path}/{JOURNAL_NAME}"
@@ -216,22 +230,69 @@ def clear_commit_journal(spark: SparkSession, index_path: str) -> None:
     fs.delete(P(f"{index_path}/{JOURNAL_NAME}.tmp"), False)
 
 
-def recover_index(spark: SparkSession, index_path: str) -> dict:
+def recover_index(
+    spark: SparkSession, index_path: str, force: bool = False
+) -> dict:
     """Repair an index after a writer crash — run ONLY when no writer
     is live. Rolls a pending commit journal FORWARD (the staged data
     is durable, so the new state is always completable), sweeps stray
     staging directories, and clears the crashed writer's stale lock
     marker. Returns ``{rolled_forward, removed, cleared_lock}``.
 
+    The no-live-writer contract is ENFORCED, not assumed: recovery
+    refuses when the writer-lock marker looks live — its lease mtime
+    is younger than the stale threshold (a live holder's heartbeat
+    refreshes it), or, as a same-host second opinion, the holder pid
+    stamped in the marker is alive on THIS host. Clearing a live
+    writer's marker would admit a second concurrent writer — exactly
+    the corruption the lock exists to prevent. ``force=True``
+    overrides both checks for an operator who is certain (e.g. the
+    holder host is known dead but its pid number is recycled here).
+
     After recovery the index serves exactly the crashed writer's
     post-commit state if the crash happened after the commit point,
     and exactly the old state otherwise (staged-but-uncommitted data
     is swept — it was never logically applied)."""
+    import os
+    import time
+
     from .tombstones import refresh_index_path
-    from .upsert import _LOCK_NAME
+    from .upsert import (
+        _LOCK_NAME, _lock_stale_sec, _marker_mtime, _read_lock_token,
+    )
 
     fs, jvm = _fs(spark, index_path)
     P = jvm.org.apache.hadoop.fs.Path
+    guard_lock = P(f"{index_path}/{_LOCK_NAME}")
+    if not force and fs.exists(guard_lock):
+        mtime = _marker_mtime(fs, guard_lock)
+        holder = _read_lock_token(fs, guard_lock)
+        live_why = None
+        if mtime is not None and time.time() - mtime < _lock_stale_sec():
+            live_why = (
+                f"lease mtime is {time.time() - mtime:.1f}s old, under "
+                f"the {_lock_stale_sec():.0f}s stale threshold — a live "
+                "holder refreshes it on a heartbeat"
+            )
+        elif holder and ":" in holder:
+            try:
+                pid = int(holder.split(":", 1)[0])
+                os.kill(pid, 0)
+            except (ValueError, ProcessLookupError):
+                pass
+            except PermissionError:
+                live_why = f"holder pid {pid} is alive on this host"
+            else:
+                live_why = f"holder pid {pid} is alive on this host"
+        if live_why:
+            raise RuntimeError(
+                f"recover_index: a writer appears LIVE on {index_path} "
+                f"(holder {holder or 'unknown'!r}: {live_why}). "
+                "Recovering now would clear its lock marker and admit "
+                "a second concurrent writer mid-mutation. Wait for the "
+                "writer to finish (or its lease to go stale), or pass "
+                "force=True if you are CERTAIN nothing is running."
+            )
     info = {"rolled_forward": False, "removed": [], "cleared_lock": False}
     jpath = P(f"{index_path}/{JOURNAL_NAME}")
     if fs.exists(jpath):

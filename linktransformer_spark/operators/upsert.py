@@ -70,6 +70,26 @@ from .tombstones import (
 _TMP_SUFFIX = "._lt_upsert_tmp"
 _LOCK_NAME = "._lt_writer_lock"
 
+# Lease parameters (module-level so tests and operators can tune them;
+# see index_write_lock's docstring for the protocol):
+# - the holder refreshes the marker's mtime every LOCK_HEARTBEAT_SEC;
+# - a marker older than LOCK_HEARTBEAT_SEC * LOCK_STALE_FACTOR is a
+#   stale lease (the holder crashed or hung) and may be taken over;
+# - a takeover re-reads the marker after LOCK_TAKEOVER_SETTLE_SEC to
+#   confirm the holder really stopped refreshing;
+# - every successful create waits LOCK_ACQUIRE_VERIFY_SEC and re-reads
+#   its own token, closing the local-FS check-then-act create window
+#   (two near-simultaneous creators both "succeed"; exactly one token
+#   survives in the marker, so exactly one acquirer proceeds).
+LOCK_HEARTBEAT_SEC = 15.0
+LOCK_STALE_FACTOR = 4.0
+LOCK_ACQUIRE_VERIFY_SEC = 0.05
+LOCK_TAKEOVER_SETTLE_SEC = 1.0
+
+
+def _lock_stale_sec() -> float:
+    return LOCK_HEARTBEAT_SEC * LOCK_STALE_FACTOR
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
@@ -86,6 +106,116 @@ def _fs(spark: SparkSession, path: str):
 # marker check and raise, not silently ride the reentrant fast path.
 _HELD_MU = threading.Lock()
 _HELD: set = set()
+
+
+def _stamp_token(out, token: str) -> None:
+    """Write the holder token into a just-created lock marker —
+    module-level so the stamp-failure cleanup path is testable (the
+    failure itself is a filesystem I/O error, unreachable otherwise)."""
+    out.write(bytearray(token.encode("ascii")))
+
+
+def _marker_mtime(fs, lock) -> float | None:
+    """Marker mtime in epoch seconds; None when absent/unreadable."""
+    try:
+        return fs.getFileStatus(lock).getModificationTime() / 1000.0
+    except Exception:
+        return None
+
+
+def _try_create_verified(fs, lock, token: str, path: str) -> bool:
+    """One create-and-claim attempt: create(overwrite=False), stamp
+    the holder token, then after a short settle RE-READ the marker and
+    claim the lock only if OUR token survived. The verify read closes
+    the local-FS check-then-act window (Hadoop's local create shim is
+    not atomic): two near-simultaneous creators can both "succeed" and
+    both stamp, but the marker holds exactly one final token, so
+    exactly one acquirer verifies true — the loser backs off WITHOUT
+    deleting (the marker is the winner's)."""
+    import time
+
+    try:
+        out = fs.create(lock, False)
+    except Exception:  # create-time FileAlreadyExistsException et al.
+        return False
+    try:
+        try:
+            _stamp_token(out, token)
+        finally:
+            out.close()
+    except Exception as exc:
+        # we WON the create but failed to stamp our token: the
+        # orphaned empty/partial marker is OUR OWN file — without
+        # this cleanup the index stays locked (and the token-
+        # checked release path refuses to delete a marker whose
+        # holder != our token). Distinct from "locked by another
+        # writer": this is an I/O failure, not contention.
+        with contextlib.suppress(Exception):
+            fs.delete(lock, False)
+        raise RuntimeError(
+            f"could not stamp the writer-lock marker at "
+            f"{path}/{_LOCK_NAME} (created, then the token write "
+            f"failed: {exc}); the just-created marker was removed "
+            "— the index is NOT left locked. Retry the operation."
+        ) from exc
+    time.sleep(LOCK_ACQUIRE_VERIFY_SEC)
+    return _read_lock_token(fs, lock) == token
+
+
+def _acquire_marker(fs, lock, token: str, path: str) -> bool:
+    """Full acquire protocol: plain create first; on contention, take
+    over ONLY a stale lease — marker older than the stale threshold
+    whose (holder, mtime) is STILL unchanged after a settle delay (a
+    live holder's heartbeat would have refreshed the mtime)."""
+    import time
+    import warnings
+
+    if _try_create_verified(fs, lock, token, path):
+        return True
+    mt1 = _marker_mtime(fs, lock)
+    if mt1 is None:
+        # the holder released between our create failure and the stat
+        return _try_create_verified(fs, lock, token, path)
+    h1 = _read_lock_token(fs, lock)
+    if time.time() - mt1 <= _lock_stale_sec():
+        return False  # live (or recent) holder
+    # stale lease: confirm the holder is really gone, then take over
+    time.sleep(LOCK_TAKEOVER_SETTLE_SEC)
+    mt2 = _marker_mtime(fs, lock)
+    if mt2 is None:
+        return _try_create_verified(fs, lock, token, path)
+    h2 = _read_lock_token(fs, lock)
+    if (mt2, h2) != (mt1, h1):
+        return False  # refreshed or replaced during the settle — live
+    warnings.warn(
+        f"index_write_lock: taking over a STALE writer lease at "
+        f"{path}/{_LOCK_NAME} (holder {h1!r}, marker age "
+        f"{time.time() - mt1:.0f}s > stale threshold "
+        f"{_lock_stale_sec():.0f}s and not refreshed during the "
+        f"{LOCK_TAKEOVER_SETTLE_SEC:.1f}s settle) — the previous "
+        "writer crashed or hung without releasing.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    fs.delete(lock, False)
+    return _try_create_verified(fs, lock, token, path)
+
+
+def _heartbeat(fs, lock, token: str, stop: threading.Event) -> None:
+    """Holder-side lease refresh: touch the marker's mtime every
+    LOCK_HEARTBEAT_SEC while the lock is held. Stops silently when the
+    marker no longer carries our token (a save_* rebuild cleared it,
+    or a takeover replaced it) — refreshing someone else's marker
+    would extend THEIR lease."""
+    import time
+
+    while not stop.wait(LOCK_HEARTBEAT_SEC):
+        try:
+            if _read_lock_token(fs, lock) != token:
+                return
+            fs.setTimes(lock, int(time.time() * 1000), -1)
+        except Exception:
+            return
 
 
 def _read_lock_token(fs, lock) -> str | None:
@@ -122,27 +252,45 @@ def index_write_lock(spark: SparkSession, path: str):
     upsert's internal append re-enters without re-acquiring); readers
     never look at the marker.
 
-    Mechanism: a create-fails-if-exists marker file
-    ``{path}/._lt_writer_lock`` (``FileSystem.createNewFile`` — atomic
-    on HDFS; on the local filesystem Hadoop's shim is check-then-act,
-    so a near-simultaneous acquire can either interleave (tiny window)
-    or surface the create-time FileAlreadyExistsException, which is
-    caught and mapped to the same error; on object stores without
-    atomic create the guard is best-effort, same caveat as the
-    rename-based swaps). The marker is removed on exit, including on
-    operator failure, and a full ``save_*`` rebuild clears a stale one
-    (:func:`clear_writer_lock`, the ``clear_tombstones`` analogue). A
-    crash between create and cleanup leaves a stale marker: the error
-    message says to delete it manually once no writer is running.
+    Mechanism — a LEASE, not a bare marker: a create-fails-if-exists
+    marker file ``{path}/._lt_writer_lock`` stamped with the holder's
+    identity (``pid:uuid``), whose mtime the holder REFRESHES every
+    ``LOCK_HEARTBEAT_SEC`` from a daemon thread while the lock is
+    held. Acquire handles the three filesystem realities:
 
-    The marker carries the holder's identity (``pid:uuid``); release
-    deletes the marker only when it still carries OUR token. Without
-    that check, a ``save_*`` rebuild clearing a LIVE writer's marker
-    would let that writer's exit delete a NEWER writer's marker,
-    cascading lock loss across three writers. Reentrancy is
-    THREAD-affine (``threading.get_ident()``), so a concurrent writer
-    on another thread of the same driver raises like any foreign
-    writer instead of silently entering."""
+    - ``create(overwrite=False)`` is atomic on HDFS; on the local
+      filesystem Hadoop's shim is check-then-act, so EVERY successful
+      create re-reads the marker after ``LOCK_ACQUIRE_VERIFY_SEC`` and
+      claims the lock only if its own token survived — two
+      near-simultaneous creators converge to exactly one winner (the
+      marker holds one final token) and the loser raises without
+      touching the winner's marker.
+    - A marker older than ``LOCK_HEARTBEAT_SEC * LOCK_STALE_FACTOR``
+      is a STALE LEASE (the holder crashed or hung — a live holder's
+      heartbeat would have refreshed it). Acquire takes it over, but
+      only after re-reading (holder, mtime) following a
+      ``LOCK_TAKEOVER_SETTLE_SEC`` settle to confirm the holder really
+      stopped refreshing; the takeover emits a RuntimeWarning. A
+      crashed writer therefore blocks successors for at most one stale
+      threshold (~1 min at defaults) instead of forever.
+    - Object stores without atomic create: the create/verify pair is
+      best-effort (same caveat as the rename-based swaps); stores with
+      conditional puts (S3 If-None-Match, GCS x-goog-if-generation-
+      match: 0) should implement the create through that primitive for
+      a hard guarantee.
+
+    The marker is removed on exit, including on operator failure, and
+    a full ``save_*`` rebuild clears a stale one
+    (:func:`clear_writer_lock`, the ``clear_tombstones`` analogue).
+
+    Release deletes the marker only when it still carries OUR token.
+    Without that check, a ``save_*`` rebuild clearing a LIVE writer's
+    marker would let that writer's exit delete a NEWER writer's
+    marker, cascading lock loss across three writers; the heartbeat
+    likewise stops refreshing the moment the marker's token is not
+    ours. Reentrancy is THREAD-affine (``threading.get_ident()``), so
+    a concurrent writer on another thread of the same driver raises
+    like any foreign writer instead of silently entering."""
     norm = path.rstrip("/")
     key = (threading.get_ident(), norm)
     with _HELD_MU:
@@ -157,40 +305,38 @@ def index_write_lock(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     lock = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LOCK_NAME}")
     token = f"{os.getpid()}:{uuid.uuid4().hex}"
-    try:
-        # create(overwrite=False) raises if the marker exists — the
-        # same atomicity class as createNewFile, but lets us stamp the
-        # holder token into the marker in one open
-        out = fs.create(lock, False)
-        try:
-            out.write(bytearray(token.encode("ascii")))
-        finally:
-            out.close()
-        created = True
-    except Exception:  # create-time FileAlreadyExistsException et al.
-        created = False
-    if not created:
+    if not _acquire_marker(fs, lock, token, path):
         age = ""
         try:
             import time
 
-            mtime = fs.getFileStatus(lock).getModificationTime() / 1000.0
+            mtime = _marker_mtime(fs, lock)
             holder = _read_lock_token(fs, lock) or "unknown"
-            age = (
-                f" Holder {holder!r}, marker age "
-                f"{time.time() - mtime:.0f}s."
-            )
+            if mtime is not None:
+                age = (
+                    f" Holder {holder!r}, marker age "
+                    f"{time.time() - mtime:.0f}s (lease refreshes "
+                    f"every {LOCK_HEARTBEAT_SEC:.0f}s)."
+                )
         except Exception:
             pass
         raise RuntimeError(
             f"index at {path} is locked by another in-place writer "
             f"({_LOCK_NAME} exists).{age} Index mutation is "
             "single-writer; wait for the other "
-            "upsert/rebalance/append/delete to finish. If a previous "
-            "writer CRASHED, verify nothing is running and run "
-            "recover_index(spark, path) (clears the stale marker and "
-            "rolls forward any interrupted commit)."
+            "upsert/rebalance/append/delete to finish. If the holder "
+            "CRASHED, its lease expires after "
+            f"{_lock_stale_sec():.0f}s and the next writer takes over "
+            "automatically; to repair immediately, verify nothing is "
+            "running and run recover_index(spark, path) (clears the "
+            "stale marker and rolls forward any interrupted commit)."
         )
+    stop_beat = threading.Event()
+    beater = threading.Thread(
+        target=_heartbeat, args=(fs, lock, token, stop_beat), daemon=True,
+        name=f"lt-lock-heartbeat-{os.path.basename(norm)}",
+    )
+    beater.start()
     with _HELD_MU:
         _HELD.add(key)
     try:
@@ -198,6 +344,8 @@ def index_write_lock(spark: SparkSession, path: str):
     finally:
         with _HELD_MU:
             _HELD.discard(key)
+        stop_beat.set()
+        beater.join(5)
         # delete only OUR marker: if a save_* rebuild cleared it and a
         # newer writer has since created its own, deleting that one
         # would silently un-lock the newer writer

@@ -1078,9 +1078,17 @@ def _prune_attach_topk(cands: DataFrame, topn: int) -> DataFrame:
         import pandas as pd
 
         def topsel(df):
+            # na_position='first' pins the matched_key tie-break to
+            # final_attach's Spark window order (asc NULLS FIRST) —
+            # pandas defaults NaN last, which would diverge the pruned
+            # top-1 on a null-matched_key tie. Unreachable via the
+            # equi-join/LSH paths today (keys non-null) but pinned so
+            # the bit-identical contract holds for any candidate
+            # source. score/entity_id are non-null by construction, so
+            # the flag cannot reorder those columns.
             return (
                 df.sort_values(order_cols, ascending=ascending,
-                               kind="mergesort")
+                               kind="mergesort", na_position="first")
                 .groupby("record_id", sort=False)
                 .head(topn)
             )

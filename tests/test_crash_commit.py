@@ -450,3 +450,72 @@ def test_pq_append_meta_rewrite_is_journaled(spark, emb, tmp_path):
     assert int(spark.read.json(f"{p}/meta").first()["n_rows"]) == n0 + 10
     q = emb.filter(F.col("vec_id") < 10)
     assert lt.ann_topk_pq_indexed(spark, p, q, k=3).count() > 0
+
+
+def test_commit_swaps_refuses_preexisting_journal(spark, tmp_path):
+    """commit_swaps is the last line of defense: every in-tree writer
+    asserts no pending commit first, but a future caller that skipped
+    the guard must NOT silently destroy a prior crash's roll-forward
+    plan — a pending journal here is a protocol violation and raises,
+    leaving the prior journal intact for recover_index."""
+    root = str(tmp_path / f"jguard_{PID}")
+    os.makedirs(root, exist_ok=True)
+    prior = '{"v": 1, "entries": [["delete", "ghost"]]}'
+    with open(f"{root}/{txn.JOURNAL_NAME}", "w") as f:
+        f.write(prior)
+    with pytest.raises(RuntimeError, match="already exists"):
+        txn.commit_swaps(spark, root, [("delete", "other")])
+    # the prior crash's plan survives byte-for-byte
+    with open(f"{root}/{txn.JOURNAL_NAME}") as f:
+        assert f.read() == prior
+
+
+def test_minhash_append_refuses_pending_commit(spark, tmp_path):
+    """save_minhash_index(mode='append') must treat a pending commit
+    journal as a torn index, NOT as 'no existing index': a failed
+    (non-killed) writer leaves the journal pending with the lock
+    released, and an append proceeding against that state would
+    rewrite meta and later be silently rolled over by recover_index —
+    dropping the appended rows."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    p = str(tmp_path / f"mh_gate_{PID}")
+    lt.save_minhash_index(docs, p, on="text", id_col="doc_id",
+                          num_hashes=16, bands=4)
+    with open(f"{p}/{txn.JOURNAL_NAME}", "w") as f:
+        f.write('{"v": 1, "entries": []}')
+    batch = docs.limit(10).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    )
+    with pytest.raises(RuntimeError, match="interrupted commit"):
+        lt.save_minhash_index(batch, p, on="text", id_col="doc_id",
+                              num_hashes=16, bands=4, mode="append")
+    os.remove(f"{p}/{txn.JOURNAL_NAME}")
+    lt.save_minhash_index(batch, p, on="text", id_col="doc_id",
+                          num_hashes=16, bands=4, mode="append")
+
+
+def test_minhash_append_version_mismatch_not_swallowed(spark, tmp_path):
+    """A meta the reader refuses (wrong index version) used to fall
+    into the bare `except: existing = None` and be treated as a fresh
+    build — the append then wrote a NEW meta over the old one. The
+    narrow except now lets the ValueError propagate."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    p = str(tmp_path / f"mh_ver_{PID}")
+    lt.save_minhash_index(docs, p, on="text", id_col="doc_id",
+                          num_hashes=16, bands=4)
+    import glob
+    import json
+
+    part = glob.glob(f"{p}/meta/part-*.json")[0]
+    row = json.loads(open(part).read())
+    row["version"] = 999
+    with open(part, "w") as f:
+        f.write(json.dumps(row))
+    # drop the Hadoop-local-FS checksum shadow the rewrite invalidated
+    crc = f"{os.path.dirname(part)}/.{os.path.basename(part)}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(f"{p}/meta")
+    with pytest.raises(ValueError, match="version"):
+        lt.save_minhash_index(docs.limit(5), p, on="text", id_col="doc_id",
+                              num_hashes=16, bands=4, mode="append")

@@ -530,6 +530,37 @@ def test_streaming_attach_pruned_matches_unpruned(spark, tmp_path):
     assert got == want and got
 
 
+def test_attach_prune_null_matched_key_tie_matches_spark_order(spark):
+    """A candidate tied on (score, entity_id) where one row's
+    matched_key is NULL: final_attach's window orders matched_key asc
+    NULLS FIRST, so the null row wins the tie — the pruner's pandas
+    sort must keep THAT row (na_position='first'), not the non-null
+    one, or the pruned top-1 diverges from the unpruned serve."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from linktransformer_spark.streaming.ops import (
+        _prune_attach_topk, final_attach,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, "k1", 7, None, 0.9), (1, "k1", 7, "aaa", 0.9),
+         (2, "k2", 3, "zzz", 0.5), (2, "k2", 3, None, 0.5)],
+        "record_id long, key string, entity_id long, "
+        "matched_key string, score double",
+    )
+    new = spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "rid long, name string"
+    )
+    want = sorted(map(tuple, final_attach(
+        cands, new, on="name", id_col="rid").collect()))
+    pruned = _prune_attach_topk(cands, 1)
+    kept = {(r["record_id"], r["matched_key"]) for r in pruned.collect()}
+    assert kept == {(1, None), (2, None)}
+    got = sorted(map(tuple, final_attach(
+        pruned, new, on="name", id_col="rid").collect()))
+    assert got == want
+
+
 def test_attach_prune_property_random_ties(spark):
     """Property: for random candidate relations (duplicate scores,
     shared keys, multi-block ties), per-record top-1 pruning under the
@@ -547,9 +578,19 @@ def test_attach_prune_property_random_ties(spark):
     cand_row = st.tuples(
         st.integers(0, 6),                      # record_id
         st.integers(0, 8),                      # entity_id
-        st.sampled_from(["aa", "ab", "ba"]),    # matched_key
+        # None included: the pruner must place a NULL matched_key FIRST
+        # on an (score, entity_id) tie, matching final_attach's Spark
+        # window order (asc NULLS FIRST) — pandas defaults NaN last
+        st.sampled_from(["aa", "ab", "ba", None]),  # matched_key
         st.sampled_from([0.25, 0.5, 0.5, 0.75, 1.0]),  # tie-heavy score
     )
+
+    def nsort(rows_):
+        # None-safe tuple sort: matched_key may be NULL now
+        return sorted(
+            map(tuple, rows_),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
 
     @settings(max_examples=12, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -564,14 +605,14 @@ def test_attach_prune_property_random_ties(spark):
             [(r, f"k{r}") for r in sorted({r for r, *_ in rows})],
             "rid long, name string",
         )
-        want = sorted(map(tuple, final_attach(
-            cands, new, on="name", id_col="rid").collect()))
+        want = nsort(final_attach(
+            cands, new, on="name", id_col="rid").collect())
         pruned = _prune_attach_topk(cands, 1)
         assert pruned.count() <= new.count() * len(
             {(mk, s) for _, _, mk, s in rows}
         ) and pruned.count() >= 0
-        got = sorted(map(tuple, final_attach(
-            pruned, new, on="name", id_col="rid").collect()))
+        got = nsort(final_attach(
+            pruned, new, on="name", id_col="rid").collect())
         assert got == want
 
     run()

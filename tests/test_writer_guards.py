@@ -363,3 +363,199 @@ def test_streaming_pq_duplicate_qid_different_vector_raises(
             streaming_pq_against_index(spark, sdf, path, n_probe=2),
             output_mode="append",
         )
+
+
+def test_lock_stamp_failure_removes_own_marker(spark, tmp_path, monkeypatch):
+    """Winning the create but failing to stamp the token must NOT
+    leave the index locked by our own orphaned empty marker (which the
+    token-checked release path would refuse to delete): the acquire
+    cleans up the just-created marker, raises a stamp-failure error
+    distinct from 'locked by another writer', and a retry acquires."""
+    from linktransformer_spark.operators import upsert as U
+
+    path = str(tmp_path / f"idx_stamp_{PID}")
+    os.makedirs(path, exist_ok=True)
+
+    def boom(out, token):
+        raise IOError("disk full")
+
+    monkeypatch.setattr(U, "_stamp_token", boom)
+    with pytest.raises(RuntimeError, match="NOT left locked"):
+        with index_write_lock(spark, path):
+            pass
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    monkeypatch.undo()
+    with index_write_lock(spark, path):  # retry acquires normally
+        assert os.path.exists(f"{path}/{_LOCK_NAME}")
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 lease lock: heartbeat refresh, stale takeover, create-race
+# verify, and the recover_index live-writer guard.
+# ---------------------------------------------------------------------------
+
+
+def _shrink_lease(monkeypatch):
+    from linktransformer_spark.operators import upsert as U
+
+    monkeypatch.setattr(U, "LOCK_HEARTBEAT_SEC", 0.2)
+    monkeypatch.setattr(U, "LOCK_STALE_FACTOR", 2.0)   # stale after 0.4s
+    monkeypatch.setattr(U, "LOCK_TAKEOVER_SETTLE_SEC", 0.1)
+    return U
+
+
+def test_stale_lease_takeover(spark, tmp_path, monkeypatch):
+    """A crashed writer's marker (no heartbeat refreshing it) blocks
+    successors only until the lease goes stale: the next acquire takes
+    it over with a RuntimeWarning instead of failing forever."""
+    import time
+
+    _shrink_lease(monkeypatch)
+    path = str(tmp_path / f"idx_lease_{PID}")
+    os.makedirs(path, exist_ok=True)
+    marker = f"{path}/{_LOCK_NAME}"
+    with open(marker, "w") as f:
+        f.write("99999:deadbeef")
+    old = time.time() - 5.0
+    os.utime(marker, (old, old))
+    with pytest.warns(RuntimeWarning, match="STALE writer lease"):
+        with index_write_lock(spark, path):
+            # the marker is now OURS (new token), not the dead one's
+            assert open(marker).read() != "99999:deadbeef"
+    assert not os.path.exists(marker)
+
+
+def test_live_lease_is_not_taken_over(spark, tmp_path, monkeypatch):
+    """The holder's heartbeat keeps the marker mtime fresh, so a
+    second writer arriving well past the stale threshold still sees a
+    LIVE lease and raises — takeover only ever fires on a dead one."""
+    import time
+
+    _shrink_lease(monkeypatch)
+    path = str(tmp_path / f"idx_live_{PID}")
+    os.makedirs(path, exist_ok=True)
+    result: dict = {}
+
+    def contender():
+        try:
+            with index_write_lock(spark, path):
+                result["entered"] = True
+        except RuntimeError as e:
+            result["raised"] = str(e)
+
+    with index_write_lock(spark, path):
+        time.sleep(1.2)  # 3x the 0.4s stale threshold — heartbeat beats
+        t = threading.Thread(target=contender)
+        t.start()
+        t.join(30)
+    assert "entered" not in result
+    assert "locked by another" in result["raised"]
+
+
+def test_near_simultaneous_acquire_single_winner(spark, tmp_path,
+                                                 monkeypatch):
+    """Two threads race the create on a FREE lock: the local-FS create
+    shim is check-then-act, so both may 'create' — the post-stamp
+    verify read converges to exactly one winner (one surviving token);
+    the loser raises without deleting the winner's marker."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from linktransformer_spark.operators import upsert as U
+
+    monkeypatch.setattr(U, "LOCK_ACQUIRE_VERIFY_SEC", 0.15)
+    path = str(tmp_path / f"idx_race_{PID}")
+    os.makedirs(path, exist_ok=True)
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def attempt(i):
+        barrier.wait(10)
+        try:
+            with index_write_lock(spark, path):
+                outcomes.append(("won", i))
+                # hold briefly so the loser's attempt fully overlaps
+                import time
+
+                time.sleep(0.3)
+        except RuntimeError:
+            outcomes.append(("lost", i))
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(attempt, [0, 1]))
+    wins = [o for o in outcomes if o[0] == "won"]
+    assert len(wins) == 1, outcomes
+    # the winner's clean release left the lock free
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+    with index_write_lock(spark, path):
+        pass
+
+
+def test_recover_refuses_live_writer(spark, tmp_path):
+    """recover_index clearing a LIVE writer's marker would admit a
+    second concurrent writer — it must refuse while the lease is fresh
+    and proceed after release (or under force=True)."""
+    import linktransformer_spark as lt
+
+    path = str(tmp_path / f"idx_rec_{PID}")
+    os.makedirs(path, exist_ok=True)
+    with index_write_lock(spark, path):
+        with pytest.raises(RuntimeError, match="appears LIVE"):
+            lt.recover_index(spark, path)
+        assert os.path.exists(f"{path}/{_LOCK_NAME}")
+    # after the writer exits, recovery proceeds (no marker left)
+    info = lt.recover_index(spark, path)
+    assert info["cleared_lock"] is False
+
+
+def test_recover_refuses_fresh_foreign_marker_force_overrides(
+    spark, tmp_path
+):
+    """A fresh-mtime marker (writer possibly mid-swap elsewhere) is
+    treated as live even without a heartbeat hit yet; force=True is
+    the explicit operator override."""
+    import linktransformer_spark as lt
+
+    path = str(tmp_path / f"idx_force_{PID}")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{_LOCK_NAME}", "w") as f:
+        f.write("99999:elsewhere")
+    with pytest.raises(RuntimeError, match="appears LIVE"):
+        lt.recover_index(spark, path)
+    info = lt.recover_index(spark, path, force=True)
+    assert info["cleared_lock"] is True
+    assert not os.path.exists(f"{path}/{_LOCK_NAME}")
+
+
+def test_recover_pid_liveness_second_opinion(spark, tmp_path,
+                                             monkeypatch):
+    """Past the stale threshold the same-host pid check still catches
+    a HUNG (alive but not heartbeating… e.g. stopped) writer: a stale
+    marker stamped with a live pid refuses, one with a dead pid
+    recovers."""
+    import subprocess
+    import time
+
+    import linktransformer_spark as lt
+
+    _shrink_lease(monkeypatch)
+    path = str(tmp_path / f"idx_pid_{PID}")
+    os.makedirs(path, exist_ok=True)
+    marker = f"{path}/{_LOCK_NAME}"
+
+    # live pid (our own), stale mtime -> refuse
+    with open(marker, "w") as f:
+        f.write(f"{PID}:hung")
+    old = time.time() - 5.0
+    os.utime(marker, (old, old))
+    with pytest.raises(RuntimeError, match="pid .* is alive"):
+        lt.recover_index(spark, path)
+
+    # dead pid, stale mtime -> recover clears the marker
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(marker, "w") as f:
+        f.write(f"{dead.pid}:crashed")
+    os.utime(marker, (old, old))
+    info = lt.recover_index(spark, path)
+    assert info["cleared_lock"] is True
