@@ -69,7 +69,9 @@ AUTO_LSH_DEFAULT_BYTES = 128 * 1024 * 1024
 LSH_PLANES_CONF = "spark.linktransformer.merge.lshPlanes"
 LSH_EXTRA_CONF = "spark.linktransformer.merge.lshExtraProbes"
 # OR-construction width for the lsh merge route: L independent plane
-# sets (hash tables), candidates unioned + pair-deduped. Default 1.
+# sets (hash tables), candidates unioned + pair-deduped. Unset =
+# derived from the corpus's bucket-occupancy skew (_auto_lsh_tables);
+# an explicit int pins it.
 LSH_TABLES_CONF = "spark.linktransformer.merge.lshTables"
 
 
@@ -657,6 +659,51 @@ def bucket_dot_rescored_pairs(
     )
 
 
+def _auto_lsh_tables(right, dim: int, n_planes: int, n_extra: int) -> int:
+    """Derive the OR-construction width (hash-table count) from the
+    corpus's bucket-occupancy profile — the round-12 verdict's recall
+    item: ``auto`` must reach recall >= 0.9 on spread corpora without
+    paying for redundant tables on degenerate ones.
+
+    The statistic: expected co-residency mass of a probe,
+    ``(1 + n_extra) * (sum occ^2 / n) / n`` — the occupancy-weighted
+    mean bucket share times the probe count. Measured on the two bench
+    shapes (round 13): the TPC-H digit-name corpus COLLAPSES into 4 of
+    128 buckets (coverage 1.44 — each query's probes already sweep the
+    corpus, single-table recall 0.985, extra tables pure waste); the
+    Zipf-title corpus spreads across every bucket (coverage 0.32,
+    single-table recall 0.826). When probing covers the corpus
+    (coverage >= 1) one table is exact-enough; when buckets genuinely
+    separate (< 1) a second independent plane set lifts recall
+    1-(1-p)^2 — measured 0.826 -> 0.96+ on the Zipf shape (PLANS.md
+    round 10 sweep) at 2x candidate cost. Wider L stays an explicit
+    choice (``LSH_TABLES_CONF``): tripling every large merge's
+    candidate volume is not a defensible default when per-shape recall
+    is unmeasured.
+
+    Cost: ONE narrow plan-time aggregation over the corpus (bucket id
+    -> map-side-combined count) — the same class of plan-time job as
+    ``resolve_n_planes``'s count, and small next to the encode +
+    candidate passes the merge already runs."""
+    from .ann import hyperplane_bucket
+
+    occ = (
+        right.withColumn("_lt_occ_b",
+                         hyperplane_bucket(RIGHT_EMB, dim, n_planes))
+        .groupBy("_lt_occ_b").count()
+        .agg(
+            F.sum("count").alias("n"),
+            F.sum(F.col("count") * F.col("count")).alias("n2"),
+        )
+        .first()
+    )
+    if occ is None or not occ["n"]:
+        return 1
+    n = float(occ["n"])
+    coverage = (1 + n_extra) * (float(occ["n2"]) / n) / n
+    return 1 if coverage >= 1.0 else 2
+
+
 def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
                     k=None, n_planes="auto", n_extra=3) -> DataFrame:
     """Hyperplane-LSH candidate pairs, exact-rescored — the same
@@ -721,7 +768,7 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
         rows_per_bucket=128,
     )
     n_extra = max(0, min(int(n_extra), n_planes - 1))
-    n_tables = 1
+    n_tables = None
     try:
         conf_tables = spark.conf.get(LSH_TABLES_CONF, None)
         if conf_tables is not None:
@@ -730,6 +777,11 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
         pass
     left_p = ensure_parallelism(left)
     if getattr(scorer, "score_is_dot", False):
+        if n_tables is None:
+            # conf unset: derive the OR-construction width from the
+            # corpus's bucket-occupancy skew (degenerate -> 1, spread
+            # -> 2; rationale + measurements in _auto_lsh_tables)
+            n_tables = _auto_lsh_tables(right, dim, n_planes, n_extra)
         # the round-10 re-score path: bucket cogroup + vectorized
         # numpy dot (bit-equal to the fold — see
         # bucket_dot_rescored_pairs) instead of join + interpreted

@@ -1807,6 +1807,68 @@ def final_ab_test(
     )
 
 
+# Pruner-fold residency model (round-12 measurement,
+# tools/bm25_prune_residency.py at the sf1 decade): the pandas concat
+# of a partition's contribution share came out at ~40 bytes/row (25M
+# rows ~ 1 GB); 48 is the conservative planning constant. 64 MB is the
+# per-partition AVERAGE the auto-width targets — hot-term skew can run
+# the max partition ~3x over it (measured 6.5M max vs 2.4M mean rows at
+# 256 partitions); ``max_df_ratio`` is the lever that removes exactly
+# those hot terms.
+_PRUNE_ROW_BYTES = 48
+_PRUNE_TARGET_BYTES = 64 << 20
+_PRUNE_MAX_PARTITIONS = 8192
+
+
+def derive_bm25_prune_partitions(
+    spark: SparkSession,
+    index_path: str,
+    max_df_ratio: float | None = None,
+    expected_batch_queries: int = 1024,
+    target_bytes: int = _PRUNE_TARGET_BYTES,
+) -> int:
+    """Width of the pruner's per-query exchange sized so a partition's
+    pandas fold stays near ``target_bytes`` — the auto behind
+    ``streaming_bm25_against_index(prune_partitions='auto')``.
+
+    The estimate needs no queries: for a DOCUMENT-SHAPED query (the
+    measured worst case — full texts streamed as queries, the round-12
+    residency-cliff profile) term t appears with probability
+    df_t/n_docs and joins df_t posting rows, so expected contribution
+    rows per query = sum(df^2)/n_docs over the terms surviving
+    ``max_df_ratio`` — all of it read from the vocab-sized ``dfreq/``
+    relation in one tiny plan-time aggregation (same class of plan-time
+    job as the LSH route's plane-count resolution). Keyword queries
+    sit orders of magnitude below the estimate, which only means the
+    exchange is wider than needed — never narrower.
+
+    The result never narrows below the session's
+    ``spark.sql.shuffle.partitions`` (the width the manual knob's
+    ``None`` default already gets) and caps at 8192 tasks."""
+    import math
+
+    if expected_batch_queries < 1:
+        raise ValueError("expected_batch_queries must be >= 1")
+    dfreq = spark.read.parquet(f"{index_path}/dfreq")
+    if max_df_ratio is not None:
+        dfreq = dfreq.filter(
+            F.col("df").cast("double")
+            <= F.lit(max_df_ratio) * F.col("n_docs").cast("double")
+        )
+    row = dfreq.agg(
+        F.sum(F.col("df").cast("double") * F.col("df").cast("double")
+              ).alias("df2"),
+        F.max(F.col("n_docs").cast("double")).alias("n"),
+    ).first()
+    session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if row is None or not row["df2"] or not row["n"]:
+        return session
+    rows_per_query = row["df2"] / row["n"]
+    est_bytes = expected_batch_queries * rows_per_query * _PRUNE_ROW_BYTES
+    want = math.ceil(est_bytes / max(int(target_bytes), 1))
+    return max(session, min(_PRUNE_MAX_PARTITIONS, want))
+
+
 def streaming_bm25_against_index(
     spark: SparkSession,
     stream_queries: DataFrame,
@@ -1815,7 +1877,8 @@ def streaming_bm25_against_index(
     query_col: str = "q_text",
     max_df_ratio: float | None = None,
     prune_topk: int | None = None,
-    prune_partitions: int | None = None,
+    prune_partitions: int | str | None = "auto",
+    expected_batch_queries: int = 1024,
 ) -> DataFrame:
     """Real-time keyword search: a STREAM of query texts scored
     against a :func:`~linktransformer_spark.operators.search.save_bm25_index`
@@ -1867,8 +1930,17 @@ def streaming_bm25_against_index(
     split across rows would prune against partial scores). The
     score-then-shuffle trade is the PQ path's: the exchange carries
     the full contribution set once, but the partition-level fold must
-    hold its partition's share in memory — size
-    ``spark.sql.shuffle.partitions`` accordingly.
+    hold its partition's share in memory. ``prune_partitions`` is that
+    exchange's width; the ``'auto'`` default (round 13) derives it
+    from the index's df stats via
+    :func:`derive_bm25_prune_partitions` — expected contribution rows
+    per document-shaped query = sum(df^2)/n_docs, times
+    ``expected_batch_queries``, targeting ~64 MB per fold partition —
+    so a naive caller no longer needs to know the residency knobs to
+    avoid the measured ~1 GB worst case. Pass an int to pin the
+    width, ``None`` for the session's shuffle width; every width is
+    row-identical (the pinned parity property — the exchange never
+    changes WHAT survives the prune).
 
     Tombstones (:func:`~linktransformer_spark.operators.search.delete_from_bm25_index`)
     are honored exactly like the batch serve: deleted docs never emit
@@ -1906,6 +1978,21 @@ def streaming_bm25_against_index(
         return contrib
     if prune_topk < 1:
         raise ValueError("prune_topk must be >= 1")
+    if prune_partitions == "auto":
+        # round-13: width derived from the index's df stats so the
+        # partition fold's measured ~1 GB worst-case residency
+        # (PLANS.md round 12) is bounded by default instead of by two
+        # knobs the caller must know. Row-identical to any other
+        # width (the parity pin) — only the exchange changes.
+        prune_partitions = derive_bm25_prune_partitions(
+            spark, index_path, max_df_ratio=max_df_ratio,
+            expected_batch_queries=expected_batch_queries,
+        )
+    elif isinstance(prune_partitions, str):
+        raise ValueError(
+            "prune_partitions must be an int, None, or 'auto'; got "
+            f"{prune_partitions!r}"
+        )
     return _prune_bm25_contributions(contrib, prune_topk, prune_partitions)
 
 

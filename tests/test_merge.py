@@ -213,8 +213,9 @@ def test_lsh_conf_knobs_change_bucketing(spark):
 def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
     """LSH_TABLES_CONF (the round-10 OR-construction on the merge
     route): tables=2 must recall at least as many exact top-k pairs as
-    the single-table default on a fixed frame, and an unset conf must
-    equal tables=1 exactly."""
+    single-table on a fixed frame, and an unset conf must equal ONE of
+    the two widths the round-13 occupancy-skew auto can derive
+    (_auto_lsh_tables returns 1 or 2) — the conf pins it exactly."""
     from pyspark.sql import functions as F
 
     from linktransformer_spark.operators.knn_join import (
@@ -249,5 +250,34 @@ def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
                 spark.conf.unset(LSH_TABLES_CONF)
 
     p_default, p1, p2 = pairs(None), pairs(1), pairs(2)
-    assert p_default == p1
+    assert p_default in (p1, p2)
     assert len(p2 & exact) >= len(p1 & exact)
+
+
+def test_auto_lsh_tables_skew_rule(spark):
+    """_auto_lsh_tables: a corpus that collapses into one bucket (all
+    rows share an embedding direction — probe coverage >= 1) keeps ONE
+    table; a corpus spread across many buckets derives TWO."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from linktransformer_spark.operators.knn_join import (
+        RIGHT_EMB, _auto_lsh_tables,
+    )
+
+    dim, planes = 16, 6
+    one = np.zeros(dim); one[0] = 1.0
+    collapsed = spark.createDataFrame(
+        [(i, [float(x) for x in one]) for i in range(64)],
+        schema=f"id long, {RIGHT_EMB} array<double>",
+    )
+    assert _auto_lsh_tables(collapsed, dim, planes, n_extra=3) == 1
+
+    rng = np.random.default_rng(7)
+    vs = rng.normal(size=(256, dim))
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+    spread = spark.createDataFrame(
+        [(i, [float(x) for x in vs[i]]) for i in range(len(vs))],
+        schema=f"id long, {RIGHT_EMB} array<double>",
+    )
+    assert _auto_lsh_tables(spread, dim, planes, n_extra=3) == 2

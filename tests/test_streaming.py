@@ -5,6 +5,8 @@ test_oracle_queries; here we exercise the production-only variants and
 invariants that have no SQL twin.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -803,6 +805,50 @@ def test_streaming_bm25_prune_topk_equals_batch(spark, sf_dir, tmp_path):
     got_w = sorted(map(tuple, final_bm25_topk(wide, k=5).collect()))
     assert got_w == want_batch
     assert wide.select("_q", "_d").distinct().count() <= nq * 5
+    # the round-13 'auto' width (df-stats derivation) and the legacy
+    # None (session width) are both row-identical to the pinned width
+    for pp in (None, "auto"):
+        alt = drain(prune_topk=5, prune_partitions=pp)
+        assert sorted(
+            map(tuple, final_bm25_topk(alt, k=5).collect())
+        ) == want_batch
+
+
+def test_derive_bm25_prune_partitions(spark, sf_dir, tmp_path):
+    """The auto width: monotone in the batch-size hint, never narrower
+    than the session shuffle width, narrower (or equal) once
+    max_df_ratio removes the df^2-dominating head terms, and rejects a
+    bad string knob."""
+    import pytest
+
+    import linktransformer_spark as lt
+    from linktransformer_spark.streaming import (
+        derive_bm25_prune_partitions, streaming_bm25_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / f"bm25_dpp_{os.getpid()}")
+    lt.save_bm25_index(docs, path, text_col="text", id_col="doc_id")
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = derive_bm25_prune_partitions(
+        spark, path, expected_batch_queries=1)
+    assert small == session  # tiny estimate floors at the session width
+    huge = derive_bm25_prune_partitions(
+        spark, path, expected_batch_queries=50_000_000)
+    assert huge >= small
+    assert huge <= 8192  # the task-count cap
+    capped = derive_bm25_prune_partitions(
+        spark, path, expected_batch_queries=50_000_000, max_df_ratio=0.2)
+    assert capped <= huge  # head terms dominate sum(df^2)
+    with pytest.raises(ValueError):
+        derive_bm25_prune_partitions(
+            spark, path, expected_batch_queries=0)
+    with pytest.raises(ValueError):
+        streaming_bm25_against_index(
+            spark, docs.limit(1), path, query_id="doc_id",
+            query_col="text", prune_topk=3, prune_partitions="wide",
+        )
 
 
 def test_streaming_bm25_max_df_ratio_equals_batch(spark, sf_dir, tmp_path):

@@ -36,6 +36,10 @@ SCENARIOS = {
     "fat_1k": ("fat", 1000, None, None),
     "fat_1k_df": ("fat", 1000, 0.5, None),
     "fat_1k_wide": ("fat", 1000, None, 256),
+    # round-13: the df-stats auto width (derive_bm25_prune_partitions)
+    # vs the hand-picked 256 above — same fat profile
+    "fat_1k_auto": ("fat", 1000, None, "auto"),
+    "fat_1k_df_auto": ("fat", 1000, 0.5, "auto"),
 }
 
 
@@ -68,8 +72,19 @@ def main() -> None:
     dfreq = spark.read.parquet(f"{idx}/dfreq")
 
     out = []
+    from linktransformer_spark.streaming import (
+        derive_bm25_prune_partitions,
+    )
+
     for name in names:
         style, nq, mdr, pparts = SCENARIOS[name]
+        if pparts == "auto":
+            # resolve here so the batch residency twin measures the
+            # SAME width the streaming call derives
+            pparts = derive_bm25_prune_partitions(
+                spark, idx, max_df_ratio=mdr, expected_batch_queries=nq
+            )
+            print(f"# {name}: auto width -> {pparts}", flush=True)
         qtext = (
             F.col("text") if style == "fat"
             else F.array_join(F.slice(S.word_tokens(F.col("text")), 1, 8),
