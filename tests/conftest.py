@@ -14,8 +14,13 @@ SF_DIR = os.environ.get("LT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     import tempfile
 
+    # LT_TEST_MASTER / LT_TEST_SHUFFLE: the round-end robustness
+    # layouts (local[3]/shuffle=3 adversarial, local[16]/shuffle=64)
+    # without editing this file — each layout has caught real bugs
     s = get_spark(
-        "lt-tests", master="local[8]", shuffle_partitions=8,
+        "lt-tests",
+        master=os.environ.get("LT_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("LT_TEST_SHUFFLE", "8")),
         # keep catalog artifacts (saveAsTable warehouse) out of the repo
         extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lt_wh_")},
     )
