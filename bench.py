@@ -233,13 +233,16 @@ def bench_queries(spark):
         # left row here is a measured near-worst case (PLANS.md round
         # 9), and the route's health signal (plan shape + candidate
         # volume drift) is the same at 2k as at 15k.
-        from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+        from linktransformer_spark.operators.knn_join import (
+            AUTO_LSH_CONF, BROADCAST_KNN_CONF,
+        )
 
         cust = read_table(spark, sf_dir, "customer").filter(
             F.col("c_custkey") <= 2000
         )
         supp = read_table(spark, sf_dir, "supplier")
         spark.conf.set(AUTO_LSH_CONF, "1")
+        spark.conf.set(BROADCAST_KNN_CONF, "1")
         try:  # routing resolves at plan-build time, so restore is safe
             return lt.merge_knn(
                 cust, supp, left_on="c_name", right_on="s_name",
@@ -248,6 +251,7 @@ def bench_queries(spark):
             )
         finally:
             spark.conf.unset(AUTO_LSH_CONF)
+            spark.conf.unset(BROADCAST_KNN_CONF)
 
     def ann_serve_r90(sf_dir):
         # THE serving default (operators/serving.py): IVF-PQ scan-wide
@@ -478,7 +482,9 @@ def main() -> None:
         # even when the wall-clock looks fine. (The PLANS.md round-9
         # curve: 0.47-0.95 across planes/probes on these digit-only-
         # differing TPC-H names, a measured near-worst LSH case.)
-        from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+        from linktransformer_spark.operators.knn_join import (
+            AUTO_LSH_CONF, BROADCAST_KNN_CONF,
+        )
 
         cust = read_table(spark, SF_DIR, "customer").filter(
             F.col("c_custkey") <= 2000
@@ -495,6 +501,7 @@ def main() -> None:
         )
         n_ex = exact_m.count()
         spark.conf.set(AUTO_LSH_CONF, "1")
+        spark.conf.set(BROADCAST_KNN_CONF, "1")
         try:
             lsh_m = lt.merge_knn(cust, supp, mode="auto", **mkw).select(
                 "c_custkey", "s_suppkey"
@@ -504,6 +511,7 @@ def main() -> None:
             ).count()
         finally:
             spark.conf.unset(AUTO_LSH_CONF)
+            spark.conf.unset(BROADCAST_KNN_CONF)
         recall["merge_auto_recall"] = round(hit_m / max(n_ex, 1), 4)
         print(
             f"# merge_auto_recall: {recall['merge_auto_recall']}",
@@ -555,6 +563,7 @@ def main() -> None:
         )
         n_zex = zex.count()
         spark.conf.set(AUTO_LSH_CONF, "1")
+        spark.conf.set(BROADCAST_KNN_CONF, "1")
         try:
             zlsh = lt.merge_knn(zl, zr, mode="auto", **zkw).select(
                 "lid", "rid"
@@ -562,6 +571,7 @@ def main() -> None:
             hit_z = zex.join(zlsh, ["lid", "rid"]).count()
         finally:
             spark.conf.unset(AUTO_LSH_CONF)
+            spark.conf.unset(BROADCAST_KNN_CONF)
         recall["merge_zipf_recall"] = round(hit_z / max(n_zex, 1), 4)
         print(
             f"# merge_zipf_recall: {recall['merge_zipf_recall']}",

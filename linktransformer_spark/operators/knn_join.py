@@ -61,6 +61,37 @@ Mode = Literal["auto", "exact_cross", "broadcast_knn", "lsh"]
 AUTO_LSH_CONF = "spark.linktransformer.merge.autoLshThresholdBytes"
 AUTO_LSH_DEFAULT_BYTES = 128 * 1024 * 1024
 
+# the middle tier of the auto ladder (round 13): right sides too big
+# to nested-loop but small enough to broadcast-embed take the EXACT
+# numpy broadcast-knn path before falling back to approximate LSH.
+# The threshold is a PLAN-size (text) estimate; the real constraint is
+# the broadcast embedding matrix at rows x dim x 8 bytes — 256 MB of
+# TPC-H-ish text is ~2.5-5M rows = ~1.3-2.6 GB embeddings at dim 64,
+# comfortably under Spark's 8 GB broadcast cap and a production
+# executor's memory. Above it, exactness stops being broadcastable and
+# the LSH tier's measured recall curve (PLANS.md rounds 9/10/13) is
+# the honest contract.
+BROADCAST_KNN_CONF = "spark.linktransformer.merge.broadcastKnnThresholdBytes"
+BROADCAST_KNN_DEFAULT_BYTES = 256 * 1024 * 1024
+
+# pair-count budget for the exact_cross tier: the nested loop's cost
+# is |L| x |R| PAIRS, which right-side bytes alone cannot see — a
+# 360 KB right side crossed with a 20k-row left ran the interpreted
+# fold for 24 minutes (round-13 measurement; ~6.5 us/pair through the
+# non-codegen ArrayAggregate eval). Above this budget, auto escalates
+# the exact band to the broadcast tier — the SAME matches from the
+# numpy matmul in seconds. 30M pairs ~ 2-3 min worst-case interpreted,
+# and keeps every reference-shaped merge (small curated right side,
+# driver SFs) on the declarative plan.
+EXACT_CROSS_MAX_PAIRS_CONF = "spark.linktransformer.merge.exactCrossMaxPairs"
+EXACT_CROSS_MAX_PAIRS_DEFAULT = 30_000_000
+# bytes/row for ROW-COUNT estimation from plan bytes: deliberately
+# low (narrow projected relations measured ~36 B/row) so rows — and
+# therefore pairs — are OVER-estimated; over-escalation lands on the
+# broadcast tier, which is still exact, while under-escalation leaves
+# a multi-minute nested loop in place.
+EXACT_CROSS_EST_ROW_BYTES = 32
+
 # recall/cost knobs of the lsh candidate stage, settable per session
 # without threading new parameters through merge_knn (same stance as
 # AUTO_LSH_CONF): plane count ('auto' = one per corpus doubling,
@@ -80,8 +111,9 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     scans, propagated through projections). Planning-time only — no job
     runs. None when unavailable: streaming relations, and plans whose
     stats are the Long.MaxValue "unknown" sentinel (python-RDD-backed
-    createDataFrame relations report that — they are not known-big, so
-    the caller must not treat them as big)."""
+    createDataFrame relations report that). None means UNKNOWN, not
+    small — auto_embedding_mode falls back to a count-based estimate
+    rather than assuming broadcastability."""
     try:
         size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         size = int(size if isinstance(size, int) else size.toString())
@@ -90,20 +122,89 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def auto_embedding_mode(right_raw: DataFrame) -> str:
-    """Size-aware mode resolution for expression-embedding scorers:
-    ``exact_cross`` while the right side is small enough to
-    nested-loop-broadcast, ``lsh`` (bucketed candidates + exact re-rank,
-    approximate recall) above the ``AUTO_LSH_CONF`` threshold."""
+# nominal bytes/row for the count-based fallback below: the routing
+# threshold is a BYTE budget, so an unknown-stats relation's row count
+# converts at a round text-ish width. Routing only needs the right
+# ORDER OF MAGNITUDE — at the default 128 MB threshold this flips to
+# lsh past ~1.3M right rows, far beyond exact_cross viability anyway.
+AUTO_LSH_ROW_BYTES = 100
+
+
+def _est_rows(df: DataFrame, size: int | None) -> int:
+    """Row-count estimate for the pair budget: plan bytes over the
+    deliberately-low EXACT_CROSS_EST_ROW_BYTES (over-estimates rows —
+    the safe direction, see the constant's note), or a count when the
+    stats are the unknown sentinel."""
+    if size is None:
+        size = plan_size_bytes(df)
+    if size is None:
+        return int(df.count())
+    return max(1, size // EXACT_CROSS_EST_ROW_BYTES)
+
+
+def auto_embedding_mode(right_raw: DataFrame,
+                        allow_broadcast: bool = False,
+                        left_raw: DataFrame | None = None) -> str:
+    """Size-aware mode resolution for expression-embedding scorers —
+    the auto LADDER (round 13): ``exact_cross`` while the right side
+    is small enough to nested-loop-broadcast (<= ``AUTO_LSH_CONF``),
+    then — when the caller allows it — the EXACT numpy
+    ``broadcast_knn`` tier up to ``BROADCAST_KNN_CONF``, and only past
+    that the approximate ``lsh`` tier (bucketed candidates + exact
+    re-rank). Measured motivation: at 20k x 10k the interpreted
+    nested loop runs 24 minutes and 2-table LSH recalls 0.71, while
+    broadcast-knn is EXACT in seconds — the middle band deserves the
+    exact answer it can afford. ``allow_broadcast=False`` (the
+    default; merge_range, and merge_knn with blocking_vars) skips the
+    middle tier: broadcast_knn emits exactly k rows per left row and
+    scores the WHOLE right side, which breaks range-join semantics
+    and silently ignores blocks.
+
+    When Catalyst's size estimate is UNAVAILABLE (python-RDD-backed
+    relations report the Long.MaxValue sentinel — plan_size_bytes
+    returns None), the right side is COUNTED and sized at
+    ``AUTO_LSH_ROW_BYTES`` per row instead of being assumed small:
+    treating unknown as small sent a 10k-row RDD-backed corpus through
+    the O(|L|*|R|) nested loop (measured round 13, the 24-minute
+    cartesian) — a silent scale cliff for exactly the frames a user
+    hands over without parquet-backed stats. The count is one cheap
+    job on a relation the merge is about to scan repeatedly anyway,
+    and runs only on the unknown-stats path."""
     spark = right_raw.sparkSession
     try:
         thresh = int(spark.conf.get(AUTO_LSH_CONF, str(AUTO_LSH_DEFAULT_BYTES)))
     except Exception:
         thresh = AUTO_LSH_DEFAULT_BYTES
     size = plan_size_bytes(right_raw)
-    if size is not None and size > thresh:
-        return "lsh"
-    return "exact_cross"
+    if size is None:
+        size = right_raw.count() * AUTO_LSH_ROW_BYTES
+    if size <= thresh:
+        # the exact band — but bytes cannot see the nested loop's
+        # |L| x |R| cost: above the pair budget, escalate to the
+        # broadcast tier (SAME matches, numpy matmul, seconds instead
+        # of the measured 24-minute interpreted fold). Callers that
+        # cannot take the broadcast tier (range semantics, blocking)
+        # keep the declarative plan unconditionally.
+        if allow_broadcast and left_raw is not None:
+            try:
+                budget = int(spark.conf.get(
+                    EXACT_CROSS_MAX_PAIRS_CONF,
+                    str(EXACT_CROSS_MAX_PAIRS_DEFAULT)))
+            except Exception:
+                budget = EXACT_CROSS_MAX_PAIRS_DEFAULT
+            pairs = _est_rows(left_raw, None) * _est_rows(right_raw, size)
+            if pairs > budget:
+                return "broadcast_knn"
+        return "exact_cross"
+    if allow_broadcast:
+        try:
+            bc = int(spark.conf.get(BROADCAST_KNN_CONF,
+                                    str(BROADCAST_KNN_DEFAULT_BYTES)))
+        except Exception:
+            bc = BROADCAST_KNN_DEFAULT_BYTES
+        if size <= bc:
+            return "broadcast_knn"
+    return "lsh"
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:

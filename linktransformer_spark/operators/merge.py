@@ -245,12 +245,17 @@ def merge_knn(
         if scorer.needs_embeddings and enc is not None and not enc.expression_based:
             mode = "broadcast_knn"
         elif scorer.needs_embeddings:
-            # size-aware: exact_cross plans the O(|L|·|R|) candidate
-            # stage as a BroadcastNestedLoopJoin — right above the
-            # configured size estimate that stops being viable, so auto
-            # routes to LSH candidates + exact re-rank (approximate
-            # recall; set mode='exact_cross' to force exactness).
-            mode = KJ.auto_embedding_mode(df2)
+            # size-aware ladder: exact_cross plans the O(|L|·|R|)
+            # candidate stage as a BroadcastNestedLoopJoin — viable
+            # only for a small right side; the mid band takes the
+            # EXACT numpy broadcast tier (unless blocking_vars, which
+            # the broadcast path cannot honor); only past the
+            # broadcast threshold does auto route to LSH candidates +
+            # exact re-rank (approximate recall; set
+            # mode='exact_cross' to force exactness).
+            mode = KJ.auto_embedding_mode(
+                df2, allow_broadcast=not blocking_vars, left_raw=df1
+            )
     key_shipping = (
         mode == "broadcast_knn"
         and hasattr(getattr(scorer, "encoder", None), "encode_batch")

@@ -171,13 +171,85 @@ def test_threshold_pushdown_equals_post_filter(spark):
     assert len(want) < allk.count()
 
 
+def test_auto_mode_counts_unknown_stats_relations(spark):
+    """auto_embedding_mode must not treat an unknown-stats
+    (python-RDD-backed) right side as broadcast-small: when Catalyst
+    reports the size sentinel, the route falls back to a count-based
+    estimate — a 10k-row RDD corpus above the conf threshold routes
+    LSH instead of the O(|L|*|R|) nested loop (the measured 24-minute
+    cartesian on a 20k x 10k frame, round 13)."""
+    from pyspark.sql import Row
+
+    from linktransformer_spark.operators.knn_join import (
+        AUTO_LSH_CONF, AUTO_LSH_ROW_BYTES, BROADCAST_KNN_CONF,
+        auto_embedding_mode, plan_size_bytes,
+    )
+
+    rdd = spark.sparkContext.parallelize(
+        [Row(rid=i, rkey=f"row {i}") for i in range(50)]
+    )
+    df = spark.createDataFrame(rdd)
+    assert plan_size_bytes(df) is None  # the sentinel shape under test
+    est = 50 * AUTO_LSH_ROW_BYTES
+    spark.conf.set(AUTO_LSH_CONF, str(est - 1))
+    try:
+        assert auto_embedding_mode(df) == "lsh"
+        spark.conf.set(AUTO_LSH_CONF, str(est))
+        assert auto_embedding_mode(df) == "exact_cross"
+        # the ladder: past the nested-loop bound but inside the
+        # broadcast bound, an allowed caller gets the EXACT numpy tier
+        spark.conf.set(AUTO_LSH_CONF, str(est - 1))
+        spark.conf.set(BROADCAST_KNN_CONF, str(est))
+        assert auto_embedding_mode(df, allow_broadcast=True) \
+            == "broadcast_knn"
+        assert auto_embedding_mode(df) == "lsh"  # disallowed -> lsh
+        spark.conf.set(BROADCAST_KNN_CONF, str(est - 1))
+        assert auto_embedding_mode(df, allow_broadcast=True) == "lsh"
+    finally:
+        spark.conf.unset(AUTO_LSH_CONF)
+        spark.conf.unset(BROADCAST_KNN_CONF)
+
+
+def test_exact_cross_pair_budget_escalates_to_broadcast(spark, sf_dir):
+    """Inside the exact band, the |L| x |R| PAIR budget (which bytes
+    cannot see — the measured 24-minute interpreted fold at 360 KB of
+    right bytes) escalates auto to the broadcast tier; callers without
+    a left frame (merge_range) or without broadcast permission keep
+    the declarative plan."""
+    from linktransformer_spark.operators.knn_join import (
+        EXACT_CROSS_MAX_PAIRS_CONF, auto_embedding_mode,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    assert auto_embedding_mode(
+        supp, allow_broadcast=True, left_raw=cust) == "exact_cross"
+    spark.conf.set(EXACT_CROSS_MAX_PAIRS_CONF, "1")
+    try:
+        assert auto_embedding_mode(
+            supp, allow_broadcast=True, left_raw=cust) == "broadcast_knn"
+        # no left frame / no broadcast permission -> declarative plan
+        assert auto_embedding_mode(
+            supp, allow_broadcast=True) == "exact_cross"
+        assert auto_embedding_mode(
+            supp, left_raw=cust) == "exact_cross"
+    finally:
+        spark.conf.unset(EXACT_CROSS_MAX_PAIRS_CONF)
+
+
 def test_lsh_conf_knobs_change_bucketing(spark):
     """The session-conf recall knobs (LSH_PLANES_CONF / LSH_EXTRA_CONF)
-    reach the lsh candidate stage: more extra probes can only ADD
-    candidate pairs, and results stay a subset of the exact top-k."""
+    reach the lsh candidate stage. Contracts of a GENUINE lsh run
+    (round 13 — the count-based stats fallback means these RDD-backed
+    frames now actually route lsh; before it they silently took
+    exact_cross and this test's old subset assertion was vacuous):
+    every emitted pair carries the EXACT re-scored similarity, each
+    left row emits at most k pairs, and more probes recover at least
+    as many exact-top-k pairs."""
     import linktransformer_spark as lt
     from linktransformer_spark.operators.knn_join import (
-        AUTO_LSH_CONF, LSH_EXTRA_CONF, LSH_PLANES_CONF,
+        AUTO_LSH_CONF, BROADCAST_KNN_CONF, LSH_EXTRA_CONF, LSH_PLANES_CONF,
+        LSH_TABLES_CONF,
     )
 
     left = spark.createDataFrame(
@@ -190,24 +262,45 @@ def test_lsh_conf_knobs_change_bucketing(spark):
     )
     kw = dict(left_on="name", right_on="rname", model="hash-ngram",
               mode="auto", k=2, left_id_col="lid", right_id_col="rid")
-    exact = {(r["lid"], r["rid"]) for r in lt.merge_knn(
-        left, right, mode="exact_cross", **{k: v for k, v in kw.items() if k != "mode"}
+    exact_kw = {k: v for k, v in kw.items() if k != "mode"}
+    # full scored cross (k=60 keeps every pair) -> exact score of ANY
+    # pair, and the exact top-2 pair set for the recall comparison
+    all_scores = {(x.lid, x.rid): round(x.score, 9) for x in lt.merge_knn(
+        left, right, mode="exact_cross", **{**exact_kw, "k": 60}
+    ).collect()}
+    exact2 = {(x.lid, x.rid) for x in lt.merge_knn(
+        left, right, mode="exact_cross", **exact_kw
     ).select("lid", "rid").collect()}
     spark.conf.set(AUTO_LSH_CONF, "1")
+    spark.conf.set(BROADCAST_KNN_CONF, "1")
+    # pin ONE table: this test isolates the planes/probes knobs
+    spark.conf.set(LSH_TABLES_CONF, "1")
     try:
         spark.conf.set(LSH_PLANES_CONF, "6")
         spark.conf.set(LSH_EXTRA_CONF, "0")
-        low = {(r["lid"], r["rid"]) for r in lt.merge_knn(
-            left, right, **kw).select("lid", "rid").collect()}
+        low = {(x.lid, x.rid): round(x.score, 9) for x in lt.merge_knn(
+            left, right, **kw).collect()}
         spark.conf.set(LSH_EXTRA_CONF, "5")
-        high = {(r["lid"], r["rid"]) for r in lt.merge_knn(
-            left, right, **kw).select("lid", "rid").collect()}
+        high = {(x.lid, x.rid): round(x.score, 9) for x in lt.merge_knn(
+            left, right, **kw).collect()}
     finally:
         spark.conf.unset(AUTO_LSH_CONF)
+        spark.conf.unset(BROADCAST_KNN_CONF)
+        spark.conf.unset(LSH_TABLES_CONF)
         spark.conf.unset(LSH_PLANES_CONF)
         spark.conf.unset(LSH_EXTRA_CONF)
-    assert low <= exact and high <= exact
+    for res in (low, high):
+        assert res  # the lsh route produced pairs
+        # exact re-score: every emitted pair carries the true score
+        for pair, score in res.items():
+            assert score == all_scores[pair], pair
+        # k-bound per left row
+        from collections import Counter
+
+        assert max(Counter(l for l, _ in res).values()) <= 2
+    # more probes -> more candidates and no recall loss of exact pairs
     assert len(high) >= len(low)
+    assert len(set(high) & exact2) >= len(set(low) & exact2)
 
 
 def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
@@ -219,7 +312,7 @@ def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from linktransformer_spark.operators.knn_join import (
-        AUTO_LSH_CONF, LSH_TABLES_CONF,
+        AUTO_LSH_CONF, BROADCAST_KNN_CONF, LSH_TABLES_CONF,
     )
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
@@ -236,6 +329,7 @@ def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
 
     def pairs(tables=None):
         spark.conf.set(AUTO_LSH_CONF, "1")
+        spark.conf.set(BROADCAST_KNN_CONF, "1")
         if tables is not None:
             spark.conf.set(LSH_TABLES_CONF, str(tables))
         try:
@@ -246,6 +340,7 @@ def test_merge_lsh_tables_conf_recall_and_default(spark, sf_dir):
             }
         finally:
             spark.conf.unset(AUTO_LSH_CONF)
+            spark.conf.unset(BROADCAST_KNN_CONF)
             if tables is not None:
                 spark.conf.unset(LSH_TABLES_CONF)
 

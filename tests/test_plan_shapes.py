@@ -109,7 +109,9 @@ def test_auto_mode_is_size_aware(spark, sf_dir):
     pairs' quality (same scorer re-ranks) with recall >= 0.8 here, where
     hash-ngram embeddings are non-negative (every pair within radius)."""
     import linktransformer_spark as lt
-    from linktransformer_spark.operators.knn_join import AUTO_LSH_CONF
+    from linktransformer_spark.operators.knn_join import (
+        AUTO_LSH_CONF, BROADCAST_KNN_CONF,
+    )
     from linktransformer_spark.sources.tables import read_table
 
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -124,6 +126,7 @@ def test_auto_mode_is_size_aware(spark, sf_dir):
              for r in lt.merge_knn(cust, supp, mode="exact_cross", **kw).collect()}
 
     spark.conf.set(AUTO_LSH_CONF, "1")
+    spark.conf.set(BROADCAST_KNN_CONF, "1")
     try:
         auto_big = lt.merge_knn(cust, supp, mode="auto", **kw)
         plan = plan_of(auto_big)
@@ -140,6 +143,7 @@ def test_auto_mode_is_size_aware(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in rplan, rplan
     finally:
         spark.conf.unset(AUTO_LSH_CONF)
+        spark.conf.unset(BROADCAST_KNN_CONF)
 
 
 def test_events_scan_prunes_columns(spark, sf_dir):
