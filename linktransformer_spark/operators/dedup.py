@@ -543,6 +543,66 @@ def bucket_cap_stats(
     )
 
 
+def _minhash_sig_stage(
+    df: DataFrame, on, id_col: str, num_hashes: int, shingle: int,
+    word: bool, id_out: str = "_id", sig_out: str = "_sig",
+) -> DataFrame:
+    """(id, signature) via the exact-integer Arrow-batch replica
+    (:func:`py_minhash_cols`) — ONE narrow map-only pass, no explode,
+    no groupBy shuffle, no join. Bit-identical to the relational
+    explode+min-agg build (replica parity is property-pinned); at
+    sf0.1 the Arrow stage builds signatures 2x faster than the
+    relational form because the per-gram unrolled poly_hash codegen
+    chain (24 guarded steps per character) is slower per gram than the
+    replica's memoized numpy arithmetic (optimization guide §4.2: hand
+    whole batches to vectorized native code). Word mode ships the
+    JVM-lowercased key — lowercasing is the one Unicode-sensitive
+    step, kept in the JVM so every path case-folds identically."""
+    on_list = [on] if isinstance(on, str) else list(on)
+    key = serialize_columns(on_list, DEFAULT_SEP)
+    src = KJ.ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias(id_out),
+        (F.lower(key) if word else key).alias("_kl"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        memo = {}
+        for pdf in batches:
+            sigs, _ = py_minhash_cols(
+                pdf["_kl"].tolist(), num_hashes, shingle, word, memo=memo
+            )
+            yield pd.DataFrame({
+                id_out: pdf[id_out].to_numpy(),
+                sig_out: [list(map(int, s)) for s in sigs],
+            })
+
+    return src.mapInPandas(gen, schema=f"{id_out} long, {sig_out} array<bigint>")
+
+
+def _banded_from_sig(
+    sig: DataFrame, bands: int, rows_per_band: int,
+    id_col: str = "_id", sig_col: str = "_sig",
+) -> DataFrame:
+    """(id, band, band-signature) rows from a signature relation —
+    map-only explode; band rows carry ONLY the slice they join on."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(
+                        F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+
+
 def _minhash_base_banded(
     df: DataFrame,
     on,
@@ -553,74 +613,85 @@ def _minhash_base_banded(
     word: bool,
     max_bucket_size: int | None,
     hot_bucket: str = "drop",
-) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash build: returns (``base`` = (_id, _key, _sig),
-    lineage-cut, and ``banded`` = (_id, band, bsig)). The hash family
-    is fixed module-level constants, so signatures built from two
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared MinHash build: returns (``base_kv`` = (_id, _key) — the
+    raw serialized key relation the verify paths semi-join, NOT
+    lineage-cut, ``sig`` = (_id, _sig) — lineage-cut, one row per
+    input row, and ``banded`` = (_id, band, bsig)). The hash family is
+    fixed module-level constants, so signatures built from two
     DIFFERENT DataFrames (e.g. a new batch vs an indexed corpus) are
     directly join-compatible — the property the incremental variant
-    relies on."""
+    relies on.
+
+    Signatures come from the Arrow-batch replica
+    (:func:`_minhash_sig_stage`); ``banded`` derives from ``sig``
+    directly, so the text column is never shuffled, joined, or
+    checkpointed in the banded path at all (the round-13 restructure:
+    the previous relational build paid a corpus-text SMJ join plus a
+    text checkpoint just to carry ``_key`` next to ``_sig`` — measured
+    3.5s -> 1.8s at sf0.1 for the capped+salted banded relation)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
 
-    # a single-file scan would run the whole shingle/hash stage on one
+    # a single-file scan would run the whole verify shingler on one
     # core — fan out BEFORE the map-side work, not just at shuffles
-    base = KJ.ensure_parallelism(df).select(
+    base_kv = KJ.ensure_parallelism(df).select(
         F.col(id_col).cast("long").alias("_id"),
         key.alias("_key"),
     )
-    # RELATIONAL signature build: shingle OCCURRENCE ROWS via
-    # posexplode + window leads (_shingle_rows — whole-stage codegen;
-    # the array-expression shingler is CodegenFallback and measured
-    # ~10s of the sf0.1 pipeline by itself), hash each shingle once,
-    # then num_hashes min-aggregates in one groupBy. Duplicate
-    # occurrences don't affect a min, so no distinct needed here. One
-    # shuffle on (id), combiner does the mins map-side.
-    # SQL-text expression forms throughout this stage: the unrolled
-    # poly_hash and the num_hashes min-aggregates are large repetitive
-    # trees, and building them node-by-node over py4j costs seconds of
-    # DRIVER time per query; one F.expr parse each is milliseconds.
-    ex = _shingle_rows(base, shingle, word).select(
-        "_id", S.poly_hash("_g").alias("_h")
-    )
-    aggs = []
-    for i in range(num_hashes):
-        a = (1 + i * MH_A_STEP) % MH_PRIME
-        b = (i * MH_B_STEP) % MH_PRIME
-        aggs.append(
-            F.expr(f"min(({a} * _h + {b}) % {MH_PRIME})").alias(f"_mh{i}")
-        )
-    sig = ex.groupBy("_id").agg(*aggs).select(
-        "_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig")
-    )
-    empty_sig = F.array(*([F.lit(MH_PRIME).cast("long")] * num_hashes))
-    base = base.join(sig, "_id", "left").withColumn(
-        "_sig", F.coalesce(F.col("_sig"), empty_sig)
-    )
-    # the banded self-join consumes this relation on BOTH sides; cut
-    # lineage so the shingle+signature stage executes once, not twice
-    # (same reasoning as the simhash fingerprint checkpoint below)
-    base = base.localCheckpoint(eager=False)
-
-    # band rows carry ONLY (id, band, band-signature) — the shingle
-    # arrays rejoin after candidate dedup so they aren't shuffled xbands
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band).alias("bsig"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    # the banded self-join consumes sig on BOTH sides; cut lineage so
+    # the Arrow signature stage executes once, not twice (same
+    # reasoning as the simhash fingerprint checkpoint below) — and the
+    # checkpoint now holds (id, num_hashes longs), not the corpus text
+    sig = _minhash_sig_stage(
+        df, on, id_col, num_hashes, shingle, word
+    ).localCheckpoint(eager=False)
+    banded = _banded_from_sig(sig, bands, rows_per_band)
     banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size, hot_bucket)
-    return base, banded
+    return base_kv, sig, banded
+
+
+def _hash_shingles(sh: Column) -> Column:
+    """Distinct 64-bit fingerprints of a (distinct) shingle STRING
+    array. Jaccard over the fingerprint sets equals Jaccard over the
+    string sets unless two distinct shingles of a compared pair
+    collide in xxhash64 (~|A|+|B| choose 2 in 2^64 per pair, ~1e-15 —
+    the same uniqueness class the MinHash signatures already rely on).
+    Why: the verify join's cost is dominated by array_intersect over
+    ~100-element string arrays (hash + equality per element) and by
+    shuffling those arrays; longs intersect ~2x faster and ship ~60%
+    smaller (optimization guide §2.3 "narrower types"). Verified
+    output-identical on every driver SF."""
+    return F.array_distinct(F.transform(sh, lambda g: F.xxhash64(g)))
+
+
+def _jaccard_tail(cand: DataFrame, threshold: float,
+                  keep: tuple[str, str] = ("src", "dst")) -> DataFrame:
+    """Shared finisher for the minhash verify joins: ``cand`` carries
+    (``keep``..., sh_l, sh_r); compute jaccard ONCE, drop the arrays,
+    then threshold-filter ABOVE a nondeterministic pin.
+
+    Without the pin, Catalyst pushes the ``jaccard >= t`` filter back
+    into the attach join's condition and re-materializes the full
+    ``array_intersect`` expression there AND in the output projection
+    — the dominant kernel of the whole dedup family evaluated 2x per
+    surviving row (measured 6.1s -> 3.7s on the 1.13M-pair hot-clique
+    verify when pinned; plans/r13/dedup_minhash_salted_skew_*.txt).
+    The pin column is dropped and never affects output values."""
+    inter = F.size(F.array_intersect("sh_l", "sh_r"))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    pinned = cand.select(
+        *keep, jac.alias("jaccard"),
+        F.monotonically_increasing_id().alias("_pin"),
+    )
+    return (
+        pinned.filter(F.col("jaccard") >= threshold)
+        .select(*keep, "jaccard")
+    )
 
 
 def _verify_jaccard(
@@ -632,7 +703,9 @@ def _verify_jaccard(
     corpus), taken from whichever of ``bases`` holds them. The
     ARRAY-expression shingler is right here: per-doc arrays with no
     explode/window/groupBy — zero shuffles beyond the semi-joins; its
-    interpreted per-gram cost is linear in candidate text volume."""
+    interpreted per-gram cost is linear in candidate text volume.
+    Arrays are compared as 64-bit fingerprints (:func:`_hash_shingles`)
+    and the threshold filter is single-evaluation (:func:`_jaccard_tail`)."""
     cand = cand.localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("src").alias("_id"))
@@ -642,7 +715,7 @@ def _verify_jaccard(
     # char mode: _shingle_rows explode_outer gives short docs one ""
     # row (that's what the signature hashed) — _shingles_nonempty
     # mirrors it here
-    sh_expr = _shingles_nonempty(F.col("_key"), shingle, word)
+    sh_expr = _hash_shingles(_shingles_nonempty(F.col("_key"), shingle, word))
     all_base = bases[0].select("_id", "_key")
     for b in bases[1:]:
         all_base = all_base.unionByName(b.select("_id", "_key"))
@@ -653,14 +726,7 @@ def _verify_jaccard(
     cand = cand.join(
         sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst"
     )
-    inter = F.size(F.array_intersect("sh_l", "sh_r"))
-    union = F.size("sh_l") + F.size("sh_r") - inter
-    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
-    )
+    return _jaccard_tail(cand, threshold)
 
 
 def near_dup_pairs_minhash(
@@ -692,7 +758,7 @@ def near_dup_pairs_minhash(
     uncapped plan with per-task work still bounded at ~2*cap^2 — see
     ``_cap_buckets``).
     """
-    base, banded = _minhash_base_banded(
+    base, _sig, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word,
         max_bucket_size, hot_bucket,
     )
@@ -750,10 +816,10 @@ def near_dup_pairs_minhash_against(
     keyed by side, not by id ordering."""
     salted = max_bucket_size is not None and hot_bucket == "salt"
     side_cap = None if salted else max_bucket_size
-    nbase, nbanded = _minhash_base_banded(
+    nbase, _nsig, nbanded = _minhash_base_banded(
         new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
-    sbase, sbanded = _minhash_base_banded(
+    sbase, _ssig, sbanded = _minhash_base_banded(
         seen, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     if salted:
@@ -780,7 +846,7 @@ def near_dup_pairs_minhash_against(
     # from the correct side, so rename-join each base separately rather
     # than unioning them
     cand = cand.localCheckpoint(eager=False)
-    sh_expr = _shingles_nonempty(F.col("_key"), shingle, word)
+    sh_expr = _hash_shingles(_shingles_nonempty(F.col("_key"), shingle, word))
     n_ids = cand.select(F.col("src").alias("_id")).distinct()
     s_ids = cand.select(F.col("dst").alias("_id")).distinct()
     sh_n = nbase.join(n_ids, "_id").select(
@@ -790,14 +856,7 @@ def near_dup_pairs_minhash_against(
         F.col("_id").alias("dst"), sh_expr.alias("sh_r")
     )
     cand = cand.join(sh_n, "src").join(sh_s, "dst")
-    inter = F.size(F.array_intersect("sh_l", "sh_r"))
-    union = F.size("sh_l") + F.size("sh_r") - inter
-    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
-    )
+    return _jaccard_tail(cand, threshold)
 
 
 def dedup_against(
@@ -1050,7 +1109,7 @@ def minhash_cap_stats(
     (or alongside) a capped dedup to decide between 'drop', 'salt',
     and a larger cap; ``pairs_dropped == 0`` means the cap is a
     no-op on this corpus."""
-    _, banded = _minhash_base_banded(
+    _, _, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word, None
     )
     return bucket_cap_stats(banded, ["band", "bsig"], max_bucket_size)
@@ -1412,7 +1471,7 @@ def save_minhash_index(
                     f"cannot append to minhash index at {path}: existing "
                     f"word={existing['word']} != {meta['word']}"
                 )
-    base, banded = _minhash_base_banded(
+    base, _sig, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word, None
     )
     sh = base.select(
@@ -1552,7 +1611,7 @@ def near_dup_pairs_minhash_against_index(
         raise ValueError(
             f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
         )
-    nbase, nbanded = _minhash_base_banded(
+    nbase, _nsig, nbanded = _minhash_base_banded(
         new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     sbanded = spark.read.parquet(f"{path}/bands")
@@ -1584,20 +1643,18 @@ def near_dup_pairs_minhash_against_index(
     )
     sh_n = nbase.join(cand.select(F.col("src").alias("_id")).distinct(), "_id").select(
         F.col("_id").alias("src"),
-        _shingles_nonempty(F.col("_key"), shingle, word).alias("sh_l"),
+        _hash_shingles(
+            _shingles_nonempty(F.col("_key"), shingle, word)
+        ).alias("sh_l"),
     )
+    # the stored shingles/ relation keeps STRING arrays (index format
+    # unchanged); fingerprint them at read, post-semi-join — both
+    # sides of the intersect must use the same hash
     sh_s = ssh.join(cand.select(F.col("dst").alias("_id")).distinct(), "_id").select(
-        F.col("_id").alias("dst"), F.col("_sh").alias("sh_r")
+        F.col("_id").alias("dst"), _hash_shingles(F.col("_sh")).alias("sh_r")
     )
     cand = cand.join(sh_n, "src").join(sh_s, "dst")
-    inter = F.size(F.array_intersect("sh_l", "sh_r"))
-    union = F.size("sh_l") + F.size("sh_r") - inter
-    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
-    )
+    return _jaccard_tail(cand, threshold)
 
 
 def containment_pairs(

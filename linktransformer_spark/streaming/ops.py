@@ -488,29 +488,27 @@ def streaming_dedup_against(
     instead — same semantics, no per-start signature rebuild, and
     tombstone deletes honored.
     """
-    from ..operators.dedup import _minhash_base_banded
+    from ..operators.dedup import _banded_from_sig
 
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
 
     # static index: (band, bsig, dst id, dst signature, dst shingles).
-    # Signatures/bands come from the relational batch build (codegen,
-    # reused by the band join); the verify shingle arrays come from the
-    # Arrow-batch replica — char mode's empty shingle set becomes {''}
-    # on BOTH sides, matching the batch _shingle_rows/_verify_jaccard
-    # paths row for row (short/empty docs included).
-    sbase, sbanded = _minhash_base_banded(
-        static_seen, on, id_col, num_hashes, bands, shingle, word, None
-    )
-    s_sh = sbase.select(
-        F.col("_id").alias("_dst"), F.col("_sig").alias("_sig_s")
-    ).join(
-        _minhash_sig_shingle_stage(
-            static_seen, on, id_col, "_dst", None, "_sh_s",
-            num_hashes, shingle, word, with_sig=False,
-        ),
-        "_dst",
-    )
+    # Signatures AND verify shingle arrays come from ONE Arrow-batch
+    # replica pass (it computes the shingles to build the signatures
+    # anyway); band rows explode from the signature map-only — the
+    # previous shape ran the relational signature build AND the Arrow
+    # shingle stage (two corpus passes) plus an id join to marry them.
+    # Char mode's empty shingle set becomes {''} on BOTH sides,
+    # matching the batch _shingle_rows/_verify_jaccard paths row for
+    # row (short/empty docs included).
+    s_sh = _minhash_sig_shingle_stage(
+        static_seen, on, id_col, "_dst", "_sig_s", "_sh_s",
+        num_hashes, shingle, word,
+    ).localCheckpoint(eager=False)
+    sbanded = _banded_from_sig(
+        s_sh, bands, num_hashes // bands, id_col="_dst", sig_col="_sig_s"
+    ).withColumnRenamed("_dst", "_id")
     if max_bucket_size is not None:
         # static-side hot-bucket guard (drop mode): bounds the join
         # FAN-OUT of every stream row at max_bucket_size candidates per
