@@ -674,16 +674,14 @@ def ivf_pq_topk(
 
     pairs = cq.select(KJ.LEFT_ID, "cell").join(c_codes, "cell")
     terms = pairs.join(lut, [KJ.LEFT_ID, "sub", "code"])
-    # deterministic ADC sum: fold the m terms in subspace order
-    folded = terms.groupBy(KJ.LEFT_ID, KJ.RIGHT_ID).agg(
-        F.aggregate(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("sub", "lut"))),
-                lambda x: x["lut"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score")
+    # deterministic ADC sum: the m terms in subspace order, window form
+    # (functions/pinned.py — bit-identical to the collect_list fold)
+    from ..functions.pinned import pinned_total, with_running_sum
+
+    folded = (
+        with_running_sum(terms, [KJ.LEFT_ID, KJ.RIGHT_ID], "sub", "lut")
+        .groupBy(KJ.LEFT_ID, KJ.RIGHT_ID)
+        .agg(pinned_total("sub").alias("score"))
     )
     ranked = KJ.topk(folded, k).withColumnRenamed("_lt_rank", "rank")
     return ranked.select(

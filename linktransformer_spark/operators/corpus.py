@@ -459,7 +459,12 @@ def _gram_bucket_rows(
     """Hashed n-gram OCCURRENCE rows ``(_id, _b)`` — word unigrams +
     bigrams, each mapped to ``poly_hash(gram) % n_buckets``. Reuses the
     codegen-friendly shingle explode from operators/dedup (positions +
-    slice, shuffle-free) and the engine-portable polynomial hash."""
+    slice, shuffle-free) and the engine-portable polynomial hash.
+
+    This is the RELATIONAL reference form — :func:`_gram_bucket_counts`
+    is the Arrow-batch replica the hot path runs (parity pinned by
+    test); this form remains the executable spec both are checked
+    against."""
     from ..functions import similarity as S
     from .dedup import _shingle_rows
 
@@ -474,6 +479,68 @@ def _gram_bucket_rows(
     return rows.select(
         "_id", (S.poly_hash(F.col("_g")) % F.lit(n_buckets)).alias("_b")
     )
+
+
+def _gram_bucket_counts(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-doc hashed-gram bucket COUNTS ``(_id, _b, _n)`` — the
+    exact-integer Arrow-batch replica of
+    ``_gram_bucket_rows(...).groupBy(_id, _b).count()``: one map-only
+    pass, no occurrence explode, no counting shuffle (optimization
+    guide §4.2). The unrolled per-gram poly_hash codegen chain was the
+    measured floor of the relational form (the 24-step guarded
+    arithmetic per character); here each DISTINCT gram is hashed once
+    per task (memo) in plain integer Python. Tokenization parity with
+    word_tokens: the JVM lowercases (the one Unicode-sensitive step)
+    and the replica splits on ASCII ``\\s+`` — the same contract as
+    dedup.py_shingles, and the n=1/n=2 short-doc fallback rows of
+    ``_shingle_rows`` are reproduced exactly (empty doc: one ''
+    unigram + one '' bigram; 1-token doc: the token counted twice)."""
+    import re
+
+    from .dedup import _py_poly_hash
+    from .knn_join import ensure_parallelism
+
+    rid = (
+        F.col(id_col).cast("long") if id_col is not None else F.lit(0).cast("long")
+    )
+    src = ensure_parallelism(df).select(
+        rid.alias("_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_kl"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict = {}
+        for pdf in batches:
+            out_i, out_b, out_n = [], [], []
+            for _id, s in zip(pdf["_id"].tolist(), pdf["_kl"].tolist()):
+                toks = [t for t in ws.split(s) if t]
+                counts: dict = {}
+                grams = toks if toks else [""]
+                if len(toks) >= 2:
+                    it = grams + [
+                        toks[j] + " " + toks[j + 1]
+                        for j in range(len(toks) - 1)
+                    ]
+                else:
+                    it = grams + [" ".join(toks)]
+                for g in it:
+                    b = memo.get(g)
+                    if b is None:
+                        b = _py_poly_hash(g) % n_buckets
+                        memo[g] = b
+                    counts[b] = counts.get(b, 0) + 1
+                for b, n in counts.items():
+                    out_i.append(_id)
+                    out_b.append(b)
+                    out_n.append(n)
+            yield pd.DataFrame({"_id": out_i, "_b": out_b, "_n": out_n})
+
+    return src.mapInPandas(gen, schema="_id long, _b long, _n long")
 
 
 def dsir_log_weights(
@@ -505,21 +572,18 @@ def dsir_log_weights(
 
     require_integral_id(df, id_col, "dsir_log_weights")
     # checkpoint the per-doc bucket COUNTS, not the raw occurrence rows
-    # (orders of magnitude smaller), and derive the raw distribution
-    # from them — the occurrence explode then executes exactly once
-    rawb = _gram_bucket_rows(df, text_col, id_col, n_buckets)
-    docb = (
-        rawb.groupBy("_id", "_b")
-        .agg(F.count("*").alias("_n"))
-        .localCheckpoint(eager=False)
+    # (orders of magnitude smaller); counts come pre-grouped from the
+    # Arrow-batch replica (no occurrence explode, no counting shuffle)
+    docb = _gram_bucket_counts(df, text_col, id_col, n_buckets).localCheckpoint(
+        eager=False
     )
     rawdist = docb.groupBy("_b").agg(F.sum("_n").alias("_cr"))
     # target id is irrelevant (only the gram distribution is used, and
     # the target corpus need not carry id_col at all)
-    tgtb = _gram_bucket_rows(
+    tgtb = _gram_bucket_counts(
         target, target_text_col or text_col, None, n_buckets
     )
-    tgtdist = tgtb.groupBy("_b").agg(F.count("*").alias("_ct"))
+    tgtdist = tgtb.groupBy("_b").agg(F.sum("_n").alias("_ct"))
     rtot = rawdist.agg(F.sum("_cr").alias("_tr"))
     ttot = tgtdist.agg(F.sum("_ct").alias("_tt"))
     a, k = float(alpha), float(n_buckets)
@@ -541,21 +605,20 @@ def dsir_log_weights(
             ).alias("_lr"),
         )
     )
-    j = docb.join(ratio, "_b")
-    agg = j.groupBy("_id").agg(
-        F.sum("_n").alias("_ng"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("_b").alias("b"),
-                        (F.col("_n").cast("double") * F.col("_lr")).alias("w"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["w"],
-        ).alias("log_weight"),
+    from ..functions.pinned import pinned_total, with_running_sum
+
+    # ratio is at most n_buckets rows — broadcast it so docb is never
+    # shuffled by bucket (the groupBy below shuffles by _id anyway)
+    j = docb.join(F.broadcast(ratio), "_b").withColumn(
+        "_w", F.col("_n").cast("double") * F.col("_lr")
+    )
+    agg = (
+        with_running_sum(j, ["_id"], "_b", "_w")
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("_ng"),
+            pinned_total("_b").alias("log_weight"),
+        )
     )
     return agg.select(
         F.col("_id").alias(id_col),

@@ -137,7 +137,16 @@ def pagerank(
     if max_out_degree is not None:
         e = _cap_degree(e, "_src", "_dst", max_out_degree)
     e = e.localCheckpoint(eager=False)
-    outw = e.groupBy("_src").agg(_pinned_fold("_dst", "_w").alias("_ow"))
+    # order-pinned folds in window form (functions/pinned.py — bit-
+    # identical to _pinned_fold, no ObjectHashAggregate / interpreted
+    # ArrayAggregate; the groupBy reuses the window's exchange)
+    from ..functions.pinned import pinned_total, with_running_sum
+
+    outw = (
+        with_running_sum(e, ["_src"], "_dst", "_w")
+        .groupBy("_src")
+        .agg(pinned_total("_dst").alias("_ow"))
+    )
     e2 = e.join(outw, "_src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -160,7 +169,11 @@ def pagerank(
             "_src",
             ((F.col("_r") * F.col("_w")) / F.col("_ow")).alias("_c"),
         )
-        agg = msgs.groupBy("_dst").agg(_pinned_fold("_src", "_c").alias("_m"))
+        agg = (
+            with_running_sum(msgs, ["_dst"], "_src", "_c")
+            .groupBy("_dst")
+            .agg(pinned_total("_src").alias("_m"))
+        )
         base = F.lit(teleport) + F.lit(damping) * F.coalesce(
             F.col("_m"), F.lit(0.0)
         )

@@ -346,15 +346,15 @@ def unigram_lm_score(
             ).alias("_lp"),
         )
     )
-    agg = per_tok.groupBy(id_col).agg(
-        F.sum("_n").alias("_ntok"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_tok").alias("t"), F.col("_lp").alias("lp")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["lp"],
-        ).alias("_nll"),
+    from ..functions.pinned import pinned_total, with_running_sum
+
+    agg = (
+        with_running_sum(per_tok, [id_col], "_tok", "_lp")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("_ntok"),
+            pinned_total("_tok").alias("_nll"),
+        )
     )
     h = F.col("_nll") / F.col("_ntok").cast("double")
     return agg.select(
@@ -576,21 +576,16 @@ def bigram_lm_score(
             ).alias("_nll"),
         )
     )
-    agg = per_bi.groupBy(id_col).agg(
-        F.sum("_m").alias("_nt"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("_prev").alias("p"),
-                        F.col("_cur").alias("c"),
-                        F.col("_nll").alias("w"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["w"],
-        ).alias("_h"),
+    from ..functions.pinned import pinned_total, with_running_sum
+
+    bikey = F.struct(F.col("_prev").alias("p"), F.col("_cur").alias("c"))
+    agg = (
+        with_running_sum(per_bi, [id_col], bikey, "_nll")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("_nt"),
+            pinned_total(bikey).alias("_h"),
+        )
     )
     h = F.col("_h") / F.col("_nt").cast("double")
     return agg.select(

@@ -532,6 +532,38 @@ def test_py_minhash_replica_equals_column_forms(spark, texts, cfg):
         assert sorted(sh) == sorted(r["sh"]), (r["k"],)
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT, min_size=1, max_size=15),
+       st.sampled_from([16, 64, 1024]))
+def test_gram_bucket_counts_replica_equals_relational(spark, texts, n_buckets):
+    """The parity behind the DSIR fast path: corpus._gram_bucket_counts
+    (exact-integer Arrow replica, per-doc pre-grouped) must equal
+    _gram_bucket_rows(...).groupBy(_id, _b).count() for ARBITRARY
+    unicode text — empty docs, 1-token docs (whose token is counted
+    twice: once as the unigram, once as the short-doc bigram
+    fallback), whitespace classes, case folding, CJK."""
+    from linktransformer_spark.operators.corpus import (
+        _gram_bucket_counts,
+        _gram_bucket_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rel = (
+        _gram_bucket_rows(df, "text", "doc_id", n_buckets)
+        .groupBy("_id", "_b")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    rep = _gram_bucket_counts(df, "text", "doc_id", n_buckets).collect()
+    key = lambda r: (r["_id"], r["_b"])  # noqa: E731
+    assert sorted(((r["_id"], r["_b"], r["_n"]) for r in rel)) == sorted(
+        ((r["_id"], r["_b"], r["_n"]) for r in rep)
+    ), texts
+
+
 @settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(_DOC, min_size=1, max_size=15),
