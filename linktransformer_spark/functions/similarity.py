@@ -148,8 +148,20 @@ def char_ngrams(s: Column, n: int) -> Column:
 
 
 def word_tokens(s: Column) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
-    return F.filter(F.split(F.lower(s), r"\s+"), lambda t: t != F.lit(""))
+    """Lowercased whitespace tokens, empties removed.
+
+    Codegen form: trim the ASCII-``\\s`` edges with one regexp pass,
+    split, and ``array_remove`` the lone ``''`` an all-whitespace
+    string leaves behind — after edge-trimming, a ``\\s+`` split can
+    produce no other empty token (every interior whitespace run is one
+    separator), so the result equals ``filter(split(lower(s)), != '')``
+    exactly, with NULL propagating identically. Single-reference tree
+    (no when-guard that would duplicate the regexp), and ``filter`` —
+    a CodegenFallback higher-order function — is off the per-row path.
+    Parity pinned by test_codegen_text_exprs_equal_hof_forms."""
+    return F.array_remove(
+        F.split(F.regexp_replace(F.lower(s), r"^\s+|\s+$", ""), r"\s+"), ""
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

