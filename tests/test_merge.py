@@ -376,3 +376,74 @@ def test_auto_lsh_tables_skew_rule(spark):
         schema=f"id long, {RIGHT_EMB} array<double>",
     )
     assert _auto_lsh_tables(spread, dim, planes, n_extra=3) == 2
+
+
+def test_lev_broadcast_kernel_bit_equals_declarative(spark, sf_dir):
+    """The string scorer's broadcast tier (_broadcast_lev_knn: in-kernel
+    DuckDB/numpy levenshtein + top-k) must return BIT-identical rows to
+    the declarative exact_cross plan — scores included — on the TPC-H
+    shape, for k=1 and k=3+threshold, and on unicode keys that force
+    the code-point DP fallback."""
+    from linktransformer_spark.sources.tables import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    for k, thr in ((1, None), (3, 0.4)):
+        a = lt.merge_knn(cust, supp, left_on="c_name", right_on="s_name",
+                         model="levenshtein", k=k, drop_sim_threshold=thr,
+                         mode="exact_cross", left_id_col="c_custkey",
+                         right_id_col="s_suppkey")
+        b = lt.merge_knn(cust, supp, left_on="c_name", right_on="s_name",
+                         model="levenshtein", k=k, drop_sim_threshold=thr,
+                         mode="broadcast_knn", left_id_col="c_custkey",
+                         right_id_col="s_suppkey")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # unicode (non-ASCII) keys: DuckDB's byte-counting levenshtein must
+    # NOT be used — the code-point DP fallback keeps Spark parity
+    rows_l = [(1, "héllo wörld"), (2, "日本語テキスト"), (3, ""),
+              (4, "plain ascii"), (5, "a\U0001F600b")]
+    rows_r = [(10, "hello world"), (11, "日本語テキスト!"), (12, "x"),
+              (13, "a\U0001F600bc"), (14, None)]
+    dl = spark.createDataFrame(rows_l, "lid long, name string")
+    dr = spark.createDataFrame(rows_r, "rid long, rname string")
+    a = lt.merge_knn(dl, dr, left_on="name", right_on="rname",
+                     model="levenshtein", k=2, mode="exact_cross",
+                     left_id_col="lid", right_id_col="rid")
+    b = lt.merge_knn(dl, dr, left_on="name", right_on="rname",
+                     model="levenshtein", k=2, mode="broadcast_knn",
+                     left_id_col="lid", right_id_col="rid")
+    assert sorted(map(tuple, a.collect()), key=str) == sorted(
+        map(tuple, b.collect()), key=str)
+
+
+def test_auto_lev_routes_kernel_past_pair_budget(spark, sf_dir):
+    """mode='auto' with the string scorer keeps the declarative BNLJ
+    plan below the pair budget and swaps to the in-kernel broadcast
+    tier (MapInPandas, no BNLJ, no candidate window/aggregate) above
+    it — same rows either way."""
+    from linktransformer_spark.operators.knn_join import (
+        LEV_BROADCAST_MIN_PAIRS_CONF,
+    )
+    from linktransformer_spark.sources.tables import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    kw = dict(left_on="c_name", right_on="s_name", model="levenshtein",
+              left_id_col="c_custkey", right_id_col="s_suppkey")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = lt.merge(cust, supp, mode="auto", **kw)
+    assert "BroadcastNestedLoopJoin" in plan_of(small)
+    spark.conf.set(LEV_BROADCAST_MIN_PAIRS_CONF, "1")
+    try:
+        big = lt.merge(cust, supp, mode="auto", **kw)
+        plan = plan_of(big)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "MapInPandas" in plan
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect()))
+    finally:
+        spark.conf.unset(LEV_BROADCAST_MIN_PAIRS_CONF)
