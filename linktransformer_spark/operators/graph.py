@@ -21,8 +21,11 @@ in dst order. Arrays are bounded by node degree; the ENFORCED
 super-hub edges ONCE at build time (keep each node's strongest
 ``max_*_degree`` edges by (weight DESC, neighbor ASC) — the standard
 web-graph hygiene step), so no per-iteration fold array can exceed
-the cap. The prune is a spillable row_number window; the collected
-arrays — the OOM hazard — are what the cap bounds.
+the cap. At production cap sizes the prune is a narrow degree
+aggregate + broadcast boundary join — the edge relation is never
+re-shuffled or sorted for it; toy caps keep the spillable
+row_number-window form. The collected arrays — the OOM hazard — are
+what the cap bounds.
 
 Dangling nodes (no out-edges): by default their rank mass LEAKS
 (teleport-only variant) — ranks still order correctly for the
@@ -56,9 +59,30 @@ def _pinned_fold(key: str, val: str) -> F.Column:
     )
 
 
-def _cap_degree(e: DataFrame, key: str, other: str, cap: int) -> DataFrame:
+# Inline-iteration bound: past this many iterations the composed lazy
+# plan (which references the edge relation once per iteration) is cut
+# with per-iteration localCheckpoints as before.
+_INLINE_MAX_ITER = 6
+
+# Below this cap the prune uses the window form: the boundary relation
+# (one row per over-cap node) is broadcast in the filter form, and its
+# size is only bounded by |E|/cap — tiny at the 1M default (<= 1e6 rows
+# per 1e12 edges) but potentially huge for toy caps on a big graph.
+_FILTER_PRUNE_MIN_CAP = 4096
+# ... and below this estimated edge-relation size the window form wins
+# outright: the filter form trades two full-edge sort-exchanges for a
+# handful of narrow aggregate + broadcast jobs, and on a small relation
+# the sorts are cheaper than the extra job round-trips (measured ~1.5s
+# slower at sf0.1's ~200k edges; the sorts it removes grow with |E|,
+# the jobs it adds do not).
+_FILTER_PRUNE_MIN_BYTES = 256 << 20
+
+
+def _cap_degree_window(e: DataFrame, key: str, other: str,
+                       cap: int) -> DataFrame:
     """Keep each ``key`` node's strongest ``cap`` edges by
-    (weight DESC, other-endpoint ASC) — deterministic hub prune."""
+    (weight DESC, other-endpoint ASC) — deterministic hub prune,
+    window form (shuffles + sorts the WHOLE edge relation by ``key``)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(
@@ -69,6 +93,86 @@ def _cap_degree(e: DataFrame, key: str, other: str, cap: int) -> DataFrame:
         .filter(F.col("_deg_rn") <= cap)
         .drop("_deg_rn")
     )
+
+
+def _cap_degree_filter(e: DataFrame, key: str, other: str,
+                       cap: int) -> DataFrame:
+    """Same prune, filter form: a narrow degree aggregate finds the
+    over-cap nodes, a window over ONLY their rows finds each one's
+    cap-th (boundary) edge, and one broadcast left join + filter keeps
+    the rows at-or-before the boundary. The edge relation itself is
+    never re-shuffled or sorted (its incoming partitioning flows
+    through — the win vs the window form, which exchanges+sorts all of
+    ``e`` by ``key`` even when no node is over the cap). Bit-identical
+    to the window form: (key, other) is unique after the pre-sum, so
+    (weight DESC, other ASC) is a total order and "row_number <= cap"
+    is exactly "lexicographically at-or-before the cap-th row"; the
+    NaN arms mirror Spark's sort order (NaN greatest, hence first under
+    DESC, ties by other ASC)."""
+    from pyspark.sql import Window
+
+    deg = e.groupBy(key).agg(F.count(F.lit(1)).alias("_deg"))
+    hot = deg.filter(F.col("_deg") > cap).select(key)
+    w = Window.partitionBy(key).orderBy(
+        F.col("_w").desc(), F.col(other).asc()
+    )
+    bound = (
+        e.join(F.broadcast(hot), key, "left_semi")
+        .withColumn("_deg_rn", F.row_number().over(w))
+        .filter(F.col("_deg_rn") == cap)
+        .select(
+            F.col(key),
+            F.col("_w").alias("_bw"),
+            F.col(other).alias("_bo"),
+        )
+    )
+    before_or_eq = F.when(
+        F.isnan("_bw"),
+        F.isnan("_w") & (F.col(other) <= F.col("_bo")),
+    ).otherwise(
+        F.isnan("_w")
+        | (F.col("_w") > F.col("_bw"))
+        | ((F.col("_w") == F.col("_bw")) & (F.col(other) <= F.col("_bo")))
+    )
+    return (
+        e.join(F.broadcast(bound), key, "left")
+        .filter(F.col("_bw").isNull() | before_or_eq)
+        .select(*e.columns)  # the using-join fronts `key`; restore order
+    )
+
+
+def _leaf_scan_bytes(df: DataFrame) -> int | None:
+    """Sum of Catalyst's sizeInBytes over the plan's LEAF scans. The
+    whole-plan estimate is useless above a join (no key stats — the
+    estimate is the cartesian product, 1.4 TB for sf0.1's 13 MB of
+    input), but the leaves are real file sizes, and an edge relation
+    derived by join+aggregate is bounded by a small multiple of them.
+    None when any leaf reports the unknown sentinel (RDD-backed
+    relations) — callers treat None as "route conservatively"."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            s = leaves.apply(i).stats().sizeInBytes()
+            total += int(s if isinstance(s, int) else s.toString())
+        return None if total <= 0 or total >= (1 << 60) else total
+    except Exception:
+        return None
+
+
+def _cap_degree(e: DataFrame, key: str, other: str, cap: int) -> DataFrame:
+    """Deterministic hub prune; dispatches on ``cap`` and the plan's
+    leaf-scan size: production-sized caps over a large edge relation
+    take the filter form (no full-edge exchange or sort), small
+    relations and toy caps keep the window form (whose boundary
+    relation could be broadcast-hostile at |E|/cap rows, and whose
+    sorts are cheaper than the filter form's extra jobs when the
+    relation is small)."""
+    if cap >= _FILTER_PRUNE_MIN_CAP:
+        est = _leaf_scan_bytes(e)
+        if est is not None and est >= _FILTER_PRUNE_MIN_BYTES:
+            return _cap_degree_filter(e, key, other, cap)
+    return _cap_degree_window(e, key, other, cap)
 
 
 def pagerank(
@@ -136,33 +240,80 @@ def pagerank(
         e = _cap_degree(e, "_dst", "_src", max_in_degree)
     if max_out_degree is not None:
         e = _cap_degree(e, "_src", "_dst", max_out_degree)
-    e = e.localCheckpoint(eager=False)
-    # order-pinned folds in window form (functions/pinned.py — bit-
-    # identical to _pinned_fold, no ObjectHashAggregate / interpreted
-    # ArrayAggregate; the groupBy reuses the window's exchange)
+    # Iteration-plan mode. Inline (no localCheckpoint anywhere): the
+    # planner SEES every relation's partitioning, so each iteration
+    # costs exactly ONE exchange (the per-dst message aggregation) —
+    # the rank/edge join and the node teleport join reuse the hash
+    # partitioning of their inputs. A lazy localCheckpoint under AQE
+    # reports UnknownPartitioning, which forced a full re-exchange of
+    # BOTH join sides in EVERY iteration. Inline lineage grows
+    # linearly (r appears once per iteration), so it is capped at
+    # _INLINE_MAX_ITER; past that — and on the redistribute path,
+    # where r appears twice per iteration (exponential growth) — the
+    # checkpoint-per-iteration form is kept.
     from ..functions.pinned import pinned_total, with_running_sum
 
-    outw = (
-        with_running_sum(e, ["_src"], "_dst", "_w")
-        .groupBy("_src")
-        .agg(pinned_total("_dst").alias("_ow"))
+    inline = (not redistribute_dangling) and iterations <= _INLINE_MAX_ITER
+    _cut = (lambda df: df) if inline else (
+        lambda df: df.localCheckpoint(eager=False)
     )
-    e2 = e.join(outw, "_src").localCheckpoint(eager=False)
-    nodes = (
+    # The pruned edge relation is ALWAYS lineage-cut (inline or not):
+    # every downstream relation references it several times (e2 once,
+    # nodes twice, each filter-prune its input three times), so an
+    # uncut plan grows multiplicatively with the reference fan-out —
+    # measured 3.2x slower when left inline. Everything BELOW this cut
+    # is shallow (scan-of-RDD + one operator), so inline mode keeps
+    # the per-iteration joins exchange-free without plan blowup.
+    e = e.localCheckpoint(eager=False)
+    # per-src out-weight totals, order-pinned: a running sum in _dst
+    # order plus its last value over the full frame — both windows
+    # share one exchange+sort by _src, and e2 needs no groupBy+join
+    # (the previous form paid a separate aggregate and a self-join).
+    # Bit-exactness: last(running) in _dst order == max_by(running,
+    # _dst) == the pinned fold total; + 0.0 normalizes the sign of an
+    # all-zero total (functions/pinned.py module doc).
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy("_src").orderBy(F.col("_dst").asc())
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = worder.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e2 = _cut(
+        e.withColumn("_run", F.sum("_w").over(wrun))
+        .withColumn("_ow", F.last("_run").over(wall) + F.lit(0.0))
+        .drop("_run")
+    )
+    nodes = _cut(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    n = nodes.count()  # bounded 1-row action; shared by every iteration
-    teleport = (1.0 - damping) / n
+    if inline:
+        # teleport rides as a broadcast one-row column instead of a
+        # driver-side count: the whole k-iteration pagerank is ONE lazy
+        # plan (no action, no second edge-derivation pass — exchanges
+        # and the node-count subquery are reused within the single
+        # execution). Same IEEE double ops as the literal form:
+        # (1.0 - damping) / n, 1.0 / n.
+        nrow = F.broadcast(
+            nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        )
+        base_teleport = (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+        r = nodes.crossJoin(nrow).select(
+            "node", (F.lit(1.0) / F.col("_n")).alias("_r")
+        )
+    else:
+        n = nodes.count()  # bounded 1-row action; shared by iterations
+        teleport = (1.0 - damping) / n
+        base_teleport = F.lit(teleport)
+        r = nodes.withColumn("_r", F.lit(1.0 / n))
     if redistribute_dangling:
         # dangling = nodes with no out-edge; fixed set, computed once
         dangling = nodes.join(
             e.select(F.col("_src").alias("node")).distinct(), "node",
             "left_anti",
         ).localCheckpoint(eager=False)
-    r = nodes.withColumn("_r", F.lit(1.0 / n))
     for _ in range(iterations):
         msgs = r.join(e2, F.col("node") == F.col("_src")).select(
             "_dst",
@@ -173,11 +324,13 @@ def pagerank(
             with_running_sum(msgs, ["_dst"], "_src", "_c")
             .groupBy("_dst")
             .agg(pinned_total("_src").alias("_m"))
-        )
-        base = F.lit(teleport) + F.lit(damping) * F.coalesce(
+        )  # the ONE exchange per iteration (window + groupBy share it)
+        base = base_teleport + F.lit(damping) * F.coalesce(
             F.col("_m"), F.lit(0.0)
         )
         joined = nodes.join(agg, F.col("node") == F.col("_dst"), "left")
+        if inline:
+            joined = joined.crossJoin(nrow)
         if redistribute_dangling:
             # one-row order-pinned dangling-mass sum, broadcast back —
             # the totals pattern (bounded OUTPUT; the fold array scales
@@ -188,9 +341,7 @@ def pagerank(
             )
             joined = joined.crossJoin(F.broadcast(dmass))
             base = base + F.lit(damping) * F.col("_dm") / F.lit(float(n))
-        r = joined.select("node", base.alias("_r")).localCheckpoint(
-            eager=False
-        )
+        r = _cut(joined.select("node", base.alias("_r")))
     return r.select("node", F.col("_r").alias("rank"))
 
 

@@ -4620,9 +4620,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    e = ce.select("src", "dst", "w").unionByName(
-        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    )
+    # both directions in ONE pass over the aggregated relation (a
+    # union of two selects re-executes the reduce-side aggregate per
+    # branch; explode emits the same multiset from a single subtree)
+    e = ce.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "w"),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.w")
     out = pagerank(e, "src", "dst", weight_col="w", iterations=3)
     return out.select("node", F.round("rank", 9).alias("rank"))
 

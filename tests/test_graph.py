@@ -137,3 +137,53 @@ def test_pagerank_cap_validation(spark):
         lt.pagerank(e, max_in_degree=0)
     with pytest.raises(ValueError, match="max_out_degree"):
         lt.pagerank(e, max_out_degree=-3)
+
+
+def test_cap_degree_filter_matches_window(spark):
+    # the filter-form prune (production caps: narrow degree agg +
+    # broadcast boundary join) must be row-identical to the window
+    # form at every cap, including tie-heavy weights
+    import random
+
+    from linktransformer_spark.operators import graph as G
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randrange(6), rnd.randrange(6), float(rnd.randrange(1, 4)))
+        for _ in range(300)
+    ]
+    ep = (
+        spark.createDataFrame(rows, "s long, d long, w double")
+        .selectExpr("s as _src", "d as _dst", "cast(w as double) as _w")
+        .groupBy("_src", "_dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    for key, other in (("_dst", "_src"), ("_src", "_dst")):
+        for cap in (1, 2, 5, 50):
+            a = sorted(
+                map(tuple, G._cap_degree_window(ep, key, other, cap).collect())
+            )
+            b = sorted(
+                map(tuple, G._cap_degree_filter(ep, key, other, cap).collect())
+            )
+            assert a == b, (key, cap)
+
+
+def test_pagerank_inline_matches_checkpointed(spark, monkeypatch):
+    # the inline iteration plan (no localCheckpoints, iterations <=
+    # _INLINE_MAX_ITER) must be bit-identical to the checkpointed form
+    from linktransformer_spark.operators import graph as G
+
+    ew = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 2.0), (2, 1, 5.0), (4, 1, 1.0),
+         (1, 4, 7.0), (4, 3, 2.0)],
+        ["src", "dst", "w"],
+    )
+    a = sorted(
+        map(tuple, lt.pagerank(ew, weight_col="w", iterations=4).collect())
+    )
+    monkeypatch.setattr(G, "_INLINE_MAX_ITER", 0)
+    b = sorted(
+        map(tuple, lt.pagerank(ew, weight_col="w", iterations=4).collect())
+    )
+    assert a == b
