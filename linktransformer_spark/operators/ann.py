@@ -1476,48 +1476,61 @@ def hyperplane_probe_buckets(
     lesson)."""
     if not 0 <= n_extra < n_planes:
         raise ValueError("n_extra must be in [0, n_planes)")
-    dots = F.array(*[
-        S.dot(
-            F.col(vec_col),
-            F.array(*[
-                F.lit(hyperplane_component(h + plane_offset, j))
-                for j in range(dim)
-            ]),
+    # SQL-text build (single F.expr parse per expression): the Column
+    # form cost ~n_planes*dim py4j roundtrips for the plane-coefficient
+    # literals alone (~1 s of driver time PER CALL at 4x64, paid on
+    # every query) — same single-parse treatment hyperplane_bucket's
+    # text path and hash_ngram.encode already use. repr() round-trips
+    # the exact coefficient doubles, so expressions (and buckets) are
+    # bit-identical to the Column form.
+    q = f"`{vec_col}`"
+    dot_terms = []
+    for h in range(n_planes):
+        coeffs = "array(" + ", ".join(
+            f"{hyperplane_component(h + plane_offset, j)!r}D"
+            for j in range(dim)
+        ) + ")"
+        dot_terms.append(
+            f"aggregate(zip_with({q}, {coeffs}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        for h in range(n_planes)
-    ])
-    step = df.withColumn("_hp_dots", dots).localCheckpoint(eager=False)
+    step = df.withColumn(
+        "_hp_dots", F.expr("array(" + ", ".join(dot_terms) + ")")
+    ).localCheckpoint(eager=False)
 
     def d(h):
-        return F.element_at("_hp_dots", h + 1)
+        return f"element_at(_hp_dots, {h + 1})"
 
-    b0 = None
-    for h in range(n_planes):
-        t = F.when(d(h) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
-        b0 = t if b0 is None else b0 + t
+    b0 = "(" + " + ".join(
+        f"(CASE WHEN {d(h)} >= 0 THEN {1 << h} ELSE 0 END)"
+        for h in range(n_planes)
+    ) + ")"
 
     def rank(h):
-        acc = None
-        ah = F.abs(d(h))
-        for k in range(n_planes):
-            if k == h:
-                continue
-            ak = F.abs(d(k))
-            c = F.when((ak < ah) | ((ak == ah) & F.lit(k < h)), 1).otherwise(0)
-            acc = c if acc is None else acc + c
-        return acc if acc is not None else F.lit(0)
+        # counting comparison; k < h ties go to k (the Column form's
+        # (ak < ah) | (ak == ah AND k < h) collapses to <= / < by the
+        # python-literal k<h)
+        cs = [
+            f"(CASE WHEN abs({d(k)}) "
+            f"{'<=' if k < h else '<'} abs({d(h)}) THEN 1 ELSE 0 END)"
+            for k in range(n_planes) if k != h
+        ]
+        return "(" + " + ".join(cs) + ")" if cs else "0"
 
     ranks = [rank(h) for h in range(n_planes)]
     probes = [b0]
     for r in range(n_extra):
         # flip MASK built directly (shiftleft takes only literal shift
         # amounts): exactly one rank matches r, so the sum is 1<<plane
-        mask = None
-        for h in range(n_planes):
-            t = F.lit(1 << h) * F.when(ranks[h] == r, 1).otherwise(0)
-            mask = t if mask is None else mask + t
-        probes.append(b0.bitwiseXOR(mask))
-    return step.withColumn(out_col, F.explode(F.array(*probes))).drop("_hp_dots")
+        mask = "(" + " + ".join(
+            f"({1 << h} * (CASE WHEN {ranks[h]} = {r} THEN 1 ELSE 0 END))"
+            for h in range(n_planes)
+        ) + ")"
+        probes.append(f"({b0} ^ {mask})")
+    return step.withColumn(
+        out_col, F.explode(F.expr("array(" + ", ".join(probes) + ")"))
+    ).drop("_hp_dots")
 
 
 def append_to_ivf_index(

@@ -83,7 +83,9 @@ def dedup_lines(
     # regex, so escape it; reassembly joins with the literal) — and the
     # exploded relation feeds three consumers (firsts, keep-join,
     # blank-line union), so cut its lineage to evaluate the split once
-    lines = df.select(
+    from .knn_join import ensure_parallelism
+
+    lines = ensure_parallelism(df).select(
         F.col(id_col).alias("_lt_did"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
@@ -129,11 +131,13 @@ def _ngram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     avoids a higher-order ``filter`` too: with a ``+``-quantified
     delimiter split, empties can only appear at the ends, so one edge
     regexp_replace makes the split clean."""
+    from .knn_join import ensure_parallelism
+
     cleaned = F.regexp_replace(
         F.lower(F.col(text_col)), "^[^a-z0-9]+|[^a-z0-9]+$", ""
     )
     base = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("_lt_id"),
             F.split(cleaned, "[^a-z0-9]+").alias("_lt_toks"),
         )

@@ -164,8 +164,10 @@ def match_pairs(
     if blocking == "lsh":
         from .ann import hyperplane_bucket, resolve_n_planes
 
+        from .knn_join import max_count_one_job
+
         n_planes = resolve_n_planes(
-            n_planes, lambda: max(left.count(), right.count())
+            n_planes, lambda: max_count_one_job(left, right)
         )
         left = left.withColumn(
             "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
@@ -372,8 +374,10 @@ def attach_to_entities(
     if blocking == "lsh":
         from .ann import hyperplane_bucket, resolve_n_planes
 
+        from .knn_join import max_count_one_job
+
         n_planes = resolve_n_planes(
-            n_planes, lambda: max(left.count(), right.count())
+            n_planes, lambda: max_count_one_job(left, right)
         )
         left = left.withColumn(
             "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)

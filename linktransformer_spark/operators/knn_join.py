@@ -253,6 +253,18 @@ def auto_lev_mode(left_raw: DataFrame, right_raw: DataFrame) -> str:
     return "broadcast_knn" if pairs >= budget else "exact_cross"
 
 
+def max_count_one_job(left: DataFrame, right: DataFrame) -> int:
+    """max(|left|, |right|) as ONE Spark job — the two aggregate scans
+    run as parallel stages of a single action instead of two serial
+    driver round-trips (each count was ~0.3s of pure latency on the
+    auto-routing path)."""
+    return int(
+        left.groupBy().count()
+        .unionAll(right.groupBy().count())
+        .agg(F.max("count").alias("m")).first()["m"]
+    )
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism when the input
     arrives under-partitioned.
@@ -1076,13 +1088,20 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     except Exception:  # noqa: BLE001 — conf read must never break the plan
         pass
 
-    dim_row = right.select(F.size(RIGHT_EMB).alias("d")).first()
-    if dim_row is None:  # empty corpus -> no candidates, keep the schema
-        return (
-            left.crossJoin(right.limit(0))
-            .withColumn("score", F.lit(None).cast("double"))
-        )
-    dim = int(dim_row["d"])
+    # dim from the encoder when it declares one (hash-ngram does) —
+    # skips a per-query first() job; the empty-corpus early return is
+    # only needed when dim must be PROBED from data (an empty right on
+    # the known-dim kernel path simply yields zero candidates with the
+    # kernel's schema).
+    dim = getattr(getattr(scorer, "encoder", None), "dim", None)
+    if dim is None:
+        dim_row = right.select(F.size(RIGHT_EMB).alias("d")).first()
+        if dim_row is None:  # empty corpus -> no candidates, keep schema
+            return (
+                left.crossJoin(right.limit(0))
+                .withColumn("score", F.lit(None).cast("double"))
+            )
+        dim = int(dim_row["d"])
     # size planes on the LARGER side (the match_pairs lsh rule): the
     # join's candidate volume is |L| x probes x bucket_size, so bucket
     # granularity must track the bigger relation — right-side-only
@@ -1097,7 +1116,7 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     # rule; still one plane per corpus doubling, so candidate volume
     # stays linear at scale.
     n_planes = resolve_n_planes(
-        n_planes, lambda: max(left.count(), right.count()),
+        n_planes, lambda: max_count_one_job(left, right),
         rows_per_bucket=128,
     )
     n_extra = max(0, min(int(n_extra), n_planes - 1))
@@ -1115,6 +1134,14 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
             # corpus's bucket-occupancy skew (degenerate -> 1, spread
             # -> 2; rationale + measurements in _auto_lsh_tables)
             n_tables = _auto_lsh_tables(right, dim, n_planes, n_extra)
+        if n_tables > 1:
+            # each table's probe-bucket step lineage-cuts its input
+            # (separate RDD materializations — NO exchange reuse across
+            # them), so an uncut encoded left would re-execute its
+            # encode plan once PER TABLE, and each cut would re-plan
+            # the full encode subtree at build time. One cut here makes
+            # every table's step a cheap scan-of-RDD + dots projection.
+            left_p = left_p.localCheckpoint(eager=False)
         # the round-10 re-score path: bucket cogroup + vectorized
         # numpy dot (bit-equal to the fold — see
         # bucket_dot_rescored_pairs) instead of join + interpreted

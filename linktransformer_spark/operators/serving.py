@@ -328,6 +328,11 @@ def _shortlist_and_rerank(cand, queries_norm, corpus_norm, k, retrieve_k,
     wl = Window.partitionBy("_qid").orderBy(
         F.col("_adc").desc(), F.col("_cid").asc()
     )
+    # NOTE (measured, round 13): statically broadcasting the shortlist
+    # for the re-rank join regressed the serve 1.8x — the shortlist is
+    # |Q| x retrieve_k pairs (800k at the bench shape, 26M at the max
+    # batch), i.e. usually the BIGGER side; AQE's runtime SMJ->BHJ
+    # conversion already broadcasts whichever side is actually small.
     short = (
         cand.withColumn("_r", F.row_number().over(wl))
         .filter(F.col("_r") <= retrieve_k)
@@ -386,6 +391,22 @@ def _shortlist_and_rerank(cand, queries_norm, corpus_norm, k, retrieve_k,
 
 
 _CAND_SCHEMA = "_qid long, _cid long, _adc double"
+
+
+def _spread(df, parts: int):
+    """Repartition to ``parts`` only when the incoming plan has fewer
+    partitions (small local scans need the spread for the numpy stages
+    to parallelize); a scan that already provides at least ``parts``
+    tasks skips the round-robin exchange — at scale that exchange
+    was a full shuffle of the corpus. Results are partitioning-
+    invariant: the candidate generator emits exact per-partition
+    top-retrieve_k supersets and the global shortlist re-cuts by the
+    same (adc DESC, id ASC) total order."""
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — sizing probe must never break the plan
+        have = 0
+    return df.repartition(parts) if have < parts else df
 
 
 def _resolve_parts(spark, n: int, rows_per_task: int) -> int:
@@ -462,14 +483,20 @@ def ann_serving_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = corpus.sparkSession
-    n = corpus.count()
+    # corpus count and dim in ONE scan job (dim rides the count's pass
+    # as a first() aggregate instead of its own action)
+    nd = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vector_col)).alias("d"),
+    ).first()
+    n = int(nd["n"])
     empty = spark.createDataFrame(
         [], "query_id long, neighbor_id long, rank int, score double"
     )
     if n == 0:
         return empty
     if dim is None:
-        dim = int(corpus.select(F.size(vector_col).alias("d")).first()["d"])
+        dim = int(nd["d"])
     p = resolve_serving_params(
         n, dim, k, n_cells=n_cells, n_probe=n_probe, m=m,
         n_codes=n_codes, retrieve_k=retrieve_k,
@@ -506,13 +533,12 @@ def ann_serving_topk(
     parts = _resolve_parts(spark, n, rows_per_task)
     gen = _candidate_gen(Q, qids, probe_mask, book, p["retrieve_k"],
                          C=C, vec_field=vector_col, id_field="_cid")
-    cand = (
+    cand = _spread(
         corpus.select(
             F.col(corpus_id).cast("long").alias("_cid"), F.col(vector_col)
-        )
-        .repartition(parts)
-        .mapInPandas(gen, schema=_CAND_SCHEMA)
-    )
+        ),
+        parts,
+    ).mapInPandas(gen, schema=_CAND_SCHEMA)
     qn = spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "_qid long, _qv array<double>",
@@ -558,11 +584,13 @@ def _encode_cells(corpus, corpus_id: str, vector_col: str, C, book,
             )
 
     return (
-        corpus.select(
-            F.col(corpus_id).cast("long").alias("_cid"),
-            F.col(vector_col).alias("_v"),
+        _spread(
+            corpus.select(
+                F.col(corpus_id).cast("long").alias("_cid"),
+                F.col(vector_col).alias("_v"),
+            ),
+            parts,
         )
-        .repartition(parts)
         .mapInPandas(
             gen,
             schema=(
@@ -623,10 +651,14 @@ def save_pq_index(
     import numpy as np
 
     spark = corpus.sparkSession
-    n = corpus.count()
+    nd = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vector_col)).alias("d"),
+    ).first()
+    n = int(nd["n"])
     if n == 0:
         raise ValueError("cannot build a PQ index over an empty corpus")
-    dim = int(corpus.select(F.size(vector_col).alias("d")).first()["d"])
+    dim = int(nd["d"])
     p = resolve_serving_params(n, dim, 10, n_cells=n_cells, m=m,
                                n_codes=n_codes)
     n_seed = max(p["n_cells"], p["n_codes"])

@@ -189,6 +189,29 @@ def fingerprint_expr(text: Column | str) -> Column:
     return S.poly_hash(norm)
 
 
+def _pushdown_fence() -> Column:
+    """Always-true, formally NONDETERMINISTIC predicate term (seeded
+    rand — the value never affects results and the seed makes even a
+    task retry reproducible). ANDed into a derived boolean column, it
+    stops PushPredicateThroughNonJoin from pushing a caller's filter
+    through the projection that computes the column: that pushdown
+    SUBSTITUTES the intermediate alias definitions into the predicate,
+    re-evaluating the tokenizer once per rule subtree inside the scan
+    task — the guide-§4.4 duplication with pure JVM expressions
+    (measured 4.2x on the quality gate: 0.46s as a projection vs 1.94s
+    as a pushed filter, single task; codegen subexpression elimination
+    cannot rescue it because conditional branches are excluded from
+    CSE). At scale the gate still runs at scan speed — the fence only
+    forbids relocating it INTO the scan predicate with its inputs
+    inlined per rule.
+
+    monotonically_increasing_id() is non-negative by construction, so
+    the term is constant-true; it is the nondeterministic always-true
+    expression Spark 4's optimizer does NOT fold away (a seeded
+    rand() < 2.0 IS range-folded and the fence vanishes — measured)."""
+    return F.monotonically_increasing_id() >= F.lit(0)
+
+
 def annotate_quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -207,7 +230,15 @@ def annotate_quality_filter(
     scan speed. Rule thresholds mirror the quality_score signals but
     gate independently so a pipeline can distinguish WHY a doc fell
     out (the drop_reason histogram is the curation dashboard)."""
+    from .knn_join import ensure_parallelism
+
     t = F.col(text_col)
+    # the gate's per-row expression cost dominates its stage, and a
+    # small parquet input arrives as ONE scan split (a single row
+    # group cannot be split further) — spread rows to the cores first;
+    # no-op at scale, where the scan already provides the parallelism
+    # (measured: the sf0.1 gate ran single-task at ~340 µs/row)
+    df = ensure_parallelism(df)
     # materialize the token array ONCE as an intermediate column: the
     # rules reference it ~8 times between them, and CollapseProject
     # refuses to merge projections when that would duplicate a
@@ -232,9 +263,16 @@ def annotate_quality_filter(
             ~lang_id_expr(t, toks=tk, padded=pad).isin(*langs), F.lit("lang")
         )
     reason = reason.otherwise(F.lit(None))
+    # the fence keeps a caller's filter(keep) ABOVE this projection
+    # (see _pushdown_fence); streaming plans skip it — nondeterministic
+    # expressions are restricted there, and the micro-batch scan is not
+    # the pushdown target the fence exists for
+    keep = F.col("drop_reason").isNull()
+    if not df.isStreaming:
+        keep = keep & _pushdown_fence()
     return (
         sig.withColumn("drop_reason", reason)
-        .withColumn("keep", F.col("drop_reason").isNull())
+        .withColumn("keep", keep)
         .drop("_lt_qf_toks", "_lt_qf_pad")
     )
 
@@ -252,8 +290,12 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: lang_id, quality, token
     counts, fingerprint appended as columns. Map-only — fuses into the
     scan; column pruning keeps untouched columns out of the expression."""
+    from .knn_join import ensure_parallelism
+
     t = F.col(text_col)
-    # same single-tokenization structure as annotate_quality_filter
+    # same single-tokenization structure as annotate_quality_filter —
+    # and the same spread-before-the-per-row-pass (no-op at scale)
+    df = ensure_parallelism(df)
     return (
         df.withColumn("_lt_an_toks", S.word_tokens(t))
         .withColumn("_lt_an_pad", _padded_join(F.col("_lt_an_toks")))
@@ -282,9 +324,11 @@ def _token_ngram_occurrences(df: DataFrame, text_col: str, id_col: str,
     of the higher-order filter lambda, which is CodegenFallback; token
     values are identical since \\s+ splits can only produce empties at
     the ends). Docs with fewer than n tokens contribute no rows."""
+    from .knn_join import ensure_parallelism
+
     cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", "")
     base = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("_lt_id"),
             F.split(cleaned, r"\s+").alias("_lt_toks"),
         )

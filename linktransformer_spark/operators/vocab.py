@@ -37,9 +37,16 @@ __all__ = ["token_counts", "top_vocab", "collocations", "tfidf_top_terms"]
 
 
 def token_counts(df: DataFrame, on: str = "text", *, min_count: int = 1) -> DataFrame:
-    """(token, n) frequency table over lowercased whitespace tokens."""
+    """(token, n) frequency table over lowercased whitespace tokens.
+
+    The tokenize+explode is the per-row-heavy stage; a small parquet
+    input arrives as one scan split, so rows spread to the cores first
+    (no-op at scale — see knn_join.ensure_parallelism)."""
+    from .knn_join import ensure_parallelism
+
     out = (
-        df.select(F.explode(word_tokens(F.col(on))).alias("token"))
+        ensure_parallelism(df)
+        .select(F.explode(word_tokens(F.col(on))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -109,8 +116,11 @@ def collocations(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
+    from .knn_join import ensure_parallelism
+
+    dfp = ensure_parallelism(df)
     bi = (
-        df.select(F.explode(pairs).alias("p"))
+        dfp.select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
@@ -121,7 +131,7 @@ def collocations(
         F.sum("n").cast("long").alias("_n_tok"),
     ).crossJoin(
         F.broadcast(
-            df.select(
+            dfp.select(
                 F.sum(
                     F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(F.lit(0))
                 )
@@ -182,8 +192,10 @@ def tfidf_top_terms(
         raise ValueError("k must be >= 1")
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
+    from .knn_join import ensure_parallelism
+
     dtc = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("_d"),
             F.explode(word_tokens(F.col(on))).alias("term"),
         )

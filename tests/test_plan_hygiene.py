@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "events_attribution_last_touch": "1-row conversions-total broadcast",
     "events_attribution_first_touch": "1-row conversions-total broadcast",
     "dedup_jaccard_cap_stats": "10-row literal replication range broadcast (hot-corpus builder)",
+    "dedup_minhash_salted": "10-row literal replication range broadcast (same hot-corpus fixture; the round-13 Arrow signature build no longer checkpoints the banded relation, so the fixture's BNLJ is visible in the plan again)",
+    "graph_pagerank": "1-row node-count/teleport broadcast (round-13 inline iteration mode replaces the driver-side count action)",
     "docs_datacard": "1-row corpus-total broadcast (lang/source fraction denominators)",
 }
 

@@ -335,3 +335,19 @@ class TestHybridIndexed:
             lt.hybrid_topk_indexed(
                 spark, bm_path, pq_path, bad, query_id="doc_id"
             )
+
+
+class TestPartitioningInvariance:
+    def test_rows_per_task_does_not_change_results(self, spark, emb):
+        # the candidate generator emits exact per-partition
+        # top-retrieve_k SUPERSETS of the global shortlist, so the task
+        # split (and whether _spread repartitions at all) cannot change
+        # the served rows — the contract that lets the serve path skip
+        # the corpus round-robin exchange when the scan already
+        # provides enough tasks
+        q = emb.filter(F.col("vec_id") < 40)
+        a = _key(lt.ann_serving_topk(q, emb, k=5, rows_per_task=64).collect())
+        b = _key(
+            lt.ann_serving_topk(q, emb, k=5, rows_per_task=10**9).collect()
+        )
+        assert a == b and len(a) > 0
