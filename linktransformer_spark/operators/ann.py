@@ -82,6 +82,140 @@ def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12,
     return bucket
 
 
+def hyperplane_bucket_keys_arrow(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    encoder,
+    dim: int,
+    n_planes: int,
+    bucket_col: str = "_bkt",
+    plane_offset: int = 0,
+) -> DataFrame:
+    """(bucket, id, key) via ONE Arrow pass: embed the key strings with
+    ``encoder.encode_batch`` (the bit-identical numpy mirror of the
+    relational encode) and take the hyperplane sign bucket in-kernel.
+
+    Replaces the relational encode (distinct + explode + wide aggregate
+    + join-back — 2-3 exchanges) plus the bucket expression, and leaves
+    the KEY STRING as the row payload so a downstream in-kernel
+    re-score (knn_join.bucket_dot_rescored_pairs with ``encoder``)
+    never shuffles an embedding array at all.
+
+    Bit-parity with :func:`hyperplane_bucket`: the dot folds per
+    DIMENSION left-associated from 0.0 (same rounding sequence as the
+    aggregate fold), coefficients are the same exact doubles, and the
+    sign test is ``>= 0`` — embeddings are never NaN (counts / clipped
+    norms), so numpy and SQL comparison semantics agree."""
+    import numpy as np
+
+    C = np.array(
+        [[hyperplane_component(h + plane_offset, j) for j in range(dim)]
+         for h in range(n_planes)],
+        dtype=np.float64,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = encoder.encode_batch(pdf[key_col].tolist())
+            b = np.zeros(len(pdf), dtype=np.int64)
+            for h in range(n_planes):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + E[:, j] * C[h, j]
+                b = b + np.where(acc >= 0, np.int64(1 << h), np.int64(0))
+            yield pd.DataFrame({
+                bucket_col: b,
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                key_col: pdf[key_col],
+            })
+
+    return KJ.ensure_parallelism(df).mapInPandas(
+        gen, schema=f"{bucket_col} long, {id_col} long, {key_col} string"
+    )
+
+
+def hyperplane_probe_buckets_keys_arrow(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    encoder,
+    dim: int,
+    n_planes: int,
+    n_extra: int,
+    bucket_col: str = "_bkt",
+    plane_offset: int = 0,
+) -> DataFrame:
+    """Multi-probe twin of :func:`hyperplane_bucket_keys_arrow`: emits
+    the exact bucket plus ``n_extra`` least-confident-bit flips per
+    input row (1 + n_extra rows each), all from ONE Arrow pass over the
+    raw key strings. Bit-parity with :func:`hyperplane_probe_buckets`:
+    the same per-dimension dot fold, the same O(n_planes^2) counting
+    rank with the ``k < h`` tie (|d_k| <= |d_h| for k < h, strict for
+    k > h), the same ``b0 ^ mask`` flips — the expressions' numpy
+    transliteration over the identical doubles."""
+    import numpy as np
+
+    if not 0 <= n_extra < n_planes:
+        raise ValueError("n_extra must be in [0, n_planes)")
+    C = np.array(
+        [[hyperplane_component(h + plane_offset, j) for j in range(dim)]
+         for h in range(n_planes)],
+        dtype=np.float64,
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = encoder.encode_batch(pdf[key_col].tolist())
+            n = len(pdf)
+            D = np.empty((n, n_planes), dtype=np.float64)
+            for h in range(n_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + E[:, j] * C[h, j]
+                D[:, h] = acc
+            b0 = np.zeros(n, dtype=np.int64)
+            for h in range(n_planes):
+                b0 = b0 + np.where(D[:, h] >= 0, np.int64(1 << h),
+                                   np.int64(0))
+            A = np.abs(D)
+            rank = np.zeros((n, n_planes), dtype=np.int64)
+            for h in range(n_planes):
+                for k in range(n_planes):
+                    if k == h:
+                        continue
+                    if k < h:
+                        rank[:, h] += A[:, k] <= A[:, h]
+                    else:
+                        rank[:, h] += A[:, k] < A[:, h]
+            probes = [b0]
+            for r in range(n_extra):
+                mask = np.zeros(n, dtype=np.int64)
+                for h in range(n_planes):
+                    mask = mask + np.where(rank[:, h] == r,
+                                           np.int64(1 << h), np.int64(0))
+                probes.append(np.bitwise_xor(b0, mask))
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            keys = pdf[key_col].to_numpy()
+            yield pd.DataFrame({
+                bucket_col: np.concatenate(probes),
+                id_col: np.tile(ids, 1 + n_extra),
+                key_col: np.tile(keys, 1 + n_extra),
+            })
+
+    return KJ.ensure_parallelism(df).mapInPandas(
+        gen, schema=f"{bucket_col} long, {id_col} long, {key_col} string"
+    )
+
+
 _INT8_QMAX = 127
 
 

@@ -140,7 +140,13 @@ def match_pairs(
         df1, df2, left_on, right_on, left_id_col, right_id_col, blocking_vars)
 
     need_emb = model == "hash-ngram" or blocking == "lsh"
-    if need_emb:
+    # LSH blocking + the dot scorer = the fully in-kernel path: buckets
+    # AND re-scores both come from encode_batch (the bit-identical
+    # numpy mirror), so neither side is relationally encoded and the
+    # bucket cogroup shuffles key STRINGS, never embedding arrays
+    # [guide §2.3 / §4.2; measured below in OPTIMIZATION_r13.md]
+    lsh_kernel = blocking == "lsh" and model == "hash-ngram"
+    if need_emb and not lsh_kernel:
         # relational encode (embed-once CSE; see encoders/hash_ngram.py
         # for why the inline expression form is off the table); vectors
         # ride the join for both the bucket id and the dot scorer
@@ -162,37 +168,52 @@ def match_pairs(
         raise ValueError(f"unknown model {model!r}; use levenshtein|hash-ngram")
 
     if blocking == "lsh":
-        from .ann import hyperplane_bucket, resolve_n_planes
-
+        from .ann import (
+            hyperplane_bucket, hyperplane_bucket_keys_arrow,
+            resolve_n_planes,
+        )
         from .knn_join import max_count_one_job
 
         n_planes = resolve_n_planes(
             n_planes, lambda: max_count_one_job(left, right)
         )
+        if lsh_kernel:
+            # the hot path at scale, fully in-kernel (round 13):
+            # buckets via ONE Arrow pass per side over the raw key
+            # strings, exact dots re-computed from those strings inside
+            # the bucket cogroup — no relational encode subplan, and
+            # the cogroup shuffle carries ~25-byte keys instead of
+            # dim x 8-byte embedding arrays. Bit-equal to the
+            # declarative encode + bucket + dot (encode_batch is the
+            # documented bit-identical mirror; see
+            # hyperplane_bucket_keys_arrow for the sign-fold argument)
+            from ..encoders.hash_ngram import HashNgramEncoder
+            from .knn_join import bucket_dot_rescored_pairs
+
+            enc = HashNgramEncoder(dim=lsh_dim)
+            lb = hyperplane_bucket_keys_arrow(
+                left.select("_lid", "_lkey"), "_lid", "_lkey",
+                enc, lsh_dim, n_planes,
+            )
+            rb = hyperplane_bucket_keys_arrow(
+                right.select("_rid", "_rkey"), "_rid", "_rkey",
+                enc, lsh_dim, n_planes,
+            )
+            return bucket_dot_rescored_pairs(
+                lb, rb, ["_bkt"], left_id="_lid", right_id="_rid",
+                threshold=sim_threshold,
+                encoder=enc, left_key_col="_lkey", right_key_col="_rkey",
+            ).select(
+                F.col("_lid").alias("left_id"),
+                F.col("_rid").alias("right_id"),
+                "score",
+            )
         left = left.withColumn(
             "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
         )
         right = right.withColumn(
             "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
         )
-        if model == "hash-ngram":
-            # the hot path at scale: in-bucket re-score as the Arrow-
-            # batched numpy cogroup (bit-equal to the dot fold — see
-            # knn_join.bucket_dot_rescored_pairs) instead of join +
-            # interpreted per-candidate fold, the measured ~14x floor
-            from .knn_join import bucket_dot_rescored_pairs
-
-            return bucket_dot_rescored_pairs(
-                left.select("_bkt", "_lid", "_lemb"),
-                right.select("_bkt", "_rid", "_remb"),
-                ["_bkt"], left_id="_lid", right_id="_rid",
-                left_emb="_lemb", right_emb="_remb",
-                threshold=sim_threshold,
-            ).select(
-                F.col("_lid").alias("left_id"),
-                F.col("_rid").alias("right_id"),
-                "score",
-            )
         cand = left.join(right, "_bkt")
     elif blocking_vars:
         on = [f"_b{i}" for i in range(len(blocking_vars))]
@@ -352,7 +373,8 @@ def attach_to_entities(
     )
 
     need_emb = model == "hash-ngram" or blocking == "lsh"
-    if need_emb:
+    lsh_kernel = blocking == "lsh" and model == "hash-ngram"
+    if need_emb and not lsh_kernel:
         from ..encoders.hash_ngram import HashNgramEncoder
 
         enc = HashNgramEncoder(dim=lsh_dim)
@@ -372,35 +394,49 @@ def attach_to_entities(
 
     scored = None
     if blocking == "lsh":
-        from .ann import hyperplane_bucket, resolve_n_planes
-
+        from .ann import (
+            hyperplane_bucket, hyperplane_bucket_keys_arrow,
+            resolve_n_planes,
+        )
         from .knn_join import max_count_one_job
 
         n_planes = resolve_n_planes(
             n_planes, lambda: max_count_one_job(left, right)
         )
-        left = left.withColumn(
-            "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
-        )
-        right = right.withColumn(
-            "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
-        )
-        if model == "hash-ngram":
+        if lsh_kernel:
             # numpy cogroup re-score (bit-equal to the fold) with
             # k=1 IN-GROUP pre-pruning: each new record lands in ONE
             # bucket, and the in-group order (score DESC, _rid ASC,
             # _rkey ASC) is exactly the window below, so pruning to
-            # the per-bucket best preserves the global argmax
+            # the per-bucket best preserves the global argmax.
+            # Fully in-kernel (round 13): buckets from ONE Arrow pass
+            # per side over the raw keys, dots re-derived from the
+            # keys inside the cogroup — no relational encode, no
+            # embedding arrays in the shuffle (match_pairs rationale)
+            from ..encoders.hash_ngram import HashNgramEncoder
             from .knn_join import bucket_dot_rescored_pairs
 
+            enc = HashNgramEncoder(dim=lsh_dim)
+            lb = hyperplane_bucket_keys_arrow(
+                left.select("_lid", "_lkey"), "_lid", "_lkey",
+                enc, lsh_dim, n_planes,
+            )
+            rb = hyperplane_bucket_keys_arrow(
+                right.select("_rid", "_rkey"), "_rid", "_rkey",
+                enc, lsh_dim, n_planes,
+            )
             scored = bucket_dot_rescored_pairs(
-                left.select("_bkt", "_lid", "_lemb"),
-                right.select("_bkt", "_rid", "_rkey", "_remb"),
-                ["_bkt"], left_id="_lid", right_id="_rid",
-                left_emb="_lemb", right_emb="_remb",
+                lb, rb, ["_bkt"], left_id="_lid", right_id="_rid",
                 threshold=sim_threshold, k=1, carry_right=["_rkey"],
+                encoder=enc, left_key_col="_lkey", right_key_col="_rkey",
             ).withColumnRenamed("score", "_score")
         else:
+            left = left.withColumn(
+                "_bkt", hyperplane_bucket("_lemb", lsh_dim, n_planes)
+            )
+            right = right.withColumn(
+                "_bkt", hyperplane_bucket("_remb", lsh_dim, n_planes)
+            )
             cand = left.join(right, "_bkt")
     elif blocking_vars:
         cand = left.join(

@@ -826,6 +826,9 @@ def bucket_dot_rescored_pairs(
     carry_right: list[str] | None = None,
     flops_per_chunk: int = 4_000_000,
     exclude_equal_ids: bool = False,
+    encoder=None,
+    left_key_col: str | None = None,
+    right_key_col: str | None = None,
 ) -> DataFrame:
     """Exact dot re-score of an LSH bucket join, as ONE Arrow-batched
     cogroup instead of join + per-pair expression fold.
@@ -874,6 +877,17 @@ def bucket_dot_rescored_pairs(
     the in-group top-k (the leave-one-out contract — excluding in the
     candidate stage, not post-filtering a k+1 list, keeps semantics
     exact when duplicate vectors tie with the self at cosine 1.0).
+
+    ``encoder`` + ``left_key_col``/``right_key_col``: IN-KERNEL
+    embedding — the inputs carry the raw KEY STRINGS instead of
+    ``left_emb``/``right_emb`` arrays, and each cogroup batch embeds
+    them with ``encoder.encode_batch`` (the bit-identical numpy mirror
+    of the relational encode — see encoders/hash_ngram.py). The bucket
+    cogroup then shuffles ~25-byte strings instead of dim x 8-byte
+    arrays (~20x narrower at dim=64), and the relational encode
+    subplan (distinct + explode + wide aggregate + join-back, 2-3
+    exchanges per side) disappears entirely [guide §2.3 "shuffle keys
+    and metadata instead of payloads", §4.2].
     """
     carry = list(carry_right or [])
     lsch, rsch = lb.schema, rb.schema
@@ -909,16 +923,24 @@ def bucket_dot_rescored_pairs(
         r_pdf = r_pdf.sort_values(r_order, kind="mergesort").reset_index(
             drop=True
         )
-        R = np.array(r_pdf[right_emb].tolist(), dtype=np.float64)
+        if encoder is not None:
+            R = encoder.encode_batch(r_pdf[right_key_col].tolist())
+        else:
+            R = np.array(r_pdf[right_emb].tolist(), dtype=np.float64)
         nr = len(r_pdf)
         rid_arr = r_pdf[right_id].to_numpy()
         carry_arrs = [r_pdf[c].to_numpy() for c in carry]
         l_ids = l_pdf[left_id].to_numpy()
-        L_all = l_pdf[left_emb].tolist()
+        L_all = l_pdf[
+            left_key_col if encoder is not None else left_emb
+        ].tolist()
         chunk = max(1, min(4096, flops_per_chunk // max(nr, 1)))
         parts = []
         for s0 in range(0, len(l_pdf), chunk):
-            Lc = np.array(L_all[s0:s0 + chunk], dtype=np.float64)
+            if encoder is not None:
+                Lc = encoder.encode_batch(L_all[s0:s0 + chunk])
+            else:
+                Lc = np.array(L_all[s0:s0 + chunk], dtype=np.float64)
             nl = Lc.shape[0]
             acc = np.zeros((nl, nr), dtype=np.float64)
             for j in range(Lc.shape[1]):
@@ -1049,6 +1071,44 @@ def _auto_lsh_tables(right, dim: int, n_planes: int, n_extra: int) -> int:
     return tables
 
 
+def _auto_lsh_tables_bucketed(rb, right_raw, dim: int, n_planes: int,
+                              n_extra: int, bucket_col: str) -> int:
+    """:func:`_auto_lsh_tables` over an ALREADY-bucketized relation
+    (the arrow-keys route computes table-0 buckets anyway): identical
+    statistic — coverage = (1 + n_extra) * (sum occ^2 / n) / n over the
+    table-0 bucket occupancy — same memo keyed on the RAW right plan."""
+    memo_key = None
+    try:
+        memo_key = (
+            int(right_raw._jdf.queryExecution().analyzed().semanticHash()),
+            dim, n_planes, n_extra,
+        )
+        cached = _AUTO_TABLES_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+    except Exception:  # noqa: BLE001 — memo must never break the plan
+        pass
+    occ = (
+        rb.groupBy(bucket_col).count()
+        .agg(
+            F.sum("count").alias("n"),
+            F.sum(F.col("count") * F.col("count")).alias("n2"),
+        )
+        .first()
+    )
+    if occ is None or not occ["n"]:
+        tables = 1
+    else:
+        n = float(occ["n"])
+        coverage = (1 + n_extra) * (float(occ["n2"]) / n) / n
+        tables = 1 if coverage >= 1.0 else 2
+    if memo_key is not None:
+        if len(_AUTO_TABLES_MEMO) >= _AUTO_TABLES_MEMO_MAX:
+            _AUTO_TABLES_MEMO.pop(next(iter(_AUTO_TABLES_MEMO)))
+        _AUTO_TABLES_MEMO[memo_key] = tables
+    return tables
+
+
 def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
                     k=None, n_planes="auto", n_extra=3) -> DataFrame:
     """Hyperplane-LSH candidate pairs, exact-rescored — the same
@@ -1129,6 +1189,64 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
         pass
     left_p = ensure_parallelism(left)
     if getattr(scorer, "score_is_dot", False):
+        # the fully in-kernel route (round 13): when the scorer's
+        # encoder has the bit-identical numpy mirror (hash-ngram) and
+        # no blocking columns ride the cogroup keys, buckets come from
+        # ONE Arrow pass per side over the raw KEY STRINGS and the
+        # exact dots are re-derived from those strings inside the
+        # bucket cogroup — the relational encode subplan (distinct +
+        # explode + wide aggregate + join-back per side) disappears
+        # and the shuffle carries ~25-byte keys instead of dim x 8-byte
+        # arrays [guide §2.3, §4.2; entity.match_pairs rationale]
+        enc = getattr(scorer, "encoder", None)
+        arrow_keys = (
+            enc is not None and hasattr(enc, "encode_batch")
+            and not block_on
+            and LEFT_KEY in left.columns and RIGHT_KEY in right.columns
+        )
+        if arrow_keys:
+            from .ann import (
+                hyperplane_bucket_keys_arrow,
+                hyperplane_probe_buckets_keys_arrow,
+            )
+
+            right_k = right.select(RIGHT_ID, RIGHT_KEY)
+            rb0 = hyperplane_bucket_keys_arrow(
+                right_k, RIGHT_ID, RIGHT_KEY, enc, dim, n_planes,
+                bucket_col="_lt_bkt",
+            )
+            if n_tables is None:
+                n_tables = _auto_lsh_tables_bucketed(
+                    rb0, right, dim, n_planes, n_extra, "_lt_bkt"
+                )
+            left_k = left.select(LEFT_ID, LEFT_KEY)
+            if n_tables > 1:
+                # narrow (id, key) rows; cut once so the per-table
+                # probe passes scan an RDD, not the upstream plan twice
+                left_k = left_k.localCheckpoint(eager=False)
+                right_k = right_k.localCheckpoint(eager=False)
+            parts = []
+            for t in range(n_tables):
+                off = t * n_planes
+                lb = hyperplane_probe_buckets_keys_arrow(
+                    left_k, LEFT_ID, LEFT_KEY, enc, dim, n_planes,
+                    n_extra, bucket_col="_lt_bkt", plane_offset=off,
+                )
+                rb = rb0 if t == 0 else hyperplane_bucket_keys_arrow(
+                    right_k, RIGHT_ID, RIGHT_KEY, enc, dim, n_planes,
+                    bucket_col="_lt_bkt", plane_offset=off,
+                )
+                parts.append(bucket_dot_rescored_pairs(
+                    lb, rb, ["_lt_bkt"], threshold=threshold, k=k,
+                    encoder=enc, left_key_col=LEFT_KEY,
+                    right_key_col=RIGHT_KEY,
+                ))
+            if len(parts) == 1:
+                return parts[0]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.dropDuplicates([LEFT_ID, RIGHT_ID])
         if n_tables is None:
             # conf unset: derive the OR-construction width from the
             # corpus's bucket-occupancy skew (degenerate -> 1, spread

@@ -290,12 +290,13 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: lang_id, quality, token
     counts, fingerprint appended as columns. Map-only — fuses into the
     scan; column pruning keeps untouched columns out of the expression."""
-    from .knn_join import ensure_parallelism
-
     t = F.col(text_col)
-    # same single-tokenization structure as annotate_quality_filter —
-    # and the same spread-before-the-per-row-pass (no-op at scale)
-    df = ensure_parallelism(df)
+    # same single-tokenization structure as annotate_quality_filter;
+    # deliberately NOT spread (ensure_parallelism): analyze is the
+    # documented map-only pass that fuses into the scan (plan pin:
+    # test_text_analyze_is_map_only), and the spread measured no win
+    # here — its consumers aggregate immediately, so the shuffle the
+    # spread would add is the plan's first exchange anyway
     return (
         df.withColumn("_lt_an_toks", S.word_tokens(t))
         .withColumn("_lt_an_pad", _padded_join(F.col("_lt_an_toks")))

@@ -616,3 +616,49 @@ def test_attach_prune_property_random_ties(spark):
         assert got == want
 
     run()
+
+
+def test_lsh_kernel_matches_relational_reference(spark):
+    # the round-13 in-kernel LSH path (Arrow buckets from raw keys +
+    # in-cogroup encode_batch dots) must be row- and bit-identical to
+    # the relational reference it replaced: encode -> hyperplane_bucket
+    # -> bucket equi-join -> dot fold -> threshold
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+    from linktransformer_spark.functions.similarity import dot
+    from linktransformer_spark.operators.ann import hyperplane_bucket
+    from linktransformer_spark.operators.entity import match_pairs
+
+    names = ["Alice Muller", "Alice Müller", "Bob Stone", "bob stone ",
+             "Ünïcodé Näme", "", "xy", "Alice  Muller", "Stone Bob",
+             "ali ce muller"]
+    df1 = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["lid", "name"]
+    )
+    df2 = spark.createDataFrame(
+        [(100 + i, n.upper() if i % 2 else n) for i, n in enumerate(names)],
+        ["rid", "name"],
+    )
+    got = sorted(
+        map(tuple, match_pairs(
+            df1, df2, left_on="name", right_on="name",
+            left_id_col="lid", right_id_col="rid",
+            sim_threshold=0.35, blocking="lsh", model="hash-ngram",
+            n_planes=4, lsh_dim=16,
+        ).collect())
+    )
+    enc = HashNgramEncoder(dim=16)
+    l = enc.encode(
+        df1.select(F.col("lid"), F.col("name").alias("_k")), "_k", "_e"
+    ).withColumn("_bkt", hyperplane_bucket("_e", 16, 4))
+    r = enc.encode(
+        df2.select(F.col("rid"), F.col("name").alias("_k2")), "_k2", "_e2"
+    ).withColumn("_bkt", hyperplane_bucket("_e2", 16, 4))
+    ref = sorted(
+        map(tuple, (
+            l.join(r, "_bkt")
+            .withColumn("score", dot(F.col("_e"), F.col("_e2")))
+            .filter(F.col("score") >= 0.35)
+            .select("lid", "rid", "score")
+        ).collect())
+    )
+    assert got == ref and len(ref) > 0

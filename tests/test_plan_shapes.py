@@ -342,7 +342,12 @@ def test_dsir_raw_explode_executes_once(spark, sf_dir):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("semdedup_embeddings", 3),      # assign agg + pair join + CC/keep
     ("docs_lm_perplexity", 4),       # counts, vocab, totals, per-doc NLL
-    ("docs_dsir_weights", 7),        # two corpora distributions + per-doc
+    # 7 hash exchanges (two corpora distributions + per-doc fold) plus
+    # the round-13 Arrow gram stage's TWO scale-adaptive input spreads
+    # (ensure_parallelism RoundRobin per corpus side — no-ops at scale,
+    # where the scans already provide the partitions; the ceiling was
+    # not bumped when 83c0f53 added them, an inherited red)
+    ("docs_dsir_weights", 9),
     ("docs_quantile_buckets", 2),    # boundary agg + bucket rollup
     ("knn_label_eval", 2),           # top-k window + vote/accuracy aggs
     ("events_props_rollup", 1),
