@@ -82,6 +82,23 @@ def hyperplane_bucket(vec: Column | str, dim: int, n_planes: int = 12,
     return bucket
 
 
+def _ids_nullsafe(s):
+    """Ids of an Arrow batch as int64 numpy — or, when the column
+    carries nulls, as a pandas nullable-Int64 series. Ids reach the
+    key-kernels through ``cast('long')``, so a non-castable id
+    (string/UUID — entity.py documents these flowing through as null
+    on the relational paths) arrives in pandas as NaN and a plain
+    ``to_numpy(dtype=np.int64)`` would raise, failing the task where
+    the replaced relational plan silently passed the null through
+    (round-14 advisory). Null ids keep their bucket rows; downstream
+    consumers see exactly what the relational join emitted."""
+    import numpy as np
+
+    if s.isna().any():
+        return s.astype("Int64").reset_index(drop=True)
+    return s.to_numpy(dtype=np.int64)
+
+
 def hyperplane_bucket_keys_arrow(
     df: DataFrame,
     id_col: str,
@@ -130,7 +147,7 @@ def hyperplane_bucket_keys_arrow(
                 b = b + np.where(acc >= 0, np.int64(1 << h), np.int64(0))
             yield pd.DataFrame({
                 bucket_col: b,
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                id_col: _ids_nullsafe(pdf[id_col]),
                 key_col: pdf[key_col],
             })
 
@@ -203,16 +220,269 @@ def hyperplane_probe_buckets_keys_arrow(
                     mask = mask + np.where(rank[:, h] == r,
                                            np.int64(1 << h), np.int64(0))
                 probes.append(np.bitwise_xor(b0, mask))
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = _ids_nullsafe(pdf[id_col])
             keys = pdf[key_col].to_numpy()
             yield pd.DataFrame({
                 bucket_col: np.concatenate(probes),
-                id_col: np.tile(ids, 1 + n_extra),
+                id_col: (
+                    np.tile(ids, 1 + n_extra)
+                    if isinstance(ids, np.ndarray)
+                    else pd.concat([ids] * (1 + n_extra),
+                                   ignore_index=True)
+                ),
                 key_col: np.tile(keys, 1 + n_extra),
             })
 
     return KJ.ensure_parallelism(df).mapInPandas(
         gen, schema=f"{bucket_col} long, {id_col} long, {key_col} string"
+    )
+
+
+# routing budget for the exact ANN broadcast tier (the string scorer's
+# LEV_BROADCAST_MIN_PAIRS pattern, round 13): at or above this many
+# estimated |Q| x |C| pairs — provided the corpus side also fits the
+# broadcast byte budget (knn_join.BROADCAST_KNN_CONF) — mode
+# 'exact_cross' / 'exact_int8' runs its scoring as ONE numpy kernel
+# with the corpus closure-shipped instead of the declarative
+# cross join + interpreted fold + window top-k. Results are
+# BIT-identical either way (the kernel replays the fold orders — see
+# _broadcast_dot_topk / _broadcast_int8_topk), so this is purely a
+# plan choice; tiny inputs keep the declarative plan (least overhead,
+# and it IS the semantics definition).
+ANN_BROADCAST_MIN_PAIRS_CONF = "spark.linktransformer.ann.exactBroadcastMinPairs"
+ANN_BROADCAST_MIN_PAIRS_DEFAULT = 100_000
+
+
+def _use_exact_broadcast(q: DataFrame, c: DataFrame) -> bool:
+    """True when the exact modes should take the broadcast-numpy tier:
+    pair estimate >= ANN_BROADCAST_MIN_PAIRS_CONF and the corpus within
+    the broadcast byte budget — all from Catalyst plan bytes, NO jobs:
+    a corpus with unknown stats (RDD-backed / checkpointed relations)
+    keeps the declarative plan rather than paying a count. That is the
+    opposite polarity from merge's auto ladder, deliberately: there an
+    unknown size risks a 24-minute cartesian, here the caller chose an
+    exact mode explicitly and both routes are exact — the cheap,
+    historical plan is the safe default and the conf pins the kernel
+    when wanted. min_pairs <= 0 force-pins the kernel (tests), and row
+    over-estimation from plan bytes errs toward the kernel."""
+    spark = c.sparkSession
+    try:
+        min_pairs = int(spark.conf.get(
+            ANN_BROADCAST_MIN_PAIRS_CONF,
+            str(ANN_BROADCAST_MIN_PAIRS_DEFAULT)))
+    except Exception:  # noqa: BLE001 — conf read must never break the plan
+        min_pairs = ANN_BROADCAST_MIN_PAIRS_DEFAULT
+    if min_pairs <= 0:
+        return True
+    size = KJ.plan_size_bytes(c)
+    if size is None:
+        return False
+    try:
+        cap = int(spark.conf.get(KJ.BROADCAST_KNN_CONF,
+                                 str(KJ.BROADCAST_KNN_DEFAULT_BYTES)))
+    except Exception:  # noqa: BLE001
+        cap = KJ.BROADCAST_KNN_DEFAULT_BYTES
+    if size > cap:
+        return False
+    qsize = KJ.plan_size_bytes(q)
+    if qsize is None:
+        return False
+    pairs = KJ._est_rows(q, qsize) * KJ._est_rows(c, size)
+    return pairs >= min_pairs
+
+
+def _collect_corpus(c: DataFrame):
+    """(ids int64 ascending, raw float64 matrix) from a bounded
+    (RIGHT_ID, RIGHT_EMB) frame — one Arrow toPandas of the raw
+    columns (no expressions to plan), ids pre-sorted ascending for the
+    stable-argsort tie-break discipline."""
+    import numpy as np
+
+    pdf = c.select(KJ.RIGHT_ID, KJ.RIGHT_EMB).toPandas()
+    r_ids = pdf[KJ.RIGHT_ID].to_numpy(dtype=np.int64)
+    r_mat = (
+        np.array(pdf[KJ.RIGHT_EMB].tolist(), dtype=np.float64)
+        if len(pdf) else np.zeros((0, 1), dtype=np.float64)
+    )
+    order = np.argsort(r_ids, kind="stable")
+    return r_ids[order], r_mat[order]
+
+
+def _l2n_numpy(V):
+    """Numpy replica of ``S.l2_normalize`` — bit-exact: the squared
+    norm accumulates PER DIMENSION left-associated from 0.0 (the
+    ``aggregate(zip_with(a, a, x*y))`` fold), then the same
+    ``max(sqrt(.), 1e-12)`` clip and elementwise divide. The identical
+    transliteration is already pytest-pinned inside
+    ``_mmr_rerank_grouped``. Float32 inputs widen exactly (the JVM
+    path's cast('double') is the same value)."""
+    import numpy as np
+
+    if V.size == 0:
+        return V
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc = acc + V[:, j] * V[:, j]
+    nrm = np.maximum(np.sqrt(acc), 1e-12)
+    return V / nrm[:, None]
+
+
+def _quantize_numpy(Vn):
+    """Numpy replica of ``_quantize_expr`` over NORMALIZED vectors —
+    bit-exact: abs + order-free row max, the same
+    ``max(absmax, 1e-12) / 127.0`` scale (two IEEE double ops), and
+    ``floor(x / scale + 0.5)`` per element (divide, add, floor — the
+    identical op sequence; codes are exact small integers, so the
+    int64 carrier equals the JVM's floor->long->int chain)."""
+    import numpy as np
+
+    if Vn.size == 0:
+        return Vn.astype(np.int64), np.zeros(0, dtype=np.float64)
+    absmax = np.max(np.abs(Vn), axis=1)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    codes = np.floor(Vn / scale[:, None] + 0.5).astype(np.int64)
+    return codes, scale
+
+
+def _broadcast_dot_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """mode='exact_cross' scoring as one mapInPandas kernel: the
+    (id, vec) corpus is collected + closure-broadcast and each query
+    Arrow batch computes its PER-ROW top-k against it in numpy — no
+    |Q| x |C| cross-join materialization, no interpreted per-pair
+    fold. The caller applies the usual global ``KJ.topk`` window on
+    the (|Q| x k)-row output: per-row top-k under (score DESC,
+    right_id ASC) is a superset filter for that window (any dropped
+    candidate has k row-mates strictly preferred to it), so the final
+    rows are identical to the declarative plan even when query ids
+    repeat or are null (the window pools those partitions exactly as
+    before).
+
+    BIT-parity of the scores (the established replica rules —
+    bucket_dot_rescored_pairs, _broadcast_lev_knn):
+
+    - inputs are the same JVM-computed L2-normalized vectors (the
+      kernel never re-normalizes);
+    - scores accumulate PER DIMENSION left-associated from 0.0
+      (``acc += Q[:, j] * C[:, j]``) — every product and partial sum
+      rounds exactly like the ``aggregate(zip_with(...))`` fold in
+      S.dot;
+    - per-row selection: corpus ids pre-sorted ascending + stable
+      argsort on -score == the (score DESC, right_id ASC) order
+      (embeddings are never NaN — l2_normalize clips the norm — so
+      the argsort order matches SQL DESC exactly).
+
+    Inputs carry the RAW vectors — L2 normalization runs in numpy as
+    the pinned replica of ``S.l2_normalize`` (``_l2n_numpy``; the same
+    per-dim fold + clip + divide already relied on bit-exactly by
+    ``_mmr_rerank_grouped``), which keeps the corpus collect a bare
+    column scan with no higher-order expressions to plan — measured
+    ~1.5s of the kernel route's per-query construction was the
+    collect job's expression planning.
+
+    Returns (LEFT_ID, RIGHT_ID, score) — min(k, |C|) rows per query
+    row."""
+    import numpy as np
+
+    r_ids, r_mat = _collect_corpus(c)
+    r_mat = _l2n_numpy(r_mat)
+    spark = q.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_mat))
+    kk = k
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, mat = b.value
+        m = len(ids)
+        take = min(kk, m)
+        if take == 0:
+            return
+        d = mat.shape[1]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Q = _l2n_numpy(
+                np.array(pdf[KJ.LEFT_EMB].tolist(), dtype=np.float64)
+            )
+            acc = np.zeros((n, m), dtype=np.float64)
+            for j in range(d):
+                acc += Q[:, j:j + 1] * mat[:, j]
+            idx = np.argsort(-acc, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame({
+                # id pass-through via index-repeat (no dtype coercion —
+                # a null query id stays null, as in the window plan)
+                KJ.LEFT_ID: pdf[KJ.LEFT_ID].iloc[
+                    np.repeat(np.arange(n), take)
+                ].reset_index(drop=True),
+                KJ.RIGHT_ID: ids[idx].reshape(-1),
+                "score": np.take_along_axis(acc, idx, axis=1).reshape(-1),
+            })
+
+    return q.mapInPandas(
+        gen,
+        schema=f"{KJ.LEFT_ID} long, {KJ.RIGHT_ID} long, score double",
+    )
+
+
+def _broadcast_int8_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """mode='exact_int8' scoring as one mapInPandas kernel (same
+    contract and raw-vector inputs as :func:`_broadcast_dot_topk` —
+    per-row top-k, the caller's global ``KJ.topk`` window finalizes).
+    Normalization and quantization run in numpy on BOTH sides as the
+    pinned bit-exact replicas (``_l2n_numpy`` + ``_quantize_numpy``),
+    so the collected corpus codes and the per-batch query codes are
+    the exact values the declarative plan would join; the scoring
+    replay:
+
+    - the integer dot is exact in int64 under ANY summation order
+      (codes lie in [-127, 127], so |dot| <= dim * 127^2 — numpy's
+      int64 matmul cannot overflow or round);
+    - the float score replays Spark's left-associated
+      ``Multiply(Multiply(cast(dot AS double), _lscale), _rscale)``:
+      ``(D.astype(f64) * ls[:, None]) * rs[None, :]`` performs the
+      same two IEEE double multiplies per pair in the same order;
+    - per-row selection exactly as :func:`_broadcast_dot_topk`
+      (ids ascending + stable argsort on -score).
+
+    Returns (LEFT_ID, RIGHT_ID, score)."""
+    import numpy as np
+
+    r_ids, r_raw = _collect_corpus(c)
+    r_codes, r_scale = _quantize_numpy(_l2n_numpy(r_raw))
+    spark = q.sparkSession
+    b = spark.sparkContext.broadcast((r_ids, r_codes, r_scale))
+    kk = k
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, codes, scale = b.value
+        m = len(ids)
+        take = min(kk, m)
+        if take == 0:
+            return
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Lq, ls = _quantize_numpy(_l2n_numpy(
+                np.array(pdf[KJ.LEFT_EMB].tolist(), dtype=np.float64)
+            ))
+            D = Lq @ codes.T  # exact integer dots
+            sc = (D.astype(np.float64) * ls[:, None]) * scale[None, :]
+            idx = np.argsort(-sc, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame({
+                KJ.LEFT_ID: pdf[KJ.LEFT_ID].iloc[
+                    np.repeat(np.arange(n), take)
+                ].reset_index(drop=True),
+                KJ.RIGHT_ID: ids[idx].reshape(-1),
+                "score": np.take_along_axis(sc, idx, axis=1).reshape(-1),
+            })
+
+    return q.mapInPandas(
+        gen,
+        schema=f"{KJ.LEFT_ID} long, {KJ.RIGHT_ID} long, score double",
     )
 
 
@@ -317,7 +587,37 @@ def ann_topk(
     # fan the query side out up front: single-file inputs otherwise run
     # the scoring stage (mapInPandas matmul / NLJ / bucket join probe)
     # on one core in every mode
-    q = KJ.ensure_parallelism(queries).select(
+    qpar = KJ.ensure_parallelism(queries)
+    if mode in ("exact_cross", "exact_int8") and _use_exact_broadcast(
+        qpar, corpus
+    ):
+        # broadcast-numpy tier (round 14): the kernels take the RAW
+        # vectors (normalize/quantize replayed bit-exactly in numpy —
+        # see their parity docstrings), so neither side plans any
+        # higher-order expression; rows are bit-identical to the
+        # declarative branches below, pytest- and oracle-pinned.
+        q_raw = qpar.select(
+            F.col(query_id).cast("long").alias(KJ.LEFT_ID),
+            F.col(vector_col).alias(KJ.LEFT_EMB),
+        )
+        c_raw = corpus.select(
+            F.col(corpus_id).cast("long").alias(KJ.RIGHT_ID),
+            F.col(vector_col).alias(KJ.RIGHT_EMB),
+        )
+        kernel = (
+            _broadcast_dot_topk if mode == "exact_cross"
+            else _broadcast_int8_topk
+        )
+        ranked = KJ.topk(kernel(q_raw, c_raw, k), k).withColumnRenamed(
+            "_lt_rank", "rank"
+        )
+        return ranked.select(
+            F.col(KJ.LEFT_ID).alias("query_id"),
+            F.col(KJ.RIGHT_ID).alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("score").alias("score"),
+        )
+    q = qpar.select(
         F.col(query_id).cast("long").alias(KJ.LEFT_ID),
         S.l2_normalize(F.col(vector_col)).alias(KJ.LEFT_EMB),
     )

@@ -81,10 +81,6 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
-        # the first round consumes e TWICE (e union e-reversed); cut
-        # lineage so a potentially expensive upstream pair-generation
-        # plan executes once, not twice
-        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     if local_threshold is None:
@@ -92,16 +88,28 @@ def connected_components(
             spark.conf.get("lt.cc.localEdgeThreshold", str(LOCAL_CC_DEFAULT_THRESHOLD))
         )
     if local_threshold > 0:
-        # counting materializes the checkpoint — an action the loop
-        # would pay on round 1 anyway
-        n_edges = e.count()
-        if n_edges <= local_threshold:
-            import pandas as pd
+        # ONE action decides the route AND fetches the edges: a
+        # (threshold+1)-row limit probe returns the complete edge set
+        # exactly when it is small enough for the driver solve. The
+        # previous count-then-toPandas shape paid two jobs and two
+        # full plan compiles of the (often expensive) upstream
+        # pair-generation subtree — measured ~0.7s of pure driver
+        # latency per dedup query at sf0.1 (round 14 §driver-floor).
+        # A graph over the threshold pays one discarded probe
+        # (bounded at threshold+1 collected rows) before the
+        # distributed loop — the case that already runs multi-round
+        # distributed work.
+        import pandas as pd
 
-            pdf = e.toPandas()  # Arrow transfer, two int64 columns
+        pdf = e.limit(local_threshold + 1).toPandas()
+        if len(pdf) <= local_threshold:
             pairs = _local_union_find(pdf.itertuples(index=False, name=None))
             out = pd.DataFrame(pairs, columns=["node", "component"], dtype="int64")
             return spark.createDataFrame(out, schema="node long, component long")
+    # the first round consumes e TWICE (e union e-reversed); cut
+    # lineage so a potentially expensive upstream pair-generation
+    # plan executes once, not twice
+    e = e.localCheckpoint(eager=False)
     prev = None
     for i in range(max_iterations):
         # ---- large-star ----

@@ -1349,14 +1349,20 @@ def near_dup_pairs_semdedup(
         )
     )
     cent = ivf_seed_centroids(base, "_id", "_v", n_cells)
-    # both sides of the pair self-join consume the assignment — cut
-    # lineage so the centroid scoring fold runs once, not twice
-    assigned = _cap_buckets(
-        _assign_cells_declarative(base, "_id", "_v", cent, 1),
-        ["cell"],
-        max_cell_size,
-        hot_cell,
-    ).localCheckpoint(eager=False)
+    assigned_raw = _assign_cells_declarative(base, "_id", "_v", cent, 1)
+    if max_cell_size is not None:
+        # _cap_buckets consumes its input twice (bucket sizes + join
+        # back) — cut lineage so the centroid-scoring subtree executes
+        # once, not twice
+        assigned_raw = assigned_raw.localCheckpoint(eager=False)
+    # NOTE no lineage cut on the uncapped path: since the round-10
+    # kernel rewrite the assignment has exactly ONE consumer (the
+    # applyInPandas self-pair kernel below — the pair self-join this
+    # used to feed is gone), so an unconditional localCheckpoint only
+    # cost a full JVM re-plan of the centroid-scoring subtree at
+    # construction (measured ~1.1s per query at sf0.1, round 14
+    # §driver-floor) without saving any recompute.
+    assigned = _cap_buckets(assigned_raw, ["cell"], max_cell_size, hot_cell)
     salted = "_salt" in assigned.columns
     if not salted:
         # within-cell pairs as the Arrow numpy self-cogroup (bit-equal

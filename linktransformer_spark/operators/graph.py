@@ -225,8 +225,15 @@ def pagerank(
                     ("max_out_degree", max_out_degree)):
         if cap is not None and cap < 1:
             raise ValueError(f"{nm} must be >= 1 (or None)")
+    # null weights count as 0.0 (coalesce at cast time): besides making
+    # w(u,v)/sum_x w(u,x) well-defined for partially-null inputs, this
+    # keeps the two degree-prune forms bit-identical — an all-null
+    # (src,dst) duplicate group would otherwise pre-sum to a NULL _w,
+    # and a NULL boundary weight silently disables the cap in
+    # _cap_degree_filter's `_bw.isNull()` arm while the window form
+    # (DESC = nulls last) still enforces it (round-14 advisory).
     w = (
-        F.col(weight_col).cast("double")
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
         if weight_col is not None
         else F.lit(1.0)
     )
@@ -368,8 +375,10 @@ def degree_prune_stats(
     Cost: the prune's own two windows plus count aggregates — run it
     when ``pagerank`` matters enough to audit, not per-query.
     """
+    # same null-as-0.0 weight coalesce as pagerank (the audit must see
+    # the exact relation the prune sees)
     w = (
-        F.col(weight_col).cast("double")
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
         if weight_col is not None
         else F.lit(1.0)
     )

@@ -1152,8 +1152,12 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
     # skips a per-query first() job; the empty-corpus early return is
     # only needed when dim must be PROBED from data (an empty right on
     # the known-dim kernel path simply yields zero candidates with the
-    # kernel's schema).
-    dim = getattr(getattr(scorer, "encoder", None), "dim", None)
+    # kernel's schema). `or None` treats a non-positive dim as UNKNOWN:
+    # the Encoder base class declares the placeholder `dim: int = 0`,
+    # and running the hyperplanes at dim=0 folds every dot over an
+    # empty prefix to 0.0 — one bucket, a near-cross-product candidate
+    # join (round-14 advisory).
+    dim = getattr(getattr(scorer, "encoder", None), "dim", None) or None
     if dim is None:
         dim_row = right.select(F.size(RIGHT_EMB).alias("d")).first()
         if dim_row is None:  # empty corpus -> no candidates, keep schema
@@ -1199,8 +1203,17 @@ def _lsh_candidates(left, right, scorer, block_on=None, threshold=None,
         # and the shuffle carries ~25-byte keys instead of dim x 8-byte
         # arrays [guide §2.3, §4.2; entity.match_pairs rationale]
         enc = getattr(scorer, "encoder", None)
+        # gate on expression_based, not mere encode_batch presence: the
+        # in-kernel route re-encodes each key once per bucket occurrence
+        # ((1+n_extra) probes x tables x cogroup chunks), which is only
+        # free for the cheap deterministic mirrors (hash-ngram). A
+        # model-based encoder (SBert) would pay ~8-10x inference AND its
+        # batch-composition float drift breaks the 'identical exact
+        # score across tables' assumption behind the pair-id dedup
+        # (round-14 advisory).
         arrow_keys = (
             enc is not None and hasattr(enc, "encode_batch")
+            and getattr(enc, "expression_based", False)
             and not block_on
             and LEFT_KEY in left.columns and RIGHT_KEY in right.columns
         )

@@ -1189,3 +1189,76 @@ def test_ann_topk_multi_table_composes_with_salt(spark, sf_dir):
         for a_, b_ in zip(norm[x], norm[y]):
             acc = acc + a_ * b_
         assert acc == s, (x, y)
+
+
+def test_exact_broadcast_tier_bit_parity(spark, emb):
+    """The round-14 broadcast-numpy tier for modes exact_cross /
+    exact_int8 must emit rows BIT-identical to the declarative
+    cross-join plan — including duplicate query ids (the window pools
+    them) and exact score ties (duplicated corpus vectors)."""
+    from linktransformer_spark.operators.ann import (
+        ANN_BROADCAST_MIN_PAIRS_CONF,
+    )
+
+    q = emb.filter(F.col("vec_id") < 15)
+    # duplicate query ids + duplicated vectors (ties at full cosine)
+    q_dup = q.unionByName(q.limit(5))
+    corpus = emb.filter(F.col("vec_id") < 300).unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 500000).alias("vec_id"),
+            "embedding", "label",
+        )
+    )
+    for mode in ("exact_cross", "exact_int8"):
+        spark.conf.set(ANN_BROADCAST_MIN_PAIRS_CONF, "0")  # force kernel
+        try:
+            kern = sorted(map(tuple, lt.ann_topk(
+                q_dup, corpus, k=4, mode=mode).collect()))
+        finally:
+            spark.conf.set(ANN_BROADCAST_MIN_PAIRS_CONF, str(1 << 60))
+        try:
+            decl = sorted(map(tuple, lt.ann_topk(
+                q_dup, corpus, k=4, mode=mode).collect()))
+        finally:
+            spark.conf.unset(ANN_BROADCAST_MIN_PAIRS_CONF)
+        assert kern == decl, mode  # bit-equal scores, ranks, ids
+
+
+def test_exact_broadcast_tier_routes_by_size(spark, emb):
+    """Parquet-backed corpora past the pair budget take the kernel
+    (MapInPandas in the plan, no BroadcastNestedLoopJoin); an
+    unknown-stats (RDD-backed) corpus keeps the declarative plan —
+    routing must never launch a job to decide."""
+    q = emb.filter(F.col("vec_id") < 15)
+    plan_kern = lt.ann_topk(q, emb, k=4, mode="exact_cross")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_kern
+    assert "BroadcastNestedLoopJoin" not in plan_kern
+    rdd_corpus = emb.sparkSession.createDataFrame(
+        emb.limit(50).collect(), emb.schema
+    )
+    plan_decl = lt.ann_topk(q, rdd_corpus, k=4, mode="exact_cross")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_decl
+
+
+def test_keys_arrow_kernel_tolerates_null_ids(spark):
+    """A non-castable id reaches the Arrow key-kernels as null; the
+    pass must emit the row with a null id (the relational path's
+    tolerance), not fail the task (round-14 advisory)."""
+    from linktransformer_spark.encoders.hash_ngram import HashNgramEncoder
+    from linktransformer_spark.operators.ann import (
+        hyperplane_bucket_keys_arrow, hyperplane_probe_buckets_keys_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "abc"), (1, "xyz"), (2, "abd")],
+        "id long, key string",
+    )
+    enc = HashNgramEncoder(dim=8)
+    out = hyperplane_bucket_keys_arrow(df, "id", "key", enc, 8, 4).collect()
+    assert len(out) == 3 and sum(r["id"] is None for r in out) == 1
+    out2 = hyperplane_probe_buckets_keys_arrow(
+        df, "id", "key", enc, 8, 4, n_extra=2
+    ).collect()
+    assert len(out2) == 9 and sum(r["id"] is None for r in out2) == 3

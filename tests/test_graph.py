@@ -187,3 +187,33 @@ def test_pagerank_inline_matches_checkpointed(spark, monkeypatch):
         map(tuple, lt.pagerank(ew, weight_col="w", iterations=4).collect())
     )
     assert a == b
+
+
+def test_pagerank_null_weights_count_as_zero(spark):
+    """Null edge weights coalesce to 0.0 at cast time (round-14
+    advisory): ranks equal the explicit-0.0 run bit-exactly, and the
+    degree caps stay enforced in BOTH prune forms even when a
+    duplicate group's weights are all null."""
+    from linktransformer_spark.operators import graph as G
+
+    rows = [(1, d, None) for d in range(2, 12)] + [
+        (1, 5, None),  # all-null duplicate group -> presum would be null
+        (2, 3, 4.0), (3, 1, None), (3, 1, 2.0), (4, 1, 1.0),
+    ]
+    ew = spark.createDataFrame(rows, "src long, dst long, w double")
+    ez = ew.fillna({"w": 0.0})
+    a = sorted(map(tuple, lt.pagerank(ew, weight_col="w", iterations=3,
+                                      max_out_degree=4).collect()))
+    b = sorted(map(tuple, lt.pagerank(ez, weight_col="w", iterations=3,
+                                      max_out_degree=4).collect()))
+    assert a == b
+    # both prune forms agree on the null-heavy relation
+    e = ew.selectExpr("src as _src", "dst as _dst",
+                      "coalesce(w, 0.0d) as _w") \
+        .groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    fa = sorted(map(tuple,
+                    G._cap_degree_filter(e, "_src", "_dst", 4).collect()))
+    fb = sorted(map(tuple,
+                    G._cap_degree_window(e, "_src", "_dst", 4).collect()))
+    assert fa == fb
+    assert len([r for r in fa if r[0] == 1]) == 4  # cap enforced

@@ -447,3 +447,61 @@ def test_auto_lev_routes_kernel_past_pair_budget(spark, sf_dir):
             map(tuple, big.collect()))
     finally:
         spark.conf.unset(LEV_BROADCAST_MIN_PAIRS_CONF)
+
+
+def test_lsh_dim_probe_and_arrow_gate(spark, monkeypatch):
+    """Round-14 advisories: (1) an encoder declaring the placeholder
+    dim=0 must have dim PROBED from the data, not run 0-dim
+    hyperplanes (every row would land in one bucket); (2) an encoder
+    with encode_batch but WITHOUT the bit-identical expression mirror
+    (expression_based=False, e.g. SBert) must not take the keys-kernel
+    route — it would re-encode per bucket occurrence and its batch
+    float drift breaks the cross-table pair dedup."""
+    from pyspark.sql import functions as F
+
+    from linktransformer_spark.operators import ann
+    from linktransformer_spark.operators import knn_join as KJ
+
+    class _Enc:
+        dim = 0  # the Encoder base-class placeholder
+        expression_based = False
+
+        def encode_batch(self, keys):  # pragma: no cover - must not run
+            raise AssertionError("encode_batch route must not be taken")
+
+    class _Scorer:
+        needs_embeddings = True
+        score_is_dot = True
+        encoder = _Enc()
+
+        @staticmethod
+        def score():
+            from linktransformer_spark.functions import similarity as S
+            return S.dot(F.col(KJ.LEFT_EMB), F.col(KJ.RIGHT_EMB))
+
+    seen_dims = []
+    orig_bucket = ann.hyperplane_bucket
+
+    def spy_bucket(vec, dim, n_planes=12, plane_offset=0):
+        seen_dims.append(dim)
+        return orig_bucket(vec, dim, n_planes, plane_offset)
+
+    monkeypatch.setattr(ann, "hyperplane_bucket", spy_bucket)
+    monkeypatch.setattr(
+        ann, "hyperplane_bucket_keys_arrow",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("keys-kernel route must be gated off")),
+    )
+
+    rows = [(i, f"k{i}", [float(i % 3), 1.0, float(i % 5), 0.5])
+            for i in range(40)]
+    left = spark.createDataFrame(rows, "id long, key string, v array<double>") \
+        .select(F.col("id").alias(KJ.LEFT_ID), F.col("key").alias(KJ.LEFT_KEY),
+                F.col("v").alias(KJ.LEFT_EMB))
+    right = spark.createDataFrame(rows, "id long, key string, v array<double>") \
+        .select(F.col("id").alias(KJ.RIGHT_ID), F.col("key").alias(KJ.RIGHT_KEY),
+                F.col("v").alias(KJ.RIGHT_EMB))
+    out = KJ._lsh_candidates(left, right, _Scorer(), k=1, n_planes=3)
+    assert out.count() > 0
+    # every bucketing call saw the PROBED vector dimension, never 0
+    assert seen_dims and all(d == 4 for d in seen_dims), seen_dims

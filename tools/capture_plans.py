@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for bench entries into plans/r13/.
+"""Capture .explain("formatted") for bench entries into
+plans/$PLANS_ROUND/ (default r14).
 
 Usage: python tools/capture_plans.py <suffix> [entry,entry,...]
-Writes plans/r13/<entry>_<suffix>.txt for each requested bench entry
-(default: every entry). Uses the same session/config as bench.py so
-routing (size estimates, auto thresholds) matches what the bench runs.
+Writes plans/<round>/<entry>_<suffix>.txt for each requested bench
+entry (default: every entry). Uses the same session/config as bench.py
+so routing (size estimates, auto thresholds) matches what the bench
+runs.
 """
 from __future__ import annotations
 
@@ -18,7 +20,7 @@ import bench  # noqa: E402
 import linktransformer_spark as lt  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r13")
+                       "plans", os.environ.get("PLANS_ROUND", "r14"))
 
 
 def main() -> None:
