@@ -253,6 +253,20 @@ def bench_queries(spark):
             spark.conf.unset(AUTO_LSH_CONF)
             spark.conf.unset(BROADCAST_KNN_CONF)
 
+    def merge_knn_auto_cold(sf_dir):
+        # COLD-MEMO twin of merge_knn_auto (round-13 verdict item 9):
+        # clears the in-process LSH table-width memo before building,
+        # so every timed run INCLUDES the bucket-occupancy derivation
+        # the warm entry's memo skips. The warm/cold delta is the
+        # derivation's true per-query cost; the warm entry keeps its
+        # rounds-9..13 meaning (repeated merges against one corpus).
+        from linktransformer_spark.operators.knn_join import (
+            clear_auto_tables_memo,
+        )
+
+        clear_auto_tables_memo()
+        return merge_knn_auto(sf_dir)
+
     def ann_serve_r90(sf_dir):
         # THE serving default (operators/serving.py): IVF-PQ scan-wide
         # + exact re-rank at auto-resolved knobs — the measured
@@ -378,6 +392,7 @@ def bench_queries(spark):
         "docs_temperature_mixture": from_oracle("docs_temperature_mixture"),
         "ann_ivf_indexed": ann_ivf_indexed,
         "merge_knn_auto": merge_knn_auto,
+        "merge_knn_auto_cold": merge_knn_auto_cold,
         "ann_serve_r90": ann_serve_r90,
         "ann_serve_r90_indexed": ann_serve_r90_indexed,
         "search_hybrid_indexed": search_hybrid_indexed,

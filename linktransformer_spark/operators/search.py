@@ -72,7 +72,14 @@ def _impact_postings(
     input's own — how a delta segment scores consistently with the
     base index it joins.
     """
-    base = docs.select(
+    # spread an unsplit input first (no-op past a shuffle or at scale):
+    # the tokenize+explode map stage otherwise runs on the SCAN's
+    # partitioning — one task for a single-file corpus, every core idle
+    # until the groupBy exchange (guide §2.5 unsplittable input; the
+    # same conditional spread the textpipe family took in round 13)
+    from .knn_join import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("_d"),
         S.word_tokens(F.col(text_col)).alias("_toks"),
     )

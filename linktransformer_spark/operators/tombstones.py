@@ -90,8 +90,14 @@ def refresh_index_path(spark: SparkSession, index_path: str) -> None:
     OLD parquet file listing in its FileStatusCache, and the next read
     after an overwrite/compact dies with FAILED_READ_FILE on the
     replaced files. Cheap (cache invalidation only), and a no-op for
-    sessions that never touched the path."""
+    sessions that never touched the path. Also expires the in-process
+    LSH table-width memo: its keys are plan identities, which an
+    overwrite at the same path preserves — serving a width derived
+    from the pre-mutation data would be silently stale."""
     spark.catalog.refreshByPath(index_path)
+    from .knn_join import clear_auto_tables_memo
+
+    clear_auto_tables_memo()
 
 
 def clear_tombstones(spark: SparkSession, index_path: str) -> None:

@@ -21,8 +21,15 @@ def spark():
         "lt-tests",
         master=os.environ.get("LT_TEST_MASTER", "local[8]"),
         shuffle_partitions=int(os.environ.get("LT_TEST_SHUFFLE", "8")),
-        # keep catalog artifacts (saveAsTable warehouse) out of the repo
-        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lt_wh_")},
+        extra_conf={
+            # keep catalog artifacts (saveAsTable warehouse) out of the repo
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lt_wh_"),
+            # the suite runs thousands of tiny jobs; the UI server adds
+            # startup cost and per-job/stage bookkeeping nobody reads in
+            # CI — production sessions (session.get_spark defaults) keep
+            # it on
+            "spark.ui.enabled": os.environ.get("LT_TEST_UI", "false"),
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -505,3 +505,15 @@ def test_lsh_dim_probe_and_arrow_gate(spark, monkeypatch):
     assert out.count() > 0
     # every bucketing call saw the PROBED vector dimension, never 0
     assert seen_dims and all(d == 4 for d in seen_dims), seen_dims
+
+
+def test_refresh_index_path_expires_auto_tables_memo(spark, tmp_path):
+    """Any index mutation (every writer calls refresh_index_path)
+    must expire the in-process LSH table-width memo — its keys are
+    plan identities, which an overwrite at the same path preserves."""
+    from linktransformer_spark.operators import knn_join as KJ
+    from linktransformer_spark.operators.tombstones import refresh_index_path
+
+    KJ._AUTO_TABLES_MEMO[("sentinel",)] = 2
+    refresh_index_path(spark, str(tmp_path))
+    assert not KJ._AUTO_TABLES_MEMO

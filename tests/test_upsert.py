@@ -395,8 +395,16 @@ class TestRebalanceIvf:
         drift = np.nonzero(assign >= K - 2)[0]
 
         def mkdf(idx):
+            # pandas input -> Arrow createDataFrame: the row-pickling
+            # path on 4000 x 32 floats was seconds per call (this test
+            # builds four frames)
+            import pandas as pd
+
             return spark.createDataFrame(
-                [(int(i), [float(x) for x in pts[i]]) for i in idx],
+                pd.DataFrame({
+                    "vec_id": [int(i) for i in idx],
+                    "embedding": [[float(x) for x in pts[i]] for i in idx],
+                }),
                 "vec_id long, embedding array<double>",
             )
 
