@@ -543,21 +543,26 @@ def bucket_cap_stats(
     )
 
 
-def _minhash_sig_stage(
-    df: DataFrame, on, id_col: str, num_hashes: int, shingle: int,
-    word: bool, id_out: str = "_id", sig_out: str = "_sig",
+def _minhash_banded_stage(
+    df: DataFrame, on, id_col: str, num_hashes: int, bands: int,
+    shingle: int, word: bool, id_out: str = "_id",
 ) -> DataFrame:
-    """(id, signature) via the exact-integer Arrow-batch replica
-    (:func:`py_minhash_cols`) — ONE narrow map-only pass, no explode,
-    no groupBy shuffle, no join. Bit-identical to the relational
-    explode+min-agg build (replica parity is property-pinned); at
-    sf0.1 the Arrow stage builds signatures 2x faster than the
-    relational form because the per-gram unrolled poly_hash codegen
-    chain (24 guarded steps per character) is slower per gram than the
-    replica's memoized numpy arithmetic (optimization guide §4.2: hand
-    whole batches to vectorized native code). Word mode ships the
-    JVM-lowercased key — lowercasing is the one Unicode-sensitive
-    step, kept in the JVM so every path case-folds identically."""
+    """(id, band, band-signature) rows in ONE Arrow pass — the
+    signature build (:func:`py_minhash_cols`) and the band slicing
+    fused, so the per-row signature array is never materialized as a
+    column: the ``explode(transform(sequence, slice))`` stage of
+    :func:`_banded_from_sig` (evaluated once per consumer of the
+    banded relation — three times in the salted self-join: the sizes
+    aggregate and both join inputs) disappears from the plan, and the
+    self-join checkpoint holds the band rows directly. Values are
+    bit-identical to slicing the signature relationally: the same
+    int64 signature array (exact-integer arithmetic — replica parity
+    with the relational explode+min-agg build is property-pinned), cut
+    at the same offsets. Word mode ships the JVM-lowercased key —
+    lowercasing is the one Unicode-sensitive step, kept in the JVM so
+    every path case-folds identically (guide §4.2: hand whole batches
+    to vectorized native code)."""
+    rows_per_band = num_hashes // bands
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
     src = KJ.ensure_parallelism(df).select(
@@ -566,19 +571,28 @@ def _minhash_sig_stage(
     )
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
         memo = {}
+        band_ids = np.arange(bands, dtype=np.int32)
         for pdf in batches:
             sigs, _ = py_minhash_cols(
                 pdf["_kl"].tolist(), num_hashes, shingle, word, memo=memo
             )
             yield pd.DataFrame({
-                id_out: pdf[id_out].to_numpy(),
-                sig_out: [list(map(int, s)) for s in sigs],
+                id_out: np.repeat(pdf[id_out].to_numpy(), bands),
+                "band": np.tile(band_ids, len(sigs)),
+                "bsig": [
+                    [int(x) for x in
+                     s[b * rows_per_band:(b + 1) * rows_per_band]]
+                    for s in sigs for b in range(bands)
+                ],
             })
 
-    return src.mapInPandas(gen, schema=f"{id_out} long, {sig_out} array<bigint>")
+    return src.mapInPandas(
+        gen, schema=f"{id_out} long, band int, bsig array<bigint>"
+    )
 
 
 def _banded_from_sig(
@@ -613,26 +627,25 @@ def _minhash_base_banded(
     word: bool,
     max_bucket_size: int | None,
     hot_bucket: str = "drop",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash build: returns (``base_kv`` = (_id, _key) — the
     raw serialized key relation the verify paths semi-join, NOT
-    lineage-cut, ``sig`` = (_id, _sig) — lineage-cut, one row per
-    input row, and ``banded`` = (_id, band, bsig)). The hash family is
-    fixed module-level constants, so signatures built from two
-    DIFFERENT DataFrames (e.g. a new batch vs an indexed corpus) are
-    directly join-compatible — the property the incremental variant
-    relies on.
+    lineage-cut, and ``banded`` = (_id, band, bsig) — lineage-cut,
+    ``bands`` rows per input row). The hash family is fixed
+    module-level constants, so signatures built from two DIFFERENT
+    DataFrames (e.g. a new batch vs an indexed corpus) are directly
+    join-compatible — the property the incremental variant relies on.
 
-    Signatures come from the Arrow-batch replica
-    (:func:`_minhash_sig_stage`); ``banded`` derives from ``sig``
-    directly, so the text column is never shuffled, joined, or
-    checkpointed in the banded path at all (the round-13 restructure:
-    the previous relational build paid a corpus-text SMJ join plus a
-    text checkpoint just to carry ``_key`` next to ``_sig`` — measured
-    3.5s -> 1.8s at sf0.1 for the capped+salted banded relation)."""
+    Band rows come from the fused Arrow pass
+    (:func:`_minhash_banded_stage`): signature build and band slicing
+    in one map-only stage, so neither the text column nor the full
+    signature array is ever shuffled, joined, or checkpointed in the
+    banded path (round 13 removed the text join/checkpoint, round 14
+    the signature materialization + explode — the banded self-join and
+    the sizes aggregate previously each re-evaluated the
+    explode(transform(slice)) stage over the signature checkpoint)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     on_list = [on] if isinstance(on, str) else list(on)
     key = serialize_columns(on_list, DEFAULT_SEP)
 
@@ -642,16 +655,16 @@ def _minhash_base_banded(
         F.col(id_col).cast("long").alias("_id"),
         key.alias("_key"),
     )
-    # the banded self-join consumes sig on BOTH sides; cut lineage so
-    # the Arrow signature stage executes once, not twice (same
-    # reasoning as the simhash fingerprint checkpoint below) — and the
-    # checkpoint now holds (id, num_hashes longs), not the corpus text
-    sig = _minhash_sig_stage(
-        df, on, id_col, num_hashes, shingle, word
+    # the banded self-join consumes the band rows on BOTH sides; cut
+    # lineage so the Arrow stage executes once, not twice (same
+    # reasoning as the simhash fingerprint checkpoint below) — the
+    # checkpoint holds (id, band, rows_per_band longs) per band row,
+    # never the corpus text
+    banded = _minhash_banded_stage(
+        df, on, id_col, num_hashes, bands, shingle, word
     ).localCheckpoint(eager=False)
-    banded = _banded_from_sig(sig, bands, rows_per_band)
     banded = _cap_buckets(banded, ["band", "bsig"], max_bucket_size, hot_bucket)
-    return base_kv, sig, banded
+    return base_kv, banded
 
 
 def _hash_shingles(sh: Column) -> Column:
@@ -758,7 +771,7 @@ def near_dup_pairs_minhash(
     uncapped plan with per-task work still bounded at ~2*cap^2 — see
     ``_cap_buckets``).
     """
-    base, _sig, banded = _minhash_base_banded(
+    base, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word,
         max_bucket_size, hot_bucket,
     )
@@ -816,10 +829,10 @@ def near_dup_pairs_minhash_against(
     keyed by side, not by id ordering."""
     salted = max_bucket_size is not None and hot_bucket == "salt"
     side_cap = None if salted else max_bucket_size
-    nbase, _nsig, nbanded = _minhash_base_banded(
+    nbase, nbanded = _minhash_base_banded(
         new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
-    sbase, _ssig, sbanded = _minhash_base_banded(
+    sbase, sbanded = _minhash_base_banded(
         seen, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     if salted:
@@ -1109,7 +1122,7 @@ def minhash_cap_stats(
     (or alongside) a capped dedup to decide between 'drop', 'salt',
     and a larger cap; ``pairs_dropped == 0`` means the cap is a
     no-op on this corpus."""
-    _, _, banded = _minhash_base_banded(
+    _, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word, None
     )
     return bucket_cap_stats(banded, ["band", "bsig"], max_bucket_size)
@@ -1477,7 +1490,7 @@ def save_minhash_index(
                     f"cannot append to minhash index at {path}: existing "
                     f"word={existing['word']} != {meta['word']}"
                 )
-    base, _sig, banded = _minhash_base_banded(
+    base, banded = _minhash_base_banded(
         df, on, id_col, num_hashes, bands, shingle, word, None
     )
     sh = base.select(
@@ -1617,7 +1630,7 @@ def near_dup_pairs_minhash_against_index(
         raise ValueError(
             f"hot_bucket must be 'drop' or 'salt', got {hot_bucket!r}"
         )
-    nbase, _nsig, nbanded = _minhash_base_banded(
+    nbase, nbanded = _minhash_base_banded(
         new, on, id_col, num_hashes, bands, shingle, word, side_cap
     )
     sbanded = spark.read.parquet(f"{path}/bands")

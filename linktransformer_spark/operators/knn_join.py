@@ -265,6 +265,82 @@ def max_count_one_job(left: DataFrame, right: DataFrame) -> int:
     )
 
 
+# Decision memo for ensure_parallelism, keyed on (analyzed-plan
+# semanticHash, target): the probe behind the decision costs real
+# driver time (physical planning + a partition count), and operators
+# re-run it for every construction of the same query (bench reruns,
+# serving loops, multi-operator pipelines over one relation). The
+# memoized value is a PLAN-SHAPE decision (spread or not), never data
+# or results. Staleness window: a path overwritten with different
+# data inside one session reuses the old decision — a task-count
+# KNOB, never correctness (the repartition is semantically neutral
+# both ways). Index writers expire it via
+# ``tombstones.refresh_index_path`` (same contract as the LSH width
+# memo). FIFO-bounded.
+_SPREAD_MEMO: dict = {}
+_SPREAD_MEMO_MAX = 512
+
+
+def clear_spread_memo() -> None:
+    """Drop every memoized spread decision (see ``_SPREAD_MEMO``).
+    Called by ``tombstones.refresh_index_path`` alongside
+    ``clear_auto_tables_memo``."""
+    _SPREAD_MEMO.clear()
+
+
+def _est_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the task count of a SHUFFLE-FREE plan from its leaf
+    relations' Catalyst byte statistics, replicating
+    ``FilePartition.maxSplitBytes`` arithmetic — planning-time only,
+    no job, no RDD. ``df.rdd.getNumPartitions()`` (the previous probe)
+    physically plans the subtree and materializes its broadcast
+    exchanges: measured 135-290 ms on a bare sf0.1 scan and 2.0-5.4 s
+    on a union-with-broadcast-join input, PER CONSTRUCTION — it was
+    the single largest driver-floor component (guide §5: the driver
+    should do almost no work). The estimate only has to land on the
+    right side of ``< target``; a miss adds or skips one round-robin
+    exchange and never changes results. Returns None (caller falls
+    back to the exact probe) when any leaf reports the unknown-stats
+    sentinel or is RDD-backed (checkpointed inputs — their .rdd probe
+    is cheap: the plan is already physical)."""
+    try:
+        jss = df.sparkSession._jsparkSession
+        sql_conf = jss.sessionState().conf()
+        max_pb = int(sql_conf.filesMaxPartitionBytes())
+        open_cost = int(sql_conf.filesOpenCostInBytes())
+        dp = df.sparkSession.sparkContext.defaultParallelism
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        sizes = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls == "Range":
+                # Range parallelizes to defaultParallelism by itself;
+                # its tiny byte size would misread as one split
+                sizes.append(None)
+                continue
+            if cls == "LogicalRDD":
+                return None  # partitioning lives on the RDD; ask it
+            s = leaf.stats().sizeInBytes()
+            s = int(s if isinstance(s, int) else s.toString())
+            if s >= (1 << 60):
+                return None  # unknown sentinel
+            sizes.append(s)
+        if not sizes:
+            return None
+        byte_sizes = [s for s in sizes if s is not None]
+        total = sum(byte_sizes) + open_cost * len(byte_sizes)
+        bytes_per_core = max(1, total // max(1, dp))
+        max_split = min(max_pb, max(open_cost, bytes_per_core))
+        est = sum(
+            max(1, -(-(s + open_cost) // max_split)) for s in byte_sizes
+        )
+        est += dp * sum(1 for s in sizes if s is None)  # Range leaves
+        return est
+    except Exception:  # noqa: BLE001 — sizing probe must never break the plan
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism when the input
     arrives under-partitioned.
@@ -283,6 +359,27 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    key = None
+    try:
+        key = (
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+            target,
+        )
+        need = _SPREAD_MEMO.get(key)
+        if need is not None:
+            return df.repartition(target) if need else df
+    except Exception:  # noqa: BLE001 — memo must never break the plan
+        pass
+    need = _needs_spread(df, target)
+    if key is not None:
+        if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+            _SPREAD_MEMO.pop(next(iter(_SPREAD_MEMO)))
+        _SPREAD_MEMO[key] = need
+    return df.repartition(target) if need else df
+
+
+def _needs_spread(df: DataFrame, target: int) -> bool:
+    """The probe behind :func:`ensure_parallelism`, un-memoized."""
     try:
         # A SHUFFLE exchange in the plan means downstream parallelism is
         # already spark.sql.shuffle.partitions — nothing to fix, and
@@ -297,14 +394,16 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
             or "Exchange RoundRobinPartitioning" in plan
             or "Exchange SinglePartition" in plan
         ):
-            return df
+            return False
     except Exception:
         pass
-    # shuffle-free plan (scan + maps [+ broadcast build]): partition
-    # count == input splits; cheap to ask.
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # shuffle-free plan (scan + maps [+ broadcast build]): task count
+    # follows from the leaf scans' sizes — estimate without touching
+    # the RDD (which would execute broadcast builds just to count).
+    est = _est_scan_partitions(df)
+    if est is not None:
+        return est < target
+    return df.rdd.getNumPartitions() < target
 
 
 @dataclass

@@ -95,9 +95,12 @@ def refresh_index_path(spark: SparkSession, index_path: str) -> None:
     overwrite at the same path preserves — serving a width derived
     from the pre-mutation data would be silently stale."""
     spark.catalog.refreshByPath(index_path)
-    from .knn_join import clear_auto_tables_memo
+    from .knn_join import clear_auto_tables_memo, clear_spread_memo
 
     clear_auto_tables_memo()
+    # same staleness contract for the spread-decision memo: an
+    # overwrite at one plan identity may change the split count
+    clear_spread_memo()
 
 
 def clear_tombstones(spark: SparkSession, index_path: str) -> None:

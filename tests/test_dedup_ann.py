@@ -1262,3 +1262,46 @@ def test_keys_arrow_kernel_tolerates_null_ids(spark):
         df, "id", "key", enc, 8, 4, n_extra=2
     ).collect()
     assert len(out2) == 9 and sum(r["id"] is None for r in out2) == 3
+
+
+def test_minhash_banded_stage_fused_parity_and_plan(spark):
+    """The round-14 fused Arrow band stage must (a) emit EXACTLY the
+    rows of slicing the relational minhash_signature at the band
+    offsets — nulls, empties, unicode and duplicate ids included —
+    and (b) contain no Generate/explode: the band rows come out of
+    the one mapInPandas pass."""
+    from linktransformer_spark.operators.dedup import (
+        _minhash_banded_stage, minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the quick brown fox"),
+         (2, ""), (3, None), (4, "Grüße aus Köln 東京"), (2, "dup id")],
+        "doc_id long, text string",
+    )
+    num_hashes, bands, shingle, word = 24, 8, 3, True
+    r = num_hashes // bands
+    got = sorted(
+        (row["_id"], row["band"], tuple(row["bsig"]))
+        for row in _minhash_banded_stage(
+            df, "text", "doc_id", num_hashes, bands, shingle, word
+        ).collect()
+    )
+    sig_rows = df.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(
+            F.coalesce(F.col("text"), F.lit("")), num_hashes, shingle, word
+        ).alias("sig"),
+    ).collect()
+    want = sorted(
+        (row["_id"], b, tuple(row["sig"][b * r:(b + 1) * r]))
+        for row in sig_rows for b in range(bands)
+    )
+    assert got == want
+
+    plan = (
+        _minhash_banded_stage(df, "text", "doc_id", num_hashes, bands,
+                              shingle, word)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan and "MapInPandas" in plan

@@ -535,3 +535,61 @@ def test_quality_gate_filter_single_tokenization(spark, sf_dir):
         "tokenizer duplicated in the gate plan — the pushdown fence "
         "is not holding"
     )
+
+
+def test_spread_probe_estimates_without_rdd_and_memoizes(spark, sf_dir):
+    # ensure_parallelism's sizing probe must not touch df.rdd for
+    # file-scan inputs (measured: .rdd physically plans the subtree and
+    # executes its broadcast builds — seconds of driver work per
+    # construction). The leaf-byte estimate decides, and the decision
+    # is memoized by analyzed-plan semanticHash.
+    from linktransformer_spark.operators import knn_join as KJ
+    from linktransformer_spark.sources.tables import read_table
+
+    KJ.clear_spread_memo()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    est = KJ._est_scan_partitions(docs)
+    assert est is not None and est >= 1  # file leaf -> estimable
+
+    target = 64  # above any local split count -> must spread
+    out = KJ.ensure_parallelism(docs, min_parts=target)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "RoundRobinPartitioning(64" in plan
+    assert (len(KJ._SPREAD_MEMO) == 1
+            and next(iter(KJ._SPREAD_MEMO.values())) is True)
+
+    # memo hit: the probe must NOT run again for an identical plan
+    calls = []
+    orig = KJ._needs_spread
+    KJ._needs_spread = lambda df, t: calls.append(1) or orig(df, t)
+    try:
+        out2 = KJ.ensure_parallelism(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            min_parts=target,
+        )
+    finally:
+        KJ._needs_spread = orig
+    assert calls == []  # decision served from the memo
+    assert "RoundRobinPartitioning(64" in (
+        out2._jdf.queryExecution().sparkPlan().toString()
+    )
+
+    # unknown-stats input (checkpoint-backed) falls back to the exact
+    # .rdd probe and still spreads a 1-partition frame
+    KJ.clear_spread_memo()
+    ck = docs.limit(5).coalesce(1).localCheckpoint(eager=True)
+    assert KJ._est_scan_partitions(ck) is None
+    spread = KJ.ensure_parallelism(ck, min_parts=8)
+    assert spread.rdd.getNumPartitions() == 8
+
+
+def test_refresh_index_path_expires_spread_memo(spark, tmp_path):
+    # an index overwrite at the same path preserves plan identity but
+    # may change the split count — the writer hook must expire the
+    # spread-decision memo (same contract as the LSH width memo)
+    from linktransformer_spark.operators import knn_join as KJ
+    from linktransformer_spark.operators.tombstones import refresh_index_path
+
+    KJ._SPREAD_MEMO[(0, 0)] = True
+    refresh_index_path(spark, str(tmp_path))
+    assert not KJ._SPREAD_MEMO
