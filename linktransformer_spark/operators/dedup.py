@@ -707,6 +707,56 @@ def _jaccard_tail(cand: DataFrame, threshold: float,
     )
 
 
+# Candidate-id budget under which the verify joins BROADCAST the
+# (id, shingle-fingerprints) relation instead of sort-merge-joining it
+# onto the pair relation. The SMJ form shuffles the pair relation WITH
+# both ~100-element fingerprint arrays attached (measured 1.13M pairs
+# x ~2x800 B at the sf0.1 hot-clique shape — the dominant verify
+# cost); the broadcast form ships each candidate's array once and the
+# checkpointed pair relation never moves. At 64k ids x ~800 B the
+# broadcast is ~50 MB — the deliberate §3.1 "broadcast the side that
+# fits" call; above the budget the SMJ shape stands (a 100 TB
+# candidate set must never be collected). The deciding count runs
+# over the candidate CHECKPOINT — one bounded job, same pattern as
+# the lev tier's pair budget.
+VERIFY_BROADCAST_MAX_IDS_CONF = (
+    "spark.linktransformer.dedup.verifyBroadcastMaxIds"
+)
+VERIFY_BROADCAST_MAX_IDS_DEFAULT = 65_536
+
+
+def _verify_attach_shingles(
+    cand: DataFrame, sh: DataFrame, n_ids: int,
+) -> DataFrame:
+    """Attach sh_l/sh_r fingerprint arrays to (src, dst) pairs.
+    ``sh`` must be lineage-cut (it is evaluated for BOTH joins);
+    ``n_ids`` (its exact row count — the caller already ran the job)
+    picks the join shape: broadcast under the id budget, sort-merge
+    above it."""
+    spark = cand.sparkSession
+    budget = int(
+        spark.conf.get(
+            VERIFY_BROADCAST_MAX_IDS_CONF,
+            str(VERIFY_BROADCAST_MAX_IDS_DEFAULT),
+        )
+    )
+    if n_ids <= budget:
+        sh = F.broadcast(sh)
+        # the broadcast shape has NO shuffle above the pair checkpoint,
+        # which AQE typically coalesced to very few partitions (18 MB of
+        # id pairs -> 1) — the per-pair intersect would run single-task.
+        # The SMJ shape re-spreads through its own hash exchange.
+        cand = KJ.ensure_parallelism(cand)
+    cand = cand.join(
+        sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"),
+        "src",
+    )
+    return cand.join(
+        sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"),
+        "dst",
+    )
+
+
 def _verify_jaccard(
     cand: DataFrame, bases: list[DataFrame], shingle: int, word: bool,
     threshold: float,
@@ -718,7 +768,11 @@ def _verify_jaccard(
     explode/window/groupBy — zero shuffles beyond the semi-joins; its
     interpreted per-gram cost is linear in candidate text volume.
     Arrays are compared as 64-bit fingerprints (:func:`_hash_shingles`)
-    and the threshold filter is single-evaluation (:func:`_jaccard_tail`)."""
+    and the threshold filter is single-evaluation (:func:`_jaccard_tail`).
+    The (id, fingerprints) relation is lineage-cut (it feeds both
+    attach joins — un-cut, the whole scan+shingle subtree planned and
+    ran TWICE) and broadcast when the candidate-id count fits the
+    budget (see ``VERIFY_BROADCAST_MAX_IDS_CONF``)."""
     cand = cand.localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("src").alias("_id"))
@@ -732,14 +786,13 @@ def _verify_jaccard(
     all_base = bases[0].select("_id", "_key")
     for b in bases[1:]:
         all_base = all_base.unionByName(b.select("_id", "_key"))
-    sh = all_base.join(cand_ids, "_id").select("_id", sh_expr.alias("_sh"))
-    cand = cand.join(
-        sh.withColumnRenamed("_id", "src").withColumnRenamed("_sh", "sh_l"), "src"
+    sh = (
+        all_base.join(cand_ids, "_id")
+        .select("_id", sh_expr.alias("_sh"))
+        .localCheckpoint(eager=False)
     )
-    cand = cand.join(
-        sh.withColumnRenamed("_id", "dst").withColumnRenamed("_sh", "sh_r"), "dst"
-    )
-    return _jaccard_tail(cand, threshold)
+    n_ids = sh.count()
+    return _jaccard_tail(_verify_attach_shingles(cand, sh, n_ids), threshold)
 
 
 def near_dup_pairs_minhash(
@@ -864,10 +917,30 @@ def near_dup_pairs_minhash_against(
     s_ids = cand.select(F.col("dst").alias("_id")).distinct()
     sh_n = nbase.join(n_ids, "_id").select(
         F.col("_id").alias("src"), sh_expr.alias("sh_l")
-    )
+    ).localCheckpoint(eager=False)
     sh_s = sbase.join(s_ids, "_id").select(
         F.col("_id").alias("dst"), sh_expr.alias("sh_r")
+    ).localCheckpoint(eager=False)
+    # per-side broadcast under the id budget (see
+    # VERIFY_BROADCAST_MAX_IDS_CONF): the pair relation then never
+    # re-shuffles with fingerprint arrays attached
+    budget = int(
+        cand.sparkSession.conf.get(
+            VERIFY_BROADCAST_MAX_IDS_CONF,
+            str(VERIFY_BROADCAST_MAX_IDS_DEFAULT),
+        )
     )
+    bc_n = sh_n.count() <= budget
+    bc_s = sh_s.count() <= budget
+    if bc_n:
+        sh_n = F.broadcast(sh_n)
+    if bc_s:
+        sh_s = F.broadcast(sh_s)
+    if bc_n and bc_s:
+        # no shuffle above the pair checkpoint in the all-broadcast
+        # shape — re-spread it or the intersect runs on the few
+        # AQE-coalesced partitions (see _verify_attach_shingles)
+        cand = KJ.ensure_parallelism(cand)
     cand = cand.join(sh_n, "src").join(sh_s, "dst")
     return _jaccard_tail(cand, threshold)
 
@@ -1665,13 +1738,31 @@ def near_dup_pairs_minhash_against_index(
         _hash_shingles(
             _shingles_nonempty(F.col("_key"), shingle, word)
         ).alias("sh_l"),
-    )
+    ).localCheckpoint(eager=False)
     # the stored shingles/ relation keeps STRING arrays (index format
     # unchanged); fingerprint them at read, post-semi-join — both
     # sides of the intersect must use the same hash
     sh_s = ssh.join(cand.select(F.col("dst").alias("_id")).distinct(), "_id").select(
         F.col("_id").alias("dst"), _hash_shingles(F.col("_sh")).alias("sh_r")
+    ).localCheckpoint(eager=False)
+    # per-side broadcast under the id budget (VERIFY_BROADCAST_MAX_IDS)
+    budget = int(
+        spark.conf.get(
+            VERIFY_BROADCAST_MAX_IDS_CONF,
+            str(VERIFY_BROADCAST_MAX_IDS_DEFAULT),
+        )
     )
+    bc_n = sh_n.count() <= budget
+    bc_s = sh_s.count() <= budget
+    if bc_n:
+        sh_n = F.broadcast(sh_n)
+    if bc_s:
+        sh_s = F.broadcast(sh_s)
+    if bc_n and bc_s:
+        # no shuffle above the pair checkpoint in the all-broadcast
+        # shape — re-spread it or the intersect runs on the few
+        # AQE-coalesced partitions (see _verify_attach_shingles)
+        cand = KJ.ensure_parallelism(cand)
     cand = cand.join(sh_n, "src").join(sh_s, "dst")
     return _jaccard_tail(cand, threshold)
 
