@@ -3016,7 +3016,12 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_sql() -> str:
     """The flagship composed pipeline: one SQL statement mirroring the
     whole curation plan (quality gate -> redact -> jaccard near-dup CC
-    dedup keep-min-id -> token counts -> concat-and-chunk packing)."""
+    dedup keep-min-id -> token counts -> concat-and-chunk packing).
+    kept/sh are MATERIALIZED (values unchanged, evaluation hint only —
+    the er_resolve_lsh precedent): inlined, the 3-regex redact +
+    quality-score scan re-runs once per consumer (sh alone is
+    referenced four times) — measured 16-17 s at sf0.001 vs ~2 s
+    materialized."""
     from .functions.oracle import (
         sql_lang_id, sql_quality_score, sql_token_count, sql_word_shingles,
     )
@@ -3029,7 +3034,7 @@ def _curation_sql() -> str:
                 ELSE NULL END"""
     return f"""
     WITH RECURSIVE
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
@@ -3038,7 +3043,7 @@ def _curation_sql() -> str:
       FROM documents
       WHERE ({drop}) IS NULL
     ),
-    sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM kept),
+    sh AS MATERIALIZED (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS sh FROM kept),
     tok AS (SELECT id, unnest(sh) AS g FROM sh),
     inter AS (
       SELECT l.id AS src, r.id AS dst, count(*) AS i
@@ -4349,6 +4354,11 @@ def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MMR diversity re-ranking (operators/ann.py mmr_rerank, Carbonell &
 # Goldstein 1998) — the greedy loop unrolls into k-1 chained CTE
 # blocks, so even the iterative operator is fully value-checkable.
+# cand/sel{j} are MATERIALIZED (values unchanged — evaluation hint
+# only, the er_resolve_lsh precedent): inlined, each pen{j} block
+# re-expands the cross-join candidate CTE and sel{j-1} THREE times
+# (join + NOT EXISTS + union), compounding ~3^k — measured 115 s at
+# sf0.001 vs ~2 s materialized.
 # ---------------------------------------------------------------------------
 def _mmr_sql(k: int = 5, lam: float = 0.7, nq: int = 50, ncand: int = 20) -> str:
     from .functions.oracle import sql_dot, sql_l2_normalize
@@ -4360,7 +4370,7 @@ def _mmr_sql(k: int = 5, lam: float = 0.7, nq: int = 50, ncand: int = 20) -> str
       FROM embeddings WHERE vec_id < {nq}
     ),
     cn AS (SELECT vec_id, {sql_l2_normalize('embedding')} AS v FROM embeddings),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT q, d, rel, v FROM (
         SELECT q.vec_id AS q, c.vec_id AS d,
                {sql_dot('q.v', 'c.v')} AS rel, c.v AS v,
@@ -4397,7 +4407,8 @@ def _mmr_sql(k: int = 5, lam: float = 0.7, nq: int = 50, ncand: int = 20) -> str
         FROM pen{j}
       ) WHERE rn = 1
     ),
-    sel{j} AS (SELECT * FROM sel{j - 1} UNION ALL SELECT * FROM pick{j})""")
+    sel{j} AS MATERIALIZED (
+      SELECT * FROM sel{j - 1} UNION ALL SELECT * FROM pick{j})""")
     parts.append(f"""
     SELECT q AS query_id, d AS neighbor_id, CAST(rank AS INT) AS rank,
            round(rel, 6) AS score, round(mmr, 6) AS mmr
